@@ -1,0 +1,213 @@
+"""Deduplication operators (SURVEY.md §7 phase 4): exact, MinHash+LSH,
+SimHash, n-gram Jaccard — the standard near-dup ladder for LLM training
+corpora, expressed as DataFrame programs with portable (oracle-checkable)
+hashing from functions/hashing.py.
+
+Scale notes (the whole point of these shapes):
+* exact dedup is a hash-groupBy — one shuffle on a 32-char key, no text
+  comparison;
+* MinHash-LSH turns O(n²) similarity into an equi-join on (band, signature):
+  shingle → minhash → band → bucket-join.  Band signatures are tiny; the
+  candidate join is the only shuffle that touches pairs, and only within
+  buckets;
+* SimHash bands 48-bit signatures into 4×12-bit chunks — Hamming-≤3
+  candidates must collide on ≥1 chunk (pigeonhole), again an equi-join;
+* the exact n-gram Jaccard join is kept as the verification/recall-oracle
+  path; at 100 TB you run it only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.functions.hashing import MINHASH_P, md5_long, md5_long48, minhash_seed
+from hugegraph_on_tikv_spark.functions.text import fingerprint, normalized, tokens
+
+# -- exact -------------------------------------------------------------------
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents:
+    (fingerprint, n_docs, canonical_id = min doc id)."""
+    return (
+        docs.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint."""
+    w_fp = docs.withColumn("fp", fingerprint(F.col(text_col)))
+    keep = w_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return w_fp.join(keep, ["fp", id_col], "leftsemi").drop("fp")
+
+
+# -- shingles ----------------------------------------------------------------
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles over normalized text (array<string>, possibly with
+    duplicates; wrap in array_distinct for set semantics)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def shingle_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the exploded set representation all
+    similarity ops share."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"))
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32, k: int = 3,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, i, minhash) for i in [0, num_hashes): min over shingles of
+    (a_i * h(shingle) + b_i) mod P with the portable md5-based h.
+
+    The seeds table is 32 rows — broadcast; the heavy groupBy is on
+    (doc_id, i), partial-aggregated map-side."""
+    spark = docs.sparkSession
+    seeds = spark.createDataFrame(
+        [(i, *minhash_seed(i)) for i in range(num_hashes)], "i int, a long, b long"
+    )
+    sh = shingle_set(docs, text_col, id_col, k).withColumn(
+        "h", md5_long(F.col("shingle")) % MINHASH_P
+    )
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("minhash"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(doc_id, band, band_sig): md5 over the band's ordered minhash values."""
+    return (
+        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "minhash"))).alias("vals"))
+        .select(
+            "doc_id", "band",
+            F.md5(F.concat_ws(",", F.transform(F.col("vals"), lambda s: s["minhash"].cast("string"))))
+            .alias("band_sig"),
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing any band bucket —
+    the equi-join that replaces the O(n²) comparison."""
+    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
+                           k: int = 3, threshold: float = 0.7,
+                           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact Jaccard
+    over shingle sets; returns (doc_a, doc_b, jaccard) above threshold."""
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band))
+    sh = shingle_set(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.join(sh_a, "doc_a").join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash over token multiset: bit j of the signature is the
+    sign of sum over tokens of (2*bit_j(h(token)) - 1).  Explodes tokens ×
+    48 bit positions — vectorized alternative exists via pandas_udf, but the
+    explode stays JVM-side and partial-aggregates; fine up to very large
+    corpora, and bit arithmetic is oracle-portable."""
+    spark = docs.sparkSession
+    bits = spark.range(48).select(F.col("id").cast("int").alias("j"))
+    tok = docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(tokens(F.col(text_col))).alias("token"))
+    tok = tok.withColumn("h", md5_long48(F.col("token")))
+    return (
+        tok.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.shiftright(F.col("h"), F.col("j")).bitwiseAND(F.lit(1)) * 2 - 1).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("w") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("j"))).otherwise(F.lit(0))).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 4×12-bit band collision, verified by bit_count of
+    xor ≤ max_hamming.  Returns (doc_a, doc_b, hamming)."""
+    chunks = signatures.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"),
+                     F.shiftright(F.col("simhash"), c * 12).bitwiseAND(F.lit(0xFFF)).alias("bits"))
+            for c in range(4)
+        ])).alias("cb"),
+    ).select("doc_id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.bits").alias("bits"))
+    a = chunks.select("chunk", "bits", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = chunks.select("chunk", "bits", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        a.join(b, ["chunk", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- exact n-gram Jaccard ----------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact all-pairs Jaccard over k-word shingle sets via the inverted
+    shingle index (only docs sharing ≥1 shingle ever meet — no cross join).
+    Returns (doc_a, doc_b, jaccard ≥ threshold)."""
+    sh = shingle_set(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,107 @@
+"""Multimodal column plumbing (SURVEY.md §7 phase 4).
+
+Image/audio/video payloads are opaque `binary` columns with typed metadata
+structs; decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas functions over `mapInPandas`.  The decode step itself is STUBBED — the
+container has no image/audio codecs — with a clearly-marked deterministic
+fake, so the Spark-side contract (schema, batching, partitioning, UDF
+signatures) is real and tested while the codec call is swappable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),        # image | audio | video
+    StructField("mime", StringType(), True),
+    StructField("payload", BinaryType(), True),      # opaque encoded bytes
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+])
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("feature", ArrayType(FloatType()), False),
+])
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) for tests —
+    stands in for `spark.read.format('binaryFile')` on a real corpus."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * 8  # 256 bytes
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((i, kind, f"application/x-fake-{kind}", bytearray(payload),
+                     64 if kind == "image" else None, 64 if kind == "image" else None,
+                     1000 * i if kind != "image" else None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_stub(payload: bytes) -> np.ndarray:
+    """STUB decode: real deployments replace this with PIL/ffmpeg/torchcodec.
+    Deterministic fake 'features': normalized histogram of byte values folded
+    into FEATURE_DIM buckets — stable across runs/engines."""
+    if payload is None:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
+    total = hist.sum() or 1.0
+    return hist / total
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas: each batch decodes
+    payloads and emits fixed-dim feature vectors.  Partition by media_id at
+    scale so decode work spreads evenly (payload sizes skew otherwise)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_stub(p).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                "feature": feats,
+            })
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per planned frame timestamp —
+    pure column math (the decode of each frame is the stubbed step).  Shows
+    the explode-shaped plumbing a real sampler uses."""
+    v = media.filter(F.col("kind") == "video")
+    ts = F.sequence(F.lit(0).cast("long"),
+                    F.greatest(F.col("duration_ms").cast("long") - 1, F.lit(0).cast("long")),
+                    F.lit(every_ms).cast("long"))
+    return v.select("media_id", F.explode(ts).alias("frame_ts_ms"))
+
+
+def decode_real(payload: bytes):  # pragma: no cover - documentation stub
+    """Placeholder for the real codec path."""
+    raise NotImplementedError("media codecs are not available in this environment")

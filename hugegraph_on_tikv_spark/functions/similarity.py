@@ -1,0 +1,108 @@
+"""Embedding similarity search (SURVEY.md §7 phase 4).
+
+Two paths, as a real 100 TB pipeline would ship them:
+
+* brute-force cosine top-k — the exact baseline.  Query set × corpus with
+  the query side broadcast; the dot product runs JVM-side via
+  `F.zip_with`/`F.aggregate` (sequential left-to-right fold, which the
+  DuckDB oracle reproduces bit-identically with list_dot_product over
+  DOUBLE[]);
+* sign-LSH bucketed ANN — quantize each vector by the sign pattern of its
+  leading dimensions (axis-aligned hyperplanes: deterministic, zero extra
+  state, oracle-expressible), equi-join buckets, exact rerank inside the
+  bucket.  The candidate join touches only same-bucket pairs; recall is
+  tunable via n_bits / multi-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast the query
+    set against the corpus scan, rank by (cosine desc, neighbor id asc) for
+    determinism.  Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """LSH bucket id: bit d set iff vec[d] > 0, d in [0, n_bits)."""
+    v = _as_double(vec)
+    out = F.lit(0).cast("long")
+    for d in range(n_bits):
+        out = out + F.when(F.element_at(v, d + 1) > 0, F.lit(1 << d)).otherwise(F.lit(0))
+    return out
+
+
+def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: candidates = same sign-bucket, exact cosine rerank
+    within the bucket.  The bucket equi-join replaces the cross join — at
+    scale the corpus is pre-partitioned by bucket so the probe is
+    co-located."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+                       sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+                      sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95, n_bits: int = 6,
+                              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold) via bucketed self-join
+    (near-identical vectors share sign patterns on leading dims).  Returns
+    (vec_a, vec_b, cos_sim)."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+                       sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    a = v.select(F.col("vid").alias("vec_a"), F.col("vec").alias("vec_a_v"), "bucket")
+    b = v.select(F.col("vid").alias("vec_b"), F.col("vec").alias("vec_b_v"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(cosine(F.col("vec_a_v"), F.col("vec_b_v")), 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,88 @@
+"""Text analysis for training-data pipelines (SURVEY.md §7 phase 4).
+
+All pure built-in column expressions (JVM-side, whole-stage codegen) — no
+Python UDFs in any hot path.  Every function has an exact DuckDB-SQL twin
+for the correctness oracle, so heuristics (language-ID markers, quality
+components) are deliberately closed-form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+PUNCT_CLASS = "[.,!?;:'\"()\\[\\]{}-]"
+
+# language → marker tokens.  Deterministic argmax heuristic: the language
+# with the most DISTINCT markers present wins; ties break alphabetically;
+# zero markers → 'und'.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das"],
+    "en": ["the", "a", "and", "of"],
+    "es": ["el", "la", "los", "de"],
+    "fr": ["le", "la", "les", "des"],
+    "zh": ["的", "是", "了", "我"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(col: Column) -> Column:
+    """Lower-cased alphanumeric tokens."""
+    return F.array_remove(F.split(F.lower(col), TOKEN_PATTERN), "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprints/shingles: lower, collapse all
+    non-alphanumerics to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), TOKEN_PATTERN, " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text — stable under
+    whitespace/punctuation/case noise."""
+    return F.md5(normalized(col))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the first language (alphabetical) whose marker score equals the
+    max; 'und' when no marker hits."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build CASE from last to first so the first max wins
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality components: token count, mean token length,
+    punctuation ratio, stopword ratio — the standard cheap filters a 100 TB
+    corpus pass runs before any model-based scoring."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(tok_chars / F.greatest(n_tok, F.lit(1)), 4).alias("mean_token_len"),
+        F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )

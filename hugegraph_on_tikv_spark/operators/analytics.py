@@ -1,0 +1,167 @@
+"""Graph analytics (SURVEY.md §7 phase 3 — the project north star).
+
+The reference has no analytics operators (its splits API, TikvTable.java:
+284-336, exists precisely so OLAP engines like Spark can scan the graph in
+parallel and do this work).  These are GraphX-style algorithms re-expressed
+as DataFrame programs: aggregate-messages = groupBy on message destination;
+iterative algorithms cut lineage with localCheckpoint.
+
+Scale posture: every iteration is a self-join on the edge table.  For a
+100 TB graph you'd persist `edges` bucketed by `src` (and a second copy by
+`dst`) so these joins are co-located; AQE handles skewed hub vertices
+(skew-join splitting).  Degrees/messages use map-side partial aggregation
+natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_degree, in_degree, degree) for every vertex appearing in an
+    edge.  Two partial-aggregated groupBys + one outer merge."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias("degree"),
+        )
+    )
+
+
+def aggregate_messages(edges: DataFrame, vertices: DataFrame | None,
+                       msg_to_dst: Column | None = None,
+                       msg_to_src: Column | None = None,
+                       agg: Column | None = None) -> DataFrame:
+    """GraphX aggregateMessages on DataFrames: evaluate message expressions
+    over edge (+ joined vertex attrs when `vertices` given), fan them to the
+    named endpoint, and aggregate per receiving vertex.
+
+    `msg_to_dst`/`msg_to_src` are Column expressions over the (joined) edge
+    row; `agg` aggregates column "msg" (default sum)."""
+    agg = agg if agg is not None else F.sum("msg")
+    e = edges
+    if vertices is not None:
+        src_v = vertices.select([F.col(c).alias(f"src_{c}") for c in vertices.columns])
+        dst_v = vertices.select([F.col(c).alias(f"dst_{c}") for c in vertices.columns])
+        e = (
+            e.join(src_v, e.src == F.col("src_id"), "left")
+            .join(dst_v, e.dst == F.col("dst_id"), "left")
+        )
+    parts = []
+    if msg_to_dst is not None:
+        parts.append(e.select(F.col("dst").alias("id"), msg_to_dst.alias("msg")))
+    if msg_to_src is not None:
+        parts.append(e.select(F.col("src").alias("id"), msg_to_src.alias("msg")))
+    if not parts:
+        raise ValueError("at least one of msg_to_dst/msg_to_src required")
+    msgs = parts[0]
+    for p in parts[1:]:
+        msgs = msgs.unionByName(p)
+    return msgs.groupBy("id").agg(agg.alias("agg_msg"))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
+             checkpoint_every: int = 3) -> DataFrame:
+    """Standard damped PageRank over the directed edge list; dangling mass is
+    NOT redistributed (matches GraphX's default behavior).  Returns
+    (id, rank).  Ranks start at 1.0 per vertex.
+
+    Each iteration: contributions = rank/out_degree shipped along edges,
+    grouped by dst (one shuffle per iteration on the same key → a cluster
+    run pre-buckets edges by src to make the contribution join co-located).
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("id", "src_id"), edges.src == F.col("src_id"))
+            .join(out_deg.withColumnRenamed("id", "deg_id"), edges.src == F.col("deg_id"))
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (F.lit(reset) + F.lit(1.0 - reset) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Undirected connected components by iterative min-id label propagation
+    (HashMin).  Returns (id, component) where component = min vertex id in
+    the component.  Converges in O(diameter) rounds; each round is one
+    aggregate-messages shuffle.  (Large-star/small-star halves the round
+    count for huge graphs — HashMin keeps the plan simple and is fine while
+    diameters are small, which holds for our fixture graphs.)"""
+    adj = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    labels = (
+        adj.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
+    )
+    for i in range(max_iterations):
+        msgs = (
+            adj.join(labels.withColumnRenamed("id", "b_id"), adj.b == F.col("b_id"))
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select("id", F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"))
+        )
+        if (i + 1) % 3 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over the undirected simple graph.  Classic
+    ordered-wedge join: canonical edges (u<v), wedge join on the middle
+    vertex, then existence join against the edge set — two shuffles total,
+    and the ordering (u<v<w) counts each triangle exactly once.
+    Returns a 1-row DataFrame (n_triangles)."""
+    und = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
+    tri = wedges.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -1,0 +1,92 @@
+"""Graph traversal as DataFrame joins.
+
+The reference serves traversal as adjacency prefix scans: out-edges from the
+'o'+edge table keyed by source, in-edges from 'i'+edge keyed by target
+(TikvTables.java:128-149) — hugegraph-core composes hops out of those lookups.
+In Spark each hop is an equi-join: `edges.join(vertices, dst == id)`; k-hop is
+an iterated self-join over a frontier.  The edge table is stored once; the
+out/in twin tables were a sorted-KV access-path artifact (SURVEY.md §1.4).
+
+Scale notes:
+* the frontier is usually tiny vs. the edge table → broadcast the frontier so
+  each hop is a map-side join (no shuffle of the big side);
+* distinct() per hop bounds frontier growth;
+* localCheckpoint every few hops cuts lineage/plan growth for deep traversals
+  (SURVEY.md §7 hard part e).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT, IN, BOTH = "out", "in", "both"
+
+
+def adjacent(edges: DataFrame, direction: str = OUT, label: str | None = None) -> DataFrame:
+    """(vertex, neighbor) pairs in the given direction — the relational view
+    of the reference's out/in adjacency tables."""
+    e = edges.filter(F.col("label") == label) if label else edges
+    out = e.select(F.col("src").alias("vertex"), F.col("dst").alias("neighbor"))
+    inn = e.select(F.col("dst").alias("vertex"), F.col("src").alias("neighbor"))
+    if direction == OUT:
+        return out
+    if direction == IN:
+        return inn
+    return out.unionByName(inn)
+
+
+def out_edges(edges: DataFrame, vertex_ids: Sequence[int], label: str | None = None) -> DataFrame:
+    """Adjacency scan: all out-edges of the given vertices (the prefix-scan
+    S6 equivalent, edges.filter(src == v))."""
+    e = edges.filter(F.col("label") == label) if label else edges
+    return e.filter(F.col("src").isin(list(vertex_ids)))
+
+
+def in_edges(edges: DataFrame, vertex_ids: Sequence[int], label: str | None = None) -> DataFrame:
+    e = edges.filter(F.col("label") == label) if label else edges
+    return e.filter(F.col("dst").isin(list(vertex_ids)))
+
+
+def neighbors(edges: DataFrame, vertex_ids: Sequence[int], direction: str = OUT,
+              label: str | None = None) -> DataFrame:
+    """Distinct neighbor ids of a vertex set."""
+    adj = adjacent(edges, direction, label)
+    return (
+        adj.filter(F.col("vertex").isin(list(vertex_ids)))
+        .select(F.col("neighbor").alias("id"))
+        .distinct()
+    )
+
+
+def k_hop(edges: DataFrame, start_ids: Sequence[int], k: int, direction: str = OUT,
+          labels: Sequence[str] | None = None, checkpoint_every: int = 3) -> DataFrame:
+    """Vertices reachable in exactly <= k hops (excluding the start set),
+    with hop distance = first time reached (BFS layering).
+
+    Each iteration joins the (small) frontier against the adjacency view —
+    frontier is broadcast, the edge scan never shuffles.  Returns
+    (id, hops)."""
+    spark = edges.sparkSession
+    adj = adjacent(edges, direction)
+    if labels:
+        adj = adjacent(edges.filter(F.col("label").isin(list(labels))), direction)
+
+    frontier = spark.createDataFrame([(int(v),) for v in start_ids], "id long")
+    visited = frontier.withColumn("hops", F.lit(0))
+    result = None
+    for hop in range(1, k + 1):
+        nxt = (
+            adj.join(F.broadcast(frontier.withColumnRenamed("id", "vertex")), "vertex")
+            .select(F.col("neighbor").alias("id"))
+            .distinct()
+        )
+        frontier = nxt.join(visited.select("id"), "id", "left_anti")
+        if checkpoint_every and hop % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+        layer = frontier.withColumn("hops", F.lit(hop))
+        visited = visited.unionByName(layer)
+        result = layer if result is None else result.unionByName(layer)
+    return result if result is not None else visited.limit(0)

@@ -1,0 +1,76 @@
+"""Event-time windowing (SURVEY.md §2.9 / §7 phase 5).
+
+The reference has no streaming operators (its only time semantic is KV TTL,
+TikvTable.java:95-96); these are the Spark-native extensions the north star
+asks for.  Each window shape exists twice:
+
+* a batch form over the `events` DataFrame (used by the correctness oracle —
+  DuckDB can replicate it exactly), and
+* the structured-streaming form (readStream + withWatermark) sharing the
+  same aggregation expressions, run with Trigger.AvailableNow in tests.
+
+Window alignment is Spark's epoch-aligned `F.window`, which DuckDB matches
+with time_bucket — both align to 1970-01-01 00:00:00 UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (window, event_type) counts + value sums."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Per-user session windows (gap-based).  Batch form; the streaming twin
+    uses the same F.session_window with a watermark."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_tumbling_counts(spark, events_path: str, checkpoint_dir: str,
+                           width: str = "1 hour", watermark: str = "10 minutes"):
+    """Structured-streaming twin of tumbling_counts: file-source readStream →
+    watermark → windowed agg.  Returns the StreamingQuery writing to an
+    in-memory sink named 'tumbling_counts' (tests drain it with
+    Trigger.AvailableNow and compare against the batch form)."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(events_path)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    return (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
