@@ -382,3 +382,684 @@ _register(
     FROM events GROUP BY 1, 2
     """,
 )
+
+# ===========================================================================
+# wave 2: mutations, indexes, graph analytics, LLM-pipeline ops, windows
+# ===========================================================================
+
+import datetime as _dt
+
+from hugegraph_on_tikv_spark.functions import dedup, similarity, text
+from hugegraph_on_tikv_spark.functions.multimodal import extract_features, synthetic_media
+from hugegraph_on_tikv_spark.operators.mutations import MutationBatch, TableState
+from hugegraph_on_tikv_spark.oracles import (
+    FINGERPRINT_SQL,
+    H48_SQL,
+    H60_SQL,
+    MINHASH_P_SQL,
+    TOKENS_SQL,
+    minhash_seeds_values,
+    word_shingles_sql,
+)
+
+# -- M1/M9: insert/upsert with per-table atomic commit ----------------------
+
+def _m_insert(spark: SparkSession, sf: str) -> DataFrame:
+    state = TableState(load_table(spark, sf, "region"), key="r_regionkey")
+    batch = MutationBatch()
+    batch.insert("region", {"r_regionkey": 900, "r_name": "TESTREGION"})
+    batch.insert("region", {"r_regionkey": 0, "r_name": "AFRICA-REBORN"})  # upsert
+    out = batch.commit({"region": state})
+    return out["region"].df
+
+_register(
+    "m1_insert_upsert",
+    _m_insert,
+    """
+    SELECT r_regionkey, r_name FROM region WHERE r_regionkey NOT IN (900, 0)
+    UNION ALL
+    SELECT * FROM (VALUES (CAST(900 AS INTEGER), 'TESTREGION'),
+                          (CAST(0 AS INTEGER), 'AFRICA-REBORN')) v(r_regionkey, r_name)
+    """,
+)
+
+# -- M2 + delete-prefix/range (TikvStdSessions.java:407-426) ----------------
+
+def _m_delete(spark: SparkSession, sf: str) -> DataFrame:
+    state = TableState(load_table(spark, sf, "nation"), key="n_nationkey")
+    batch = MutationBatch()
+    batch.delete("nation", 3)
+    batch.delete("nation", 4)
+    batch.delete_range("nation", 10, 13)
+    batch.delete_prefix("nation", "2")  # byte-prefix analog on the stringified key
+    out = batch.commit({"nation": state})
+    return out["nation"].df
+
+_register(
+    "m2_delete",
+    _m_delete,
+    """
+    SELECT * FROM nation
+    WHERE n_nationkey NOT IN (3, 4)
+      AND NOT (n_nationkey >= 10 AND n_nationkey < 13)
+      AND CAST(n_nationkey AS VARCHAR) NOT LIKE '2%'
+    """,
+)
+
+# -- M3/M4: single-property append / eliminate (TikvTable.java:122-132) -----
+
+def _m_append_eliminate(spark: SparkSession, sf: str) -> DataFrame:
+    state = TableState(load_table(spark, sf, "nation"), key="n_nationkey")
+    batch = MutationBatch()
+    batch.append("nation", 5, "n_name", "RENAMED_NATION")
+    batch.eliminate("nation", 7, "n_name")
+    out = batch.commit({"nation": state})
+    return out["nation"].df
+
+_register(
+    "m3_append_eliminate",
+    _m_append_eliminate,
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 5 THEN 'RENAMED_NATION'
+                WHEN n_nationkey = 7 THEN NULL
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+
+# -- M1 TTL: expire_at read filter (TikvTable.java:95-100) ------------------
+
+_TTL_NOW = _dt.datetime(2024, 1, 15, 12, 0, 0)
+
+def _m_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf).withColumn(
+        "expire_at", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    state = TableState(ev, key="event_id")
+    return state.read(now=_TTL_NOW).select("event_id", "event_type")
+
+_register(
+    "m4_ttl_expiry",
+    _m_ttl,
+    """
+    SELECT event_id, event_type FROM events
+    WHERE date_trunc('microseconds', ts) + INTERVAL 1 HOUR > TIMESTAMP '2024-01-15 12:00:00'
+    """,
+)
+
+# -- M7/M8: truncate (TikvTable.java:87-90, TikvStore.java:246-259) ---------
+
+_register(
+    "m7_truncate",
+    lambda spark, sf: TableState(load_table(spark, sf, "region"), key="r_regionkey")
+    .truncate().df,
+    "SELECT * FROM region WHERE FALSE",
+)
+
+# -- index families (SURVEY.md §1.2) ----------------------------------------
+
+_register(
+    "idx_secondary",
+    lambda spark, sf: indexes.lookup_elements(
+        indexes.secondary_index(load_table(spark, sf, "customer"), "c_mktsegment", "c_custkey")
+        .filter(F.col("field_value") == "BUILDING"),
+        load_table(spark, sf, "customer"),
+        id_col="c_custkey",
+    ).select("c_custkey", "c_name", "c_mktsegment"),
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+)
+
+_register(
+    "idx_label",
+    lambda spark, sf: indexes.label_index(GraphStore(spark, sf).vertices())
+    .groupBy("label").agg(F.count(F.lit(1)).alias("n_elements")),
+    f"""
+    WITH {graph_ctes()}
+    SELECT label, CAST(count(*) AS BIGINT) AS n_elements FROM vertices GROUP BY label
+    """,
+)
+
+_register(
+    "idx_range_int",
+    lambda spark, sf: indexes.range_query(
+        indexes.range_index(load_table(spark, sf, "part"), "p_size", "p_partkey"),
+        lo=5, hi=25, inclusive_lo=False, inclusive_hi=True,
+    ),
+    """
+    SELECT p_size AS field_value, p_partkey AS element_id FROM part
+    WHERE p_size > 5 AND p_size <= 25
+    """,
+)
+
+_register(
+    "idx_range_double",
+    lambda spark, sf: indexes.range_query(
+        indexes.range_index(load_table(spark, sf, "orders"), "o_totalprice", "o_orderkey"),
+        lo=10000.0, hi=50000.0, inclusive_lo=True, inclusive_hi=False,
+    ),
+    """
+    SELECT o_totalprice AS field_value, o_orderkey AS element_id FROM orders
+    WHERE o_totalprice >= 10000.0 AND o_totalprice < 50000.0
+    """,
+)
+
+_register(
+    "idx_search",
+    lambda spark, sf: indexes.search_query(
+        indexes.search_index(load_table(spark, sf, "documents"), "text", "doc_id"),
+        "spark join",
+    ),
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id AS element_id, unnest({TOKENS_SQL.format(col="text")}) AS token
+      FROM documents
+    )
+    SELECT element_id, CAST(count(DISTINCT token) AS BIGINT) AS matched_tokens
+    FROM tok WHERE token IN ('spark', 'join') GROUP BY element_id
+    """,
+)
+
+def _idx_unique(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") < 5)
+    dup = c.unionByName(c)
+    return indexes.unique_check(dup, ["c_custkey"])
+
+_register(
+    "idx_unique",
+    _idx_unique,
+    """
+    SELECT c_custkey, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM customer WHERE c_custkey < 5
+          UNION ALL SELECT * FROM customer WHERE c_custkey < 5)
+    GROUP BY c_custkey HAVING count(*) > 1
+    """,
+)
+
+_register(
+    "idx_shard",
+    lambda spark, sf: indexes.shard_index(load_table(spark, sf, "part"), ["p_brand"], "p_size", "p_partkey")
+    .filter((F.col("p_brand") == "Brand#3") & (F.col("range_value") >= 10) & (F.col("range_value") < 30)),
+    """
+    SELECT p_brand, p_size AS range_value, p_partkey AS element_id FROM part
+    WHERE p_brand = 'Brand#3' AND p_size >= 10 AND p_size < 30
+    """,
+)
+
+# -- graph analytics (north star phase 3) -----------------------------------
+
+def _g_aggmsg(spark: SparkSession, sf: str) -> DataFrame:
+    g = GraphStore(spark, sf)
+    placed = g.edges().filter(F.col("label") == "placed")
+    out = analytics.aggregate_messages(
+        placed, g.vertices().select("id", "totalprice"),
+        msg_to_src=F.col("dst_totalprice"),
+    )
+    return out.select("id", F.round("agg_msg", 2).alias("agg_msg"))
+
+_register(
+    "g_aggregate_messages",
+    _g_aggmsg,
+    f"""
+    WITH {graph_ctes()}
+    SELECT e.src AS id, round(SUM(v.totalprice), 2) AS agg_msg
+    FROM edges e JOIN vertices v ON e.dst = v.id
+    WHERE e.label = 'placed' GROUP BY e.src
+    """,
+)
+
+
+def _pagerank_sql() -> str:
+    iters = 10
+    ctes = [
+        "de AS MATERIALIZED (SELECT src, dst FROM edges WHERE label IN ('placed', 'contains'))",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM de UNION ALL SELECT dst FROM de))",
+        "od AS MATERIALIZED (SELECT src AS id, count(*) AS outd FROM de GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT v.id, 0.15 + 0.85 * COALESCE(s.c, 0) AS rank FROM verts v "
+            f"LEFT JOIN (SELECT de.dst AS id, SUM(r.rank / od.outd) AS c "
+            f"FROM de JOIN r{t-1} r ON de.src = r.id JOIN od ON de.src = od.id "
+            f"GROUP BY de.dst) s ON v.id = s.id)"
+        )
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+_register(
+    "g_pagerank",
+    lambda spark, sf: analytics.pagerank(
+        GraphStore(spark, sf).edges().filter(F.col("label").isin(["placed", "contains"])),
+        iterations=10,
+    ).select("id", F.round("rank", 6).alias("rank")),
+    _pagerank_sql(),
+)
+
+
+def _cc_sql(rounds: int = 16) -> str:
+    ctes = [
+        "adj AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS component FROM (SELECT a FROM adj) t(a))",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"l{t} AS MATERIALIZED (SELECT l.id, least(l.component, COALESCE(m.mn, l.component)) AS component "
+            f"FROM l{t-1} l LEFT JOIN (SELECT adj.a AS id, MIN(lt.component) AS mn "
+            f"FROM adj JOIN l{t-1} lt ON adj.b = lt.id GROUP BY adj.a) m ON l.id = m.id)"
+        )
+    return f"WITH {graph_ctes()},\n" + ",\n".join(ctes) + f"\nSELECT id, component FROM l{rounds}"
+
+_register(
+    "g_connected_components",
+    lambda spark, sf: analytics.connected_components(GraphStore(spark, sf).edges(), max_iterations=24),
+    _cc_sql(),
+)
+
+
+def _g_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    copurchase = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .distinct()
+        .withColumn("label", F.lit("copurchase"))
+    )
+    return analytics.triangle_count(copurchase)
+
+_register(
+    "g_triangle_count",
+    _g_triangles,
+    """
+    WITH cop AS (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM cop e1 JOIN cop e2 ON e1.v = e2.u JOIN cop e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+
+# -- extended aggregates (beyond reference's COUNT-only pushdown) -----------
+
+_register(
+    "agg_extended",
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .groupBy("l_returnflag")
+    .agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    ),
+    """
+    SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           round(AVG(l_quantity), 4) AS avg_qty,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+def _q5(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+_register(
+    "q5_local_supplier_volume",
+    _q5,
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+
+# -- text analysis ----------------------------------------------------------
+
+_register(
+    "text_metrics",
+    lambda spark, sf: load_table(spark, sf, "documents").select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.lang_id(F.col("text")).alias("lang_pred"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    ),
+    f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks, text FROM documents
+    ), scored AS (
+      SELECT doc_id, toks, text,
+        len(list_intersect(list_distinct(toks), ['der','die','und','das'])) AS s_de,
+        len(list_intersect(list_distinct(toks), ['the','a','and','of'])) AS s_en,
+        len(list_intersect(list_distinct(toks), ['el','la','los','de'])) AS s_es,
+        len(list_intersect(list_distinct(toks), ['le','la','les','des'])) AS s_fr,
+        len(list_intersect(list_distinct(toks), ['的','是','了','我'])) AS s_zh
+      FROM t
+    )
+    SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+      CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh) = 0 THEN 'und'
+           WHEN s_de = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+           WHEN s_en = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+           WHEN s_es = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+           WHEN s_fr = greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+           ELSE 'zh' END AS lang_pred,
+      {FINGERPRINT_SQL.format(col="text")} AS fp
+    FROM scored
+    """,
+)
+
+_register(
+    "text_quality",
+    lambda spark, sf: text.quality_metrics(load_table(spark, sf, "documents")),
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(toks) AS INTEGER) AS n_tokens,
+      round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+            / greatest(len(toks), 1), 4) AS mean_token_len,
+      round((length(text) - length(regexp_replace(text, '[.,!?;:''"()\\[\\]{{}}-]', '', 'g')))
+            * 1.0 / greatest(length(text), 1), 4) AS punct_ratio,
+      round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+            * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+
+# -- dedup ladder -----------------------------------------------------------
+
+def _docs_with_copies(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ near-identical copies (id+10^7, one appended token) —
+    guarantees non-trivial dup groups at any SF."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    copies = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                      F.concat(F.col("text"), F.lit(" zzextra")).alias("text"))
+    return d.unionByName(copies)
+
+_DOCS_COPIES_SQL = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text || ' zzextra' AS text FROM documents
+)
+"""
+
+_register(
+    "dedup_exact",
+    lambda spark, sf: dedup.exact_duplicate_groups(
+        load_table(spark, sf, "documents").select("doc_id", "text").unionByName(
+            load_table(spark, sf, "documents")
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        )
+    ),
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 10000000, text FROM documents
+    )
+    SELECT {FINGERPRINT_SQL.format(col="text")} AS fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM docs2 GROUP BY fp HAVING count(*) > 1
+    """,
+)
+
+_register(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), k=3, threshold=0.3
+    ),
+    f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({word_shingles_sql("toks", 3)})) AS shingle FROM t
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
+    FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= 0.3
+    """,
+)
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, r: int = 4, k: int = 3, thr: float = 0.3) -> str:
+    h60 = H60_SQL.format(x="shingle")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({word_shingles_sql("toks", k)})) AS shingle FROM t
+    ), hashed AS (
+      SELECT doc_id, shingle, {h60} % {MINHASH_P_SQL} AS h FROM sh
+    ), mh AS (
+      SELECT doc_id, i, MIN((a * h + b) % {MINHASH_P_SQL}) AS minhash
+      FROM hashed CROSS JOIN {minhash_seeds_values()}
+      GROUP BY doc_id, i
+    ), bands AS (
+      SELECT doc_id, i // {r} AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_sig
+      FROM mh GROUP BY doc_id, i // {r}
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT doc_a, doc_b, count(*) AS n_common
+      FROM cands JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+           AND a.shingle = b.shingle
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (x.n_sh + y.n_sh - n_common), 6) AS jaccard
+    FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE n_common * 1.0 / (x.n_sh + y.n_sh - n_common) >= {thr}
+    """
+
+_register(
+    "dedup_minhash_lsh",
+    lambda spark, sf: dedup.minhash_lsh_duplicates(
+        load_table(spark, sf, "documents"), num_hashes=32, rows_per_band=4, k=3, threshold=0.3
+    ),
+    _minhash_lsh_sql(),
+)
+
+
+def _simhash_sql() -> str:
+    h48 = H48_SQL.format(x="token")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKENS_SQL.format(col="text")}) AS token FROM documents
+    ), bits AS (
+      SELECT doc_id, j,
+             SUM(((({h48}) >> j) & 1) * 2 - 1) AS w
+      FROM tok CROSS JOIN (SELECT unnest(range(48)) AS j) js
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """
+
+_register(
+    "dedup_simhash",
+    lambda spark, sf: dedup.simhash_signatures(load_table(spark, sf, "documents"))
+    .select("doc_id", F.col("simhash").cast("long").alias("simhash")),
+    _simhash_sql(),
+)
+
+# -- similarity search ------------------------------------------------------
+
+_COS_SQL = (
+    "round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)"
+)
+
+_register(
+    "sim_cosine_topk",
+    lambda spark, sf: similarity.cosine_topk(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"),
+        k=5,
+    ),
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+
+_SIGN_BUCKET_SQL = (
+    "(SELECT COALESCE(SUM(CASE WHEN CAST({v}.embedding[d + 1] AS DOUBLE) > 0 "
+    "THEN (1 << d) ELSE 0 END), 0) FROM (SELECT unnest(range(8)) AS d))"
+)
+
+_register(
+    "sim_ann_lsh",
+    lambda spark, sf: similarity.ann_lsh_topk(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"),
+        k=5, n_bits=8,
+    ),
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST({_SIGN_BUCKET_SQL.format(v="e")} AS BIGINT) AS bucket
+      FROM embeddings e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+
+_register(
+    "sim_embedding_neardup",
+    lambda spark, sf: similarity.embedding_near_duplicates(
+        load_table(spark, sf, "embeddings"), threshold=0.4, n_bits=6
+    ),
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST((SELECT COALESCE(SUM(CASE WHEN CAST(e.embedding[d + 1] AS DOUBLE) > 0
+                   THEN (1 << d) ELSE 0 END), 0) FROM (SELECT unnest(range(6)) AS d))
+                  AS BIGINT) AS bucket
+      FROM embeddings e
+    ), pairs AS (
+      SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_COS_SQL} AS cos_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+)
+
+# -- multimodal plumbing (rows-only: synthetic media, no DuckDB view) -------
+
+_register(
+    "mm_extract_features",
+    lambda spark, sf: extract_features(synthetic_media(spark, 64))
+    .select("media_id", "kind", "n_bytes"),
+    None,
+)
+
+# -- windows (batch twins of the streaming operators) -----------------------
+
+_register(
+    "win_sliding",
+    lambda spark, sf: windows.sliding_counts(load_events(spark, sf), "1 hour", "15 minutes")
+    .select(_ts("window_start").alias("window_start"), "n_events"),
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - CAST(i AS INTEGER) * INTERVAL '15 minutes' AS window_start
+      FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY window_start
+    """,
+)
+
+_register(
+    "win_session",
+    lambda spark, sf: windows.session_windows(load_events(spark, sf), "5 minutes")
+    .select(
+        _ts("session_start").alias("session_start"),
+        _ts("session_end").alias("session_end"),
+        "user_id",
+        "n_events",
+    ),
+    """
+    WITH ev AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL '5 minutes' THEN 0 ELSE 1 END AS new_session
+      FROM ev
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)

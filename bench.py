@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is collected (full materialization) once after a small session
+warm-up, so numbers reflect steady-state plan execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hugegraph_on_tikv_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline subset: one per operator family — scans, aggregation, join-heavy,
+# graph traversal, graph analytics, windows, text/dedup, similarity.
+HEADLINERS = [
+    "s1_scan_all",
+    "a1_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "g_degree",
+    "g_khop2",
+    "win_tumbling",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("hugegraph-on-tikv-spark-bench")
+    spark.range(1).count()  # session warm-up
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINERS if n in qs]
+    # optional extras present in later rounds
+    for extra in ("dedup_minhash_lsh", "sim_cosine_topk", "g_pagerank"):
+        if extra in qs and extra not in names:
+            names.append(extra)
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        # noop sink: full materialization of every column (a bare count()
+        # would let Catalyst prune the scan down to row counting)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_query_total_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -158,9 +158,10 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     return (
         tok.crossJoin(F.broadcast(bits))
         .groupBy("doc_id", "j")
-        .agg(F.sum(F.shiftright(F.col("h"), F.col("j")).bitwiseAND(F.lit(1)) * 2 - 1).alias("w"))
+        # shiftright with a *column* shift amount needs the SQL form
+        .agg(F.sum(F.expr("(shiftright(h, j) & 1) * 2 - 1")).alias("w"))
         .groupBy("doc_id")
-        .agg(F.sum(F.when(F.col("w") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("j"))).otherwise(F.lit(0))).alias("simhash"))
+        .agg(F.sum(F.expr("CASE WHEN w > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE 0 END")).alias("simhash"))
     )
 
 

@@ -175,9 +175,17 @@ class TableState:
         if EXPIRE_COL not in self.df.columns:
             return self.df
         now = now or _dt.datetime.now(_dt.timezone.utc)
-        return self.df.filter(
-            F.col(EXPIRE_COL).isNull() | (F.col(EXPIRE_COL) > F.lit(now))
-        )
+        # literal must match the column's timestamp flavor: a bare
+        # F.lit(datetime) is an instant interpreted in the session timezone,
+        # which silently shifts comparisons against TIMESTAMP_NTZ columns.
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(self.df.schema[EXPIRE_COL].dataType, TimestampNTZType):
+            s = now.replace(tzinfo=None).strftime("%Y-%m-%d %H:%M:%S.%f")
+            now_lit = F.expr(f"TIMESTAMP_NTZ '{s}'")
+        else:
+            now_lit = F.lit(now)
+        return self.df.filter(F.col(EXPIRE_COL).isNull() | (F.col(EXPIRE_COL) > now_lit))
 
     def vacuum(self, now: _dt.datetime | None = None) -> "TableState":
         """Physically drop expired rows (the compaction the reference gets

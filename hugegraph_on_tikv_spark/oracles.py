@@ -74,8 +74,14 @@ def edges_sql() -> str:
 
 
 def graph_ctes() -> str:
-    """`WITH`-clause body declaring vertices + edges; prepend to graph oracles."""
-    return f"vertices AS (\n{vertices_sql()}\n), edges AS (\n{edges_sql()}\n)"
+    """`WITH`-clause body declaring vertices + edges; prepend to graph
+    oracles.  MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    reference, so iterative oracles (pagerank/CC unrollings) that reference a
+    CTE twice per round would re-expand the whole view exponentially."""
+    return (
+        f"vertices AS MATERIALIZED (\n{vertices_sql()}\n), "
+        f"edges AS MATERIALIZED (\n{edges_sql()}\n)"
+    )
 
 
 # -- text helpers ------------------------------------------------------------
