@@ -61,6 +61,8 @@ def stream_tumbling_counts(spark, events_path: str, checkpoint_dir: str,
     schema = spark.read.parquet(events_path).schema
     stream = (
         spark.readStream.schema(schema).parquet(events_path)
+        # watermarks require an instant TIMESTAMP column (not NTZ)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))

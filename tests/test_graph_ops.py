@@ -1,0 +1,66 @@
+"""Graph traversal/analytics unit tests on a tiny hand-built graph where the
+expected answers are computable by eye."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.operators import analytics, traversal
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    #  1 → 2 → 3 → 4,  1 → 3,  5 isolated-ish (5→1)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (5, 1)], "src long, dst long"
+    ).withColumn("label", F.lit("e"))
+    return edges
+
+
+def test_k_hop_layers(tiny):
+    got = {(r["id"], r["hops"]) for r in traversal.k_hop(tiny, [1], k=3).collect()}
+    assert got == {(2, 1), (3, 1), (4, 2)}
+
+
+def test_k_hop_direction_in(tiny):
+    got = {(r["id"], r["hops"]) for r in traversal.k_hop(tiny, [3], k=2, direction="in").collect()}
+    assert got == {(2, 1), (1, 1), (5, 2)}
+
+
+def test_neighbors_both(tiny):
+    got = {r["id"] for r in traversal.neighbors(tiny, [1], direction="both").collect()}
+    assert got == {2, 3, 5}
+
+
+def test_degrees(tiny):
+    d = {r["id"]: (r["out_degree"], r["in_degree"]) for r in analytics.degrees(tiny).collect()}
+    assert d[1] == (2, 1)
+    assert d[3] == (1, 2)
+    assert d[5] == (1, 0)
+
+
+def test_connected_components_two_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    comp = {r["id"]: r["component"] for r in analytics.connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_triangle_count_known(spark):
+    # one triangle (1,2,3) plus a dangling edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    n = analytics.triangle_count(edges).collect()[0]["n_triangles"]
+    assert n == 1
+
+
+def test_pagerank_sink_gets_reset_only(spark):
+    # 1 → 2; vertex 1 has no in-edges: rank(1) = 0.15 exactly
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    ranks = {r["id"]: r["rank"] for r in analytics.pagerank(edges, iterations=5).collect()}
+    assert abs(ranks[1] - 0.15) < 1e-12
+    assert ranks[2] > ranks[1]
