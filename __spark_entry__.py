@@ -45,8 +45,11 @@ def _vid(label: str, key: int) -> int:
 
 
 def _money(col):
-    """Deterministic sum of a 2-dp money column: DECIMAL sum → DOUBLE."""
-    return F.sum(col.cast("decimal(18,2)")).cast("double")
+    """Deterministic sum of a 2-dp money column: exact int64-cents sum, then
+    one double division.  Identical in both engines regardless of summation
+    order, and stays inside whole-stage codegen (no decimal machinery).
+    Headroom: sum of cents < 2^63 holds beyond sf1000."""
+    return F.sum(F.round(col * 100).cast("long")) / F.lit(100.0)
 
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
@@ -258,15 +261,16 @@ _register(
 
 def _q1(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-12-01")
-    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    # exact integer arithmetic: cents * (100 - discount_cents), one division
+    disc_price_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            _money(F.col("l_quantity")).alias("sum_qty"),
             _money(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(disc_price_c) / F.lit(10000.0)).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -279,11 +283,10 @@ _register(
     _q1,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-             AS sum_disc_price,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS sum_disc_price,
            round(AVG(l_quantity), 4) AS avg_qty,
            round(AVG(l_discount), 4) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
@@ -298,14 +301,14 @@ def _q3(spark: SparkSession, sf: str) -> DataFrame:
     c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = load_table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    revenue_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"))
         .select("l_orderkey", F.col("revenue"), _ts("o_orderdate").alias("o_orderdate"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -316,9 +319,8 @@ _register(
     _q3,
     """
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-             AS revenue,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -635,6 +637,7 @@ _register(
     lambda spark, sf: analytics.pagerank(
         GraphStore(spark, sf).edges().filter(F.col("label").isin(["placed", "contains"])),
         iterations=10,
+        checkpoint_every=2,  # measured: lineage growth dominates runtime
     ).select("id", F.round("rank", 6).alias("rank")),
     _pagerank_sql(),
 )
@@ -694,13 +697,13 @@ _register(
     .agg(
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        _money(F.col("l_quantity")).alias("sum_qty"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
     ),
     """
     SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
            round(AVG(l_quantity), 4) AS avg_qty,
            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
     FROM lineitem GROUP BY l_returnflag
@@ -714,8 +717,8 @@ def _q5(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, sf, "supplier")
     n = load_table(spark, sf, "nation")
     r = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
-    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    revenue_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -724,7 +727,7 @@ def _q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"))
     )
 
 _register(
@@ -732,9 +735,8 @@ _register(
     _q5,
     """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-             AS revenue
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey

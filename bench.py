@@ -48,6 +48,10 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
+        # isolate queries: drop persisted intermediates (pagerank state,
+        # shingle sets, adjacency projections) so later queries don't pay
+        # earlier queries' cache-memory pressure
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         # noop sink: full materialization of every column (a bare count()

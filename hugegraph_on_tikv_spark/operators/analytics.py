@@ -21,17 +21,17 @@ from pyspark.sql import functions as F
 
 def degrees(edges: DataFrame) -> DataFrame:
     """(id, out_degree, in_degree, degree) for every vertex appearing in an
-    edge.  Two partial-aggregated groupBys + one outer merge."""
-    out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
-    in_d = edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_degree"))
-    return (
-        out_d.join(in_d, "id", "full_outer")
-        .select(
-            "id",
-            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
-            (F.coalesce("out_degree", F.lit(0)) + F.coalesce("in_degree", F.lit(0))).alias("degree"),
-        )
+    edge.  Endpoint-explode + ONE partial-aggregated groupBy — half the
+    shuffles of the groupBy-per-direction + outer-join formulation."""
+    endpoints = edges.select(
+        F.col("src").alias("id"), F.lit(1).alias("is_out"), F.lit(0).alias("is_in")
+    ).unionByName(
+        edges.select(F.col("dst").alias("id"), F.lit(0).alias("is_out"), F.lit(1).alias("is_in"))
+    )
+    return endpoints.groupBy("id").agg(
+        F.sum("is_out").alias("out_degree"),
+        F.sum("is_in").alias("in_degree"),
+        F.count(F.lit(1)).alias("degree"),
     )
 
 
@@ -68,7 +68,7 @@ def aggregate_messages(edges: DataFrame, vertices: DataFrame | None,
 
 
 def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 3, broadcast_ranks: bool = False) -> DataFrame:
     """Standard damped PageRank over the directed edge list; dangling mass is
     NOT redistributed (matches GraphX's default behavior).  Returns
     (id, rank).  Ranks start at 1.0 per vertex.
@@ -77,17 +77,33 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
     grouped by dst (one shuffle per iteration on the same key → a cluster
     run pre-buckets edges by src to make the contribution join co-located).
     """
+    # materialize the iteration-invariant state ONCE: vertex set and the
+    # out-degree-normalized edge list (src, dst, out_degree).  Without this
+    # every iteration's plan re-reads and re-unions the raw edge sources.
     verts = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    norm_edges = (
+        edges.select("src", "dst")
+        .join(out_deg.withColumnRenamed("id", "src"), "src")
+        .persist()
+    )
+    # broadcast_ranks=True ships the rank vector to every task so the edge
+    # scan never shuffles — the right plan while |V| fits in an executor
+    # (hundreds of millions of rows at typical executor memory).  Beyond
+    # that, leave False: the join shuffles on src, which a bucketed-by-src
+    # edge table makes co-located.
     ranks = verts.withColumn("rank", F.lit(1.0))
     for i in range(iterations):
+        rank_side = ranks.withColumnRenamed("id", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            edges.join(ranks.withColumnRenamed("id", "src_id"), edges.src == F.col("src_id"))
-            .join(out_deg.withColumnRenamed("id", "deg_id"), edges.src == F.col("deg_id"))
+            norm_edges.join(rank_side, "src")
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
             .groupBy("id")
             .agg(F.sum("contrib").alias("contrib"))

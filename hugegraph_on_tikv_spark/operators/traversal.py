@@ -70,9 +70,10 @@ def k_hop(edges: DataFrame, start_ids: Sequence[int], k: int, direction: str = O
     frontier is broadcast, the edge scan never shuffles.  Returns
     (id, hops)."""
     spark = edges.sparkSession
-    adj = adjacent(edges, direction)
-    if labels:
-        adj = adjacent(edges.filter(F.col("label").isin(list(labels))), direction)
+    e = edges.filter(F.col("label").isin(list(labels))) if labels else edges
+    # materialize the adjacency projection once — every hop reuses it instead
+    # of re-reading and re-unioning the raw edge sources per iteration
+    adj = adjacent(e, direction).persist()
 
     frontier = spark.createDataFrame([(int(v),) for v in start_ids], "id long")
     visited = frontier.withColumn("hops", F.lit(0))

@@ -106,14 +106,41 @@ EDGE_SPECS: list[tuple[str, str, tuple[str, str], tuple[str, str], dict[str, str
 
 
 class GraphStore:
-    """Loads the graph views.  DataFrames are lazily built per instance;
-    everything stays a declarative plan until an action runs."""
+    """Loads the graph views.
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    By default the views are MATERIALIZED once per fixture dir to a local
+    parquet cache, pre-partitioned on the join key (edges by src, vertices
+    by id) and sorted within partitions — the single-node analog of the
+    bucketed layout a 100 TB deployment would keep.  Every subsequent graph
+    query then runs off one columnar scan instead of re-unioning six source
+    tables (and re-running the supplied_by DISTINCT) per query.  Set
+    materialize=False to keep the pure-view behavior."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, materialize: bool = True):
         self.spark = spark
         self.sf_dir = sf_dir
+        self.materialize = materialize
         self._vertices: DataFrame | None = None
         self._edges: DataFrame | None = None
+
+    def _cache_path(self, name: str) -> str:
+        import hashlib
+
+        key = hashlib.md5(self.sf_dir.rstrip("/").encode()).hexdigest()[:12]
+        return f"/tmp/hugegraph_spark_cache/{key}/{name}.parquet"
+
+    def _materialized(self, name: str, df: DataFrame, part_col: str) -> DataFrame:
+        import os
+
+        path = self._cache_path(name)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            try:
+                (df.repartition(32, part_col)
+                   .sortWithinPartitions(part_col)
+                   .write.mode("overwrite").parquet(path))
+            except Exception:
+                return df  # read-only /tmp etc. — fall back to the live plan
+        return self.spark.read.parquet(path)
 
     def vertices(self) -> DataFrame:
         if self._vertices is None:
@@ -128,6 +155,8 @@ class GraphStore:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            if self.materialize:
+                out = self._materialized("vertices", out, "id")
             self._vertices = out
         return self._vertices
 
@@ -150,5 +179,7 @@ class GraphStore:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+            if self.materialize:
+                out = self._materialized("edges", out, "src")
             self._edges = out
         return self._edges
