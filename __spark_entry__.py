@@ -1065,3 +1065,226 @@ _register(
     FROM numbered GROUP BY user_id, session_id
     """,
 )
+
+# ===========================================================================
+# wave 3: adjacency scans, residual-filter semantics, collection predicates,
+# set operations, rollup, more TPC-H, labeled traversal, splits metadata
+# ===========================================================================
+
+# -- S6 as the reference really uses it: adjacency prefix scan
+#    (out-edges of one vertex = prefix scan on the 'o'+edge table,
+#    TikvTables.java:128-140) ------------------------------------------------
+
+_ADJ_V = _vid("customer", 7)
+
+_register(
+    "s6_adjacency_scan",
+    lambda spark, sf: traversal.out_edges(
+        GraphStore(spark, sf).edges(), [_ADJ_V], label="placed"
+    ).select("src", "dst", _ts("orderdate").alias("orderdate")),
+    f"""
+    WITH {graph_ctes()}
+    SELECT src, dst, strftime(orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate
+    FROM edges WHERE label = 'placed' AND src = {_ADJ_V}
+    """,
+)
+
+# -- F2: the ≤-prefix-truncation residual semantic (TikvStdSessions.java:
+#    622-658): inclusive upper bound on the indexed VALUE, any element id ---
+
+_register(
+    "f2_lte_prefix_bound",
+    lambda spark, sf: indexes.range_query(
+        indexes.range_index(load_table(spark, sf, "customer"), "c_acctbal", "c_custkey"),
+        lo=1000.0, hi=5000.0, inclusive_lo=False, inclusive_hi=True,
+    ),
+    """
+    SELECT c_acctbal AS field_value, c_custkey AS element_id FROM customer
+    WHERE c_acctbal > 1000.0 AND c_acctbal <= 5000.0
+    """,
+)
+
+# -- TEXT_CONTAINS condition (search-index relation; TikvFeatures declares
+#    it unsupported at the KV layer — our engine evaluates it natively) -----
+
+_register(
+    "f_text_contains",
+    lambda spark, sf: QueryEngine(load_table(spark, sf, "documents"), key="doc_id").query(
+        ConditionQuery(table="documents",
+                       conditions=[Condition("text", Op.TEXT_CONTAINS, "vector")])
+    ).select("doc_id"),
+    """
+    SELECT doc_id FROM documents
+    WHERE list_contains(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                    x -> x <> ''), 'vector')
+    """,
+)
+
+# -- CONTAINS_KEY + map-value condition on parsed JSON props
+#    (TikvFeatures.java:71-79: unsupported in the reference backend,
+#    evaluated upstream — native here) --------------------------------------
+
+def _f_contains_key(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf).withColumn(
+        "props_map", F.from_json(F.col("props"), "map<string,int>")
+    )
+    eng = QueryEngine(ev, key="event_id")
+    out = eng.query(ConditionQuery(table="events",
+                                   conditions=[Condition("props_map", Op.CONTAINS_KEY, "k")]))
+    return (
+        out.withColumn("k_value", F.element_at("props_map", "k"))
+        .filter(F.col("k_value") >= 95)
+        .select("event_id", "k_value")
+    )
+
+_register(
+    "f_contains_key",
+    _f_contains_key,
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+      AND CAST(json_extract(props, '$.k') AS INTEGER) >= 95
+    """,
+)
+
+# -- set operations (absent in the reference, SURVEY §2.6; Spark-native) ----
+
+_register(
+    "set_intersect",
+    lambda spark, sf: load_table(spark, sf, "customer")
+    .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    .intersect(
+        load_table(spark, sf, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    ),
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+
+_register(
+    "set_except",
+    lambda spark, sf: load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    .distinct()
+    .exceptAll(
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ),
+    """
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+# -- ROLLUP (absent in reference; free in Spark/DuckDB) ---------------------
+
+_register(
+    "agg_rollup",
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .rollup("l_returnflag", "l_linestatus")
+    .agg(F.count(F.lit(1)).alias("n"), _money(F.col("l_extendedprice")).alias("sum_base_price")),
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+# -- TPC-H Q6 (pure scan+filter+agg — the pushdown showcase) ----------------
+
+_register(
+    "q6_forecast_revenue",
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.02) & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    .agg(
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+               * F.round(F.col("l_discount") * 100).cast("long")) / F.lit(10000.0))
+        .alias("revenue")
+    ),
+    """
+    SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+    """,
+)
+
+# -- TPC-H Q10-style: top returned-revenue customers ------------------------
+
+def _q10(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    revenue_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+_register(
+    "q10_returned_revenue",
+    _q10,
+    """
+    SELECT c_custkey, c_name,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+
+# -- labeled k-hop (edge-label-restricted traversal) ------------------------
+
+_register(
+    "g_khop2_labeled",
+    lambda spark, sf: traversal.k_hop(
+        GraphStore(spark, sf).edges(), [_KHOP_START], k=2,
+        direction=traversal.OUT, labels=["placed", "contains"],
+    ),
+    f"""
+    WITH {graph_ctes()},
+    de AS MATERIALIZED (SELECT src, dst FROM edges WHERE label IN ('placed', 'contains')),
+    l1 AS (SELECT DISTINCT dst AS id FROM de WHERE src = {_KHOP_START}),
+    l2 AS (
+      SELECT DISTINCT de.dst AS id FROM de JOIN l1 ON de.src = l1.id
+      WHERE de.dst NOT IN (SELECT id FROM l1) AND de.dst <> {_KHOP_START}
+    )
+    SELECT id, CAST(1 AS INTEGER) AS hops FROM l1
+    UNION ALL
+    SELECT id, CAST(2 AS INTEGER) AS hops FROM l2
+    """,
+)
+
+# -- I1: splits metadata (rows-only: quantile boundaries are approximate
+#    by design, like the reference's region-boundary shards) ----------------
+
+def _splits(spark: SparkSession, sf: str) -> DataFrame:
+    eng = QueryEngine(load_table(spark, sf, "orders"), key="o_orderkey")
+    shards = eng.splits(8)
+    return spark.createDataFrame(
+        [(i,
+          None if s.start is None else int(s.start),
+          None if s.end is None else int(s.end))
+         for i, s in enumerate(shards)],
+        "shard_idx int, start_key long, end_key long",
+    )
+
+_register("i1_splits", _splits, None)
