@@ -16,6 +16,14 @@ rules:
 
 from __future__ import annotations
 
+import os
+import sys
+
+# make the package importable however the driver imports this file
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1288,3 +1296,111 @@ def _splits(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 _register("i1_splits", _splits, None)
+
+# ===========================================================================
+# wave 4: shortest paths, label propagation, motif matching, BPE estimation
+# ===========================================================================
+
+_LANDMARKS = [_vid("nation", 0), _vid("region", 2)]
+
+
+def _shortest_paths_sql(iterations: int = 10) -> str:
+    seeds = ", ".join(f"({v}, {v}, 0)" for v in _LANDMARKS)
+    ctes = [
+        "adjsp AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        f"d0 AS MATERIALIZED (SELECT * FROM (VALUES {seeds}) t(id, landmark, distance))",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT id, landmark, CAST(MIN(distance) AS INTEGER) AS distance FROM ("
+            f"SELECT id, landmark, distance FROM d{t-1} "
+            f"UNION ALL "
+            f"SELECT a.src AS id, d.landmark, d.distance + 1 AS distance "
+            f"FROM adjsp a JOIN d{t-1} d ON a.dst = d.id"
+            f") GROUP BY id, landmark)"
+        )
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT id, landmark, distance FROM d{iterations}"
+    )
+
+_register(
+    "g_shortest_paths",
+    lambda spark, sf: analytics.shortest_paths(
+        GraphStore(spark, sf).edges(), _LANDMARKS, iterations=10
+    ),
+    _shortest_paths_sql(),
+)
+
+
+def _label_propagation_sql(iterations: int = 5) -> str:
+    ctes = [
+        "adjlp AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)",
+        "lp0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS community FROM adjlp)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"lp{t} AS MATERIALIZED (SELECT id, community FROM ("
+            f"SELECT a AS id, community, row_number() OVER ("
+            f"PARTITION BY a ORDER BY n DESC, community ASC) AS rn FROM ("
+            f"SELECT adjlp.a, l.community, count(*) AS n "
+            f"FROM adjlp JOIN lp{t-1} l ON adjlp.b = l.id GROUP BY adjlp.a, l.community"
+            f")) WHERE rn = 1)"
+        )
+    return f"WITH {graph_ctes()},\n" + ",\n".join(ctes) + f"\nSELECT id, community FROM lp{iterations}"
+
+_register(
+    "g_label_propagation",
+    lambda spark, sf: analytics.label_propagation(GraphStore(spark, sf).edges(), iterations=5),
+    _label_propagation_sql(),
+)
+
+# -- motif/pattern matching: customer→order→part→supplier path counts -------
+
+def _g_motif(spark: SparkSession, sf: str) -> DataFrame:
+    e = GraphStore(spark, sf).edges()
+    placed = e.filter(F.col("label") == "placed").select(
+        F.col("src").alias("cust"), F.col("dst").alias("ord"))
+    contains = e.filter(F.col("label") == "contains").select(
+        F.col("src").alias("ord"), F.col("dst").alias("prt"))
+    supplied = e.filter(F.col("label") == "supplied_by").select(
+        F.col("src").alias("prt"), F.col("dst").alias("supp"))
+    return (
+        placed.join(contains, "ord").join(supplied, "prt")
+        .groupBy("supp")
+        .agg(F.countDistinct("cust").alias("n_customers"), F.count(F.lit(1)).alias("n_paths"))
+    )
+
+_register(
+    "g_motif_paths",
+    _g_motif,
+    f"""
+    WITH {graph_ctes()}
+    SELECT s.dst AS supp,
+           CAST(count(DISTINCT p.src) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM (SELECT src, dst FROM edges WHERE label = 'placed') p
+    JOIN (SELECT src, dst FROM edges WHERE label = 'contains') c ON p.dst = c.src
+    JOIN (SELECT src, dst FROM edges WHERE label = 'supplied_by') s ON c.dst = s.src
+    GROUP BY s.dst
+    """,
+)
+
+# -- BPE-ish token counting (north-star text op) ----------------------------
+
+_register(
+    "text_bpe_tokens",
+    lambda spark, sf: load_table(spark, sf, "documents").select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_token_estimate(F.col("text")).alias("bpe_tokens"),
+    ),
+    f"""
+    SELECT doc_id,
+      CAST(len({TOKENS_SQL.format(col="text")}) AS INTEGER) AS ws_tokens,
+      CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+                                   p -> CAST(ceil(length(p) / 4.0) AS INTEGER)))
+           AS INTEGER) AS bpe_tokens
+    FROM documents
+    """,
+)

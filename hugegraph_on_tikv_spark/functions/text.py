@@ -86,3 +86,18 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.round(n_punct / F.greatest(F.length(c), F.lit(1)), 4).alias("punct_ratio"),
         F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
     )
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimator without a vocabulary: whitespace words
+    are split at letter/digit boundaries, and each piece contributes
+    ceil(len/4) tokens (the ~4-chars-per-token heuristic real BPE vocabs
+    average on English text).  Closed-form and oracle-replicable; the
+    standard cheap stand-in for budget accounting before a real tokenizer
+    pass."""
+    # maximal letter-runs and digit-runs (regexp_extract_all exists with the
+    # same semantics in DuckDB; lookarounds would not — RE2)
+    pieces = F.regexp_extract_all(F.lower(col), F.lit("[a-z]+|[0-9]+"), 0)
+    return F.aggregate(
+        pieces, F.lit(0), lambda acc, p: acc + F.ceil(F.length(p) / 4).cast("int")
+    )

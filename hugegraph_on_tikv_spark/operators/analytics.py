@@ -181,3 +181,64 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
     )
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def shortest_paths(edges: DataFrame, landmarks: list[int], iterations: int = 10) -> DataFrame:
+    """GraphX-style ShortestPaths: hop distance from every vertex TO each
+    landmark, following edge direction (dist(v,l) = 1 + min over
+    out-neighbors w of dist(w,l); seed dist(l,l)=0).
+
+    Fixed iteration count (deterministic, oracle-matchable); converges when
+    iterations >= graph diameter.  One aggregate-messages shuffle per round
+    over (id, landmark) pairs — state size |V|×|landmarks|, so keep the
+    landmark set small (that's the GraphX contract too).
+    Returns (id, landmark, distance) for reachable pairs."""
+    spark = edges.sparkSession
+    adj = edges.select("src", "dst").distinct().persist()
+    dists = spark.createDataFrame(
+        [(int(l), int(l), 0) for l in landmarks], "id long, landmark long, distance int"
+    )
+    for _ in range(iterations):
+        msgs = (
+            adj.join(dists.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "landmark",
+                    (F.col("distance") + 1).alias("distance"))
+        )
+        dists = (
+            dists.unionByName(msgs)
+            .groupBy("id", "landmark")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+    return dists
+
+
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Synchronous label propagation (community detection): each round every
+    vertex adopts the most frequent label among its undirected neighbors,
+    ties broken by smallest label — fully deterministic, so a fixed round
+    count is oracle-matchable.  Returns (id, community)."""
+    from pyspark.sql.window import Window
+
+    adj = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = adj.select(F.col("a").alias("id")).distinct().withColumn("community", F.col("id"))
+    w = Window.partitionBy("a").orderBy(F.col("n").desc(), F.col("community").asc())
+    for _ in range(iterations):
+        counts = (
+            adj.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a", "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        best = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("id"), "community")
+        )
+        # vertices with no neighbors keep their label (none here: adj covers all)
+        labels = best.localCheckpoint(eager=True)
+    return labels
