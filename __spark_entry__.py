@@ -1404,3 +1404,196 @@ _register(
     FROM documents
     """,
 )
+
+# ===========================================================================
+# wave 5: more TPC-H-shaped headliners (join/predicate diversity)
+# ===========================================================================
+
+# -- Q7-style: shipping volume between two nation pairs ---------------------
+
+def _q7(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    n1 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = load_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation"))
+    revenue_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cust_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"))
+    )
+
+_register(
+    "q7_nation_volume",
+    _q7,
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# -- Q12-style: late shipments by order priority class ----------------------
+
+_register(
+    "q12_priority_shipping",
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .join(load_table(spark, sf, "orders"),
+          F.col("l_orderkey") == F.col("o_orderkey"))
+    .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+    .groupBy("o_orderpriority")
+    .agg(
+        F.sum(F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1)
+              .otherwise(0)).alias("late_count"),
+        F.count(F.lit(1)).alias("line_count"),
+    ),
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+           CAST(count(*) AS BIGINT) AS line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+
+# -- Q14-style: promo (type-prefix) revenue share ---------------------------
+
+def _q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01"))
+    p = load_table(spark, sf, "part")
+    revenue_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(F.when(F.col("p_type").startswith("ECONOMY"), revenue_c).otherwise(0))
+             / F.lit(10000.0)).alias("promo_revenue"),
+            (F.sum(revenue_c) / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+_register(
+    "q14_promo_share",
+    _q14,
+    """
+    SELECT SUM(CASE WHEN p_type LIKE 'ECONOMY%'
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+                         (100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) / 10000.0
+             AS promo_revenue,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+
+# -- Q18-style: large-volume orders (groupBy-HAVING semi-join) --------------
+
+def _q18(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_money(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "l_orderkey",
+                _ts("o_orderdate").alias("o_orderdate"),
+                F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+    )
+
+_register(
+    "q18_large_orders",
+    _q18,
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 > 150
+    )
+    SELECT c_custkey, c_name, l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice, total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+    """,
+)
+
+# -- Q19-style: disjunctive brand/size/quantity predicates (Catalyst's
+#    constant-folding + predicate-normalization showcase) -------------------
+
+def _q19(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    revenue_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+_register(
+    "q19_brand_disjunction",
+    _q19,
+    """
+    SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)

