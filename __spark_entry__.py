@@ -1597,3 +1597,25 @@ _register(
            AND l_quantity BETWEEN 20 AND 40)
     """,
 )
+
+# -- Arrow-vectorized + IVF similarity (rows-only: float matmul summation
+#    order differs from any SQL fold by design; equivalence to the exact
+#    expression path is asserted in tests/test_similarity.py) ---------------
+
+_register(
+    "sim_cosine_topk_vectorized",
+    lambda spark, sf: similarity.cosine_topk_vectorized(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"), k=5,
+    ),
+    None,
+)
+
+_register(
+    "sim_ivf_topk",
+    lambda spark, sf: similarity.ivf_topk(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=4,
+    ),
+    None,
+)

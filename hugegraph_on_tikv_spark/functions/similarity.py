@@ -106,3 +106,85 @@ def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95, n_bit
                 F.round(cosine(F.col("vec_a_v"), F.col("vec_b_v")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def cosine_topk_vectorized(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Arrow-vectorized brute force: the query block is shipped to every
+    executor as a dense numpy matrix; each corpus Arrow batch computes a
+    (batch × queries) similarity matmul and emits only its LOCAL top-k per
+    query, so the global shuffle sees ~k rows per (query, partition) instead
+    of |corpus|×|queries|.  This is the shape that beats the per-row
+    expression fold by ~10-100× once vectors are wide.
+
+    Same semantics as cosine_topk (self-matches excluded, ties broken by
+    neighbor id)."""
+    import numpy as np
+    import pandas as pd
+
+    qp = queries.select(id_col, vec_col).toPandas()
+    q_ids = qp[id_col].to_numpy()
+    q_mat = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cos_sim double"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ q_mat.T  # (batch, n_queries)
+            rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            top = min(k + 1, len(c_ids))  # +1 in case self is in this batch
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                idx = np.argpartition(-col, top - 1)[:top] if len(col) > top else np.arange(len(col))
+                for i in idx:
+                    if c_ids[i] == q_ids[j]:
+                        continue
+                    rows["query_id"].append(q_ids[j])
+                    rows["neighbor_id"].append(c_ids[i])
+                    rows["cos_sim"].append(round(float(col[i]), 6))
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql.window import Window
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat ANN: partition the corpus into cells around deterministic
+    centroids (the n_cells lowest-id vectors — reproducible without a
+    training job), probe the n_probe nearest cells per query, exact-rerank
+    inside.  The scale path: the corpus is stored partitioned by cell, a
+    query touches n_probe/n_cells of the data."""
+    cents = corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec"))
+    from pyspark.sql.window import Window
+
+    def assign(df, ident, vec, n_best):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            ident, vec, "cell", cosine(F.col(vec), F.col("c_vec")).alias("cell_sim"))
+        w = Window.partitionBy(ident).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+        return scored.withColumn("crank", F.row_number().over(w)).filter(F.col("crank") <= n_best)
+
+    c_assigned = assign(corpus.select(id_col, vec_col), id_col, vec_col, 1) \
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec2"), "cell")
+    q_assigned = assign(queries.select(id_col, vec_col), id_col, vec_col, n_probe) \
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec2"), "cell")
+
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("q_vec2"), F.col("c_vec2")), 6).alias("cos_sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
