@@ -1619,3 +1619,55 @@ _register(
     ),
     None,
 )
+
+# ===========================================================================
+# wave 6: Gremlin-flavored traversal DSL queries (the reference's user-facing
+# query surface is Gremlin via hugegraph-core; these prove the fluent API
+# compiles to correct plans)
+# ===========================================================================
+
+from hugegraph_on_tikv_spark.traversal_api import Graph as _GremlinGraph
+
+
+_register(
+    "dsl_segment_2hop_count",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer").has("mktsegment", "BUILDING")
+    .out("placed").out("contains").count(),
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+
+_register(
+    "dsl_group_count",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer").out("placed").group_count("status"),
+    """
+    SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderstatus
+    """,
+)
+
+_register(
+    "dsl_has_predicate_values",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("part").has("size", (">=", 40)).has("brand", ("prefix", "Brand#1"))
+    .values("name", "brand", "size"),
+    f"""
+    WITH {graph_ctes()}
+    SELECT id, name, brand, size FROM vertices
+    WHERE label = 'part' AND size >= 40 AND brand LIKE 'Brand#1%'
+    """,
+)
+
+_register(
+    "dsl_in_dedup",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("order").in_("placed").dedup().count(),
+    "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders",
+)

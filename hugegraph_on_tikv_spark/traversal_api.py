@@ -1,0 +1,155 @@
+"""Fluent property-graph traversal API (Gremlin-flavored).
+
+The reference is mounted under HugeGraph, whose user-facing query surface is
+Gremlin: `g.V().hasLabel('person').has('age', gt(29)).out('knows').count()`.
+Traversal steps are compiled upstream into the backend scans this engine
+already implements (SURVEY.md §3.1).  This module gives users of that
+surface a direct equivalent — each step composes onto the DataFrame plan,
+so an entire traversal compiles to ONE Catalyst-optimized query (filters
+push into the vertex/edge scans; hops become joins; `count()` is the only
+action).
+
+Gremlin semantics preserved where they matter:
+* traversers carry multiplicity — `out()` emits one traverser per edge, no
+  implicit dedup (call `.dedup()` for distinct);
+* `has` accepts a value (equality) or a predicate tuple like (">=", 10),
+  mirroring Gremlin's P.gte etc.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.sources.graph import GraphStore
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    "in": lambda c, v: c.isin(list(v)),
+    "prefix": lambda c, v: c.startswith(str(v)),
+}
+
+
+class Traversal:
+    """A lazy traversal: `df` holds the current traversers.  Vertex-position
+    traversals carry a single `id` column (plus any `as_`-selected columns
+    later); edge-position traversals carry the edge schema."""
+
+    def __init__(self, graph: "Graph", df: DataFrame, position: str):
+        self._g = graph
+        self._df = df
+        self._pos = position  # 'V' | 'E'
+
+    # -- filters -----------------------------------------------------------
+    def has_label(self, *labels: str) -> "Traversal":
+        if self._pos == "V":
+            v = self._g.vertices.filter(F.col("label").isin(list(labels))).select("id")
+            return Traversal(self._g, self._df.join(v, "id"), "V")
+        return Traversal(self._g, self._df.filter(F.col("label").isin(list(labels))), "E")
+
+    def has(self, prop: str, value: Any) -> "Traversal":
+        op, v = value if isinstance(value, tuple) else ("=", value)
+        pred = _OPS[op](F.col(prop), v)
+        if self._pos == "V":
+            keep = self._g.vertices.filter(pred).select("id")
+            return Traversal(self._g, self._df.join(keep, "id"), "V")
+        return Traversal(self._g, self._df.filter(pred), "E")
+
+    def has_id(self, *ids: int) -> "Traversal":
+        return Traversal(self._g, self._df.filter(F.col("id").isin(list(ids))), self._pos)
+
+    # -- hops --------------------------------------------------------------
+    def _edges(self, labels: Sequence[str]):
+        e = self._g.edges
+        return e.filter(F.col("label").isin(list(labels))) if labels else e
+
+    def out(self, *labels: str) -> "Traversal":
+        e = self._edges(labels).select(F.col("src").alias("id"), F.col("dst"))
+        out = self._df.select("id").join(e, "id").select(F.col("dst").alias("id"))
+        return Traversal(self._g, out, "V")
+
+    def in_(self, *labels: str) -> "Traversal":
+        e = self._edges(labels).select(F.col("dst").alias("id"), F.col("src"))
+        out = self._df.select("id").join(e, "id").select(F.col("src").alias("id"))
+        return Traversal(self._g, out, "V")
+
+    def both(self, *labels: str) -> "Traversal":
+        e = self._edges(labels)
+        fwd = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        bwd = e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        adj = fwd.unionByName(bwd)
+        out = self._df.select("id").join(adj, "id").select(F.col("nbr").alias("id"))
+        return Traversal(self._g, out, "V")
+
+    def out_e(self, *labels: str) -> "Traversal":
+        e = self._edges(labels)
+        out = e.join(self._df.select(F.col("id").alias("src")).distinct(), "src")
+        return Traversal(self._g, out, "E")
+
+    def in_e(self, *labels: str) -> "Traversal":
+        e = self._edges(labels)
+        out = e.join(self._df.select(F.col("id").alias("dst")).distinct(), "dst")
+        return Traversal(self._g, out, "E")
+
+    def out_v(self) -> "Traversal":
+        """Edge → source vertex (multiplicity preserved)."""
+        return Traversal(self._g, self._df.select(F.col("src").alias("id")), "V")
+
+    def in_v(self) -> "Traversal":
+        return Traversal(self._g, self._df.select(F.col("dst").alias("id")), "V")
+
+    # -- modulators / terminals -------------------------------------------
+    def dedup(self) -> "Traversal":
+        return Traversal(self._g, self._df.distinct(), self._pos)
+
+    def limit(self, n: int) -> "Traversal":
+        return Traversal(self._g, self._df.limit(n), self._pos)
+
+    def values(self, *props: str) -> DataFrame:
+        """Project property values (joins the vertex table back in)."""
+        if self._pos == "V":
+            return self._df.join(self._g.vertices, "id").select("id", *props)
+        return self._df.select("src", "dst", *props)
+
+    def count(self) -> DataFrame:
+        return self._df.agg(F.count(F.lit(1)).alias("n"))
+
+    def to_df(self) -> DataFrame:
+        return self._df
+
+    def group_count(self, prop: str) -> DataFrame:
+        """Gremlin groupCount().by(prop): histogram of a property over the
+        current traversers (multiplicity-aware)."""
+        joined = (
+            self._df.join(self._g.vertices, "id") if self._pos == "V" else self._df
+        )
+        return joined.groupBy(prop).agg(F.count(F.lit(1)).alias("n"))
+
+
+class Graph:
+    """Entry point: `g = Graph(spark, sf_dir); g.V()...` — the engine-side
+    stand-in for a Gremlin GraphTraversalSource."""
+
+    def __init__(self, spark, sf_dir: str, store: GraphStore | None = None):
+        self._store = store or GraphStore(spark, sf_dir)
+        self.vertices = self._store.vertices()
+        self.edges = self._store.edges()
+
+    def V(self, *ids: int) -> Traversal:
+        base = self.vertices.select("id")
+        if ids:
+            base = base.filter(F.col("id").isin(list(ids)))
+        return Traversal(self, base, "V")
+
+    def E(self, *labels: str) -> Traversal:
+        e = self.edges
+        if labels:
+            e = e.filter(F.col("label").isin(list(labels)))
+        return Traversal(self, e, "E")

@@ -1,0 +1,87 @@
+"""Gremlin-flavored traversal DSL: semantics on the fixture graph."""
+
+from __future__ import annotations
+
+import pytest
+
+from hugegraph_on_tikv_spark.sources.graph import ID_BASE, LABEL_CODES
+from hugegraph_on_tikv_spark.traversal_api import Graph
+from tests.conftest import SF_DIR
+
+
+def vid(label, key):
+    return LABEL_CODES[label] * ID_BASE + key
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    return Graph(spark, SF_DIR)
+
+
+def test_v_count_equals_vertex_table(g):
+    assert g.V().count().collect()[0]["n"] == g.vertices.count()
+
+
+def test_has_label_and_has_filters(g, spark):
+    n = g.V().has_label("customer").has("mktsegment", "BUILDING").count().collect()[0]["n"]
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    expected = (
+        load_table(spark, SF_DIR, "customer").filter("c_mktsegment = 'BUILDING'").count()
+    )
+    assert n == expected
+
+
+def test_out_preserves_multiplicity(g, spark):
+    # every order placed by customer 1 = one traverser; equals orders rows
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    n = g.V(vid("customer", 1)).out("placed").count().collect()[0]["n"]
+    expected = load_table(spark, SF_DIR, "orders").filter("o_custkey = 1").count()
+    assert n == expected
+
+
+def test_two_hop_count_matches_join(g, spark):
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    n = (
+        g.V().has_label("customer").has("mktsegment", "BUILDING")
+        .out("placed").out("contains").count().collect()[0]["n"]
+    )
+    c = load_table(spark, SF_DIR, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    expected = (
+        c.join(o, c.c_custkey == o.o_custkey).join(li, o.o_orderkey == li.l_orderkey).count()
+    )
+    assert n == expected
+
+
+def test_in_and_dedup(g, spark):
+    # customers having placed at least one order = distinct in_('placed') over orders
+    n = g.V().has_label("order").in_("placed").dedup().count().collect()[0]["n"]
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    expected = load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    assert n == expected
+
+
+def test_edge_steps_and_group_count(g):
+    hist = {
+        r["label"]: r["n"]
+        for r in g.E().to_df().groupBy("label").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    # out_e from all parts on supplied_by = that label's edge count
+    n = g.V().has_label("part").out_e("supplied_by").count().collect()[0]["n"]
+    assert n == hist["supplied_by"]
+    # edge→vertex: in_v of placed edges lands on orders
+    orders = g.V().has_label("order").count().collect()[0]["n"]
+    placed_targets = g.E("placed").in_v().dedup().count().collect()[0]["n"]
+    assert placed_targets <= orders
+
+
+def test_has_predicate_tuple(g):
+    big = g.V().has_label("part").has("size", (">=", 40)).values("size")
+    rows = big.collect()
+    assert len(rows) > 0 and all(r["size"] >= 40 for r in rows)
