@@ -76,12 +76,13 @@ class TableCatalog:
         return TableState(df, key=meta["key"])
 
     # -- mutations (M6/M9 at store level) -----------------------------------
-    def commit(self, batch: MutationBatch) -> None:
+    def commit(self, batch: MutationBatch, now=None) -> None:
         """Apply a buffered batch: per-table atomic pointer swap, fixed table
-        order, best-effort across tables (TikvStore.java:270-284)."""
+        order, best-effort across tables (TikvStore.java:270-284).  `now`
+        anchors TTL expire_at computation (tests/backfills)."""
         table_names = sorted(batch._tables.keys())
         states = {n: self.table(n) for n in table_names}
-        new_states = batch.commit(states)
+        new_states = batch.commit(states, now=now)
         for n in table_names:
             meta = self._meta(n)
             self._write_version(n, new_states[n].df, meta["version"] + 1, meta["key"])
@@ -96,3 +97,16 @@ class TableCatalog:
         """M8: store-level truncate — loop of M7 (TikvStore.java:246-259)."""
         for name in self.list_tables():
             self.truncate(name)
+
+    def vacuum(self, name: str, now=None) -> int:
+        """TTL vacuum (M1 read contract, durable form): write a new version
+        without expired rows — the compaction the reference delegates to
+        TiKV's native TTL.  Returns rows removed."""
+        meta = self._meta(name)
+        state = self.table(name)
+        before = state.df.count()
+        live = state.vacuum(now)
+        after = live.df.count()
+        if after != before:
+            self._write_version(name, live.df, meta["version"] + 1, meta["key"])
+        return before - after

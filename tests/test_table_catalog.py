@@ -54,3 +54,20 @@ def test_multi_table_commit_and_truncate_all(spark, catalog):
     assert catalog.table("b").df.count() == 0
     # schema retained after truncate (M7 clears rows, not the table)
     assert catalog.table("a").df.columns == ["id", "v"]
+
+
+def test_catalog_ttl_vacuum(spark, catalog):
+    import datetime as dt
+
+    df = spark.createDataFrame([(1, "keep")], "id long, v string")
+    catalog.create_table("t", df)
+    batch = MutationBatch()
+    t0 = dt.datetime(2024, 1, 1)
+    batch.insert("t", {"id": 2, "v": "shortlived"}, ttl=60)
+    catalog.commit(batch, now=t0)
+
+    assert catalog.table("t").df.count() == 2
+    removed = catalog.vacuum("t", now=t0 + dt.timedelta(hours=1))
+    assert removed == 1
+    rows = {r["id"] for r in catalog.table("t").df.collect()}
+    assert rows == {1}
