@@ -1671,3 +1671,114 @@ _register(
     .V().has_label("order").in_("placed").dedup().count(),
     "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n FROM orders",
 )
+
+# -- DSL repeat(): 2-hop via repeated step ----------------------------------
+
+_register(
+    "dsl_repeat_2hop",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V(_KHOP_START).repeat(lambda t: t.out("placed", "contains"), 2).dedup().count(),
+    f"""
+    WITH {graph_ctes()},
+    de AS MATERIALIZED (SELECT src, dst FROM edges WHERE label IN ('placed', 'contains')),
+    h1 AS (SELECT DISTINCT dst AS id FROM de WHERE src = {_KHOP_START}),
+    h2 AS (SELECT DISTINCT de.dst AS id FROM de JOIN h1 ON de.src = h1.id)
+    SELECT CAST(count(*) AS BIGINT) AS n FROM h2
+    """,
+)
+
+# -- window function over joined relations (rank within group) --------------
+
+def _q_rank_in_nation(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    rev = (
+        o.groupBy("o_custkey").agg(_money(F.col("o_totalprice")).alias("revenue"))
+    )
+    joined = (
+        c.join(rev, c.c_custkey == rev.o_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        joined.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 5)
+        .select("n_name", "c_custkey", "revenue", "rank_in_nation")
+    )
+
+_register(
+    "q_rank_in_nation",
+    _q_rank_in_nation,
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT n_name, c_custkey, revenue,
+             CAST(row_number() OVER (PARTITION BY n_name
+                  ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rank_in_nation
+      FROM customer JOIN rev ON c_custkey = o_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, c_custkey, revenue, rank_in_nation FROM ranked
+    WHERE rank_in_nation <= 5
+    """,
+)
+
+# -- CUBE (multi-dimensional aggregate; absent in reference, free here) -----
+
+_register(
+    "agg_cube",
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .cube("l_returnflag", "l_linestatus")
+    .agg(F.count(F.lit(1)).alias("n")),
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+# -- weighted single-source shortest paths (Bellman-Ford rounds) ------------
+
+def _sssp_edges(spark: SparkSession, sf: str) -> DataFrame:
+    e = GraphStore(spark, sf).edges()
+    return (
+        e.filter(F.col("label").isin(["placed", "contains"]))
+        .select("src", "dst",
+                F.when(F.col("label") == "placed", F.lit(1.0))
+                 .otherwise(F.col("quantity")).alias("weight"))
+    )
+
+_SSSP_SOURCE = _vid("customer", 42)
+
+
+def _sssp_sql(iterations: int = 4) -> str:
+    ctes = [
+        "we AS MATERIALIZED (SELECT src, dst, CASE WHEN label = 'placed' THEN 1.0 "
+        "ELSE quantity END AS weight FROM edges WHERE label IN ('placed', 'contains'))",
+        f"sp0 AS MATERIALIZED (SELECT CAST({_SSSP_SOURCE} AS BIGINT) AS id, "
+        f"CAST(0.0 AS DOUBLE) AS distance)",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"sp{t} AS MATERIALIZED (SELECT id, MIN(distance) AS distance FROM ("
+            f"SELECT id, distance FROM sp{t-1} "
+            f"UNION ALL "
+            f"SELECT we.dst AS id, s.distance + we.weight AS distance "
+            f"FROM we JOIN sp{t-1} s ON we.src = s.id"
+            f") GROUP BY id)"
+        )
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT id, round(distance, 4) AS distance FROM sp{iterations}"
+    )
+
+_register(
+    "g_sssp_weighted",
+    lambda spark, sf: analytics.sssp(_sssp_edges(spark, sf), _SSSP_SOURCE, iterations=4)
+    .select("id", F.round("distance", 4).alias("distance")),
+    _sssp_sql(),
+)

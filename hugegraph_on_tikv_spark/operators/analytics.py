@@ -242,3 +242,27 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
         # vertices with no neighbors keep their label (none here: adj covers all)
         labels = best.localCheckpoint(eager=True)
     return labels
+
+
+def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFrame:
+    """Single-source shortest paths over weighted edges (src, dst, weight):
+    Bellman-Ford rounds, d_t(v) = min(d_{t-1}(v), min over in-edges
+    (d_{t-1}(u) + w)).  Fixed round count; converges when iterations >=
+    longest shortest path's hop count.  Min-plus is deterministic across
+    engines (each candidate is one left-associated sum chain), so results
+    are oracle-matchable bit-for-bit.  Returns (id, distance)."""
+    spark = weighted_edges.sparkSession
+    e = weighted_edges.select("src", "dst", "weight").persist()
+    dists = spark.createDataFrame([(int(source), 0.0)], "id long, distance double")
+    for _ in range(iterations):
+        relaxed = (
+            e.join(dists.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("distance") + F.col("weight")).alias("distance"))
+        )
+        dists = (
+            dists.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+    return dists

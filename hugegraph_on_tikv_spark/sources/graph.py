@@ -122,6 +122,7 @@ class GraphStore:
         self.materialize = materialize
         self._vertices: DataFrame | None = None
         self._edges: DataFrame | None = None
+        self._edges_by_dst: DataFrame | None = None
 
     def _cache_path(self, name: str) -> str:
         import hashlib
@@ -160,26 +161,44 @@ class GraphStore:
             self._vertices = out
         return self._vertices
 
-    def edges(self) -> DataFrame:
-        if self._edges is None:
-            parts = []
-            for label, table, (sl, sc), (dl, dc), props, distinct in EDGE_SPECS:
-                df = load_table(self.spark, self.sf_dir, table)
-                if distinct:
-                    df = df.select(sc, dc).distinct()
-                cols = [
-                    encode_id(sl, F.col(sc)).alias("src"),
-                    encode_id(dl, F.col(dc)).alias("dst"),
-                    F.lit(label).alias("label"),
-                ]
-                for name, typ in EDGE_PROP_COLUMNS:
-                    src = props.get(name)
-                    cols.append((F.col(src) if src else F.lit(None)).cast(typ).alias(name))
-                parts.append(df.select(*cols))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+    def _build_edges(self) -> DataFrame:
+        parts = []
+        for label, table, (sl, sc), (dl, dc), props, distinct in EDGE_SPECS:
+            df = load_table(self.spark, self.sf_dir, table)
+            if distinct:
+                df = df.select(sc, dc).distinct()
+            cols = [
+                encode_id(sl, F.col(sc)).alias("src"),
+                encode_id(dl, F.col(dc)).alias("dst"),
+                F.lit(label).alias("label"),
+            ]
+            for name, typ in EDGE_PROP_COLUMNS:
+                src = props.get(name)
+                cols.append((F.col(src) if src else F.lit(None)).cast(typ).alias(name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def edges(self, order_by: str = "src") -> DataFrame:
+        """The edge view.  `order_by` picks the physical copy: 'src' (the
+        default, serving out-traversals) or 'dst' (in-traversals) — the
+        dual layout replacing the reference's out/in twin adjacency tables
+        (TikvTables.java:128-149).  Both copies are logically identical;
+        the choice only affects partitioning/sort locality."""
+        if order_by not in ("src", "dst"):
+            raise ValueError("order_by must be 'src' or 'dst'")
+        if order_by == "src":
+            if self._edges is None:
+                out = self._build_edges()
+                if self.materialize:
+                    out = self._materialized("edges", out, "src")
+                self._edges = out
+            return self._edges
+        if self._edges_by_dst is None:
+            out = self._build_edges()
             if self.materialize:
-                out = self._materialized("edges", out, "src")
-            self._edges = out
-        return self._edges
+                out = self._materialized("edges_by_dst", out, "dst")
+            self._edges_by_dst = out
+        return self._edges_by_dst

@@ -66,8 +66,10 @@ class Traversal:
         return Traversal(self._g, self._df.filter(F.col("id").isin(list(ids))), self._pos)
 
     # -- hops --------------------------------------------------------------
-    def _edges(self, labels: Sequence[str]):
-        e = self._g.edges
+    def _edges(self, labels: Sequence[str], order_by: str = "src"):
+        # direction-appropriate physical copy (the reference's out/in twin
+        # adjacency tables become two partition layouts of one logical table)
+        e = self._g.edges if order_by == "src" else self._g.edges_by_dst
         return e.filter(F.col("label").isin(list(labels))) if labels else e
 
     def out(self, *labels: str) -> "Traversal":
@@ -76,7 +78,7 @@ class Traversal:
         return Traversal(self._g, out, "V")
 
     def in_(self, *labels: str) -> "Traversal":
-        e = self._edges(labels).select(F.col("dst").alias("id"), F.col("src"))
+        e = self._edges(labels, "dst").select(F.col("dst").alias("id"), F.col("src"))
         out = self._df.select("id").join(e, "id").select(F.col("src").alias("id"))
         return Traversal(self._g, out, "V")
 
@@ -94,7 +96,7 @@ class Traversal:
         return Traversal(self._g, out, "E")
 
     def in_e(self, *labels: str) -> "Traversal":
-        e = self._edges(labels)
+        e = self._edges(labels, "dst")
         out = e.join(self._df.select(F.col("id").alias("dst")).distinct(), "dst")
         return Traversal(self._g, out, "E")
 
@@ -104,6 +106,22 @@ class Traversal:
 
     def in_v(self) -> "Traversal":
         return Traversal(self._g, self._df.select(F.col("dst").alias("id")), "V")
+
+    def repeat(self, step, times: int) -> "Traversal":
+        """Gremlin repeat(...).times(n): apply a traversal-to-traversal
+        function n times (e.g. `t.repeat(lambda t: t.out('knows'), 3)`).
+        For hop-steps this composes n joins into one plan — deep repeats
+        should checkpoint via .barrier() every few rounds."""
+        t = self
+        for _ in range(times):
+            t = step(t)
+        return t
+
+    def barrier(self) -> "Traversal":
+        """Materialization barrier (localCheckpoint): cuts lineage inside
+        long repeat() chains — the engine-side analog of Gremlin's barrier
+        step."""
+        return Traversal(self._g, self._df.localCheckpoint(eager=True), self._pos)
 
     # -- modulators / terminals -------------------------------------------
     def dedup(self) -> "Traversal":
@@ -141,6 +159,7 @@ class Graph:
         self._store = store or GraphStore(spark, sf_dir)
         self.vertices = self._store.vertices()
         self.edges = self._store.edges()
+        self.edges_by_dst = self._store.edges(order_by="dst")
 
     def V(self, *ids: int) -> Traversal:
         base = self.vertices.select("id")
