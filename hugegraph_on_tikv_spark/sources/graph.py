@@ -127,7 +127,11 @@ class GraphStore:
     def _cache_path(self, name: str) -> str:
         import hashlib
 
-        key = hashlib.md5(self.sf_dir.rstrip("/").encode()).hexdigest()[:12]
+        # key includes the view DEFINITIONS: editing VERTEX_SPECS/EDGE_SPECS
+        # (or the id encoding) must invalidate the cache, not silently serve
+        # stale views
+        spec = f"{self.sf_dir.rstrip('/')}|{ID_BASE}|{VERTEX_SPECS!r}|{EDGE_SPECS!r}"
+        key = hashlib.md5(spec.encode()).hexdigest()[:12]
         return f"/tmp/hugegraph_spark_cache/{key}/{name}.parquet"
 
     def _materialized(self, name: str, df: DataFrame, part_col: str) -> DataFrame:
