@@ -1782,3 +1782,46 @@ _register(
     .select("id", F.round("distance", 4).alias("distance")),
     _sssp_sql(),
 )
+
+# -- end-to-end pipeline shapes: dedup-and-keep-canonical, quality filter ---
+
+def _dedup_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_lsh_duplicates(docs, num_hashes=32, rows_per_band=4,
+                                         k=3, threshold=0.3)
+    # survivors: drop the higher id of every near-dup pair
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
+
+_register(
+    "dedup_canonicalize",
+    _dedup_canonicalize,
+    f"""
+    WITH pairs AS ({_minhash_lsh_sql()})
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+    """,
+)
+
+_register(
+    "text_quality_filter",
+    lambda spark, sf: text.quality_metrics(load_table(spark, sf, "documents"))
+    .filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.30)
+            & (F.col("mean_token_len") >= 3.0))
+    .select("doc_id"),
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / greatest(len(toks), 1), 4) AS mean_token_len,
+        round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+              * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id FROM m
+    WHERE n_tokens >= 20 AND stopword_ratio <= 0.30 AND mean_token_len >= 3.0
+    """,
+)
