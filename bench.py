@@ -27,9 +27,11 @@ HEADLINERS = [
     "a1_count",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q6_forecast_revenue",
     "g_degree",
     "g_khop2",
     "win_tumbling",
+    "sim_cosine_topk_vectorized",
 ]
 
 
