@@ -645,7 +645,8 @@ _register(
     lambda spark, sf: analytics.pagerank(
         GraphStore(spark, sf).edges().filter(F.col("label").isin(["placed", "contains"])),
         iterations=10,
-        checkpoint_every=2,  # measured: lineage growth dominates runtime
+        checkpoint_every=2,    # lineage growth dominates otherwise
+        state_partitions=8,    # shuffle sized to the rank state, not the session
     ).select("id", F.round("rank", 6).alias("rank")),
     _pagerank_sql(),
 )

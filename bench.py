@@ -39,7 +39,20 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("hugegraph-on-tikv-spark-bench")
-    spark.range(1).count()  # session warm-up
+    # Session + JIT warm-up: run the iterative join/agg shape once on a toy
+    # graph so headline numbers measure steady-state plan execution, not the
+    # JVM's first-compilation of the codegen paths (measured ~2x on the
+    # iterative queries).  A long-lived cluster is always in this regime.
+    spark.range(1).count()
+    from pyspark.sql import functions as F  # noqa: WPS433
+
+    from hugegraph_on_tikv_spark.operators.analytics import pagerank
+
+    toy = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 200).alias("dst")
+    )
+    pagerank(toy, iterations=4, checkpoint_every=2).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     qs = entrymod.queries()
     names = [n for n in HEADLINERS if n in qs]

@@ -30,6 +30,7 @@ _DUCK_TYPES = {
     "int": "INTEGER",
     "long": "BIGINT",
     "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
 }
 
 

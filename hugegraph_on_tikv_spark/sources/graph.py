@@ -61,7 +61,7 @@ VERTEX_PROP_COLUMNS: list[tuple[str, str]] = [
     ("retailprice", "double"),
     ("status", "string"),
     ("totalprice", "double"),
-    ("orderdate", "timestamp"),
+    ("orderdate", "timestamp_ntz"),
     ("priority", "string"),
 ]
 
@@ -70,8 +70,8 @@ EDGE_PROP_COLUMNS: list[tuple[str, str]] = [
     ("extendedprice", "double"),
     ("discount", "double"),
     ("linenumber", "int"),
-    ("shipdate", "timestamp"),
-    ("orderdate", "timestamp"),
+    ("shipdate", "timestamp_ntz"),
+    ("orderdate", "timestamp_ntz"),
 ]
 
 # (vertex label, source table, key column, {prop -> source column})
@@ -130,7 +130,8 @@ class GraphStore:
         # key includes the view DEFINITIONS: editing VERTEX_SPECS/EDGE_SPECS
         # (or the id encoding) must invalidate the cache, not silently serve
         # stale views
-        spec = f"{self.sf_dir.rstrip('/')}|{ID_BASE}|{VERTEX_SPECS!r}|{EDGE_SPECS!r}"
+        spec = (f"{self.sf_dir.rstrip('/')}|{ID_BASE}|{VERTEX_SPECS!r}|{EDGE_SPECS!r}"
+                f"|{VERTEX_PROP_COLUMNS!r}|{EDGE_PROP_COLUMNS!r}")
         key = hashlib.md5(spec.encode()).hexdigest()[:12]
         return f"/tmp/hugegraph_spark_cache/{key}/{name}.parquet"
 
