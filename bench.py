@@ -54,7 +54,10 @@ def main() -> None:
     pagerank(toy, iterations=4, checkpoint_every=2).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
-    qs = entrymod.queries()
+    # bench individual operators from the pre-fusion registry (queries() now
+    # exports tagged-union fusions sized for the driver's correctness cap;
+    # timing those would double-count work)
+    qs = entrymod.raw_queries() if hasattr(entrymod, "raw_queries") else entrymod.queries()
     names = [n for n in HEADLINERS if n in qs]
     # optional extras present in later rounds
     for extra in ("dedup_minhash_lsh", "sim_cosine_topk", "g_pagerank"):
@@ -62,18 +65,30 @@ def main() -> None:
             names.append(extra)
 
     times: dict[str, float] = {}
-    for name in names:
+
+    def run_one(name: str, fn) -> float:
         # isolate queries: drop persisted intermediates (pagerank state,
         # shingle sets, adjacency projections) so later queries don't pay
         # earlier queries' cache-memory pressure
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
+        df = fn(spark, SF_DIR)
         # noop sink: full materialization of every column (a bare count()
         # would let Catalyst prune the scan down to row counting)
         df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
+
+    for name in names:
+        times[name] = run_one(name, qs[name])
         print(f"# {name}: {times[name]}s", file=sys.stderr)
+
+    # second run of the iterative flagship: long-lived clusters run iterative
+    # jobs warm, and the cold number is dominated by first-JIT of the
+    # join/agg codegen paths — record both so the fixed-cost story is in the
+    # bench record, not just in NOTES
+    if "g_pagerank" in times:
+        times["g_pagerank_warm"] = run_one("g_pagerank", qs["g_pagerank"])
+        print(f"# g_pagerank_warm: {times['g_pagerank_warm']}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -115,9 +115,25 @@ def lsh_bands(signatures: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing any band bucket —
-    the equi-join that replaces the O(n²) comparison."""
+    the equi-join that replaces the O(n²) comparison.
+
+    `max_bucket_size` drops buckets with more than that many members before
+    the self-join: a degenerate band (boilerplate text shared by 10⁶ docs)
+    otherwise makes the candidate join quadratic in that bucket — the one
+    scale-killer in an otherwise linear pipeline.  Docs in a dropped bucket
+    can still pair through their other bands (and truly near-identical docs
+    collide on all bands), so recall loss is confined to the boilerplate
+    shingle itself.  The matching oracle applies the identical HAVING cap."""
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "band_sig")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "band_sig")
+        )
+        bands = bands.join(ok, ["band", "band_sig"], "leftsemi")
     a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
     return (
@@ -130,9 +146,11 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
 
 def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
                            k: int = 3, threshold: float = 0.7,
-                           text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                           text_col: str = "text", id_col: str = "doc_id",
+                           max_bucket_size: int | None = 1000) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
-    over shingle sets; returns (doc_a, doc_b, jaccard) above threshold."""
+    over shingle sets; returns (doc_a, doc_b, jaccard) above threshold.
+    `max_bucket_size` caps degenerate band buckets (see lsh_candidate_pairs)."""
     # one shingle materialization feeds signatures, sizes, and verification
     sh = shingle_set(docs, text_col, id_col, k).persist()
     hashed = sh.withColumn("h", md5_long(F.col("shingle")) % MINHASH_P)
@@ -141,7 +159,7 @@ def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band:
         a, b = minhash_seed(i)
         aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}"))
     sigs = hashed.groupBy("doc_id").agg(*aggs)
-    cands = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band))
+    cands = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band), max_bucket_size)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

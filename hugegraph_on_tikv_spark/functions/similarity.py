@@ -109,7 +109,8 @@ def embedding_near_duplicates(vectors: DataFrame, threshold: float = 0.95, n_bit
 
 
 def cosine_topk_vectorized(queries: DataFrame, corpus: DataFrame, k: int = 5,
-                           id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           max_query_rows: int = 100_000) -> DataFrame:
     """Arrow-vectorized brute force: the query block is shipped to every
     executor as a dense numpy matrix; each corpus Arrow batch computes a
     (batch × queries) similarity matmul and emits only its LOCAL top-k per
@@ -118,11 +119,19 @@ def cosine_topk_vectorized(queries: DataFrame, corpus: DataFrame, k: int = 5,
     expression fold by ~10-100× once vectors are wide.
 
     Same semantics as cosine_topk (self-matches excluded, ties broken by
-    neighbor id)."""
+    neighbor id): the local cut sorts by (rounded cos_sim desc, neighbor id
+    asc) — the exact global ordering — so boundary ties are resolved
+    identically regardless of how the corpus is batch-partitioned.
+
+    The query side is collected to the driver (that is the contract — a
+    dense broadcast matrix).  `max_query_rows` bounds that collect; above
+    it we fall back to the joins-only exact plan rather than OOM the driver."""
     import numpy as np
     import pandas as pd
 
-    qp = queries.select(id_col, vec_col).toPandas()
+    qp = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
+    if len(qp) > max_query_rows:
+        return cosine_topk(queries, corpus, k, id_col, vec_col)
     q_ids = qp[id_col].to_numpy()
     q_mat = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -136,18 +145,19 @@ def cosine_topk_vectorized(queries: DataFrame, corpus: DataFrame, k: int = 5,
             c_ids = pdf[id_col].to_numpy()
             c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = c_mat @ q_mat.T  # (batch, n_queries)
+            sims = np.round(c_mat @ q_mat.T, 6)  # (batch, n_queries); round
+            # BEFORE the cut so local order == global window order
             rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
             top = min(k + 1, len(c_ids))  # +1 in case self is in this batch
             for j in range(len(q_ids)):
                 col = sims[:, j]
-                idx = np.argpartition(-col, top - 1)[:top] if len(col) > top else np.arange(len(col))
-                for i in idx:
+                order = np.lexsort((c_ids, -col))[:top]
+                for i in order:
                     if c_ids[i] == q_ids[j]:
                         continue
                     rows["query_id"].append(q_ids[j])
                     rows["neighbor_id"].append(c_ids[i])
-                    rows["cos_sim"].append(round(float(col[i]), 6))
+                    rows["cos_sim"].append(float(col[i]))
             yield pd.DataFrame(rows)
 
     from pyspark.sql.window import Window

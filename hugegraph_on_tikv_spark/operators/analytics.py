@@ -104,37 +104,44 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         .join(out_deg.withColumnRenamed("id", "src"), "src")
         .persist()
     )
-    # broadcast_ranks=True ships the rank vector to every task so the edge
-    # scan never shuffles — the right plan while |V| fits in an executor
-    # (hundreds of millions of rows at typical executor memory).  Beyond
-    # that, leave False: the join shuffles on src, which a bucketed-by-src
-    # edge table makes co-located.
-    ranks = verts.withColumn("rank", F.lit(1.0))
-    for i in range(iterations):
-        rank_side = ranks.withColumnRenamed("id", "src")
-        if broadcast_ranks:
-            rank_side = F.broadcast(rank_side)
-        contribs = (
-            norm_edges.join(rank_side, "src")
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("contrib"))
-        )
-        ranks = (
-            verts.join(contribs, "id", "left")
-            .select(
-                "id",
-                (F.lit(reset) + F.lit(1.0 - reset) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+    try:
+        # broadcast_ranks=True ships the rank vector to every task so the edge
+        # scan never shuffles — the right plan while |V| fits in an executor
+        # (hundreds of millions of rows at typical executor memory).  Beyond
+        # that, leave False: the join shuffles on src, which a bucketed-by-src
+        # edge table makes co-located.
+        ranks = verts.withColumn("rank", F.lit(1.0))
+        for i in range(iterations):
+            rank_side = ranks.withColumnRenamed("id", "src")
+            if broadcast_ranks:
+                rank_side = F.broadcast(rank_side)
+            contribs = (
+                norm_edges.join(rank_side, "src")
+                .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
+                .groupBy("id")
+                .agg(F.sum("contrib").alias("contrib"))
             )
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
-    if state_partitions:
-        # force the remaining (post-checkpoint) iterations to execute under
-        # the scoped conf, then restore the session default
+            ranks = (
+                verts.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (F.lit(reset) + F.lit(1.0 - reset) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                )
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        # force the remaining (post-checkpoint) iterations to execute while
+        # the scoped conf is active and the persisted state is alive; the
+        # checkpointed result no longer references either
         ranks = ranks.localCheckpoint(eager=True)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return ranks
+        return ranks
+    finally:
+        # restore on every path — an exception mid-loop must not leave the
+        # session running with the scoped partition count
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        verts.unpersist()
+        norm_edges.unpersist()
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -212,22 +219,25 @@ def shortest_paths(edges: DataFrame, landmarks: list[int], iterations: int = 10)
     Returns (id, landmark, distance) for reachable pairs."""
     spark = edges.sparkSession
     adj = edges.select("src", "dst").distinct().persist()
-    dists = spark.createDataFrame(
-        [(int(l), int(l), 0) for l in landmarks], "id long, landmark long, distance int"
-    )
-    for _ in range(iterations):
-        msgs = (
-            adj.join(dists.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "landmark",
-                    (F.col("distance") + 1).alias("distance"))
+    try:
+        dists = spark.createDataFrame(
+            [(int(l), int(l), 0) for l in landmarks], "id long, landmark long, distance int"
         )
-        dists = (
-            dists.unionByName(msgs)
-            .groupBy("id", "landmark")
-            .agg(F.min("distance").alias("distance"))
-            .localCheckpoint(eager=True)
-        )
-    return dists
+        for _ in range(iterations):
+            msgs = (
+                adj.join(dists.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"), "landmark",
+                        (F.col("distance") + 1).alias("distance"))
+            )
+            dists = (
+                dists.unionByName(msgs)
+                .groupBy("id", "landmark")
+                .agg(F.min("distance").alias("distance"))
+                .localCheckpoint(eager=True)
+            )
+        return dists
+    finally:
+        adj.unpersist()
 
 
 def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
@@ -243,22 +253,25 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = adj.select(F.col("a").alias("id")).distinct().withColumn("community", F.col("id"))
-    w = Window.partitionBy("a").orderBy(F.col("n").desc(), F.col("community").asc())
-    for _ in range(iterations):
-        counts = (
-            adj.join(labels.withColumnRenamed("id", "b"), "b")
-            .groupBy("a", "community")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        best = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("a").alias("id"), "community")
-        )
-        # vertices with no neighbors keep their label (none here: adj covers all)
-        labels = best.localCheckpoint(eager=True)
-    return labels
+    try:
+        labels = adj.select(F.col("a").alias("id")).distinct().withColumn("community", F.col("id"))
+        w = Window.partitionBy("a").orderBy(F.col("n").desc(), F.col("community").asc())
+        for _ in range(iterations):
+            counts = (
+                adj.join(labels.withColumnRenamed("id", "b"), "b")
+                .groupBy("a", "community")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            best = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("a").alias("id"), "community")
+            )
+            # vertices with no neighbors keep their label (none here: adj covers all)
+            labels = best.localCheckpoint(eager=True)
+        return labels
+    finally:
+        adj.unpersist()
 
 
 def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFrame:
@@ -270,16 +283,19 @@ def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFra
     are oracle-matchable bit-for-bit.  Returns (id, distance)."""
     spark = weighted_edges.sparkSession
     e = weighted_edges.select("src", "dst", "weight").persist()
-    dists = spark.createDataFrame([(int(source), 0.0)], "id long, distance double")
-    for _ in range(iterations):
-        relaxed = (
-            e.join(dists.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), (F.col("distance") + F.col("weight")).alias("distance"))
-        )
-        dists = (
-            dists.unionByName(relaxed)
-            .groupBy("id")
-            .agg(F.min("distance").alias("distance"))
-            .localCheckpoint(eager=True)
-        )
-    return dists
+    try:
+        dists = spark.createDataFrame([(int(source), 0.0)], "id long, distance double")
+        for _ in range(iterations):
+            relaxed = (
+                e.join(dists.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), (F.col("distance") + F.col("weight")).alias("distance"))
+            )
+            dists = (
+                dists.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.min("distance").alias("distance"))
+                .localCheckpoint(eager=True)
+            )
+        return dists
+    finally:
+        e.unpersist()

@@ -24,9 +24,14 @@ def salted_join(large: DataFrame, small: DataFrame, on: str, salt: int = 8,
     large gets a per-row salt in [0, salt); small is replicated salt times —
     so the shuffle key (on, salt) splits every hot key into `salt` buckets.
     Correct for inner/left joins where `small` has unique join keys (the
-    dimension-table contract); the salt column never escapes."""
+    dimension-table contract); the salt column never escapes.
+
+    The salt is a deterministic hash of the whole row (not
+    monotonically_increasing_id, which changes under task retry / AQE
+    re-planning and would let a retried task salt rows differently than its
+    first attempt)."""
     salted_large = large.withColumn(
-        "__salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))).cast("int")
+        "__salt", (F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt))).cast("int")
     )
     salts = small.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
     replicated = small.crossJoin(salts)

@@ -42,6 +42,7 @@ class _Buffers:
     eliminates: list[tuple[Any, str]] = field(default_factory=list)       # (id, prop)
     delete_prefixes: list[str] = field(default_factory=list)
     delete_ranges: list[tuple[Any, Any]] = field(default_factory=list)    # [start, end)
+    upsert_dfs: list[DataFrame] = field(default_factory=list)             # bulk DataFrame-valued upserts
 
 
 class MutationBatch:
@@ -62,6 +63,14 @@ class MutationBatch:
             self._buf(table).ttl_inserts.setdefault(ttl, []).append(row)
         else:
             self._buf(table).inserts.append(row)
+
+    # M1 bulk — upsert a whole DataFrame of rows in one plan.  The reference
+    # SPI streams row commands (TikvStdSessions.java:380-426 buffers them per
+    # batch); the Spark-native analog of a *large* batch is a DataFrame, so
+    # the merge is ONE anti-join + union regardless of batch size instead of
+    # O(batch) literal predicates.
+    def upsert_df(self, table: str, rows: DataFrame) -> None:
+        self._buf(table).upsert_dfs.append(rows)
 
     # M2 — delete whole entry by id
     def delete(self, table: str, id_: Any) -> None:
@@ -165,6 +174,15 @@ class TableState:
             new_df = spark.createDataFrame(normalized, schema=df.schema)
             new_ids = [r[self.key] for r in all_new]
             df = df.filter(~F.col(kc).isin(new_ids)).unionByName(new_df)
+
+        # bulk DataFrame-valued upserts: one anti-join + union per batch df,
+        # later batches win over earlier ones and over everything above.
+        for updf in buf.upsert_dfs:
+            missing = set(df.columns) - set(updf.columns)
+            if missing:
+                raise ValueError(f"bulk upsert missing columns: {sorted(missing)}")
+            df = df.join(updf.select(kc).distinct(), kc, "left_anti") \
+                   .unionByName(updf.select(*df.columns))
 
         return TableState(df, self.key)
 

@@ -50,11 +50,43 @@ class NotSupportedError(Exception):
 # ---------------------------------------------------------------------------
 
 def encode_page(key_values: Sequence[Any]) -> str:
-    return base64.b64encode(json.dumps(list(key_values), default=str).encode()).decode()
+    """Serialize a keyset cursor.  Values are type-tagged so non-JSON-native
+    key types (timestamps, dates, decimals) round-trip as typed values, not
+    as strings that would then be compared against typed key columns on
+    resume (string '2024-01-02' > TIMESTAMP col is an implicit-cast trap)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    tagged = []
+    for v in key_values:
+        if isinstance(v, _dt.datetime):
+            tagged.append(["ts", v.isoformat(sep=" ")])
+        elif isinstance(v, _dt.date):
+            tagged.append(["date", v.isoformat()])
+        elif isinstance(v, _dec.Decimal):
+            tagged.append(["dec", str(v)])
+        elif v is None or isinstance(v, (bool, int, float, str)):
+            tagged.append(["", v])
+        else:
+            raise NotSupportedError(f"unsupported paging key type: {type(v).__name__}")
+    return base64.b64encode(json.dumps(tagged).encode()).decode()
 
 
 def decode_page(page: str) -> list[Any]:
-    return json.loads(base64.b64decode(page.encode()).decode())
+    import datetime as _dt
+    import decimal as _dec
+
+    out = []
+    for tag, v in json.loads(base64.b64decode(page.encode()).decode()):
+        if tag == "ts":
+            out.append(_dt.datetime.fromisoformat(v))
+        elif tag == "date":
+            out.append(_dt.date.fromisoformat(v))
+        elif tag == "dec":
+            out.append(_dec.Decimal(v))
+        else:
+            out.append(v)
+    return out
 
 
 def _after_cursor(key_cols: Sequence[str], cursor: Sequence[Any]):

@@ -126,12 +126,24 @@ class GraphStore:
 
     def _cache_path(self, name: str) -> str:
         import hashlib
+        import os
 
-        # key includes the view DEFINITIONS: editing VERTEX_SPECS/EDGE_SPECS
-        # (or the id encoding) must invalidate the cache, not silently serve
-        # stale views
+        # key includes the view DEFINITIONS (editing VERTEX_SPECS/EDGE_SPECS
+        # or the id encoding must invalidate the cache) AND the source files'
+        # (mtime, size) fingerprints — regenerating the fixture parquet in
+        # place must not silently serve stale vertices/edges from /tmp
+        src_tables = sorted({spec[1] for spec in VERTEX_SPECS}
+                            | {spec[1] for spec in EDGE_SPECS})
+        stamps = []
+        for t in src_tables:
+            p = os.path.join(self.sf_dir, f"{t}.parquet")
+            try:
+                st = os.stat(p)
+                stamps.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+            except OSError:
+                stamps.append(f"{t}:missing")
         spec = (f"{self.sf_dir.rstrip('/')}|{ID_BASE}|{VERTEX_SPECS!r}|{EDGE_SPECS!r}"
-                f"|{VERTEX_PROP_COLUMNS!r}|{EDGE_PROP_COLUMNS!r}")
+                f"|{VERTEX_PROP_COLUMNS!r}|{EDGE_PROP_COLUMNS!r}|{';'.join(stamps)}")
         key = hashlib.md5(spec.encode()).hexdigest()[:12]
         return f"/tmp/hugegraph_spark_cache/{key}/{name}.parquet"
 

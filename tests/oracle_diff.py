@@ -61,6 +61,18 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     if s_cols != o_cols:
         problems.append(f"{name}: column mismatch spark={s_cols} oracle={o_cols}")
         return problems
+    # The real driver hashes stringified values, so an int64 column on one
+    # side and float64 on the other ("36014" vs "36014.0") is a hash
+    # mismatch even when values are numerically equal (e.g. DuckDB
+    # SUM(BIGINT) -> HUGEINT -> pandas float64).  Python's int == float
+    # would mask it below, so flag dtype-kind divergence explicitly.
+    for c in s_cols:
+        kinds = {sdf[c].dtype.kind, odf[c].dtype.kind}
+        if kinds in ({"i", "f"}, {"u", "f"}):
+            problems.append(
+                f"{name}: dtype mismatch col={c} spark={sdf[c].dtype} "
+                f"oracle={odf[c].dtype} (driver hashes str values; cast both sides)"
+            )
     if len(sdf) != len(odf):
         problems.append(f"{name}: row count spark={len(sdf)} oracle={len(odf)}")
 
