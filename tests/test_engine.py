@@ -195,3 +195,73 @@ def test_schema_duplicate_name_rejected():
     reg.create_vertex_label("person")
     with pytest.raises(ValueError):
         reg.create_vertex_label("person")
+
+
+def test_page_cursor_typed_roundtrip():
+    """Timestamps/dates/decimals in keyset cursors must round-trip as typed
+    values, not stringify (string-vs-typed-column comparison on resume is an
+    implicit-cast trap)."""
+    import datetime as dt
+    import decimal
+
+    from hugegraph_on_tikv_spark.plans.engine import decode_page, encode_page
+
+    vals = [
+        42,
+        "abc",
+        3.5,
+        None,
+        dt.datetime(2024, 1, 2, 3, 4, 5),
+        dt.date(2024, 1, 2),
+        decimal.Decimal("12.34"),
+    ]
+    assert decode_page(encode_page(vals)) == vals
+
+
+def test_page_cursor_rejects_unsupported_type():
+    import pytest as _pytest
+
+    from hugegraph_on_tikv_spark.plans.engine import NotSupportedError, encode_page
+
+    with _pytest.raises(NotSupportedError):
+        encode_page([object()])
+
+
+def test_bulk_upsert_dataframe(spark):
+    """DataFrame-valued upsert: one anti-join + union merges a large batch —
+    updated rows replace same-key rows, new keys append (100k rows)."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.operators.mutations import MutationBatch, TableState
+
+    base = spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    # update even ids, insert 100k..150k
+    updates = spark.range(0, 150_000).filter(
+        (F.col("id") % 2 == 0) | (F.col("id") >= 100_000)
+    ).select(F.col("id"), F.lit(-1).cast("long").alias("v"))
+
+    batch = MutationBatch()
+    batch.upsert_df("t", updates)
+    state = batch.commit({"t": TableState(base, key="id")})["t"]
+
+    assert state.df.count() == 150_000
+    # every even or appended id carries the new value; odd originals untouched
+    assert state.df.filter((F.col("v") == -1)).count() == updates.count()
+    assert state.df.filter((F.col("id") % 2 == 1) & (F.col("id") < 100_000)
+                           & (F.col("v") != F.col("id") % 7)).count() == 0
+
+
+def test_bulk_upsert_missing_column_rejected(spark):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from hugegraph_on_tikv_spark.operators.mutations import MutationBatch, TableState
+
+    base = spark.range(10).select(F.col("id"), F.lit(1).alias("v"))
+    batch = MutationBatch()
+    batch.upsert_df("t", spark.range(5).select("id"))
+    with _pytest.raises(ValueError, match="missing columns"):
+        batch.commit({"t": TableState(base, key="id")})

@@ -33,3 +33,44 @@ def test_ivf_recall_against_exact(spark):
     assert len(approx) == 5 * n_queries  # full result set per query
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.3  # random uniform vectors: cells are weak but nontrivial
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """A boilerplate corpus (every doc shares one shingle set) makes a band
+    bucket quadratic; the cap must drop it and still complete."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import dedup
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur") for i in range(200)]
+    unique = [(1000 + i, f"document number {i} talks about topic {i} only today")
+              for i in range(5)]
+    docs = spark.createDataFrame(boiler + unique, "doc_id long, text string")
+
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    bands = dedup.lsh_bands(sigs, rows_per_band=4)
+    capped = dedup.lsh_candidate_pairs(bands, max_bucket_size=50)
+    uncapped = dedup.lsh_candidate_pairs(bands)
+    # the 200-doc boilerplate bucket (19900 pairs/band) is gone...
+    assert capped.count() < 200
+    assert uncapped.count() >= 19_900
+    # ...and the capped pipeline still completes end-to-end
+    pairs = dedup.minhash_lsh_duplicates(docs, num_hashes=8, rows_per_band=4,
+                                         threshold=0.9, max_bucket_size=50)
+    assert pairs.count() < 200
+
+
+def test_vectorized_topk_query_guard_falls_back(spark):
+    """Above max_query_rows the vectorized path must fall back to the exact
+    join plan instead of collecting an unbounded query set to the driver."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    guarded = similarity.cosine_topk_vectorized(q, emb, k=3, max_query_rows=1)
+    exact = similarity.cosine_topk(q, emb, k=3)
+    assert sorted(guarded.collect()) == sorted(exact.collect())
