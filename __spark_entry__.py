@@ -1945,6 +1945,56 @@ _register(
 )
 
 
+# -- schema-by-name lookup (the reference's schema-name secondary index,
+#    TikvTables.java:176-183; declared unsupported at the KV layer by
+#    TikvFeatures.java:41-44 and handled upstream — here the registry IS the
+#    upstream).  Both the Spark rows and the oracle VALUES are generated
+#    from the same graph specs, so they cannot drift. -----------------------
+
+from hugegraph_on_tikv_spark.schema import SchemaRegistry
+from hugegraph_on_tikv_spark.sources.graph import EDGE_SPECS, VERTEX_PROP_COLUMNS, VERTEX_SPECS
+
+
+def _schema_demo_rows() -> list[tuple[str, str, int, str]]:
+    reg = SchemaRegistry()
+    created: list[tuple[str, str, str]] = []
+    for pname, ptyp in VERTEX_PROP_COLUMNS:
+        reg.create_property_key(pname)
+        created.append(("property_key", pname, ptyp))
+    for vlabel, _tbl, _key, _props in VERTEX_SPECS:
+        reg.create_vertex_label(vlabel)
+        created.append(("vertex_label", vlabel, ""))
+    seen: set[str] = set()
+    for espec in EDGE_SPECS:
+        elabel, esrc, edst = espec[0], espec[2][0], espec[3][0]
+        if elabel in seen:  # located_in appears for two source tables
+            continue
+        seen.add(elabel)
+        reg.create_edge_label(elabel, esrc, edst)
+        created.append(("edge_label", elabel, f"{esrc}->{edst}"))
+    rows = []
+    for stype, sname, detail in created:
+        el = reg.get(stype, sname)  # the name→schema lookup under test
+        rows.append((stype, sname, el.id, detail))
+    for stype in ("property_key", "vertex_label", "edge_label"):
+        # A3 counter read: last allocated id per schema type
+        rows.append(("counter", stype, reg.get_counter(stype), ""))
+    return rows
+
+
+_register(
+    "schema_by_name",
+    lambda spark, sf: spark.createDataFrame(
+        _schema_demo_rows(), "schema_type string, name string, id long, detail string"
+    ),
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"('{t}', '{n}', CAST({i} AS BIGINT), '{d}')" for t, n, i, d in _schema_demo_rows()
+    )
+    + ") AS t(schema_type, name, id, detail)",
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -2291,8 +2341,21 @@ _compose("f_predicates", [
 
 _publish("a1_count")
 _publish("agg_extended")
-_publish("idx_secondary")
-_publish("idx_label")
+_publish("schema_by_name")
+
+_compose("idx_equality", [
+    ("idx_secondary",
+     ["'secondary' AS tag", "CAST(c_custkey AS DOUBLE) AS id", "c_name AS s1",
+      "c_mktsegment AS s2", "CAST(NULL AS DOUBLE) AS n"],
+     "'secondary' AS tag, CAST(c_custkey AS DOUBLE) AS id, c_name AS s1, "
+     "c_mktsegment AS s2, CAST(NULL AS DOUBLE) AS n"),
+    ("idx_label",
+     ["'label' AS tag", "CAST(NULL AS DOUBLE) AS id", "label AS s1",
+      "CAST(NULL AS STRING) AS s2", "CAST(n_elements AS DOUBLE) AS n"],
+     "'label' AS tag, CAST(NULL AS DOUBLE) AS id, label AS s1, "
+     "CAST(NULL AS VARCHAR) AS s2, CAST(n_elements AS DOUBLE) AS n"),
+])
+
 _publish("idx_search")
 
 _compose("idx_unique_shard", [
