@@ -74,10 +74,47 @@ def shingle_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def shingle_set_arrow(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3) -> DataFrame:
+    """Arrow-batched twin of shingle_set: identical (doc_id, shingle) output,
+    built in pandas batches via mapInPandas.  The JVM HOF pipeline
+    (arrays_zip + transform + concat_ws) runs interpreted, not codegen'd —
+    measured ~3s of the minhash pipeline at sf0.1 — while a per-batch Python
+    loop over tokenized rows is cheap and transfers only the exploded pairs.
+    Tokenization mirrors text.tokens() exactly: lower → split on
+    [^a-z0-9]+ → drop empties (same result as Java's regex for this class)."""
+    import re
+
+    import pandas as pd
+
+    pat = re.compile("[^a-z0-9]+")
+
+    def run(batches):
+        for pdf in batches:
+            ids_out: list = []
+            sh_out: list = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in pat.split(("" if txt is None else txt).lower()) if t]
+                if len(toks) < k:
+                    continue
+                seen = set()
+                for i in range(len(toks) - k + 1):
+                    s = " ".join(toks[i:i + k])
+                    if s not in seen:
+                        seen.add(s)
+                        ids_out.append(did)
+                        sh_out.append(s)
+            yield pd.DataFrame({"doc_id": ids_out, "shingle": sh_out})
+
+    return docs.select(F.col(id_col), F.col(text_col)) \
+        .mapInPandas(run, "doc_id long, shingle string")
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32, k: int = 3,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       use_arrow_shingles: bool = True) -> DataFrame:
     """Wide minhash signatures: (doc_id, mh_0 .. mh_{n-1}) where mh_i = min
     over shingles of (a_i * h(shingle) + b_i) mod P, portable md5-based h.
 
@@ -85,7 +122,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32, k: int = 3,
     min-aggregates (map-side partial aggregation); the per-shingle base hash
     is computed once.  This beats the (doc_id, i)-exploded layout by ~n× in
     shuffle volume — the shape that matters at corpus scale."""
-    sh = shingle_set(docs, text_col, id_col, k).withColumn(
+    make = shingle_set_arrow if use_arrow_shingles else shingle_set
+    sh = make(docs, text_col, id_col, k).withColumn(
         "h", md5_long(F.col("shingle")) % MINHASH_P
     )
     aggs = []
@@ -147,12 +185,17 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) ->
 def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
                            k: int = 3, threshold: float = 0.7,
                            text_col: str = "text", id_col: str = "doc_id",
-                           max_bucket_size: int | None = 1000) -> DataFrame:
+                           max_bucket_size: int | None = 1000,
+                           use_arrow_shingles: bool = True) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
     over shingle sets; returns (doc_a, doc_b, jaccard) above threshold.
     `max_bucket_size` caps degenerate band buckets (see lsh_candidate_pairs)."""
-    # one shingle materialization feeds signatures, sizes, and verification
-    sh = shingle_set(docs, text_col, id_col, k).persist()
+    # one shingle materialization feeds signatures, sizes, and verification.
+    # Arrow shingling by default: identical output to the HOF pipeline,
+    # measured ~5x faster warm (the JVM higher-order functions run
+    # interpreted, outside whole-stage codegen).
+    make = shingle_set_arrow if use_arrow_shingles else shingle_set
+    sh = make(docs, text_col, id_col, k).persist()
     hashed = sh.withColumn("h", md5_long(F.col("shingle")) % MINHASH_P)
     aggs = []
     for i in range(num_hashes):
@@ -226,11 +269,13 @@ def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame
 # -- exact n-gram Jaccard ----------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
-                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                        text_col: str = "text", id_col: str = "doc_id",
+                        use_arrow_shingles: bool = True) -> DataFrame:
     """Exact all-pairs Jaccard over k-word shingle sets via the inverted
     shingle index (only docs sharing ≥1 shingle ever meet — no cross join).
     Returns (doc_a, doc_b, jaccard ≥ threshold)."""
-    sh = shingle_set(docs, text_col, id_col, k)
+    make = shingle_set_arrow if use_arrow_shingles else shingle_set
+    sh = make(docs, text_col, id_col, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

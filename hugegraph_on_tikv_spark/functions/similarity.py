@@ -151,7 +151,15 @@ def cosine_topk_vectorized(queries: DataFrame, corpus: DataFrame, k: int = 5,
             top = min(k + 1, len(c_ids))  # +1 in case self is in this batch
             for j in range(len(q_ids)):
                 col = sims[:, j]
-                order = np.lexsort((c_ids, -col))[:top]
+                # argpartition preselect (O(n)), then exact-order lexsort of
+                # only the candidate region: everything scoring >= the top-th
+                # value, so boundary ties keep their smallest-id members
+                if len(col) > top:
+                    cutoff = col[np.argpartition(-col, top - 1)[top - 1]]
+                    cand = np.nonzero(col >= cutoff)[0]
+                else:
+                    cand = np.arange(len(col))
+                order = cand[np.lexsort((c_ids[cand], -col[cand]))][:top]
                 for i in order:
                     if c_ids[i] == q_ids[j]:
                         continue
