@@ -76,3 +76,37 @@ def stream_tumbling_counts(spark, events_path: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_tumbling_append(spark, events_dir: str, checkpoint_dir: str,
+                           width: str = "1 hour", watermark: str = "30 minutes",
+                           sink=None):
+    """Append-mode tumbling counts: rows are emitted only when the watermark
+    closes a window, and late events behind the watermark are DROPPED — the
+    semantics a 100 TB streaming pipeline relies on to bound state.
+
+    Run with availableNow twice against the same checkpoint (the watermark
+    and window state persist between runs) to observe: (1) closed windows
+    emit exactly once; (2) an event arriving after its window's close is
+    discarded rather than re-emitting the window.
+
+    `sink(batch_df, batch_id)` receives each emitted micro-batch via
+    foreachBatch (the memory sink can't recover from a checkpoint, and
+    resumability is the point of this operator)."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema).parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    sink = sink or (lambda df, bid: None)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

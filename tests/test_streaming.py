@@ -123,3 +123,84 @@ def test_session_window_stream_twin(spark, tmp_path):
         (str(r["session_start"]), r["user_id"]): r["n_events"] for r in batch_df.collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_watermark_append_drops_late_events(spark, tmp_path):
+    """Append mode + watermark: a window emits once when the watermark
+    passes its end, and an event arriving later than the watermark never
+    re-opens it (state stays bounded — the 100 TB contract)."""
+    import datetime as dt
+
+    from hugegraph_on_tikv_spark.streaming.windows import stream_tumbling_append
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    # batch 1: three events in the 10:00 window + one at 12:00 that pushes
+    # the watermark to 11:30, closing (and emitting) the 10:00 window
+    write_batch([base, base + dt.timedelta(minutes=10),
+                 base + dt.timedelta(minutes=20),
+                 base + dt.timedelta(hours=2)])
+    emitted1: list = []
+    q = stream_tumbling_append(spark, events_dir, ckpt,
+                               sink=lambda df, bid: emitted1.extend(df.collect()))
+    q.awaitTermination(120)
+    first = {r["window_start"]: r["n_events"] for r in emitted1}
+    assert first[dt.datetime(2024, 3, 1, 10, 0, 0)] == 3
+
+    # batch 2: a LATE event for the closed 10:00 window (behind the 11:30
+    # watermark) plus one at 14:00 that closes the 12:00 window
+    write_batch([base + dt.timedelta(minutes=30),
+                 base + dt.timedelta(hours=4)])
+    emitted2: list = []
+    q2 = stream_tumbling_append(spark, events_dir, ckpt,
+                                sink=lambda df, bid: emitted2.extend(df.collect()))
+    q2.awaitTermination(120)
+    second = {r["window_start"]: r["n_events"] for r in emitted2}
+    # the 12:00 window emits with only its on-time event; the late 10:30
+    # event is dropped — no re-emission of the 10:00 window
+    assert second == {dt.datetime(2024, 3, 1, 12, 0, 0): 1}
+
+
+def test_stateful_running_totals_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: keyed state survives across micro-batch runs
+    via the checkpoint — the second run continues from prior totals."""
+    import datetime as dt
+
+    from hugegraph_on_tikv_spark.streaming.stateful import stream_running_totals
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, ts, uid, "click", v, "{}") for i, (uid, v) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    write_batch([(1, 10.0), (1, 5.0), (2, 1.0)])
+    rows1: list = []
+    q = stream_running_totals(spark, events_dir, ckpt,
+                              sink=lambda df, bid: rows1.extend(df.collect()))
+    q.awaitTermination(120)
+    r1 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows1}
+    assert r1 == {1: (2, 15.0), 2: (1, 1.0)}
+
+    write_batch([(1, 2.5), (3, 7.0)])
+    rows2: list = []
+    q2 = stream_running_totals(spark, events_dir, ckpt,
+                               sink=lambda df, bid: rows2.extend(df.collect()))
+    q2.awaitTermination(120)
+    r2 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows2}
+    # user 1 continues from checkpointed state; untouched user 2 not re-emitted
+    assert r2 == {1: (3, 17.5), 3: (1, 7.0)}
