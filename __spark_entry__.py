@@ -1945,6 +1945,179 @@ _register(
 )
 
 
+# ===========================================================================
+# wave 7: TPC-H tail shapes — EXISTS semi-join, outer-join count
+# distribution, distinct-count grouping, correlated scalar threshold,
+# anti-join + global-average filter.  Adapted to the reduced fixture schema
+# (no partsupp/commitdate/receiptdate/phone) the way q12 already is.
+# ===========================================================================
+
+# q4-shaped: orders in a quarter having >=1 late lineitem (EXISTS semi-join)
+
+_register(
+    "q4_priority_exists",
+    lambda spark, sf: load_table(spark, sf, "orders")
+    .filter((F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1996-07-01 00:00:00'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1996-10-01 00:00:00'")))
+    .join(
+        load_table(spark, sf, "lineitem")
+        .join(load_table(spark, sf, "orders").select("o_orderkey", F.col("o_orderdate").alias("od")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("od") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+        "o_orderkey", "leftsemi",
+    )
+    .groupBy("o_orderpriority")
+    .agg(F.count(F.lit(1)).alias("order_count")),
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+
+# q13-shaped: distribution of order counts per customer (left outer join
+# keeps zero-order customers, then a second aggregation histograms them)
+
+_register(
+    "q13_custdist",
+    lambda spark, sf: load_table(spark, sf, "customer")
+    .join(load_table(spark, sf, "orders")
+          .filter(~F.col("o_orderpriority").startswith("1"))
+          .select("o_orderkey", "o_custkey"),
+          F.col("c_custkey") == F.col("o_custkey"), "left")
+    .groupBy("c_custkey")
+    .agg(F.count("o_orderkey").alias("c_count"))
+    .groupBy("c_count")
+    .agg(F.count(F.lit(1)).alias("custdist")),
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+
+# q16-shaped: distinct suppliers per (brand, type, size) via lineitem
+# (fixture has no partsupp; the lineitem pairs carry the same relationship)
+
+_register(
+    "q16_supplier_cnt",
+    lambda spark, sf: load_table(spark, sf, "lineitem")
+    .select("l_partkey", "l_suppkey")
+    .join(load_table(spark, sf, "part")
+          .filter(~F.col("p_type").startswith("ECONOMY") & F.col("p_size").isin([5, 15, 25, 35])),
+          F.col("l_partkey") == F.col("p_partkey"))
+    .groupBy("p_brand", "p_type", "p_size")
+    .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")),
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type NOT LIKE 'ECONOMY%' AND p_size IN (5, 15, 25, 35)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+
+# q17-shaped: revenue share of small-quantity lines (correlated scalar
+# threshold per part, expressed as a per-part average join; exact money sum)
+
+def _q17(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    # per-part threshold in exact integer domain: qty*5*n_part < sum_qty
+    # (l_quantity is integral in the fixture; 0.2*avg = sum/(5*n))
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    small = (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity").cast("long") * 5 * F.col("n_li") < F.col("sum_qty"))
+    )
+    return small.agg((_money(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+
+_register(
+    "q17_small_qty",
+    _q17,
+    """
+    WITH per_part AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n_li
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem JOIN per_part ON l_partkey = pk
+    WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
+    """,
+)
+
+# q22-shaped: well-funded customers with no orders, grouped by nation code.
+# The global-average threshold compares in exact cents*count integer domain
+# so no double-summation-order boundary can flip a customer.
+
+def _q22(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.round(F.col("c_acctbal") * 100).cast("long") * F.col("n_pos")
+                > F.col("total_cents"))
+        .join(load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct(),
+              "c_custkey", "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").cast("string").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             _money(F.col("c_acctbal")).alias("totacctbal"))
+    )
+
+_register(
+    "q22_global_sales_opportunity",
+    _q22,
+    """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_pos
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c_nationkey AS VARCHAR) AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+    FROM customer, pos
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+
+# -- DSL path(): per-traverser visited-vertex history ----------------------
+
+_register(
+    "dsl_path_count",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V(_KHOP_START).with_path().out("placed").out("contains").path()
+    .agg(F.count(F.lit(1)).alias("n")),
+    f"""
+    WITH {graph_ctes()}
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.label = 'placed' AND e1.src = {_KHOP_START} AND e2.label = 'contains'
+    """,
+)
+
 # -- schema-by-name lookup (the reference's schema-name secondary index,
 #    TikvTables.java:176-183; declared unsupported at the KV layer by
 #    TikvFeatures.java:41-44 and handled upstream — here the registry IS the
@@ -2086,6 +2259,10 @@ _compose("q_scalars", [
      ["'q19' AS tag", "revenue AS v1", "CAST(NULL AS DOUBLE) AS v2",
       "CAST(n_lines AS DOUBLE) AS n"],
      "'q19' AS tag, revenue AS v1, CAST(NULL AS DOUBLE) AS v2, CAST(n_lines AS DOUBLE) AS n"),
+    ("q17_small_qty",
+     ["'q17' AS tag", "avg_yearly AS v1", "CAST(NULL AS DOUBLE) AS v2",
+      "CAST(NULL AS DOUBLE) AS n"],
+     "'q17' AS tag, avg_yearly AS v1, CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS n"),
 ])
 
 _compose("q5_q7_volume", [
@@ -2099,11 +2276,44 @@ _compose("q5_q7_volume", [
       "CAST(l_year AS DOUBLE) AS l_year", "revenue"],
      "'q7' AS tag, supp_nation AS n1, cust_nation AS n2, "
      "CAST(l_year AS DOUBLE) AS l_year, revenue"),
+    ("q22_global_sales_opportunity",
+     ["'q22' AS tag", "cntrycode AS n1", "CAST(NULL AS STRING) AS n2",
+      "CAST(numcust AS DOUBLE) AS l_year", "totacctbal AS revenue"],
+     "'q22' AS tag, cntrycode AS n1, CAST(NULL AS VARCHAR) AS n2, "
+     "CAST(numcust AS DOUBLE) AS l_year, totacctbal AS revenue"),
 ])
 
 _publish("q10_returned_revenue")
-_publish("q12_priority_shipping")
-_publish("q18_large_orders")
+
+_compose("q4_q12_priority", [
+    ("q12_priority_shipping",
+     ["'q12' AS tag", "o_orderpriority", "CAST(late_count AS DOUBLE) AS v1",
+      "CAST(line_count AS DOUBLE) AS v2"],
+     "'q12' AS tag, o_orderpriority, CAST(late_count AS DOUBLE) AS v1, "
+     "CAST(line_count AS DOUBLE) AS v2"),
+    ("q4_priority_exists",
+     ["'q4' AS tag", "o_orderpriority", "CAST(order_count AS DOUBLE) AS v1",
+      "CAST(NULL AS DOUBLE) AS v2"],
+     "'q4' AS tag, o_orderpriority, CAST(order_count AS DOUBLE) AS v1, "
+     "CAST(NULL AS DOUBLE) AS v2"),
+])
+
+_compose("q13_q18_customers", [
+    ("q18_large_orders",
+     ["'q18' AS tag", "CAST(c_custkey AS DOUBLE) AS k", "c_name AS name",
+      "CAST(l_orderkey AS DOUBLE) AS l_orderkey", "o_orderdate",
+      "o_totalprice", "total_qty AS v"],
+     "'q18' AS tag, CAST(c_custkey AS DOUBLE) AS k, c_name AS name, "
+     "CAST(l_orderkey AS DOUBLE) AS l_orderkey, o_orderdate, o_totalprice, total_qty AS v"),
+    ("q13_custdist",
+     ["'q13' AS tag", "CAST(c_count AS DOUBLE) AS k", "CAST(NULL AS STRING) AS name",
+      "CAST(NULL AS DOUBLE) AS l_orderkey", "CAST(NULL AS STRING) AS o_orderdate",
+      "CAST(NULL AS DOUBLE) AS o_totalprice", "CAST(custdist AS DOUBLE) AS v"],
+     "'q13' AS tag, CAST(c_count AS DOUBLE) AS k, CAST(NULL AS VARCHAR) AS name, "
+     "CAST(NULL AS DOUBLE) AS l_orderkey, CAST(NULL AS VARCHAR) AS o_orderdate, "
+     "CAST(NULL AS DOUBLE) AS o_totalprice, CAST(custdist AS DOUBLE) AS v"),
+])
+
 _publish("q_rank_in_nation")
 
 _compose("agg_grouping_sets", [
@@ -2122,6 +2332,7 @@ _compose("dsl_counts", [
     ("dsl_segment_2hop_count", ["'segment_2hop' AS tag", "n"], "'segment_2hop' AS tag, n"),
     ("dsl_in_dedup", ["'in_dedup' AS tag", "n"], "'in_dedup' AS tag, n"),
     ("dsl_repeat_2hop", ["'repeat_2hop' AS tag", "n"], "'repeat_2hop' AS tag, n"),
+    ("dsl_path_count", ["'path_2hop' AS tag", "n"], "'path_2hop' AS tag, n"),
 ])
 
 _compose("dsl_rows", [
@@ -2327,7 +2538,20 @@ _compose("s7_range_limit0", [
 ])
 
 _publish("s8_shard_scan")
-_publish("s11_condition_query")
+
+_compose("s11_q16_parts", [
+    ("s11_condition_query",
+     ["'condition' AS tag", "CAST(p_partkey AS DOUBLE) AS k", "p_brand", "p_type",
+      "CAST(p_size AS DOUBLE) AS p_size", "CAST(NULL AS DOUBLE) AS n"],
+     "'condition' AS tag, CAST(p_partkey AS DOUBLE) AS k, p_brand, p_type, "
+     "CAST(p_size AS DOUBLE) AS p_size, CAST(NULL AS DOUBLE) AS n"),
+    ("q16_supplier_cnt",
+     ["'q16' AS tag", "CAST(NULL AS DOUBLE) AS k", "p_brand", "p_type",
+      "CAST(p_size AS DOUBLE) AS p_size", "CAST(supplier_cnt AS DOUBLE) AS n"],
+     "'q16' AS tag, CAST(NULL AS DOUBLE) AS k, p_brand, p_type, "
+     "CAST(p_size AS DOUBLE) AS p_size, CAST(supplier_cnt AS DOUBLE) AS n"),
+])
+
 _publish("f2_lte_prefix_bound")
 
 _compose("f_predicates", [

@@ -72,23 +72,38 @@ class Traversal:
         e = self._g.edges if order_by == "src" else self._g.edges_by_dst
         return e.filter(F.col("label").isin(list(labels))) if labels else e
 
+    def _carried(self) -> list[str]:
+        """Columns that ride along with the traverser through hops: as_()
+        labels and the path history."""
+        return [c for c in self._df.columns if c.startswith("_as_") or c == "_path"]
+
+    def _hop(self, edge_df: DataFrame, new_id: str) -> DataFrame:
+        """One hop: join current traversers (id) to edge_df on `id`, the new
+        position is edge_df[new_id].  Carried columns survive; the path
+        history appends the new position."""
+        carried = self._carried()
+        out = (
+            self._df.select("id", *carried).join(edge_df, "id")
+            .select(F.col(new_id).alias("id"), *carried)
+        )
+        if "_path" in carried:
+            out = out.withColumn("_path", F.concat(F.col("_path"), F.array(F.col("id"))))
+        return out
+
     def out(self, *labels: str) -> "Traversal":
         e = self._edges(labels).select(F.col("src").alias("id"), F.col("dst"))
-        out = self._df.select("id").join(e, "id").select(F.col("dst").alias("id"))
-        return Traversal(self._g, out, "V")
+        return Traversal(self._g, self._hop(e, "dst"), "V")
 
     def in_(self, *labels: str) -> "Traversal":
         e = self._edges(labels, "dst").select(F.col("dst").alias("id"), F.col("src"))
-        out = self._df.select("id").join(e, "id").select(F.col("src").alias("id"))
-        return Traversal(self._g, out, "V")
+        return Traversal(self._g, self._hop(e, "src"), "V")
 
     def both(self, *labels: str) -> "Traversal":
         e = self._edges(labels)
         fwd = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
         bwd = e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
         adj = fwd.unionByName(bwd)
-        out = self._df.select("id").join(adj, "id").select(F.col("nbr").alias("id"))
-        return Traversal(self._g, out, "V")
+        return Traversal(self._g, self._hop(adj, "nbr"), "V")
 
     def out_e(self, *labels: str) -> "Traversal":
         e = self._edges(labels)
@@ -123,8 +138,43 @@ class Traversal:
         step."""
         return Traversal(self._g, self._df.localCheckpoint(eager=True), self._pos)
 
+    # -- labels / paths ----------------------------------------------------
+    def as_(self, name: str) -> "Traversal":
+        """Gremlin as(name): label the current position; the labeled id rides
+        along through subsequent hops and is retrieved with select()."""
+        if self._pos != "V":
+            raise ValueError("as_() is supported at vertex positions")
+        return Traversal(self._g, self._df.withColumn(f"_as_{name}", F.col("id")), "V")
+
+    def select(self, *names: str) -> DataFrame:
+        """Gremlin select(a, b, ...): one column per as_() label, one row per
+        surviving traverser (multiplicity preserved)."""
+        missing = [n for n in names if f"_as_{n}" not in self._df.columns]
+        if missing:
+            raise ValueError(f"unknown as_() labels: {missing}")
+        return self._df.select(*[F.col(f"_as_{n}").alias(n) for n in names])
+
+    def with_path(self) -> "Traversal":
+        """Enable Gremlin path() tracking from this position on: each hop
+        appends the new vertex id to a per-traverser history array.  Opt-in
+        because the history column grows with hop count — at scale you track
+        paths only on traversals that need them."""
+        return Traversal(
+            self._g, self._df.withColumn("_path", F.array(F.col("id"))), self._pos
+        )
+
+    def path(self) -> DataFrame:
+        """The visited-vertex history (requires with_path()): one row per
+        traverser, `path` = array of vertex ids from start to current."""
+        if "_path" not in self._df.columns:
+            raise ValueError("path() requires with_path() at the traversal start")
+        return self._df.select(F.col("_path").alias("path"))
+
     # -- modulators / terminals -------------------------------------------
     def dedup(self) -> "Traversal":
+        """Distinct traversers.  With as_()/with_path() active, distinctness
+        is per (position, labels, path) — label a barrier'd id and dedup
+        before as_() if you want element-only dedup."""
         return Traversal(self._g, self._df.distinct(), self._pos)
 
     def limit(self, n: int) -> "Traversal":

@@ -85,3 +85,47 @@ def test_has_predicate_tuple(g):
     big = g.V().has_label("part").has("size", (">=", 40)).values("size")
     rows = big.collect()
     assert len(rows) > 0 and all(r["size"] >= 40 for r in rows)
+
+
+def test_as_select_pairs(g, spark):
+    """as_()/select(): labeled positions ride through hops and come back as
+    one column per label, multiplicity preserved."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        g.V().has_label("customer").has("mktsegment", "BUILDING").as_("c")
+        .out("placed").as_("o").select("c", "o")
+    )
+    expected = (
+        g.edges.filter(F.col("label") == "placed")
+        .join(g.vertices.filter((F.col("label") == "customer")
+                                & (F.col("mktsegment") == "BUILDING"))
+              .select(F.col("id").alias("src")), "src")
+        .select(F.col("src").alias("c"), F.col("dst").alias("o"))
+    )
+    assert sorted(pairs.collect()) == sorted(expected.collect())
+
+
+def test_path_tracks_visited_vertices(g, spark):
+    from pyspark.sql import functions as F
+
+    start = g.vertices.filter(F.col("label") == "customer").agg(F.min("id")).collect()[0][0]
+    paths = g.V(int(start)).with_path().out("placed").out("contains").path().collect()
+    assert len(paths) > 0
+    for row in paths:
+        assert len(row["path"]) == 3           # start, order, part
+        assert row["path"][0] == start
+
+
+def test_path_requires_with_path(g):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="with_path"):
+        g.V().out("placed").path()
+
+
+def test_select_unknown_label_rejected(g):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown as_"):
+        g.V().as_("a").out("placed").select("b")
