@@ -16,20 +16,25 @@ from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
 
 
 def stream_upsert(stream_df: DataFrame, catalog: TableCatalog, table: str,
-                  key: str, checkpoint_dir: str, available_now: bool = True):
+                  key: str | list[str], checkpoint_dir: str, available_now: bool = True):
     """writeStream → per-micro-batch upsert into a catalog table.
 
     Each micro-batch is applied as ONE per-table-atomic commit (version
     pointer swap).  Upsert-by-key makes replays idempotent — a stronger
-    contract than the reference's non-transactional put batches."""
+    contract than the reference's non-transactional put batches.
+
+    `key` may be a composite (list of columns) — the shape graph-edge
+    streams need: an edge view keyed (src, dst, label) maintained
+    incrementally from an edge stream, so every graph query sees the
+    up-to-date adjacency without re-deriving the view from source tables."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # dedup within the batch (last occurrence wins deterministically by
-        # max key ordering) then anti-join + union against current state
+        # dedup within the batch then anti-join + union against current state
         state = catalog.table(table)
-        incoming = batch_df.dropDuplicates([key])
+        incoming = batch_df.dropDuplicates(keys)
         merged = (
-            state.df.join(incoming.select(key), key, "left_anti")
+            state.df.join(incoming.select(*keys), keys, "left_anti")
             .unionByName(incoming)
         )
         meta = catalog._meta(table)

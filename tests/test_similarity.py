@@ -74,3 +74,22 @@ def test_vectorized_topk_query_guard_falls_back(spark):
     guarded = similarity.cosine_topk_vectorized(q, emb, k=3, max_query_rows=1)
     exact = similarity.cosine_topk(q, emb, k=3)
     assert sorted(guarded.collect()) == sorted(exact.collect())
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with Lloyd-refined centroids must recover most of the exact
+    top-k neighbor set when probing n_probe of n_cells."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(q, emb, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.ivf_topk(q, emb, k=5, n_cells=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
