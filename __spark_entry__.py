@@ -2061,7 +2061,9 @@ _register(
     """,
 )
 
-# q22-shaped: well-funded customers with no orders, grouped by nation code.
+# q22-shaped: well-funded customers with no RECENT orders (every fixture
+# customer has some order, so "inactive since 1998" plays q22's no-orders
+# role), grouped by nation code.
 # The global-average threshold compares in exact cents*count integer domain
 # so no double-summation-order boundary can flip a customer.
 
@@ -2075,7 +2077,9 @@ def _q22(spark: SparkSession, sf: str) -> DataFrame:
         cust.crossJoin(F.broadcast(pos))
         .filter(F.round(F.col("c_acctbal") * 100).cast("long") * F.col("n_pos")
                 > F.col("total_cents"))
-        .join(load_table(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        .join(load_table(spark, sf, "orders")
+              .filter(F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+              .select(F.col("o_custkey").alias("c_custkey")).distinct(),
               "c_custkey", "left_anti")
     )
     return (
@@ -2098,8 +2102,161 @@ _register(
            SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
     FROM customer, pos
     WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos > total_cents
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
     GROUP BY c_nationkey
+    """,
+)
+
+# q8-shaped: a nation's market share of region revenue by year.  The share
+# is a ratio of two exact cents sums — one double division, rounded 6dp
+# identically on both sides.
+
+def _q8(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region")
+    rev_c = (F.round(F.col("l_extendedprice") * 100).cast("long")
+             * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    supp = load_table(spark, sf, "supplier")
+    base = (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(cust.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("cn_key"),
+                                     F.col("n_regionkey").alias("cn_region"))),
+              F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+              F.col("cn_region") == F.col("r_regionkey"))
+        .join(supp.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                                     F.col("n_name").alias("supp_nation"))),
+              F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("o_orderdate").between(F.expr("TIMESTAMP_NTZ '1995-01-01 00:00:00'"),
+                                             F.expr("TIMESTAMP_NTZ '1996-12-31 23:59:59'")))
+        .select(F.year("o_orderdate").alias("o_year"), rev_c.alias("rev_c"), "supp_nation")
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("rev_c")).otherwise(F.lit(0)))
+            / F.sum("rev_c"), 6).alias("mkt_share"))
+    )
+
+_register(
+    "q8_market_share",
+    _q8,
+    """
+    WITH base AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 23:59:59'
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+           round(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_c ELSE 0 END) * 1.0
+                 / SUM(rev_c), 6) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+
+# q15-shaped: top supplier(s) by revenue in a quarter (revenue view + max)
+
+def _q15(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1996-04-01 00:00:00'")))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(top)).filter(F.col("total_revenue") == F.col("mx"))
+        .join(load_table(spark, sf, "supplier"),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+_register(
+    "q15_top_supplier",
+    _q15,
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+
+# q21-shaped: suppliers with a late shipment in a multi-supplier order where
+# every OTHER supplier shipped on time (EXISTS + NOT EXISTS correlation,
+# adapted to l_shipdate vs o_orderdate since the fixture has no
+# commit/receipt dates)
+
+def _q21(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").join(
+        load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"))
+    lines = li.select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_supp_order = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("was_late"))
+    order_stats = per_supp_order.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("was_late").alias("n_late_supps"))
+    waiting = (
+        per_supp_order.filter(F.col("was_late") == 1)
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    return (
+        waiting.join(load_table(spark, sf, "supplier"),
+                     F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+_register(
+    "q21_waiting_supplier",
+    _q21,
+    """
+    WITH lines AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), per_supp AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS was_late
+      FROM lines GROUP BY l_orderkey, l_suppkey
+    ), order_stats AS (
+      SELECT l_orderkey, count(*) AS n_supps, SUM(was_late) AS n_late_supps
+      FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp
+      JOIN order_stats USING (l_orderkey)
+      JOIN supplier ON l_suppkey = s_suppkey
+    WHERE was_late = 1 AND n_supps > 1 AND n_late_supps = 1
+    GROUP BY s_name
     """,
 )
 
@@ -2263,6 +2420,10 @@ _compose("q_scalars", [
      ["'q17' AS tag", "avg_yearly AS v1", "CAST(NULL AS DOUBLE) AS v2",
       "CAST(NULL AS DOUBLE) AS n"],
      "'q17' AS tag, avg_yearly AS v1, CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS n"),
+    ("q8_market_share",
+     ["'q8' AS tag", "mkt_share AS v1", "CAST(NULL AS DOUBLE) AS v2",
+      "CAST(o_year AS DOUBLE) AS n"],
+     "'q8' AS tag, mkt_share AS v1, CAST(NULL AS DOUBLE) AS v2, CAST(o_year AS DOUBLE) AS n"),
 ])
 
 _compose("q5_q7_volume", [
@@ -2281,6 +2442,11 @@ _compose("q5_q7_volume", [
       "CAST(numcust AS DOUBLE) AS l_year", "totacctbal AS revenue"],
      "'q22' AS tag, cntrycode AS n1, CAST(NULL AS VARCHAR) AS n2, "
      "CAST(numcust AS DOUBLE) AS l_year, totacctbal AS revenue"),
+    ("q15_top_supplier",
+     ["'q15' AS tag", "s_name AS n1", "CAST(NULL AS STRING) AS n2",
+      "CAST(s_suppkey AS DOUBLE) AS l_year", "total_revenue AS revenue"],
+     "'q15' AS tag, s_name AS n1, CAST(NULL AS VARCHAR) AS n2, "
+     "CAST(s_suppkey AS DOUBLE) AS l_year, total_revenue AS revenue"),
 ])
 
 _publish("q10_returned_revenue")
@@ -2312,6 +2478,13 @@ _compose("q13_q18_customers", [
      "'q13' AS tag, CAST(c_count AS DOUBLE) AS k, CAST(NULL AS VARCHAR) AS name, "
      "CAST(NULL AS DOUBLE) AS l_orderkey, CAST(NULL AS VARCHAR) AS o_orderdate, "
      "CAST(NULL AS DOUBLE) AS o_totalprice, CAST(custdist AS DOUBLE) AS v"),
+    ("q21_waiting_supplier",
+     ["'q21' AS tag", "CAST(NULL AS DOUBLE) AS k", "s_name AS name",
+      "CAST(NULL AS DOUBLE) AS l_orderkey", "CAST(NULL AS STRING) AS o_orderdate",
+      "CAST(NULL AS DOUBLE) AS o_totalprice", "CAST(numwait AS DOUBLE) AS v"],
+     "'q21' AS tag, CAST(NULL AS DOUBLE) AS k, s_name AS name, "
+     "CAST(NULL AS DOUBLE) AS l_orderkey, CAST(NULL AS VARCHAR) AS o_orderdate, "
+     "CAST(NULL AS DOUBLE) AS o_totalprice, CAST(numwait AS DOUBLE) AS v"),
 ])
 
 _publish("q_rank_in_nation")
