@@ -82,11 +82,14 @@ def shingle_set_arrow(docs: DataFrame, text_col: str = "text", id_col: str = "do
     measured ~3s of the minhash pipeline at sf0.1 — while a per-batch Python
     loop over tokenized rows is cheap and transfers only the exploded pairs.
     Tokenization mirrors text.tokens() exactly: lower → split on
-    [^a-z0-9]+ → drop empties (same result as Java's regex for this class)."""
+    [^a-z0-9]+ → drop empties (same result as Java's regex for this class).
+    The output doc_id keeps the input id column's type (string ids work the
+    same as the HOF twin's)."""
     import re
 
     import pandas as pd
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     pat = re.compile("[^a-z0-9]+")
 
     def run(batches):
@@ -107,7 +110,7 @@ def shingle_set_arrow(docs: DataFrame, text_col: str = "text", id_col: str = "do
             yield pd.DataFrame({"doc_id": ids_out, "shingle": sh_out})
 
     return docs.select(F.col(id_col), F.col(text_col)) \
-        .mapInPandas(run, "doc_id long, shingle string")
+        .mapInPandas(run, f"doc_id {id_type}, shingle string")
 
 
 # -- MinHash + LSH -----------------------------------------------------------

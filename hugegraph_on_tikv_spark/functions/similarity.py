@@ -215,34 +215,48 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16, refine_iters: int = 1,
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             refine_iters: int = 1) -> DataFrame:
+             refine_iters: int = 1, broadcast_max_queries: int = 1_000_000) -> DataFrame:
     """IVF-flat ANN: partition the corpus into cells around deterministic,
     Lloyd-refined centroids (see ivf_centroids), probe the n_probe nearest
     cells per query, exact-rerank inside.  The scale path: the corpus is
     stored partitioned by cell, a query touches n_probe/n_cells of the data.
-    Recall vs the exact top-k is asserted in tests/test_similarity.py."""
+    Recall vs the exact top-k is asserted in tests/test_similarity.py.
+
+    The probe join broadcasts the assigned query set only while it is small
+    (n_queries * n_probe <= broadcast_max_queries); a large query batch falls
+    back to a shuffle join on `cell` — the corpus side is already partitioned
+    by cell at scale, so that join is co-located."""
     cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col) \
         .select("cell", "c_vec")
     cents = cents.persist()
     from pyspark.sql.window import Window
 
-    def assign(df, ident, vec, n_best):
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            ident, vec, "cell", cosine(F.col(vec), F.col("c_vec")).alias("cell_sim"))
-        w = Window.partitionBy(ident).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
-        return scored.withColumn("crank", F.row_number().over(w)).filter(F.col("crank") <= n_best)
+    try:
+        def assign(df, ident, vec, n_best):
+            scored = df.crossJoin(F.broadcast(cents)).select(
+                ident, vec, "cell", cosine(F.col(vec), F.col("c_vec")).alias("cell_sim"))
+            w = Window.partitionBy(ident).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+            return scored.withColumn("crank", F.row_number().over(w)).filter(F.col("crank") <= n_best)
 
-    c_assigned = assign(corpus.select(id_col, vec_col), id_col, vec_col, 1) \
-        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec2"), "cell")
-    q_assigned = assign(queries.select(id_col, vec_col), id_col, vec_col, n_probe) \
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec2"), "cell")
+        c_assigned = assign(corpus.select(id_col, vec_col), id_col, vec_col, 1) \
+            .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec2"), "cell")
+        q_assigned = assign(queries.select(id_col, vec_col), id_col, vec_col, n_probe) \
+            .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec2"), "cell")
+        if queries.select(id_col).limit(broadcast_max_queries // max(n_probe, 1) + 1) \
+                .count() * n_probe <= broadcast_max_queries:
+            q_assigned = F.broadcast(q_assigned)
 
-    scored = (
-        c_assigned.join(F.broadcast(q_assigned), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("q_vec2"), F.col("c_vec2")), 6).alias("cos_sim"))
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        scored = (
+            c_assigned.join(q_assigned, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(cosine(F.col("q_vec2"), F.col("c_vec2")), 6).alias("cos_sim"))
+            .distinct()
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+        out = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+        # materialize before releasing the cached centroids: the returned
+        # DataFrame must not reference the unpersisted blocks
+        return out.localCheckpoint(eager=True)
+    finally:
+        cents.unpersist()

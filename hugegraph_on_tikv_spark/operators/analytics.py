@@ -81,14 +81,10 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
     # state_partitions sizes every iteration's shuffle to the rank-state
     # scale instead of the session default: per-task fixed costs dominate
     # iterative jobs when partitions are oversized (measured 2.3x at sf0.1
-    # with 32→8).  The eager checkpoints below execute most iterations while
-    # the conf is scoped; it is restored before returning.
-    spark = edges.sparkSession
-    prev_parts = None
-    if state_partitions:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-
+    # with 32→8).  Sizing is PLAN-LEVEL — explicit repartition(n, key) on the
+    # iteration state, which Catalyst recognizes as satisfying the join/agg
+    # distribution so no extra exchange is inserted — never a session-conf
+    # override (which would race concurrent queries on the same session).
     # materialize the iteration-invariant state ONCE: vertex set and the
     # out-degree-normalized edge list (src, dst, out_degree).  Without this
     # every iteration's plan re-reads and re-unions the raw edge sources.
@@ -96,14 +92,18 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .persist()
     )
+    if state_partitions:
+        verts = verts.repartition(state_partitions, "id")
+    verts = verts.persist()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
     norm_edges = (
         edges.select("src", "dst")
         .join(out_deg.withColumnRenamed("id", "src"), "src")
-        .persist()
     )
+    if state_partitions:
+        norm_edges = norm_edges.repartition(state_partitions, "src")
+    norm_edges = norm_edges.persist()
     try:
         # broadcast_ranks=True ships the rank vector to every task so the edge
         # scan never shuffles — the right plan while |V| fits in an executor
@@ -115,10 +115,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
             rank_side = ranks.withColumnRenamed("id", "src")
             if broadcast_ranks:
                 rank_side = F.broadcast(rank_side)
+            elif state_partitions:
+                rank_side = rank_side.repartition(state_partitions, "src")
             contribs = (
                 norm_edges.join(rank_side, "src")
                 .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
-                .groupBy("id")
+            )
+            if state_partitions:
+                contribs = contribs.repartition(state_partitions, "id")
+            contribs = (
+                contribs.groupBy("id")
                 .agg(F.sum("contrib").alias("contrib"))
             )
             ranks = (
@@ -136,10 +142,6 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         ranks = ranks.localCheckpoint(eager=True)
         return ranks
     finally:
-        # restore on every path — an exception mid-loop must not leave the
-        # session running with the scoped partition count
-        if state_partitions:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         verts.unpersist()
         norm_edges.unpersist()
 

@@ -26,12 +26,19 @@ def salted_join(large: DataFrame, small: DataFrame, on: str, salt: int = 8,
     Correct for inner/left joins where `small` has unique join keys (the
     dimension-table contract); the salt column never escapes.
 
-    The salt is a deterministic hash of the whole row (not
+    The salt is a deterministic hash of the row's hashable columns (not
     monotonically_increasing_id, which changes under task retry / AQE
     re-planning and would let a retried task salt rows differently than its
-    first attempt)."""
+    first attempt).  MapType columns are excluded (F.hash can't analyze
+    them).  Known limitation: rows that are byte-identical across every
+    hashed column all land in the same salt bucket, so a hot key made of
+    EXACT duplicate rows is not split — pre-aggregate such duplicates (count
+    them) before the join, which is the cheaper plan anyway."""
+    hashable = [c for c, t in large.dtypes if not t.startswith("map<")]
+    if not hashable:
+        raise ValueError("salted_join needs at least one non-map column to salt on")
     salted_large = large.withColumn(
-        "__salt", (F.pmod(F.hash(*[F.col(c) for c in large.columns]), F.lit(salt))).cast("int")
+        "__salt", (F.pmod(F.hash(*[F.col(c) for c in hashable]), F.lit(salt))).cast("int")
     )
     salts = small.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
     replicated = small.crossJoin(salts)

@@ -177,10 +177,20 @@ class TableState:
 
         # bulk DataFrame-valued upserts: one anti-join + union per batch df,
         # later batches win over earlier ones and over everything above.
+        # Duplicate keys WITHIN one batch are rejected (there is no row order
+        # inside a DataFrame, so "last wins" would be nondeterministic) —
+        # same eager contract as the missing-columns check.
         for updf in buf.upsert_dfs:
             missing = set(df.columns) - set(updf.columns)
             if missing:
                 raise ValueError(f"bulk upsert missing columns: {sorted(missing)}")
+            dup = (updf.groupBy(kc).count().filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                raise ValueError(
+                    f"bulk upsert batch has duplicate key {dup[0][0]!r}; "
+                    "dedup the batch first (dropDuplicates) — intra-batch "
+                    "last-wins is not well-defined"
+                )
             df = df.join(updf.select(kc).distinct(), kc, "left_anti") \
                    .unionByName(updf.select(*df.columns))
 

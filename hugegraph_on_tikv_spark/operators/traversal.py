@@ -62,13 +62,20 @@ def neighbors(edges: DataFrame, vertex_ids: Sequence[int], direction: str = OUT,
 
 
 def k_hop(edges: DataFrame, start_ids: Sequence[int], k: int, direction: str = OUT,
-          labels: Sequence[str] | None = None, checkpoint_every: int = 3) -> DataFrame:
+          labels: Sequence[str] | None = None, checkpoint_every: int = 3,
+          broadcast_max_frontier: int = 5_000_000) -> DataFrame:
     """Vertices reachable in exactly <= k hops (excluding the start set),
-    with hop distance = first time reached (BFS layering).
+    with hop distance = first time reached (BFS layering).  Returns
+    (id, hops).
 
-    Each iteration joins the (small) frontier against the adjacency view —
-    frontier is broadcast, the edge scan never shuffles.  Returns
-    (id, hops)."""
+    Each iteration joins the frontier against the adjacency view.  While the
+    frontier is small (<= broadcast_max_frontier rows) it is broadcast so the
+    edge scan never shuffles; on a power-law graph the frontier reaches
+    O(|V|) by hop 2-3, at which point broadcasting it would OOM every
+    executor — past the threshold the hop falls back to a plain shuffle join
+    (AQE picks the physical strategy).  The frontier is materialized each hop
+    anyway (BFS is inherently iterative), so the size check reads a
+    checkpointed count, not a recompute."""
     spark = edges.sparkSession
     e = edges.filter(F.col("label").isin(list(labels))) if labels else edges
     # materialize the adjacency projection once — every hop reuses it instead
@@ -76,17 +83,24 @@ def k_hop(edges: DataFrame, start_ids: Sequence[int], k: int, direction: str = O
     adj = adjacent(e, direction).persist()
 
     frontier = spark.createDataFrame([(int(v),) for v in start_ids], "id long")
+    frontier_rows = len(start_ids)
     visited = frontier.withColumn("hops", F.lit(0))
     result = None
     for hop in range(1, k + 1):
+        f = frontier.withColumnRenamed("id", "vertex")
+        if frontier_rows <= broadcast_max_frontier:
+            f = F.broadcast(f)
         nxt = (
-            adj.join(F.broadcast(frontier.withColumnRenamed("id", "vertex")), "vertex")
+            adj.join(f, "vertex")
             .select(F.col("neighbor").alias("id"))
             .distinct()
         )
         frontier = nxt.join(visited.select("id"), "id", "left_anti")
-        if checkpoint_every and hop % checkpoint_every == 0:
+        if (checkpoint_every and hop % checkpoint_every == 0) or hop < k:
+            # cut lineage AND materialize so the next hop's broadcast
+            # decision reads a cached count instead of recomputing the join
             frontier = frontier.localCheckpoint(eager=True)
+            frontier_rows = frontier.count()
         layer = frontier.withColumn("hops", F.lit(hop))
         visited = visited.unionByName(layer)
         result = layer if result is None else result.unionByName(layer)

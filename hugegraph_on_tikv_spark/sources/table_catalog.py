@@ -87,6 +87,23 @@ class TableCatalog:
             meta = self._meta(n)
             self._write_version(n, new_states[n].df, meta["version"] + 1, meta["key"])
 
+    def upsert(self, name: str, df: DataFrame, keys: str | list[str] | None = None) -> None:
+        """Public bulk upsert: replace same-key rows with `df`'s rows as ONE
+        per-table-atomic commit (version pointer swap).  `keys` defaults to
+        the table's registered key; a composite key is a list of columns.
+        Intra-`df` duplicate keys are collapsed (dropDuplicates) so the
+        table's key-uniqueness invariant survives — streaming micro-batches
+        rely on this for idempotent replays."""
+        meta = self._meta(name)
+        key_cols = [keys] if isinstance(keys, str) else (list(keys) if keys else [meta["key"]])
+        state = self.table(name)
+        incoming = df.dropDuplicates(key_cols)
+        merged = (
+            state.df.join(incoming.select(*key_cols), key_cols, "left_anti")
+            .unionByName(incoming)
+        )
+        self._write_version(name, merged, meta["version"] + 1, meta["key"])
+
     def truncate(self, name: str) -> None:
         """M7: clear one table."""
         meta = self._meta(name)

@@ -30,15 +30,9 @@ def stream_upsert(stream_df: DataFrame, catalog: TableCatalog, table: str,
     keys = [key] if isinstance(key, str) else list(key)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # dedup within the batch then anti-join + union against current state
-        state = catalog.table(table)
-        incoming = batch_df.dropDuplicates(keys)
-        merged = (
-            state.df.join(incoming.select(*keys), keys, "left_anti")
-            .unionByName(incoming)
-        )
-        meta = catalog._meta(table)
-        catalog._write_version(table, merged, meta["version"] + 1, meta["key"])
+        # one per-table-atomic commit per micro-batch, through the catalog's
+        # public bulk-upsert API (dedups within the batch, anti-join + union)
+        catalog.upsert(table, batch_df, keys)
 
     writer = (
         stream_df.writeStream.foreachBatch(apply_batch)

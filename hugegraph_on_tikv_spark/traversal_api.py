@@ -106,21 +106,39 @@ class Traversal:
         return Traversal(self._g, self._hop(adj, "nbr"), "V")
 
     def out_e(self, *labels: str) -> "Traversal":
+        """Vertex → out-edges.  as_() labels and path history ride along on
+        the edge frame, so as_('a').out_e(...).in_v().select('a') works.
+        Without carried columns, duplicate traversers at one vertex are
+        collapsed before the edge join (the published multiplicity)."""
         e = self._edges(labels)
-        out = e.join(self._df.select(F.col("id").alias("src")).distinct(), "src")
-        return Traversal(self._g, out, "E")
+        carried = self._carried()
+        left = self._df.select(F.col("id").alias("src"), *carried)
+        if not carried:
+            left = left.distinct()
+        return Traversal(self._g, e.join(left, "src"), "E")
 
     def in_e(self, *labels: str) -> "Traversal":
         e = self._edges(labels, "dst")
-        out = e.join(self._df.select(F.col("id").alias("dst")).distinct(), "dst")
-        return Traversal(self._g, out, "E")
+        carried = self._carried()
+        left = self._df.select(F.col("id").alias("dst"), *carried)
+        if not carried:
+            left = left.distinct()
+        return Traversal(self._g, e.join(left, "dst"), "E")
+
+    def _edge_to_vertex(self, endpoint: str) -> DataFrame:
+        carried = self._carried()
+        out = self._df.select(F.col(endpoint).alias("id"), *carried)
+        if "_path" in carried:
+            out = out.withColumn("_path", F.concat(F.col("_path"), F.array(F.col("id"))))
+        return out
 
     def out_v(self) -> "Traversal":
-        """Edge → source vertex (multiplicity preserved)."""
-        return Traversal(self._g, self._df.select(F.col("src").alias("id")), "V")
+        """Edge → source vertex (multiplicity preserved; carried labels and
+        path history survive, the path appends the vertex)."""
+        return Traversal(self._g, self._edge_to_vertex("src"), "V")
 
     def in_v(self) -> "Traversal":
-        return Traversal(self._g, self._df.select(F.col("dst").alias("id")), "V")
+        return Traversal(self._g, self._edge_to_vertex("dst"), "V")
 
     def repeat(self, step, times: int) -> "Traversal":
         """Gremlin repeat(...).times(n): apply a traversal-to-traversal
@@ -159,6 +177,8 @@ class Traversal:
         appends the new vertex id to a per-traverser history array.  Opt-in
         because the history column grows with hop count — at scale you track
         paths only on traversals that need them."""
+        if self._pos != "V":
+            raise ValueError("with_path() starts at a vertex position")
         return Traversal(
             self._g, self._df.withColumn("_path", F.array(F.col("id"))), self._pos
         )
@@ -169,6 +189,35 @@ class Traversal:
         if "_path" not in self._df.columns:
             raise ValueError("path() requires with_path() at the traversal start")
         return self._df.select(F.col("_path").alias("path"))
+
+    def where_(self, label: str, op: str = "!=") -> "Traversal":
+        """Gremlin where(P.neq('a')) and friends: compare the CURRENT element
+        id against an as_() label with `op` ('=', '!=', '<', ...).  Edge
+        positions compare by the edge's source id (Gremlin's where() on an
+        edge traverser compares the edge itself; ids here are vertex-typed,
+        so the source anchors the comparison)."""
+        col = f"_as_{label}"
+        if col not in self._df.columns:
+            raise ValueError(f"unknown as_() label: {label}")
+        cur = F.col("id") if self._pos == "V" else F.col("src")
+        return Traversal(self._g, self._df.filter(_OPS[op](cur, F.col(col))), self._pos)
+
+    def order_by(self, prop: str, ascending: bool = True) -> "Traversal":
+        """Gremlin order().by(prop, asc|desc): sort traversers by a property
+        (vertex positions join the property in; edge positions sort on the
+        edge column).  Ties broken by id for a deterministic order — order is
+        observable through limit() and to_df().  At scale this is a global
+        sort (range exchange); use only ahead of a limit, which Spark
+        optimizes to a TakeOrdered that never materializes the full sort."""
+        direction = (lambda c: c.asc()) if ascending else (lambda c: c.desc())
+        if self._pos == "V":
+            joined = self._df.join(self._g.vertices.select("id", prop), "id")
+            out = joined.orderBy(direction(F.col(prop)), F.col("id").asc()) \
+                .select(*self._df.columns)
+        else:
+            out = self._df.orderBy(direction(F.col(prop)), F.col("src").asc(),
+                                   F.col("dst").asc())
+        return Traversal(self._g, out, self._pos)
 
     # -- modulators / terminals -------------------------------------------
     def dedup(self) -> "Traversal":

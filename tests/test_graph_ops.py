@@ -64,3 +64,26 @@ def test_pagerank_sink_gets_reset_only(spark):
     ranks = {r["id"]: r["rank"] for r in analytics.pagerank(edges, iterations=5).collect()}
     assert abs(ranks[1] - 0.15) < 1e-12
     assert ranks[2] > ranks[1]
+
+
+def test_k_hop_shuffle_fallback_matches_broadcast(tiny):
+    """A tiny broadcast threshold forces the shuffle-join path; results are
+    identical to the broadcast path (the scale-safety guard is plan-only)."""
+    bc = {(r["id"], r["hops"]) for r in traversal.k_hop(tiny, [1], k=3).collect()}
+    sh = {(r["id"], r["hops"])
+          for r in traversal.k_hop(tiny, [1], k=3, broadcast_max_frontier=0).collect()}
+    assert bc == sh == {(2, 1), (3, 1), (4, 2)}
+
+
+def test_pagerank_state_partitions_no_conf_mutation(spark):
+    """state_partitions sizes the iteration shuffles at plan level; the
+    session conf must be untouched afterwards (no cross-query race)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long")
+    small = analytics.pagerank(edges, iterations=4, state_partitions=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    default = analytics.pagerank(edges, iterations=4)
+    got = {r["id"]: round(r["rank"], 9) for r in small.collect()}
+    want = {r["id"]: round(r["rank"], 9) for r in default.collect()}
+    assert got == want

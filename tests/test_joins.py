@@ -48,3 +48,18 @@ def test_range_bucket_join_assignment(spark):
     out = range_bucket_join(df, [1.0, 2.0, 3.0], "v")
     got = {(r["v"], r["bucket"]) for r in out.collect()}
     assert got == {(0.5, 0), (1.5, 1), (2.5, 2), (9.0, 3)}
+
+
+def test_salted_join_skips_map_columns(spark):
+    """MapType columns can't be hashed for the salt; they are excluded and
+    the join still matches the plain join."""
+    from pyspark.sql import functions as F
+
+    large = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    ).withColumn("m", F.create_map(F.lit("x"), F.col("v")))
+    small = spark.createDataFrame([(1, 10), (2, 20)], "k int, w int")
+    got = salted_join(large, small, "k", salt=4)
+    plain = large.join(small, "k")
+    assert sorted((r["k"], r["v"], r["w"]) for r in got.collect()) == \
+        sorted((r["k"], r["v"], r["w"]) for r in plain.collect())

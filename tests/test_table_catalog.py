@@ -71,3 +71,14 @@ def test_catalog_ttl_vacuum(spark, catalog):
     assert removed == 1
     rows = {r["id"] for r in catalog.table("t").df.collect()}
     assert rows == {1}
+
+
+def test_public_upsert(spark, catalog):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    catalog.create_table("u", df)
+    up = spark.createDataFrame([(2, "B"), (2, "B2"), (3, "c")], "id long, v string")
+    catalog.upsert("u", up)
+    got = {r["id"]: r["v"] for r in catalog.table("u").df.collect()}
+    assert got[1] == "a" and got[3] == "c"
+    assert got[2] in ("B", "B2")  # intra-batch dup collapsed to ONE row
+    assert catalog.table("u").df.count() == 3

@@ -129,3 +129,54 @@ def test_select_unknown_label_rejected(g):
 
     with _pytest.raises(ValueError, match="unknown as_"):
         g.V().as_("a").out("placed").select("b")
+
+
+def test_edge_steps_thread_as_labels(g, spark):
+    """as_() labels survive out_e()/in_v() (edge-position steps thread the
+    carried columns instead of dropping them)."""
+    from pyspark.sql import functions as F
+
+    pairs = (
+        g.V().has_label("customer").has("mktsegment", "BUILDING").as_("c")
+        .out_e("placed").in_v().as_("o").select("c", "o")
+    )
+    expected = (
+        g.edges.filter(F.col("label") == "placed")
+        .join(g.vertices.filter((F.col("label") == "customer")
+                                & (F.col("mktsegment") == "BUILDING"))
+              .select(F.col("id").alias("src")), "src")
+        .select(F.col("src").alias("c"), F.col("dst").alias("o"))
+    )
+    assert sorted(pairs.collect()) == sorted(expected.collect())
+
+
+def test_where_neq_label(g, spark):
+    """where_(label, '!='): c.out.in_ back-traversals that exclude returning
+    to the start — classic Gremlin where(neq('a'))."""
+    from pyspark.sql import functions as F
+
+    # parts supplied by the same supplier as part X, excluding X itself
+    t = (
+        g.V().has_label("part").as_("p").out("supplied_by").in_("supplied_by")
+    )
+    with_self = t.to_df().count()
+    without_self = t.where_("p").to_df().count()
+    same = t.where_("p", "=").to_df().count()
+    assert with_self == without_self + same
+    assert same > 0 and without_self > 0
+
+
+def test_order_by_limit(g):
+    rows = (
+        g.V().has_label("part").order_by("size", ascending=False).limit(5)
+        .values("size").collect()
+    )
+    sizes = [r["size"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True) and len(sizes) == 5
+
+
+def test_path_requires_vertex_position(g):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vertex position"):
+        g.E("placed").with_path()
