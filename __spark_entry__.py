@@ -1395,21 +1395,35 @@ _register(
     """,
 )
 
-# -- I1: splits metadata (rows-only: quantile boundaries are approximate
-#    by design, like the reference's region-boundary shards) ----------------
+# -- I1: splits metadata.  Boundaries are EXACT discrete quantiles
+#    (engine.splits default), so the shard table is fully reproducible in
+#    ANSI SQL — the driver checks it like any data query.  Boundary columns
+#    are DOUBLE (exact for orderkeys << 2^53): a nullable integer column
+#    round-trips as float/NaN from DuckDB but object/None from Spark, which
+#    breaks the driver's stringified value hash. --------------------------
 
 def _splits(spark: SparkSession, sf: str) -> DataFrame:
     eng = QueryEngine(load_table(spark, sf, "orders"), key="o_orderkey")
     shards = eng.splits(8)
     return spark.createDataFrame(
         [(i,
-          None if s.start is None else int(s.start),
-          None if s.end is None else int(s.end))
+          None if s.start is None else float(s.start),
+          None if s.end is None else float(s.end))
          for i, s in enumerate(shards)],
-        "shard_idx int, start_key long, end_key long",
+        "shard_idx int, start_key double, end_key double",
     )
 
-_register("i1_splits", _splits, None)
+_SPLITS_SQL = """
+    WITH q AS (
+      SELECT quantile_disc(o_orderkey, [{probs}]) AS b FROM orders
+    ), idx AS (SELECT unnest(range(8)) AS i)
+    SELECT CAST(i AS INTEGER) AS shard_idx,
+           CASE WHEN i = 0 THEN NULL ELSE CAST(b[CAST(i AS INTEGER)] AS DOUBLE) END AS start_key,
+           CASE WHEN i = 7 THEN NULL ELSE CAST(b[CAST(i + 1 AS INTEGER)] AS DOUBLE) END AS end_key
+    FROM idx, q
+    """.format(probs=", ".join(str(i / 8) for i in range(1, 8)))
+
+_register("i1_splits", _splits, _SPLITS_SQL)
 
 # ===========================================================================
 # wave 4: shortest paths, label propagation, motif matching, BPE estimation
@@ -1729,13 +1743,72 @@ _register(
     _COS_TOPK_SQL,
 )
 
+# IVF is fully deterministic end-to-end: seeds are the 16 lowest-id vectors,
+# the Lloyd step's per-dimension mean is an exact integer sum of 1e-6
+# quantized values (order-independent — see similarity.ivf_centroids), and
+# every cosine is the same sequential fold the other similarity oracles
+# reproduce with list_dot_product.  So the whole pipeline — seed → assign →
+# refine → probe → rerank — is expressible in ANSI SQL and driver-checked.
+
+_IVF_COS = ("(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))")
+
+_IVF_TOPK_SQL = f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents0 AS MATERIALIZED (
+      SELECT vec_id AS cell, v AS c FROM emb ORDER BY vec_id LIMIT 16
+    ), a0 AS MATERIALIZED (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_IVF_COS.format(a="e.v", b="c.c")} DESC, c.cell ASC) AS r
+        FROM emb e CROSS JOIN cents0 c
+      ) WHERE r = 1
+    ), dims AS MATERIALIZED (
+      SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM a0
+    ), cents1 AS MATERIALIZED (
+      SELECT cell, list(m ORDER BY pos) AS c FROM (
+        SELECT cell, pos,
+               CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)) AS m
+        FROM dims GROUP BY cell, pos
+      ) GROUP BY cell
+    ), ca AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, v AS cv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_IVF_COS.format(a="e.v", b="c.c")} DESC, c.cell ASC) AS r
+        FROM emb e CROSS JOIN cents1 c
+      ) WHERE r = 1
+    ), qa AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_IVF_COS.format(a="e.v", b="c.c")} DESC, c.cell ASC) AS r
+        FROM emb e CROSS JOIN cents1 c
+        WHERE e.vec_id % 50 = 0
+      ) WHERE r <= 4
+    ), scored AS (
+      SELECT DISTINCT qa.query_id, ca.neighbor_id,
+             round({_IVF_COS.format(a="qa.qv", b="ca.cv")}, 6) AS cos_sim
+      FROM ca JOIN qa USING (cell)
+      WHERE qa.query_id <> ca.neighbor_id
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
 _register(
     "sim_ivf_topk",
     lambda spark, sf: similarity.ivf_topk(
         load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
         load_table(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=4,
     ),
-    None,
+    _IVF_TOPK_SQL,
 )
 
 # ===========================================================================

@@ -272,16 +272,31 @@ class QueryEngine:
         raise NotSupportedError(f"unsupported relation {cond.op}")
 
     # -- parallel-scan splits (I1, TikvTable.java:284-336) -----------------
-    def splits(self, count: int) -> list[Shard]:
+    def splits(self, count: int, exact: bool = True) -> list[Shard]:
         """Shard boundaries for parallel scans.  The reference asks TiKV for
         region boundaries (TikvStdSessions.java:294-355); we compute
-        approximate quantiles of the leading key column — same contract
-        (cover the keyspace, ~equal weight), no collect of data rows."""
+        quantiles of the leading key column — same contract (cover the
+        keyspace, ~equal weight), no collect of data rows.
+
+        Default is EXACT quantiles (percentile_disc): one distributed
+        aggregate returning `count-1` boundary values, fully deterministic
+        and reproducible by any ANSI engine — the property that makes shard
+        metadata verifiable.  The aggregate's state is bounded by the key's
+        distinct-value count on one reducer; for extreme-cardinality keys
+        pass exact=False to use approxQuantile (bounded-memory sketch, same
+        coverage contract, boundaries engine-specific)."""
         kc = self.key[0]
         if count <= 1:
             return [Shard(None, None)]
         probs = [i / count for i in range(1, count)]
-        bounds = self.df.approxQuantile(kc, probs, 0.01)
+        if exact:
+            row = self.df.agg(*[
+                F.expr(f"percentile_disc({p}) WITHIN GROUP (ORDER BY {kc})").alias(f"q{i}")
+                for i, p in enumerate(probs)
+            ]).first()
+            bounds = [row[f"q{i}"] for i in range(len(probs))]
+        else:
+            bounds = self.df.approxQuantile(kc, probs, 0.01)
         shards: list[Shard] = []
         prev: Any = None
         for b in bounds:
