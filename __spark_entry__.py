@@ -29,7 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hugegraph_on_tikv_spark.operators import analytics, indexes, traversal
+from hugegraph_on_tikv_spark.operators import analytics, indexes, joins, traversal
 from hugegraph_on_tikv_spark.oracles import graph_ctes
 from hugegraph_on_tikv_spark.plans import (
     Condition,
@@ -2399,6 +2399,274 @@ _register(
 
 
 # ===========================================================================
+# wave 8: partsupp-derived TPC-H tail (q2/q9/q11/q20) + skew-toolkit rows
+#
+# The fixture has no partsupp table; partsupp is DERIVED deterministically
+# from data that does exist: the distinct (l_partkey, l_suppkey) pairs —
+# exactly the supplied_by edge view (sources/graph.py EDGE_SPECS) — enriched
+# with arithmetic ps_supplycost / ps_availqty computed from the keys.  The
+# SAME expression strings build the Spark DataFrame and the DuckDB oracle
+# CTE, so the two sides can never drift (the VERTEX_SPECS discipline).
+# These four close the last missing relational shape: correlated scalar
+# subqueries over an aggregate (MIN supplycost, fraction-of-SUM thresholds).
+# ===========================================================================
+
+_PS_COST = "(((ps_partkey * 7 + ps_suppkey * 13) % 80000) + 100) / 100.0"
+_PS_AVAIL = "((ps_partkey * 31 + ps_suppkey * 17) % 9999) + 1"
+
+_PARTSUPP_CTE = (
+    "partsupp AS MATERIALIZED (\n"
+    "  SELECT ps_partkey, ps_suppkey,\n"
+    f"         CAST({_PS_COST} AS DOUBLE) AS ps_supplycost,\n"
+    f"         CAST({_PS_AVAIL} AS BIGINT) AS ps_availqty\n"
+    "  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey\n"
+    "        FROM lineitem) AS pairs\n"
+    ")"
+)
+
+
+def _partsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """The derived partsupp view (see wave-8 header).  At 100 TB this is a
+    one-shuffle distinct over lineitem that a deployment would materialize
+    once, bucketed by ps_partkey, alongside the other graph views."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey")).distinct()
+        .selectExpr("ps_partkey", "ps_suppkey",
+                    f"CAST({_PS_COST} AS DOUBLE) AS ps_supplycost",
+                    f"CAST({_PS_AVAIL} AS BIGINT) AS ps_availqty")
+    )
+
+
+def _q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part within a region.  The
+    correlated scalar subquery (MIN over the part's regional suppliers)
+    becomes a window MIN over the regional partsupp — one shuffle on
+    ps_partkey instead of a per-row subquery."""
+    from pyspark.sql.window import Window
+
+    ps = _partsupp(spark, sf)
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = eu.withColumn("min_cost", F.min("ps_supplycost").over(w)) \
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+    return (
+        best.join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost", "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+_register(
+    "q2_min_cost_supplier",
+    _q2,
+    f"""
+    WITH {_PARTSUPP_CTE},
+    eu AS (
+      SELECT ps_partkey, ps_supplycost, s_suppkey, s_name, s_acctbal, n_name
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), best AS (
+      SELECT *, MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost FROM eu
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost, s_suppkey
+    FROM best JOIN part ON ps_partkey = p_partkey
+    WHERE ps_supplycost = min_cost AND p_size = 15 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+    LIMIT 100
+    """,
+)
+
+
+def _q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit by nation and year.  Profit is
+    computed in exact 1e-4 currency units (scaled-integer sums) so the
+    rounded doubles agree across engines."""
+    ps = _partsupp(spark, sf)
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").startswith("red"))
+    amount_4dp = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.round(F.col("ps_supplycost") * 100).cast("long")
+        * F.col("l_quantity").cast("long") * F.lit(100).cast("long")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.sum(amount_4dp) / F.lit(10000.0)).alias("profit"))
+    )
+
+_register(
+    "q9_product_profit",
+    _q9,
+    f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - CAST(round(ps_supplycost * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT) * 100) / 10000.0 AS profit
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+
+
+def _q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock — per-part inventory value above a
+    fraction of the national total.  The scalar-subquery threshold becomes a
+    broadcast of the 1-row total; values stay exact scaled integers until
+    the final division."""
+    ps = _partsupp(spark, sf)
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    scoped = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey",
+                (F.round(F.col("ps_supplycost") * 100).cast("long")
+                 * F.col("ps_availqty")).alias("v_c"))
+    )
+    total = scoped.agg(F.sum("v_c").alias("t"))
+    return (
+        scoped.groupBy("ps_partkey").agg(F.sum("v_c").alias("v_c"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("v_c") > F.col("t") * F.lit(0.001))
+        .select("ps_partkey", (F.col("v_c") / F.lit(100.0)).alias("value"))
+    )
+
+_register(
+    "q11_important_stock",
+    _q11,
+    f"""
+    WITH {_PARTSUPP_CTE},
+    scoped AS MATERIALIZED (
+      SELECT ps_partkey,
+             CAST(round(ps_supplycost * 100) AS BIGINT) * ps_availqty AS v_c
+      FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT ps_partkey, CAST(SUM(v_c) AS BIGINT) / 100.0 AS value
+    FROM scoped
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(v_c) AS BIGINT) > (SELECT CAST(SUM(v_c) AS BIGINT) FROM scoped) * 0.001
+    """,
+)
+
+
+def _q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose stock of a part family exceeds half
+    of what they shipped in a year (nested aggregate threshold)."""
+    ps = _partsupp(spark, sf)
+    p = load_table(spark, sf, "part").filter(F.col("p_name").startswith("blue"))
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    s = load_table(spark, sf, "supplier")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    qualified = (
+        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
+        .join(shipped, (ps.ps_partkey == shipped.l_partkey)
+              & (ps.ps_suppkey == shipped.l_suppkey))
+        .filter(F.col("ps_availqty") > F.lit(0.5) * F.col("qty"))
+        .select("ps_suppkey").distinct()
+    )
+    return qualified.join(s, F.col("ps_suppkey") == s.s_suppkey).select("s_suppkey", "s_name")
+
+_register(
+    "q20_potential_promotion",
+    _q20,
+    f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM partsupp JOIN part ON ps_partkey = p_partkey
+         JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         JOIN supplier ON ps_suppkey = s_suppkey
+    WHERE p_name LIKE 'blue%' AND ps_availqty > 0.5 * qty
+    """,
+)
+
+# -- skew-join toolkit, driver-checked: the salted join and range-bucket
+#    assignment produce results identical to their plain formulations ------
+
+
+def _j_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Hub-style aggregation through salted_join: lineitem (probe, salted)
+    against orders (build, replicated per salt digit) — the explicit tool
+    for broadcast-ineligible skewed joins (operators/joins.py)."""
+    li = load_table(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount")
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    revenue_c = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100).cast("long") - F.round(F.col("l_discount") * 100).cast("long"))
+    return (
+        joins.salted_join(li, o, "o_orderkey", salt=8)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"))
+    )
+
+_register(
+    "j_salted_hub_revenue",
+    _j_salted,
+    """
+    SELECT o_orderpriority AS priority,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+
+_register(
+    "j_range_bucket_counts",
+    lambda spark, sf: joins.range_bucket_join(
+        load_table(spark, sf, "orders"), [50000.0, 150000.0, 300000.0], "o_totalprice"
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n")),
+    """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 0
+                WHEN o_totalprice < 150000 THEN 1
+                WHEN o_totalprice < 300000 THEN 2
+                ELSE 3 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+
+# ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
 # The grading driver records correctness rows for (at most) the first 50
@@ -2809,8 +3077,62 @@ _compose("f_predicates", [
      "'contains_key' AS tag, event_id AS id, CAST(k_value AS DOUBLE) AS v"),
 ])
 
-_publish("a1_count")
-_publish("agg_extended")
+# a1_count + agg_extended share one fused slot (freed for q_partsupp_suite)
+_compose("a1_agg_counts", [
+    ("a1_count",
+     ["'count' AS tag", "CAST(NULL AS STRING) AS k", "CAST(NULL AS DOUBLE) AS v_min",
+      "CAST(NULL AS DOUBLE) AS v_max", "CAST(NULL AS DOUBLE) AS v_sum",
+      "CAST(NULL AS DOUBLE) AS v_avg", "CAST(n AS DOUBLE) AS n"],
+     "'count' AS tag, CAST(NULL AS VARCHAR) AS k, CAST(NULL AS DOUBLE) AS v_min, "
+     "CAST(NULL AS DOUBLE) AS v_max, CAST(NULL AS DOUBLE) AS v_sum, "
+     "CAST(NULL AS DOUBLE) AS v_avg, CAST(n AS DOUBLE) AS n"),
+    ("agg_extended",
+     ["'agg' AS tag", "l_returnflag AS k", "CAST(min_qty AS DOUBLE) AS v_min",
+      "CAST(max_qty AS DOUBLE) AS v_max", "CAST(sum_qty AS DOUBLE) AS v_sum",
+      "CAST(avg_qty AS DOUBLE) AS v_avg", "CAST(n_suppliers AS DOUBLE) AS n"],
+     "'agg' AS tag, l_returnflag AS k, CAST(min_qty AS DOUBLE) AS v_min, "
+     "CAST(max_qty AS DOUBLE) AS v_max, CAST(sum_qty AS DOUBLE) AS v_sum, "
+     "CAST(avg_qty AS DOUBLE) AS v_avg, CAST(n_suppliers AS DOUBLE) AS n"),
+])
+
+# the partsupp-derived TPC-H tail + skew-join toolkit (wave 8): six raw
+# queries fused into the slot freed above
+_compose("q_partsupp_suite", [
+    ("q2_min_cost_supplier",
+     ["'q2' AS tag", "s_name AS c1", "n_name AS c2",
+      "CAST(p_partkey AS DOUBLE) AS d1", "ps_supplycost AS d2", "s_acctbal AS d3"],
+     "'q2' AS tag, s_name AS c1, n_name AS c2, CAST(p_partkey AS DOUBLE) AS d1, "
+     "ps_supplycost AS d2, s_acctbal AS d3"),
+    ("q9_product_profit",
+     ["'q9' AS tag", "nation AS c1", "CAST(NULL AS STRING) AS c2",
+      "CAST(o_year AS DOUBLE) AS d1", "profit AS d2", "CAST(NULL AS DOUBLE) AS d3"],
+     "'q9' AS tag, nation AS c1, CAST(NULL AS VARCHAR) AS c2, "
+     "CAST(o_year AS DOUBLE) AS d1, profit AS d2, CAST(NULL AS DOUBLE) AS d3"),
+    ("q11_important_stock",
+     ["'q11' AS tag", "CAST(NULL AS STRING) AS c1", "CAST(NULL AS STRING) AS c2",
+      "CAST(ps_partkey AS DOUBLE) AS d1", "value AS d2", "CAST(NULL AS DOUBLE) AS d3"],
+     "'q11' AS tag, CAST(NULL AS VARCHAR) AS c1, CAST(NULL AS VARCHAR) AS c2, "
+     "CAST(ps_partkey AS DOUBLE) AS d1, value AS d2, CAST(NULL AS DOUBLE) AS d3"),
+    ("q20_potential_promotion",
+     ["'q20' AS tag", "s_name AS c1", "CAST(NULL AS STRING) AS c2",
+      "CAST(s_suppkey AS DOUBLE) AS d1", "CAST(NULL AS DOUBLE) AS d2",
+      "CAST(NULL AS DOUBLE) AS d3"],
+     "'q20' AS tag, s_name AS c1, CAST(NULL AS VARCHAR) AS c2, "
+     "CAST(s_suppkey AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2, "
+     "CAST(NULL AS DOUBLE) AS d3"),
+    ("j_salted_hub_revenue",
+     ["'jsalt' AS tag", "priority AS c1", "CAST(NULL AS STRING) AS c2",
+      "CAST(NULL AS DOUBLE) AS d1", "revenue AS d2", "CAST(NULL AS DOUBLE) AS d3"],
+     "'jsalt' AS tag, priority AS c1, CAST(NULL AS VARCHAR) AS c2, "
+     "CAST(NULL AS DOUBLE) AS d1, revenue AS d2, CAST(NULL AS DOUBLE) AS d3"),
+    ("j_range_bucket_counts",
+     ["'jrange' AS tag", "CAST(NULL AS STRING) AS c1", "CAST(NULL AS STRING) AS c2",
+      "CAST(bucket AS DOUBLE) AS d1", "CAST(n AS DOUBLE) AS d2",
+      "CAST(NULL AS DOUBLE) AS d3"],
+     "'jrange' AS tag, CAST(NULL AS VARCHAR) AS c1, CAST(NULL AS VARCHAR) AS c2, "
+     "CAST(bucket AS DOUBLE) AS d1, CAST(n AS DOUBLE) AS d2, "
+     "CAST(NULL AS DOUBLE) AS d3"),
+])
 _publish("schema_by_name")
 
 _compose("idx_equality", [
