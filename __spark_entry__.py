@@ -1878,6 +1878,32 @@ _register(
     """,
 )
 
+# -- DSL long-tail steps: where(P.neq(label)) and order().by() --------------
+
+_register(
+    "dsl_where_neq",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("part").as_("p").out("supplied_by").in_("supplied_by")
+    .where_("p").count(),
+    """
+    WITH sb AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM sb a JOIN sb b ON a.s = b.s AND a.p <> b.p
+    """,
+)
+
+_register(
+    "dsl_order_values",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("part").order_by("retailprice", ascending=False).limit(10)
+    .values("name", "retailprice"),
+    f"""
+    SELECT (3 * {ID_BASE} + p_partkey) AS id, p_name AS name,
+           p_retailprice AS retailprice
+    FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+    """,
+)
+
 # -- window function over joined relations (rank within group) --------------
 
 def _q_rank_in_nation(spark: SparkSession, sf: str) -> DataFrame:
@@ -2847,6 +2873,7 @@ _compose("dsl_counts", [
     ("dsl_in_dedup", ["'in_dedup' AS tag", "n"], "'in_dedup' AS tag, n"),
     ("dsl_repeat_2hop", ["'repeat_2hop' AS tag", "n"], "'repeat_2hop' AS tag, n"),
     ("dsl_path_count", ["'path_2hop' AS tag", "n"], "'path_2hop' AS tag, n"),
+    ("dsl_where_neq", ["'where_neq' AS tag", "n"], "'where_neq' AS tag, n"),
 ])
 
 _compose("dsl_rows", [
@@ -2861,6 +2888,12 @@ _compose("dsl_rows", [
       "CAST(size AS DOUBLE) AS size", "CAST(NULL AS DOUBLE) AS n"],
      "'has_values' AS tag, name AS k, CAST(id AS DOUBLE) AS id, brand, "
      "CAST(size AS DOUBLE) AS size, CAST(NULL AS DOUBLE) AS n"),
+    ("dsl_order_values",
+     ["'order_values' AS tag", "name AS k", "CAST(id AS DOUBLE) AS id",
+      "CAST(NULL AS STRING) AS brand", "retailprice AS size",
+      "CAST(NULL AS DOUBLE) AS n"],
+     "'order_values' AS tag, name AS k, CAST(id AS DOUBLE) AS id, "
+     "CAST(NULL AS VARCHAR) AS brand, retailprice AS size, CAST(NULL AS DOUBLE) AS n"),
 ])
 
 # -- 15-19: graph analytics -------------------------------------------------
