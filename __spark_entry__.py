@@ -1140,6 +1140,32 @@ _register(
     """,
 )
 
+# -- stream-stream interval join (batch twin; streaming form + state-bound
+#    watermark semantics in streaming/stream_joins.py, equality tested in
+#    tests/test_streaming.py) ------------------------------------------------
+
+from hugegraph_on_tikv_spark.streaming import stream_joins as _stream_joins
+
+_register(
+    "win_attribution_join",
+    lambda spark, sf: _stream_joins.attribution_join(
+        load_events(spark, sf).filter(F.col("event_type") == "click"),
+        load_events(spark, sf).filter(F.col("event_type") == "view"),
+        within="10 minutes",
+    ),
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      FROM events
+    )
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT) AS lag_us
+    FROM ev c JOIN ev v ON c.user_id = v.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '10 minutes'
+    """,
+)
+
 # -- windows (batch twins of the streaming operators) -----------------------
 
 _register(
@@ -3039,6 +3065,13 @@ _compose("win_windows", [
       "CAST(NULL AS DOUBLE) AS sum_value"],
      "'session' AS tag, session_start AS t1, session_end AS t2, CAST(NULL AS VARCHAR) AS s, "
      "CAST(user_id AS DOUBLE) AS user_id, n_events, CAST(NULL AS DOUBLE) AS sum_value"),
+    ("win_attribution_join",
+     ["'attrib' AS tag", "CAST(NULL AS STRING) AS t1", "CAST(NULL AS STRING) AS t2",
+      "CAST(click_id AS STRING) AS s", "CAST(user_id AS DOUBLE) AS user_id",
+      "view_id AS n_events", "CAST(lag_us AS DOUBLE) AS sum_value"],
+     "'attrib' AS tag, CAST(NULL AS VARCHAR) AS t1, CAST(NULL AS VARCHAR) AS t2, "
+     "CAST(click_id AS VARCHAR) AS s, CAST(user_id AS DOUBLE) AS user_id, "
+     "view_id AS n_events, CAST(lag_us AS DOUBLE) AS sum_value"),
 ])
 
 # -- 29-50: core scan/filter/agg/index/mutation surfaces --------------------

@@ -247,3 +247,38 @@ def test_stream_edge_view_maintenance(spark, tmp_path):
         (2, 10, "knows"): 0.5,
         (1, 12, "likes"): 0.3,
     }
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-stream interval join: the watermarked streaming join must
+    produce exactly the batch twin's rows (clicks × prior views within 10
+    minutes per user)."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.streaming import stream_joins
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "view").write.parquet(views_dir)
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
+            for r in batch_df.collect()
+        )
+
+    q = stream_joins.stream_attribution_join(
+        spark, clicks_dir, views_dir, str(tmp_path / "ckpt"), sink)
+    q.awaitTermination(120)
+
+    want = [
+        (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
+        for r in stream_joins.attribution_join(
+            spark.read.parquet(clicks_dir), spark.read.parquet(views_dir)
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) > 0
