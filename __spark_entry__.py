@@ -990,6 +990,35 @@ _register(
 )
 
 
+def _near_clusters_sql(rounds: int = 8) -> str:
+    """Minhash pairs (nested WITH) → unrolled HashMin connected components:
+    the oracle for near_duplicate_clusters.  Fixed round count; the Spark
+    side may early-stop once converged, which by definition matches."""
+    ctes = [
+        f"pairs AS MATERIALIZED (\n{_minhash_lsh_sql()}\n)",
+        "adjd AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs)",
+        "c0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS component FROM adjd)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT l.id, least(l.component, COALESCE(m.mn, l.component)) AS component "
+            f"FROM c{t-1} l LEFT JOIN (SELECT adjd.a AS id, MIN(lt.component) AS mn "
+            f"FROM adjd JOIN c{t-1} lt ON adjd.b = lt.id GROUP BY adjd.a) m ON l.id = m.id)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id AS doc_id, component AS cluster_id FROM c{rounds}")
+
+_register(
+    "dedup_near_clusters",
+    lambda spark, sf: dedup.near_duplicate_clusters(
+        load_table(spark, sf, "documents"), num_hashes=32, rows_per_band=4,
+        k=3, threshold=0.3,
+    ),
+    _near_clusters_sql(),
+)
+
+
 def _simhash_sql() -> str:
     h48 = H48_SQL.format(x="token")
     return f"""
@@ -3022,6 +3051,11 @@ _compose("dedup_exact_canonical", [
       "doc_id AS id"],
      "'survivors' AS tag, CAST(NULL AS VARCHAR) AS fp, CAST(NULL AS DOUBLE) AS n_docs, "
      "doc_id AS id"),
+    ("dedup_near_clusters",
+     ["'near_clusters' AS tag", "CAST(NULL AS STRING) AS fp",
+      "CAST(cluster_id AS DOUBLE) AS n_docs", "doc_id AS id"],
+     "'near_clusters' AS tag, CAST(NULL AS VARCHAR) AS fp, "
+     "CAST(cluster_id AS DOUBLE) AS n_docs, doc_id AS id"),
 ])
 
 _compose("dedup_pairs", [

@@ -193,6 +193,20 @@ def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band:
     """Full near-dup pipeline: LSH candidates verified with exact Jaccard
     over shingle sets; returns (doc_a, doc_b, jaccard) above threshold.
     `max_bucket_size` caps degenerate band buckets (see lsh_candidate_pairs)."""
+    pairs, _sh = _minhash_pairs(docs, num_hashes, rows_per_band, k, threshold,
+                                text_col, id_col, max_bucket_size, use_arrow_shingles)
+    # the returned plan references the persisted shingles (they feed
+    # signatures, sizes, AND verification); callers that materialize the
+    # result and want the cache back use near_duplicate_clusters' pattern
+    return pairs
+
+
+def _minhash_pairs(docs: DataFrame, num_hashes: int, rows_per_band: int, k: int,
+                   threshold: float, text_col: str, id_col: str,
+                   max_bucket_size: int | None,
+                   use_arrow_shingles: bool = True) -> tuple[DataFrame, DataFrame]:
+    """(pairs plan, persisted shingle handle) — the handle lets callers that
+    eagerly materialize the pairs unpersist the shingle cache afterwards."""
     # one shingle materialization feeds signatures, sizes, and verification.
     # Arrow shingling by default: identical output to the HOF pipeline,
     # measured ~5x faster warm (the JVM higher-order functions run
@@ -214,7 +228,7 @@ def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return (
+    pairs = (
         common
         .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
@@ -222,6 +236,52 @@ def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band:
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    return pairs, sh
+
+
+def near_duplicate_clusters(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
+                            k: int = 3, threshold: float = 0.7,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            max_bucket_size: int | None = 1000,
+                            cc_iterations: int = 8) -> DataFrame:
+    """Near-duplicate CLUSTERS: the similarity pairs from minhash_lsh_
+    duplicates treated as an undirected graph, resolved to connected
+    components (transitive closure — A~B and B~C put A,B,C in one cluster
+    even when A~C itself is below threshold, which is what corpus dedup
+    wants).  Returns (doc_id, cluster_id) for every clustered doc,
+    cluster_id = min doc id of the component.  cc_iterations bounds the
+    HashMin rounds; near-dup components are chains of near-identical docs,
+    so diameters are tiny."""
+    from hugegraph_on_tikv_spark.operators.analytics import connected_components
+
+    pairs, sh = _minhash_pairs(docs, num_hashes, rows_per_band, k, threshold,
+                               text_col, id_col, max_bucket_size)
+    try:
+        # materialize the (tiny) pair edge list ONCE before iterating: the
+        # CC rounds then re-read a checkpointed edge list instead of
+        # re-running the whole minhash pipeline per round, and the shingle
+        # cache can be released immediately
+        edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")) \
+            .localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    cc = connected_components(edges, max_iterations=cc_iterations)
+    return cc.select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+def near_dedup(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
+               k: int = 3, threshold: float = 0.7,
+               text_col: str = "text", id_col: str = "doc_id",
+               max_bucket_size: int | None = 1000) -> DataFrame:
+    """The end-to-end corpus operation: drop near-duplicates, keeping each
+    cluster's min-id representative — shingle → minhash → band → bucket-join
+    → verify → cluster → anti-join, all as one DataFrame program.  Docs in
+    no cluster pass through untouched."""
+    clusters = near_duplicate_clusters(docs, num_hashes, rows_per_band, k,
+                                       threshold, text_col, id_col, max_bucket_size)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select(F.col("doc_id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")
 
 
 # -- SimHash -----------------------------------------------------------------

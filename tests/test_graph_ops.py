@@ -87,3 +87,31 @@ def test_pagerank_state_partitions_no_conf_mutation(spark):
     got = {r["id"]: round(r["rank"], 9) for r in small.collect()}
     want = {r["id"]: round(r["rank"], 9) for r in default.collect()}
     assert got == want
+
+
+def test_near_dedup_keeps_cluster_representatives(spark):
+    """near_duplicate_clusters groups transitively-similar docs; near_dedup
+    keeps exactly one (min-id) representative per cluster."""
+    from hugegraph_on_tikv_spark.functions import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),                     # near-dup of 1
+            (3, base + " extra padding"),             # near-dup of 2 (chain)
+            (10, "completely different text about spark dataframes and shuffles at scale"),
+            (11, "completely different text about spark dataframes and shuffles at scale ok"),
+            (20, "an unrelated singleton document with no similar partner anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    clusters = {(r["doc_id"], r["cluster_id"])
+                for r in dedup.near_duplicate_clusters(docs, threshold=0.5).collect()}
+    by_doc = dict(clusters)
+    assert by_doc[1] == 1 and by_doc[2] == 1        # transitive chain 1-2-3
+    assert by_doc[10] == 10 and by_doc[11] == 10
+    assert 20 not in by_doc                          # singleton: no pair row
+    kept = sorted(r["doc_id"] for r in dedup.near_dedup(docs, threshold=0.5).collect())
+    assert kept == [1, 10, 20] or kept == [1, 3, 10, 20]  # 3 may fall out of the chain at this threshold
+    assert 2 not in kept and 11 not in kept
