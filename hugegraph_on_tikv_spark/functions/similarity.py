@@ -222,6 +222,61 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16, refine_iters: int = 1,
     return cents
 
 
+def ivf_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
+                    refine_iters: int = 1, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Persist an IVF index: the corpus parquet-partitioned BY CELL (hive
+    layout) plus the centroid table.  This is the physical form behind the
+    ivf_topk scale story — a probe then reads n_probe/n_cells of the data
+    via directory-level partition pruning, not a full scan."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = corpus.sparkSession.read.parquet(f"{path}/centroids")
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("c_vec")).alias("cell_sim"))
+    w = Window.partitionBy(id_col).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+    assigned = (scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+                .select(id_col, vec_col, "cell"))
+    (assigned.repartition("cell").write.mode("overwrite")
+     .partitionBy("cell").parquet(f"{path}/corpus"))
+
+
+def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
+                     n_probe: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Search a persisted IVF index.  The probe cell set (at most n_cells
+    values) is collected to the driver and pushed into the corpus scan as a
+    literal IN-filter on the partition column — `.explain` shows it as a
+    PartitionFilter, i.e. unprobed cell directories are never opened.
+    Same output contract as ivf_topk."""
+    from pyspark.sql.window import Window
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+        id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("c_vec")).alias("cell_sim"))
+    w = Window.partitionBy(id_col).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+    q_assigned = (q.withColumn("crank", F.row_number().over(w))
+                  .filter(F.col("crank") <= n_probe)
+                  .select(F.col(id_col).alias("query_id"),
+                          F.col(vec_col).alias("q_vec2"), "cell"))
+    probe_cells = [r["cell"] for r in q_assigned.select("cell").distinct().collect()]
+    corpus = (spark.read.parquet(f"{path}/corpus")
+              .filter(F.col("cell").isin(probe_cells))
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec2"), "cell"))
+    scored = (
+        corpus.join(F.broadcast(q_assigned), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("q_vec2"), F.col("c_vec2")), 6).alias("cos_sim"))
+        .distinct()
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
              refine_iters: int = 1, broadcast_max_queries: int = 1_000_000) -> DataFrame:

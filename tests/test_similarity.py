@@ -93,3 +93,36 @@ def test_ivf_recall_vs_exact(spark):
               for r in similarity.ivf_topk(q, emb, k=5, n_cells=8, n_probe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall:.2f}"
+
+
+def test_ivf_index_matches_inline_and_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index returns exactly the inline ivf_topk result,
+    and the probe scan carries a PartitionFilter on cell (directory-level
+    skip of unprobed cells)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(emb, path, n_cells=8, refine_iters=1)
+    got = similarity.ivf_search_index(spark, path, queries, k=5, n_probe=4)
+    want = similarity.ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4)
+    key = lambda r: (r["query_id"], r["rank"])
+    got_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                       for r in got.collect()))
+    want_rows = sorted(((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                        for r in want.collect()))
+    assert got_rows == want_rows and len(got_rows) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
