@@ -1,0 +1,105 @@
+"""Physical-plan regression guards: the scale properties SCALE.md claims
+must stay visible in the actual plans — pushdown, single-exchange
+aggregation, partition pruning, and bucketed exchange-free joins.  A
+refactor that silently breaks one of these passes every value-equality
+test and then falls over at 1000x the data; these tests are the tripwire.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue()
+
+
+def physical(df) -> str:
+    # the physical-plan section only (after "== Physical Plan ==")
+    return plan_of(df).split("== Physical Plan ==", 1)[-1]
+
+
+def test_q1_aggregation_is_single_exchange(spark):
+    import __spark_entry__ as m
+
+    df = m.raw_queries()["q1_pricing_summary"](spark, SF_DIR)
+    phys = physical(df)
+    # exactly ONE hash exchange (partial -> final agg); the only other
+    # exchange is the range partitioning serving q1's ORDER BY contract
+    assert phys.count("Exchange hashpartitioning") == 1, phys
+    assert phys.count("Exchange") <= 2, phys
+    assert "partial_sum" in phys  # map-side combine in place
+    assert "PushedFilters" in phys
+
+
+def test_point_get_pushes_key_filter(spark):
+    li = load_table(spark, SF_DIR, "orders").filter(F.col("o_orderkey") == 42)
+    phys = physical(li)
+    assert "EqualTo(o_orderkey,42)" in phys.replace(" ", ""), phys
+
+
+def test_q9_pushes_name_prefix_to_part_scan(spark):
+    import __spark_entry__ as m
+
+    phys = physical(m.raw_queries()["q9_product_profit"](spark, SF_DIR))
+    assert "StringStartsWith(p_name,red)" in phys.replace(" ", ""), phys
+    # dimension joins broadcast at this SF; no sort-merge join should appear
+    assert "SortMergeJoin" not in phys
+
+
+def test_projection_prunes_columns(spark):
+    df = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    phys = physical(df)
+    rs = phys.split("ReadSchema", 1)[1][:200]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs  # unreferenced columns never read
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """orders ⋈ lineitem both bucketed on the order key: the sort-merge join
+    runs with ZERO exchanges (and no per-side sort); the identical
+    unbucketed join needs two."""
+    from hugegraph_on_tikv_spark.sources import bucketing
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+    bucketing.write_bucketed(o, "b_orders", str(tmp_path / "bo"), 8, "o_orderkey")
+    bucketing.write_bucketed(li, "b_lineitem", str(tmp_path / "bl"), 8, "o_orderkey")
+    try:
+        bo = bucketing.read_table(spark, "b_orders")
+        bl = bucketing.read_table(spark, "b_lineitem")
+        bucketed = bo.hint("merge").join(bl, "o_orderkey")
+        plain = o.hint("merge").join(li, "o_orderkey")
+        phys_b, phys_p = physical(bucketed), physical(plain)
+        assert "SortMergeJoin" in phys_b
+        assert "Exchange" not in phys_b, phys_b
+        assert phys_p.count("Exchange") == 2, phys_p
+        # same answer either way
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ivf_search_prunes_cell_partitions(spark, tmp_path):
+    from hugegraph_on_tikv_spark.functions import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_write_index(emb, path, n_cells=8)
+    got = similarity.ivf_search_index(
+        spark, path, emb.filter(F.col("vec_id") % 100 == 0), k=3, n_probe=2)
+    phys = physical(got)
+    assert "PartitionFilters" in phys
+    assert "cell" in phys.split("PartitionFilters", 1)[1][:300]
