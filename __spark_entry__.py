@@ -1948,6 +1948,16 @@ _register(
 )
 
 _register(
+    "dsl_not_count",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer").not_(lambda t: t.out("placed")).count(),
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+
+_register(
     "dsl_order_values",
     lambda spark, sf: _GremlinGraph(spark, sf)
     .V().has_label("part").order_by("retailprice", ascending=False).limit(10)
@@ -2929,6 +2939,7 @@ _compose("dsl_counts", [
     ("dsl_repeat_2hop", ["'repeat_2hop' AS tag", "n"], "'repeat_2hop' AS tag, n"),
     ("dsl_path_count", ["'path_2hop' AS tag", "n"], "'path_2hop' AS tag, n"),
     ("dsl_where_neq", ["'where_neq' AS tag", "n"], "'where_neq' AS tag, n"),
+    ("dsl_not_count", ["'not_placed' AS tag", "n"], "'not_placed' AS tag, n"),
 ])
 
 _compose("dsl_rows", [

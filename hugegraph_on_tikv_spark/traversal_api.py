@@ -190,6 +190,32 @@ class Traversal:
             raise ValueError("path() requires with_path() at the traversal start")
         return self._df.select(F.col("_path").alias("path"))
 
+    def not_(self, step) -> "Traversal":
+        """Gremlin not(traversal): keep traversers for which the
+        sub-traversal yields NO result.  The sub-traversal runs from the
+        distinct current vertices with their origin riding along as a
+        hidden as_() label (edge steps thread labels, so any step
+        composition works); surviving origins are anti-joined out —
+        one distributed anti-join, no per-traverser execution."""
+        if self._pos != "V":
+            raise ValueError("not_() is supported at vertex positions")
+        probe = Traversal(
+            self._g,
+            self._df.select("id").distinct().withColumn("_as___origin", F.col("id")),
+            "V",
+        )
+        out = step(probe)
+        origins = out._df.select(F.col("_as___origin").alias("id")).distinct()
+        return Traversal(self._g, self._df.join(origins, "id", "left_anti"), "V")
+
+    def has_not(self, prop: str) -> "Traversal":
+        """Gremlin hasNot(prop): elements where the property is absent
+        (NULL in the sparse wide schema)."""
+        if self._pos == "V":
+            keep = self._g.vertices.filter(F.col(prop).isNull()).select("id")
+            return Traversal(self._g, self._df.join(keep, "id"), "V")
+        return Traversal(self._g, self._df.filter(F.col(prop).isNull()), "E")
+
     def where_(self, label: str, op: str = "!=") -> "Traversal":
         """Gremlin where(P.neq('a')) and friends: compare the CURRENT element
         id against an as_() label with `op` ('=', '!=', '<', ...).  Edge

@@ -180,3 +180,46 @@ def test_path_requires_vertex_position(g):
 
     with _pytest.raises(ValueError, match="vertex position"):
         g.E("placed").with_path()
+
+
+def test_not_step_excludes_matching_traversers(g, spark):
+    """not_(out('placed')): customers with no orders — anti-join semantics,
+    verified against the direct relational formulation."""
+    from pyspark.sql import functions as F
+
+    total = g.V().has_label("customer").count().collect()[0]["n"]
+    with_orders = (
+        g.V().has_label("customer").not_(lambda t: t.out("placed")).count()
+        .collect()[0]["n"]
+    )
+    direct = (
+        g.vertices.filter(F.col("label") == "customer")
+        .join(g.edges.filter(F.col("label") == "placed")
+              .select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+        .count()
+    )
+    assert with_orders == direct
+    assert 0 <= with_orders < total
+
+
+def test_not_step_composes_with_two_hops(g):
+    """not_ over a 2-step sub-traversal (edge-position steps carry the
+    hidden origin label)."""
+    n = (
+        g.V().has_label("customer")
+        .not_(lambda t: t.out_e("placed").in_v())
+        .count().collect()[0]["n"]
+    )
+    m = g.V().has_label("customer").not_(lambda t: t.out("placed")).count() \
+        .collect()[0]["n"]
+    assert n == m  # same reachability, different step composition
+
+
+def test_has_not_property(g):
+    from pyspark.sql import functions as F
+
+    n = g.V().has_label("order").has_not("mktsegment").count().collect()[0]["n"]
+    total = g.vertices.filter(F.col("label") == "order").count()
+    assert n == total  # orders never carry mktsegment in the sparse schema
+    with_seg = g.V().has_label("customer").has_not("mktsegment").count().collect()[0]["n"]
+    assert with_seg == 0
