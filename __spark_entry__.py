@@ -1588,6 +1588,70 @@ _register(
     """,
 )
 
+# -- end-to-end corpus curation: the LLM-pipeline ops COMPOSED --------------
+# near-dedup (minhash → LSH → verify → CC clusters → keep representative)
+# → cheap quality filters → BPE-budget accounting, as ONE DataFrame program
+# with one driver-checked stats row.  This is the shape a training-data
+# pass actually runs; every stage reuses an operator that also has its own
+# driver row.
+
+def _pipe_curate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    survivors = dedup.near_dedup(docs, num_hashes=32, rows_per_band=4,
+                                 k=3, threshold=0.3)
+    qm = text.quality_metrics(survivors)
+    kept_ids = qm.filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.30)
+                         & (F.col("mean_token_len") >= 3.0)).select("doc_id")
+    kept = survivors.join(kept_ids, "doc_id")
+    stats = kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.bpe_token_estimate(F.col("text")).cast("long")).alias("total_bpe_tokens"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    surv_n = survivors.agg(F.count(F.lit(1)).alias("n_surv"))
+    return (
+        stats.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(surv_n))
+        .select(
+            "n_docs",
+            (F.col("n_total") - F.col("n_surv")).alias("n_dropped_neardup"),
+            (F.col("n_surv") - F.col("n_docs")).alias("n_dropped_quality"),
+            "total_bpe_tokens",
+        )
+    )
+
+_register(
+    "pipe_curate_corpus",
+    _pipe_curate,
+    f"""
+    WITH clusters AS MATERIALIZED (
+      {_near_clusters_sql()}
+    ), survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / greatest(len(toks), 1), 4) AS mean_token_len,
+        round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+              * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+      FROM (SELECT doc_id, text, {TOKENS_SQL.format(col="text")} AS toks FROM survivors)
+    ), kept AS MATERIALIZED (
+      SELECT s.doc_id, s.text FROM survivors s JOIN m USING (doc_id)
+      WHERE n_tokens >= 20 AND stopword_ratio <= 0.30 AND mean_token_len >= 3.0
+    )
+    SELECT CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM survivors)
+                AS BIGINT) AS n_dropped_neardup,
+           CAST((SELECT count(*) FROM survivors) - (SELECT count(*) FROM kept)
+                AS BIGINT) AS n_dropped_quality,
+           CAST((SELECT SUM(list_sum(list_transform(
+                    regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+                    p -> CAST(ceil(length(p) / 4.0) AS INTEGER)))) FROM kept)
+                AS BIGINT) AS total_bpe_tokens
+    """,
+)
+
 # ===========================================================================
 # wave 5: more TPC-H-shaped headliners (join/predicate diversity)
 # ===========================================================================
@@ -3049,6 +3113,18 @@ _compose("text_quality_suite", [
       "CAST(NULL AS DOUBLE) AS stopword_ratio"],
      "'kept' AS tag, doc_id, CAST(NULL AS DOUBLE) AS n_tokens, "
      "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS DOUBLE) AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # curated-corpus stats mapped onto the suite's projection: doc_id carries
+    # n_docs, n_tokens the BPE budget, mean/punct the two drop counts
+    ("pipe_curate_corpus",
+     ["'curated' AS tag", "n_docs AS doc_id",
+      "CAST(total_bpe_tokens AS DOUBLE) AS n_tokens",
+      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len",
+      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'curated' AS tag, n_docs AS doc_id, CAST(total_bpe_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
+     "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
 ])
 
