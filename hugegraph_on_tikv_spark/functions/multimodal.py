@@ -102,6 +102,56 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return v.select("media_id", F.explode(ts).alias("frame_ts_ms"))
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("payload", BinaryType(), False),     # raw grayscale rows
+])
+
+
+def _decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB pixel decode (the codec seam): payload bytes tiled into an
+    (height, width) uint8 grayscale array — deterministic, so everything
+    DOWNSTREAM of the decode (the resample math, the batch plumbing) is
+    real and testable."""
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    need = width * height
+    tiled = np.tile(arr, need // len(arr) + 1)[:need]
+    return tiled.reshape(height, width)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Batch image resize over mapInPandas: decode (stubbed) → genuine
+    nearest-neighbor resample (pure numpy index math — this part is NOT a
+    stub and survives a codec swap unchanged) → raw bytes out.  The
+    standard normalize-to-model-input step of a multimodal training
+    pipeline; at scale, repartition by media_id first so skewed payload
+    sizes spread across tasks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, p, w, h in zip(pdf["media_id"], pdf["payload"],
+                                    pdf["width"], pdf["height"]):
+                if p is None or w is None or h is None or w <= 0 or h <= 0:
+                    continue
+                img = _decode_pixels_stub(p, int(w), int(h))
+                rows = (np.arange(out_h) * (img.shape[0] / out_h)).astype(np.int64)
+                cols = (np.arange(out_w) * (img.shape[1] / out_w)).astype(np.int64)
+                resized = img[rows][:, cols]
+                ids.append(mid)
+                payloads.append(resized.tobytes())
+            yield pd.DataFrame({
+                "media_id": ids,
+                "width": [out_w] * len(ids),
+                "height": [out_h] * len(ids),
+                "payload": payloads,
+            })
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def decode_real(payload: bytes):  # pragma: no cover - documentation stub
     """Placeholder for the real codec path."""
     raise NotImplementedError("media codecs are not available in this environment")

@@ -282,3 +282,28 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     ]
     assert sorted(got) == sorted(want)
     assert len(want) > 0
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """resize_images: the resample math is real (verified against a local
+    numpy model on the same deterministic fake decode); every image lands
+    at the target shape."""
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _decode_pixels_stub,
+        resize_images,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 9)
+    out = {r["media_id"]: r for r in resize_images(media, 16, 8).collect()}
+    src = {r["media_id"]: r for r in media.filter("kind = 'image'").collect()}
+    assert set(out) == set(src) and len(out) == 3
+    for mid, r in out.items():
+        assert (r["width"], r["height"]) == (16, 8)
+        assert len(r["payload"]) == 16 * 8
+        img = _decode_pixels_stub(bytes(src[mid]["payload"]), 64, 64)
+        rows = (np.arange(8) * (64 / 8)).astype(np.int64)
+        cols = (np.arange(16) * (64 / 16)).astype(np.int64)
+        assert bytes(r["payload"]) == img[rows][:, cols].tobytes()
