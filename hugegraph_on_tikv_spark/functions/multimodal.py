@@ -116,6 +116,8 @@ def _decode_pixels_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     DOWNSTREAM of the decode (the resample math, the batch plumbing) is
     real and testable."""
     arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    if arr.size == 0:
+        raise ValueError("empty payload cannot be decoded")
     need = width * height
     tiled = np.tile(arr, need // len(arr) + 1)[:need]
     return tiled.reshape(height, width)
@@ -134,7 +136,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             ids, payloads = [], []
             for mid, p, w, h in zip(pdf["media_id"], pdf["payload"],
                                     pdf["width"], pdf["height"]):
-                if p is None or w is None or h is None or w <= 0 or h <= 0:
+                # skip undecodable rows — incl. EMPTY payloads, which would
+                # divide-by-zero inside the tile step of the decode
+                if p is None or len(p) == 0 or w is None or h is None \
+                        or w <= 0 or h <= 0:
                     continue
                 img = _decode_pixels_stub(p, int(w), int(h))
                 rows = (np.arange(out_h) * (img.shape[0] / out_h)).astype(np.int64)

@@ -70,7 +70,7 @@ def aggregate_messages(edges: DataFrame, vertices: DataFrame | None,
 def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
              checkpoint_every: int = 3, broadcast_ranks: bool | None = None,
              state_partitions: int | None = None,
-             broadcast_max_vertices: int = 10_000_000) -> DataFrame:
+             broadcast_max_vertices: int = 2_000_000) -> DataFrame:
     """Standard damped PageRank over the directed edge list; dangling mass is
     NOT redistributed (matches GraphX's default behavior).  Returns
     (id, rank).  Ranks start at 1.0 per vertex.
@@ -84,7 +84,11 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
     edge side never shuffles (measured 5.4 → 4.6s warm / 10.6 → 6.6s cold
     at sf0.1); past it the contribution join shuffles on src, which a
     bucketed-by-src edge table makes co-located.  Explicit True/False
-    overrides the heuristic.
+    overrides the heuristic.  The default threshold (2M rows ≈ tens of MB
+    of (id, rank) pairs) is sized so the broadcast relation stays well
+    under a 1g driver / modest-executor heap — comparable to
+    autoBroadcastJoinThreshold territory, NOT "whatever fits on a big
+    cluster"; raise it explicitly on beefier deployments.
     """
     # state_partitions sizes every iteration's shuffle to the rank-state
     # scale instead of the session default: per-task fixed costs dominate
@@ -149,8 +153,8 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
         # force the remaining (post-checkpoint) iterations to execute while
-        # the scoped conf is active and the persisted state is alive; the
-        # checkpointed result no longer references either
+        # the persisted state (verts/norm_edges) is still alive; the
+        # checkpointed result no longer references it after unpersist
         ranks = ranks.localCheckpoint(eager=True)
         return ranks
     finally:

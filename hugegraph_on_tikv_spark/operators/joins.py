@@ -29,12 +29,13 @@ def salted_join(large: DataFrame, small: DataFrame, on: str, salt: int = 8,
     The salt is a deterministic hash of the row's hashable columns (not
     monotonically_increasing_id, which changes under task retry / AQE
     re-planning and would let a retried task salt rows differently than its
-    first attempt).  MapType columns are excluded (F.hash can't analyze
-    them).  Known limitation: rows that are byte-identical across every
-    hashed column all land in the same salt bucket, so a hot key made of
+    first attempt).  Columns whose type contains a map ANYWHERE (top-level,
+    array<map<...>>, struct fields) are excluded — F.hash rejects MapType at
+    any nesting depth.  Known limitation: rows that are byte-identical across
+    every hashed column all land in the same salt bucket, so a hot key made of
     EXACT duplicate rows is not split — pre-aggregate such duplicates (count
     them) before the join, which is the cheaper plan anyway."""
-    hashable = [c for c, t in large.dtypes if not t.startswith("map<")]
+    hashable = [c for c, t in large.dtypes if "map<" not in t]
     if not hashable:
         raise ValueError("salted_join needs at least one non-map column to salt on")
     salted_large = large.withColumn(

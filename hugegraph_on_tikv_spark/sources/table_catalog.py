@@ -90,12 +90,19 @@ class TableCatalog:
     def upsert(self, name: str, df: DataFrame, keys: str | list[str] | None = None) -> None:
         """Public bulk upsert: replace same-key rows with `df`'s rows as ONE
         per-table-atomic commit (version pointer swap).  `keys` defaults to
-        the table's registered key; a composite key is a list of columns.
-        Intra-`df` duplicate keys are collapsed (dropDuplicates) so the
-        table's key-uniqueness invariant survives — streaming micro-batches
-        rely on this for idempotent replays."""
+        the table's registered key (which may itself be composite); a caller
+        passing `keys` explicitly must match the registered key — merging on
+        any OTHER column set would let a batch smuggle duplicate
+        registered-key rows past the anti-join and silently break the
+        table's key-uniqueness invariant.  Intra-`df` duplicate keys are
+        collapsed (dropDuplicates) so idempotent streaming replays hold."""
         meta = self._meta(name)
-        key_cols = [keys] if isinstance(keys, str) else (list(keys) if keys else [meta["key"]])
+        reg = meta["key"] if isinstance(meta["key"], list) else [meta["key"]]
+        key_cols = [keys] if isinstance(keys, str) else (list(keys) if keys else reg)
+        if sorted(key_cols) != sorted(reg):
+            raise ValueError(
+                f"upsert keys {key_cols!r} must match table {name!r}'s "
+                f"registered key {reg!r} (key uniqueness is a table invariant)")
         state = self.table(name)
         incoming = df.dropDuplicates(key_cols)
         merged = (

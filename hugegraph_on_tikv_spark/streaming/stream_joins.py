@@ -22,12 +22,42 @@ EVENT_SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
                 "event_type string, value double, props string")
 
 
+def ntz_as_utc_instant(col):
+    """Instant (TIMESTAMP) for an NTZ wall time read AS UTC.
+
+    Watermarks require an instant-typed column, but a plain
+    `.cast("timestamp")` interprets the wall time in the SESSION timezone —
+    non-linear across that zone's DST transitions (an hour repeats or
+    vanishes), so event pairs straddling a transition could shift their
+    relative lag by 3600s and flip join-window membership vs the NTZ-based
+    batch twin.  This derivation is pure epoch arithmetic (days × 86400e6 +
+    time-of-day micros), linear in the wall clock under every session
+    timezone — the stream and the batch twin agree on ANY data."""
+    days = F.unix_date(col.cast("date")).cast("long")
+    micros = (
+        days * 86_400_000_000
+        + F.hour(col).cast("long") * 3_600_000_000
+        + F.minute(col).cast("long") * 60_000_000
+        + (F.date_part(F.lit("SECOND"), col) * 1_000_000).cast("long")
+    )
+    return F.timestamp_micros(micros)
+
+
 def attribution_join(clicks: DataFrame, views: DataFrame,
                      within: str = "10 minutes") -> DataFrame:
     """Batch twin: (click_id, view_id, user_id, lag_us) for every view by
     the same user in [click_ts - within, click_ts].  Lag is measured in
     microseconds (the timestamps' own precision) so engines that count
-    boundary crossings and engines that count complete units agree."""
+    boundary crossings and engines that count complete units agree.
+
+    Exact baseline BY CONTRACT (mirrors cosine_topk's framing): the plan is
+    a per-user equi-join BEFORE the time filter, i.e. all click×view pairs
+    of each user are enumerated — quadratic in a single user's event count,
+    so a power-law user (bot traffic) dominates the stage.  This form exists
+    as the SQL-expressible oracle twin; the production path on unbounded or
+    skewed data is `stream_attribution_join`, whose state is bounded by
+    watermarks.  (A batch deployment hitting the skew case should pre-bucket
+    both sides by (user_id, time_bucket(within)) and join on that pair.)"""
     c = clicks.select(F.col("event_id").alias("click_id"), "user_id",
                       F.col("ts").alias("click_ts"))
     v = views.select(F.col("event_id").alias("view_id"), "user_id",
@@ -51,27 +81,27 @@ def stream_attribution_join(spark: SparkSession, clicks_dir: str, views_dir: str
     (max click watermark - within) and click state as batches complete.
     `sink(batch_df, batch_id)` receives results via foreachBatch
     (checkpoint-recoverable); triggered availableNow."""
-    # watermarks require an instant TIMESTAMP column (not NTZ); the cast is
-    # session-TZ-relative but both sides shift identically, so the join
-    # window and microsecond lags are unaffected
+    # the watermark/join-bound column is a DST-safe treat-NTZ-as-UTC instant
+    # (see ntz_as_utc_instant); the original NTZ columns ride along so the
+    # emitted lag is computed on the same values as the batch twin
     c = (spark.readStream.schema(EVENT_SCHEMA).parquet(clicks_dir)
-         .withColumn("ts", F.col("ts").cast("timestamp"))
-         .withWatermark("ts", watermark)
+         .withColumn("wts", ntz_as_utc_instant(F.col("ts")))
+         .withWatermark("wts", watermark)
          .select(F.col("event_id").alias("click_id"), "user_id",
-                 F.col("ts").alias("click_ts")))
+                 F.col("ts").alias("click_ts"), F.col("wts").alias("click_wts")))
     v = (spark.readStream.schema(EVENT_SCHEMA).parquet(views_dir)
-         .withColumn("ts", F.col("ts").cast("timestamp"))
-         .withWatermark("ts", watermark)
+         .withColumn("wts", ntz_as_utc_instant(F.col("ts")))
+         .withWatermark("wts", watermark)
          .select(F.col("event_id").alias("view_id"),
                  F.col("user_id").alias("v_user_id"),
-                 F.col("ts").alias("view_ts")))
+                 F.col("ts").alias("view_ts"), F.col("wts").alias("view_wts")))
     joined = (
         c.join(
             v,
             F.expr(f"""
                 user_id = v_user_id AND
-                view_ts <= click_ts AND
-                view_ts >= click_ts - INTERVAL {within}
+                view_wts <= click_wts AND
+                view_wts >= click_wts - INTERVAL {within}
             """),
         )
         .select("click_id", "view_id", "user_id",
