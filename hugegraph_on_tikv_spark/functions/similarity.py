@@ -175,6 +175,27 @@ def cosine_topk_vectorized(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def assign_best_cell(df: DataFrame, cents: DataFrame, ident: str, vec: str) -> DataFrame:
+    """Nearest-centroid assignment as ONE aggregate: score df×cells, then
+    `groupBy(id).agg(max_by(...))` with a (cell_sim, -cell) struct ordering —
+    the same deterministic argmax as a `row_number() OVER (PARTITION BY id
+    ORDER BY cell_sim DESC, cell ASC)` window, but computed with map-side
+    partial aggregation instead of a full sort shuffle of n_cells× the corpus
+    row count.  At index-build scale the assignment dominates cost, so the
+    aggregate (no sort, ~n_cells× less shuffle input) is the 100 TB plan;
+    tests/test_plans.py pins the physical shape (Aggregate, no Window).
+    Returns (ident, cell, vec)."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        ident, vec, "cell", cosine(F.col(vec), F.col("c_vec")).alias("cell_sim"))
+    return (
+        scored.groupBy(ident)
+        .agg(F.max_by(F.struct(F.col("cell"), F.col(vec).alias("v")),
+                      F.struct(F.col("cell_sim").alias("s"),
+                               (-F.col("cell")).alias("neg_cell"))).alias("best"))
+        .select(ident, F.col("best.cell").alias("cell"), F.col("best.v").alias(vec))
+    )
+
+
 def ivf_centroids(corpus: DataFrame, n_cells: int = 16, refine_iters: int = 1,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF centroids: seeded from the n_cells lowest-id vectors (reproducible
@@ -199,14 +220,7 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16, refine_iters: int = 1,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
     )
     for _ in range(refine_iters):
-        assigned = (
-            corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents))
-            .withColumn("cell_sim", cosine(F.col(vec_col), F.col("c_vec")))
-        )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy(id_col).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
-        best = assigned.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        best = assign_best_cell(corpus.select(id_col, vec_col), cents, id_col, vec_col)
         # per-cell mean, dimension-wise: posexplode → quantized exact mean →
         # re-assemble in dimension order
         cents = (
@@ -229,15 +243,10 @@ def ivf_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
     layout) plus the centroid table.  This is the physical form behind the
     ivf_topk scale story — a probe then reads n_probe/n_cells of the data
     via directory-level partition pruning, not a full scan."""
-    from pyspark.sql.window import Window
-
     cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents = corpus.sparkSession.read.parquet(f"{path}/centroids")
-    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
-        id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("c_vec")).alias("cell_sim"))
-    w = Window.partitionBy(id_col).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
-    assigned = (scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    assigned = (assign_best_cell(corpus.select(id_col, vec_col), cents, id_col, vec_col)
                 .select(id_col, vec_col, "cell"))
     (assigned.repartition("cell").write.mode("overwrite")
      .partitionBy("cell").parquet(f"{path}/corpus"))
@@ -296,15 +305,18 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 1
     from pyspark.sql.window import Window
 
     try:
-        def assign(df, ident, vec, n_best):
-            scored = df.crossJoin(F.broadcast(cents)).select(
-                ident, vec, "cell", cosine(F.col(vec), F.col("c_vec")).alias("cell_sim"))
-            w = Window.partitionBy(ident).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
-            return scored.withColumn("crank", F.row_number().over(w)).filter(F.col("crank") <= n_best)
-
-        c_assigned = assign(corpus.select(id_col, vec_col), id_col, vec_col, 1) \
+        # corpus side (the big one): argmax as a max_by AGGREGATE — map-side
+        # partial agg, no sort shuffle of corpus×n_cells rows
+        c_assigned = assign_best_cell(corpus.select(id_col, vec_col), cents,
+                                      id_col, vec_col) \
             .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec2"), "cell")
-        q_assigned = assign(queries.select(id_col, vec_col), id_col, vec_col, n_probe) \
+        # query side needs the TOP-n_probe cells, not just the argmax — a
+        # window top-n over the (small) query batch is fine there
+        q_scored = queries.select(id_col, vec_col).crossJoin(F.broadcast(cents)).select(
+            id_col, vec_col, "cell", cosine(F.col(vec_col), F.col("c_vec")).alias("cell_sim"))
+        wq = Window.partitionBy(id_col).orderBy(F.col("cell_sim").desc(), F.col("cell").asc())
+        q_assigned = (q_scored.withColumn("crank", F.row_number().over(wq))
+                      .filter(F.col("crank") <= n_probe)) \
             .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec2"), "cell")
         if queries.select(id_col).limit(broadcast_max_queries // max(n_probe, 1) + 1) \
                 .count() * n_probe <= broadcast_max_queries:

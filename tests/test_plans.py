@@ -92,6 +92,23 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_ivf_assignment_is_aggregate_not_window(spark):
+    """The nearest-centroid argmax must stay a max_by AGGREGATE (map-side
+    partial agg), never a row_number window — a window sorts a shuffle of
+    corpus×n_cells rows, which dominates index-build cost at scale
+    (VERDICT r3 finding #1)."""
+    from hugegraph_on_tikv_spark.functions import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_cells=8, refine_iters=0)
+    assigned = similarity.assign_best_cell(
+        emb.select("vec_id", "embedding"), cents, "vec_id", "embedding")
+    phys = physical(assigned)
+    assert "Window" not in phys, phys
+    assert "max_by" in phys, phys
+    assert "partial_max_by" in phys, phys  # map-side combine in place
+
+
 def test_ivf_search_prunes_cell_partitions(spark, tmp_path):
     from hugegraph_on_tikv_spark.functions import similarity
 
