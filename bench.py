@@ -112,6 +112,49 @@ def main() -> None:
         )
         print(f"# steady g_pagerank_warm: {steady['g_pagerank_warm']}s", file=sys.stderr)
 
+    # dual bucketed edge layout (sources/edge_layout.py): time the two-hop
+    # mid-join on the bucketed copies vs the identical SMJ on the raw edge
+    # view — the bucketed form runs the join with zero exchanges (plan
+    # pinned in tests/test_plans.py); this measures what that saves.
+    layout_metrics: dict[str, float | str] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from hugegraph_on_tikv_spark.sources.graph import GraphStore
+
+        store = GraphStore(spark, SF_DIR)
+        tmp = tempfile.mkdtemp(prefix="bench_dual_edges_")
+        t0 = time.perf_counter()
+        layout = store.materialize_dual_layout(tmp, buckets=32,
+                                               name="bench_dual_edges")
+        layout_metrics["materialize_both_copies"] = round(time.perf_counter() - t0, 3)
+        try:
+            def run_df(df) -> float:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                return round(time.perf_counter() - t0, 3)
+
+            e = store._build_edges()
+            plain = (
+                e.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+                .hint("merge")
+                .join(e.select(F.col("src").alias("mid"), F.col("dst").alias("c")),
+                      "mid")
+                .select("a", "mid", "c")
+            )
+            layout_metrics["two_hop_plain_smj"] = run_df(plain)
+            layout_metrics["two_hop_bucketed"] = run_df(layout.two_hop("out", "out"))
+            for k in ("two_hop_plain_smj", "two_hop_bucketed"):
+                print(f"# layout {k}: {layout_metrics[k]}s", file=sys.stderr)
+        finally:
+            layout.drop()
+            shutil.rmtree(tmp, ignore_errors=True)
+    except Exception as ex:  # never let the layout probe sink the bench
+        layout_metrics["error"] = str(ex)[:200]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -125,6 +168,7 @@ def main() -> None:
         "queries_shared_cache": shared,
         "shared_cache_total": round(sum(shared.values()), 3),
         "steady_state": steady,
+        "dual_edge_layout": layout_metrics,
         "protocols": "queries_shared_cache runs FIRST, immediately after "
                      "warm-up — positionally identical to the round-1 series "
                      "(apples-to-apples with BENCH_r01). queries/value: "

@@ -7,10 +7,12 @@ as DataFrame programs: aggregate-messages = groupBy on message destination;
 iterative algorithms cut lineage with localCheckpoint.
 
 Scale posture: every iteration is a self-join on the edge table.  For a
-100 TB graph you'd persist `edges` bucketed by `src` (and a second copy by
-`dst`) so these joins are co-located; AQE handles skewed hub vertices
-(skew-join splitting).  Degrees/messages use map-side partial aggregation
-natively.
+100 TB graph, persist `edges` as the dual bucketed layout
+(sources/edge_layout.py) and pass the by-src copy in — pagerank's
+out-degree aggregate and per-iteration contribution join both key on `src`,
+so they run exchange-free on that copy (tests/test_plans.py pins the plan);
+AQE handles skewed hub vertices (skew-join splitting).  Degrees/messages
+use map-side partial aggregation natively.
 """
 
 from __future__ import annotations

@@ -25,12 +25,21 @@ from pyspark.sql import functions as F
 OUT, IN, BOTH = "out", "in", "both"
 
 
-def adjacent(edges: DataFrame, direction: str = OUT, label: str | None = None) -> DataFrame:
+def adjacent(edges: DataFrame, direction: str = OUT, label: str | None = None,
+             edges_by_dst: DataFrame | None = None) -> DataFrame:
     """(vertex, neighbor) pairs in the given direction — the relational view
-    of the reference's out/in adjacency tables."""
+    of the reference's out/in adjacency tables.
+
+    `edges_by_dst` optionally supplies the dst-bucketed physical copy of the
+    SAME logical edge table (sources/edge_layout.py): in-adjacency is then
+    served from it, so a downstream join on `vertex` finds the edge side
+    pre-distributed on its key in BOTH directions — the reference's twin
+    tables as layout, not as duplicate logic."""
     e = edges.filter(F.col("label") == label) if label else edges
+    e_in = edges_by_dst if edges_by_dst is not None else edges
+    e_in = e_in.filter(F.col("label") == label) if label else e_in
     out = e.select(F.col("src").alias("vertex"), F.col("dst").alias("neighbor"))
-    inn = e.select(F.col("dst").alias("vertex"), F.col("src").alias("neighbor"))
+    inn = e_in.select(F.col("dst").alias("vertex"), F.col("src").alias("neighbor"))
     if direction == OUT:
         return out
     if direction == IN:
@@ -63,7 +72,8 @@ def neighbors(edges: DataFrame, vertex_ids: Sequence[int], direction: str = OUT,
 
 def k_hop(edges: DataFrame, start_ids: Sequence[int], k: int, direction: str = OUT,
           labels: Sequence[str] | None = None, checkpoint_every: int = 3,
-          broadcast_max_frontier: int = 5_000_000) -> DataFrame:
+          broadcast_max_frontier: int = 5_000_000,
+          edges_by_dst: DataFrame | None = None) -> DataFrame:
     """Vertices reachable in exactly <= k hops (excluding the start set),
     with hop distance = first time reached (BFS layering).  Returns
     (id, hops).
@@ -75,12 +85,20 @@ def k_hop(edges: DataFrame, start_ids: Sequence[int], k: int, direction: str = O
     executor — past the threshold the hop falls back to a plain shuffle join
     (AQE picks the physical strategy).  The frontier is materialized each hop
     anyway (BFS is inherently iterative), so the size check reads a
-    checkpointed count, not a recompute."""
+    checkpointed count, not a recompute.
+
+    `edges_by_dst` routes in-direction hops through the dst-bucketed copy of
+    the dual edge layout (sources/edge_layout.py): past the broadcast
+    threshold, the shuffle-join fallback then moves ONLY the frontier — the
+    edge side is already distributed on the hop key (the persisted adjacency
+    keeps the scan's bucket distribution; tests/test_plans.py pins it)."""
     spark = edges.sparkSession
     e = edges.filter(F.col("label").isin(list(labels))) if labels else edges
+    e_dst = (edges_by_dst.filter(F.col("label").isin(list(labels)))
+             if edges_by_dst is not None and labels else edges_by_dst)
     # materialize the adjacency projection once — every hop reuses it instead
     # of re-reading and re-unioning the raw edge sources per iteration
-    adj = adjacent(e, direction).persist()
+    adj = adjacent(e, direction, edges_by_dst=e_dst).persist()
 
     frontier = spark.createDataFrame([(int(v),) for v in start_ids], "id long")
     frontier_rows = len(start_ids)

@@ -35,6 +35,11 @@ def get_spark(app_name: str = "hugegraph-on-tikv-spark", cpus: int | None = None
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Dimension tables (region/nation/supplier at any SF) broadcast freely.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Trust sortBy order of bucketed tables (off by default because it is
+        # only valid with one file per bucket — write_bucketed guarantees
+        # exactly that via its pre-write repartition on the bucket key), so
+        # joins on bucketed copies elide the SMJ sort as well as the exchange.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -16,6 +16,7 @@ the exchange elimination on the actual physical plan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(df: DataFrame, name: str, path: str, buckets: int, key: str,
@@ -24,8 +25,17 @@ def write_bucketed(df: DataFrame, name: str, path: str, buckets: int, key: str,
     registered as `name`).  `sort=True` additionally sorts within buckets —
     the sort-merge join then skips its sort too.  Joining two tables
     bucketed with the SAME bucket count on their join keys produces an
-    exchange-free (and sort-free) SMJ."""
-    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    exchange-free (and sort-free) SMJ.
+
+    The write repartitions on the bucket key first: `repartition(n, key)`
+    and bucketBy share the same Murmur3 `pmod` hash, so each write task then
+    holds exactly one bucket and each bucket lands in exactly ONE file.
+    Without it, every input partition spills a file into every bucket
+    (tasks × buckets small files), and — decisive for the join plan — Spark
+    only reports the sortBy order to the optimizer when a bucket has a
+    single file, so the SMJ would silently re-sort both sides."""
+    writer = (df.repartition(buckets, F.col(key))
+              .write.mode("overwrite").bucketBy(buckets, key))
     if sort:
         writer = writer.sortBy(key)
     writer.option("path", path).format("parquet").saveAsTable(name)

@@ -7,12 +7,13 @@ out/in twin edge tables (TikvTables.java:114-149) registered per graph store
 
 * one `vertices` DataFrame with real typed columns (sparse wide schema —
   columnar storage makes absent properties free), not serialized blobs;
-* one `edges` DataFrame stored ONCE — the reference's out/in duplication is an
+* one LOGICAL `edges` DataFrame — the reference's out/in duplication is an
   access-path artifact of sorted-KV adjacency; in Spark either direction is a
-  filter/join on `src` or `dst`, and both are served by the same columnar
-  scan.  For 100 TB deployments you'd persist two bucketed copies (bucketed
-  by src and by dst) so both traversal directions get co-located joins; the
-  logical model stays a single table.
+  filter/join on `src` or `dst`.  For 100 TB deployments the physical form is
+  the dual BUCKETED layout (sources/edge_layout.py, materialized here via
+  `materialize_dual_layout`): two bucketed copies, by src and by dst, so both
+  traversal directions get co-located joins — the logical model stays a
+  single table.
 
 Graph views are deterministic projections of the TPC-H-ish fixtures
 (FIXTURES.md §3), declared ONCE in VERTEX_SPECS/EDGE_SPECS — the DuckDB
@@ -120,9 +121,26 @@ class GraphStore:
         self.spark = spark
         self.sf_dir = sf_dir
         self.materialize = materialize
+        self.layout = None  # DualEdgeLayout once materialize_dual_layout ran
         self._vertices: DataFrame | None = None
         self._edges: DataFrame | None = None
         self._edges_by_dst: DataFrame | None = None
+
+    def materialize_dual_layout(self, path: str, buckets: int = 32,
+                                name: str = "graph_edges"):
+        """Persist the edge view as the dual BUCKETED layout (by-src and
+        by-dst catalog tables, sources/edge_layout.py) and route every
+        subsequent `edges()` call through it — out-hops read the by-src
+        copy, in-hops the by-dst copy, and hop joins find their edge side
+        pre-distributed on the join key.  This is the 100 TB deployment
+        step; the default /tmp repartitioned cache only approximates it
+        (plain parquet reads lose the partitioning metadata)."""
+        from hugegraph_on_tikv_spark.sources.edge_layout import DualEdgeLayout
+
+        self.layout = DualEdgeLayout.materialize(
+            self._build_edges(), name, path, buckets)
+        self._edges = self._edges_by_dst = None
+        return self.layout
 
     def _cache_path(self, name: str) -> str:
         import hashlib
@@ -206,6 +224,8 @@ class GraphStore:
         the choice only affects partitioning/sort locality."""
         if order_by not in ("src", "dst"):
             raise ValueError("order_by must be 'src' or 'dst'")
+        if self.layout is not None:
+            return self.layout.edges(order_by)
         if order_by == "src":
             if self._edges is None:
                 out = self._build_edges()

@@ -84,12 +84,110 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
         phys_b, phys_p = physical(bucketed), physical(plain)
         assert "SortMergeJoin" in phys_b
         assert "Exchange" not in phys_b, phys_b
+        # one file per bucket (write_bucketed pre-repartitions) + the
+        # bucketed-scan ordering conf ⇒ the sortBy order is trusted and the
+        # SMJ sorts are elided too ("Sort " = a Sort node; "SortMergeJoin"
+        # doesn't match the trailing space)
+        assert "Sort " not in phys_b, phys_b
         assert phys_p.count("Exchange") == 2, phys_p
         # same answer either way
         assert bucketed.count() == plain.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_dual_edge_layout_two_hop_exchange_free(spark, tmp_path):
+    """The dual bucketed edge layout (by-src + by-dst copies, the reference's
+    out/in twin tables as physical layout): two-hop expansion joins the
+    end-bucketed copy against the start-bucketed copy, so the middle sort-
+    merge join runs with ZERO exchanges — in BOTH hop directions."""
+    from pyspark.sql import functions as FF
+
+    from hugegraph_on_tikv_spark.sources.graph import GraphStore
+
+    store = GraphStore(spark, SF_DIR)
+    layout = store.materialize_dual_layout(
+        str(tmp_path / "dual"), buckets=8, name="t_dual_edges")
+    try:
+        for first, second in (("out", "out"), ("in", "in")):
+            phys = physical(layout.two_hop(first, second))
+            assert "SortMergeJoin" in phys, (first, second, phys)
+            assert "Exchange" not in phys, (first, second, phys)
+            assert "Sort " not in phys, (first, second, phys)  # sort-free too
+        # the layout is a LAYOUT, not different data: same answer as the
+        # plain self-join over the raw edge view
+        e = store._build_edges()
+        plain = (e.select(FF.col("src").alias("a"), FF.col("dst").alias("mid"))
+                 .join(e.select(FF.col("src").alias("mid"), FF.col("dst").alias("c")),
+                       "mid"))
+        assert layout.two_hop("out", "out").count() == plain.count()
+    finally:
+        layout.drop()
+
+
+def test_dual_edge_layout_hop_join_moves_only_frontier(spark, tmp_path):
+    """A frontier hop against the direction-matching copy shuffles ONLY the
+    frontier: one exchange total (vs two for the unbucketed twin), and the
+    edge-scan branch carries none — the in-direction proves the by-dst copy
+    is doing the work (the by-src copy can't serve dst-keyed adjacency)."""
+    from pyspark.sql import functions as FF
+
+    from hugegraph_on_tikv_spark.operators.traversal import IN, adjacent
+    from hugegraph_on_tikv_spark.sources.graph import GraphStore
+
+    store = GraphStore(spark, SF_DIR)
+    layout = store.materialize_dual_layout(
+        str(tmp_path / "dual"), buckets=8, name="t_dual_edges_f")
+    try:
+        frontier = spark.range(100).select((FF.col("id") + (1 << 56)).alias("vertex"))
+        bucketed = layout.adjacency("in").hint("merge").join(frontier, "vertex")
+        plain = (adjacent(store._build_edges(), IN).hint("merge")
+                 .join(frontier, "vertex"))
+        phys_b, phys_p = physical(bucketed), physical(plain)
+        assert phys_b.count("Exchange") == 1, phys_b
+        # the single exchange feeds from the frontier's Range source, not
+        # from the parquet edge scan
+        after_exchange = phys_b.split("Exchange", 1)[1][:300]
+        assert "Range" in after_exchange, phys_b
+        assert "Scan parquet" not in after_exchange.split("Range")[0], phys_b
+        assert phys_p.count("Exchange") >= 2, phys_p
+    finally:
+        layout.drop()
+
+
+def test_pagerank_static_side_exchange_free_on_bucketed_edges(spark, tmp_path):
+    """pagerank's iteration-invariant state (out-degree aggregate + degree-
+    normalized edge join, both keyed on src) runs exchange-free on the
+    by-src copy — the shape every iteration's contribution join reuses when
+    broadcast_ranks=False."""
+    from pyspark.sql import functions as FF
+
+    from hugegraph_on_tikv_spark.sources.graph import GraphStore
+
+    store = GraphStore(spark, SF_DIR)
+    layout = store.materialize_dual_layout(
+        str(tmp_path / "dual"), buckets=8, name="t_dual_edges_pr")
+    try:
+        e = layout.edges("src")
+        out_deg = e.groupBy(FF.col("src").alias("id")).agg(
+            FF.count(FF.lit(1)).alias("out_degree"))
+        norm = (e.select("src", "dst").hint("merge")
+                .join(out_deg.withColumnRenamed("id", "src"), "src"))
+        phys = physical(norm)
+        assert "Exchange" not in phys, phys
+        # and the routed pagerank returns the same ranks as the raw view
+        from hugegraph_on_tikv_spark.operators.analytics import pagerank
+
+        routed = pagerank(e, iterations=2, broadcast_ranks=False)
+        plain = pagerank(store._build_edges(), iterations=2)
+        diff = (routed.withColumnRenamed("rank", "r1")
+                .join(plain.withColumnRenamed("rank", "r2"), "id")
+                .filter(FF.abs(FF.col("r1") - FF.col("r2")) > 1e-9))
+        assert diff.count() == 0
+        assert routed.count() == plain.count()
+    finally:
+        layout.drop()
 
 
 def test_ivf_assignment_is_aggregate_not_window(spark):

@@ -223,3 +223,27 @@ def test_has_not_property(g):
     assert n == total  # orders never carry mktsegment in the sparse schema
     with_seg = g.V().has_label("customer").has_not("mktsegment").count().collect()[0]["n"]
     assert with_seg == 0
+
+
+def test_dsl_routes_through_dual_bucketed_layout(g, spark, tmp_path):
+    """A layout-backed store routes in_() through the by-dst bucketed copy
+    (visible as a catalog-table scan in the plan) and returns the same
+    traversers as the default store."""
+    from hugegraph_on_tikv_spark.sources.graph import GraphStore
+
+    store = GraphStore(spark, SF_DIR)
+    layout = store.materialize_dual_layout(
+        str(tmp_path / "dual"), buckets=8, name="t_dsl_edges")
+    try:
+        gb = Graph(spark, SF_DIR, store=store)
+        t_plain = g.V(vid("nation", 3)).in_("located_in")
+        t_bucketed = gb.V(vid("nation", 3)).in_("located_in")
+        assert sorted(r["id"] for r in t_bucketed.to_df().collect()) == \
+            sorted(r["id"] for r in t_plain.to_df().collect())
+        plan = t_bucketed.to_df()._jdf.queryExecution().executedPlan().toString()
+        assert "t_dsl_edges_by_dst" in plan, plan
+        out_plan = gb.V(vid("customer", 1)).out("placed").to_df() \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "t_dsl_edges_by_src" in out_plan, out_plan
+    finally:
+        layout.drop()
