@@ -541,6 +541,42 @@ _register(
     """,
 )
 
+# -- incremental view maintenance (streaming/view_maintenance.py): an
+#    aggregate view maintained across three deltas — plus one REPLAYED
+#    delta that the batch-id watermark must turn into a no-op — equals the
+#    one-shot SQL aggregate.  The merge is a full-outer join on the stored
+#    partial state (int64 scaled sums), never a base-table recompute. ------
+
+def _ivm_agg_view(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
+    from hugegraph_on_tikv_spark.streaming import view_maintenance as vm
+
+    ev = load_events(spark, sf).select("event_id", "event_type", "value")
+    catalog = TableCatalog(spark, tempfile.mkdtemp(prefix="ivm_view_"))
+    vm.agg_view_create(catalog, "events_by_type", ["event_type"], ["value"],
+                       ev.filter(F.lit(False)))
+    for i in range(3):
+        vm.agg_view_apply_delta(
+            catalog, "events_by_type", ev.filter(F.col("event_id") % 3 == i), i)
+    # at-least-once redelivery: reapplying batch 2 must change nothing
+    vm.agg_view_apply_delta(
+        catalog, "events_by_type", ev.filter(F.col("event_id") % 3 == 2), 2)
+    return vm.agg_view_read(catalog, "events_by_type")
+
+_register(
+    "ivm_agg_view",
+    _ivm_agg_view,
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+               AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+
 # -- index families (SURVEY.md §1.2) ----------------------------------------
 
 _register(
@@ -2894,7 +2930,20 @@ _compose("idx_range_typed", [
      "'long' AS tag, CAST(field_value AS DOUBLE) AS field_value, element_id"),
 ])
 
-_publish("m_bulk_upsert")
+# bulk mutation + incremental-view-maintenance surfaces, fused (fused
+# NULL-able columns are STRING/DOUBLE per the fusion type rule)
+_compose("m_bulk_upsert", [
+    ("m_bulk_upsert",
+     ["'bulk' AS tag", "CAST(c_custkey AS DOUBLE) AS k", "c_name AS s1",
+      "c_mktsegment AS s2", "CAST(NULL AS DOUBLE) AS v"],
+     "'bulk' AS tag, CAST(c_custkey AS DOUBLE) AS k, c_name AS s1, "
+     "c_mktsegment AS s2, CAST(NULL AS DOUBLE) AS v"),
+    ("ivm_agg_view",
+     ["'ivm_by_type' AS tag", "CAST(n_rows AS DOUBLE) AS k", "event_type AS s1",
+      "CAST(NULL AS STRING) AS s2", "sum_value AS v"],
+     "'ivm_by_type' AS tag, CAST(n_rows AS DOUBLE) AS k, event_type AS s1, "
+     "CAST(NULL AS VARCHAR) AS s2, sum_value AS v"),
+])
 _publish("sim_cosine_topk_vectorized")
 
 # -- 6-12: TPC-H extensions (previously past the driver cap) ----------------

@@ -52,10 +52,15 @@ class TableCatalog:
         shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
 
     # -- versioned storage --------------------------------------------------
-    def _write_version(self, name: str, df: DataFrame, version: int, key: str) -> None:
+    def _write_version(self, name: str, df: DataFrame, version: int, key: str,
+                       view: dict | None = None) -> None:
         data_dir = os.path.join(self.root, name, f"v{version}")
         df.write.mode("overwrite").parquet(data_dir)
         meta = {"version": version, "key": key, "data": f"v{version}"}
+        if view is None and os.path.exists(self._meta_path(name)):
+            view = self._meta(name).get("view")  # carry view state through
+        if view is not None:
+            meta["view"] = view
         tmp = self._meta_path(name) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -74,6 +79,36 @@ class TableCatalog:
         meta = self._meta(name)
         df = self.spark.read.parquet(os.path.join(self.root, name, meta["data"]))
         return TableState(df, key=meta["key"])
+
+    def table_key(self, name: str) -> list[str]:
+        """The registered key, always as a list (composite-friendly)."""
+        key = self._meta(name)["key"]
+        return list(key) if isinstance(key, list) else [key]
+
+    # -- maintained-view support (streaming/view_maintenance.py) ------------
+    def view_meta(self, name: str) -> dict:
+        """View-maintenance state (e.g. last applied batch id, measure
+        spec).  Lives inside meta.json so it swaps atomically WITH the data
+        pointer — a crashed refresh can never publish data without its
+        batch-id watermark or vice versa."""
+        return self._meta(name).get("view", {})
+
+    def set_view_meta(self, name: str, view: dict) -> None:
+        meta = self._meta(name)
+        meta["view"] = view
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(name))
+
+    def replace_data(self, name: str, df: DataFrame,
+                     view_meta: dict | None = None) -> None:
+        """Swap in a new full version of the table's data (one atomic
+        pointer move), optionally updating view meta in the same swap."""
+        meta = self._meta(name)
+        self._write_version(name, df, meta["version"] + 1, meta["key"],
+                            view=view_meta if view_meta is not None
+                            else meta.get("view"))
 
     # -- mutations (M6/M9 at store level) -----------------------------------
     def commit(self, batch: MutationBatch, now=None) -> None:

@@ -190,6 +190,37 @@ def test_pagerank_static_side_exchange_free_on_bucketed_edges(spark, tmp_path):
         layout.drop()
 
 
+def test_agg_view_bucketed_merge_shuffles_only_delta(spark, tmp_path):
+    """Incremental aggregate-view refresh at scale: with the view persisted
+    BUCKETED on its group keys, the full-outer merge join leaves the view
+    side in place — the plan's single exchange feeds from the micro-batch
+    delta, so refresh cost is O(|batch| + |view scan|), not a view
+    re-shuffle."""
+    from hugegraph_on_tikv_spark.sources import bucketing
+    from hugegraph_on_tikv_spark.sources.catalog import load_events
+    from hugegraph_on_tikv_spark.streaming import view_maintenance as vm
+
+    events = load_events(spark, SF_DIR).select("event_id", "event_type", "value")
+    state = vm.agg_partial(events, ["event_type"], ["value"])
+    bucketing.write_bucketed(state, "b_view", str(tmp_path / "bv"), 8,
+                             "event_type")
+    try:
+        view = bucketing.read_table(spark, "b_view")
+        delta = vm.agg_partial(
+            spark.createDataFrame([(1, "click", 2.5)],
+                                  "event_id long, event_type string, value double"),
+            ["event_type"], ["value"])
+        phys = physical(view.hint("merge").join(
+            delta.withColumnRenamed("_n", "_dn"), "event_type", "full_outer"))
+        assert phys.count("Exchange") == 1, phys
+        # the exchange is on the delta branch (LocalTableScan), never the
+        # bucketed view scan
+        assert "Scan parquet" not in phys.split("Exchange", 1)[1].split(
+            "LocalTableScan")[0], phys
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_view")
+
+
 def test_ivf_assignment_is_aggregate_not_window(spark):
     """The nearest-centroid argmax must stay a max_by AGGREGATE (map-side
     partial agg), never a row_number window — a window sorts a shuffle of
