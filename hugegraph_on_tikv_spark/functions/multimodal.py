@@ -48,9 +48,49 @@ FEATURE_SCHEMA = StructType([
 ])
 
 
+def ingest_binary_files(spark, path: str, kind: str,
+                        glob: str | None = None) -> DataFrame:
+    """The real-file half of the multimodal pipeline: read encoded media
+    from disk through Spark's `binaryFile` source into MEDIA_SCHEMA.  This
+    needs NO codecs — payloads stay opaque bytes until the decode seam —
+    so it runs end-to-end today; only `_decode_stub` is fake.
+
+    * `media_id`: first 15 hex digits of md5(file path) as int64 —
+      deterministic across runs and engines (md5-only hash rule);
+    * dimensions/duration: parsed from the `<name>_<W>x<H>.<ext>` /
+      `<name>_<N>ms.<ext>` filename conventions, NULL when absent (a real
+      corpus carries them in a sidecar table joined on media_id instead);
+    * one directory per modality (`kind` is per-call), the standard corpus
+      layout; `glob` filters filenames (binaryFile pathGlobFilter).
+
+    At 100 TB the binaryFile source splits per-file (a file is the atomic
+    unit), so many small media files parallelize naturally; repartition by
+    media_id after ingest if payload sizes skew."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)  # path, modificationTime, length, content
+    w = F.regexp_extract(F.col("path"), r"_(\d+)x(\d+)\.[^.]+$", 1)
+    h = F.regexp_extract(F.col("path"), r"_(\d+)x(\d+)\.[^.]+$", 2)
+    dur = F.regexp_extract(F.col("path"), r"_(\d+)ms\.[^.]+$", 1)
+    ext = F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1)
+    opt = lambda s, t: F.when(s != "", s.cast(t))  # "" (no match) -> NULL
+    return raw.select(
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.concat(F.lit(kind + "/"), F.lower(ext)).alias("mime"),
+        F.col("content").alias("payload"),
+        opt(w, "int").alias("width"),
+        opt(h, "int").alias("height"),
+        opt(dur, "long").alias("duration_ms"),
+    )
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes) for tests —
-    stands in for `spark.read.format('binaryFile')` on a real corpus."""
+    the in-memory stand-in for `ingest_binary_files` (the real binaryFile
+    path, exercised on actual disk files in tests/test_streaming.py)."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(str(i).encode()).digest() * 8  # 256 bytes

@@ -56,6 +56,68 @@ def test_multimodal_features(spark):
     assert frames.count() > 0
 
 
+def test_binary_file_ingest_end_to_end(spark, tmp_path):
+    """Real files on disk → binaryFile source → MEDIA_SCHEMA → feature
+    extraction and resize, codec-free: the whole ingest half of the
+    multimodal pipeline with only `_decode_stub` fake."""
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        FEATURE_DIM,
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample_plan,
+        ingest_binary_files,
+        resize_images,
+    )
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    payloads = {}
+    for i in range(3):
+        body = bytes((i * 37 + j) % 251 for j in range(200))
+        (img_dir / f"img{i}_10x10.gray").write_bytes(body)
+        payloads[f"img{i}"] = body
+    media = ingest_binary_files(spark, str(img_dir), "image", glob="*.gray")
+    # schema contract: exactly MEDIA_SCHEMA's names and types
+    assert [(f.name, f.dataType) for f in media.schema.fields] == \
+        [(f.name, f.dataType) for f in MEDIA_SCHEMA.fields]
+    rows = media.collect()
+    assert len(rows) == 3
+    assert all(r["width"] == 10 and r["height"] == 10 for r in rows)
+    assert all(r["mime"] == "image/gray" for r in rows)
+    assert len({r["media_id"] for r in rows}) == 3  # md5-derived, distinct
+    assert sorted(bytes(r["payload"]) for r in rows) == \
+        sorted(payloads.values())  # payload bytes survive ingest untouched
+
+    # features over the ingested payloads match a local numpy recompute
+    feats = {bytes(r2["payload"]): None for r2 in rows}
+    got = extract_features(media).collect()
+    for r in got:
+        assert r["n_bytes"] == 200
+        assert len(r["feature"]) == FEATURE_DIM
+    by_id = {r["media_id"]: r["feature"] for r in got}
+    for r in rows:
+        arr = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+        want = (hist / hist.sum()).astype(np.float32)
+        assert np.allclose(by_id[r["media_id"]], want, atol=1e-6)
+
+    # resize consumes the filename-parsed dims
+    resized = resize_images(media, 4, 4).collect()
+    assert len(resized) == 3 and all(len(bytes(r["payload"])) == 16 for r in resized)
+
+    # audio/video: duration parses from the _NNNms convention and feeds the
+    # frame-sample plan
+    vid_dir = tmp_path / "videos"
+    vid_dir.mkdir()
+    (vid_dir / "clip_2500ms.fakemp4").write_bytes(b"\x00" * 64)
+    vids = ingest_binary_files(spark, str(vid_dir), "video")
+    v = vids.collect()[0]
+    assert v["duration_ms"] == 2500 and v["width"] is None
+    assert frame_sample_plan(vids, every_ms=1000).count() == 3  # 0,1000,2000
+
+
 def test_stream_upsert_into_catalog(spark, tmp_path):
     from hugegraph_on_tikv_spark.sources.catalog import load_events
     from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
