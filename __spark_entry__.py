@@ -2069,6 +2069,48 @@ _register(
     """,
 )
 
+# -- DSL long-tail: union(), simplePath(), group().by(k).by(agg) ------------
+
+_register(
+    "dsl_union_count",
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer")
+    .union_(lambda t: t.out("placed"), lambda t: t.out("located_in")).count(),
+    # each customer union-emits its orders plus its single nation hop
+    """
+    SELECT CAST((SELECT count(*) FROM orders)
+              + (SELECT count(*) FROM customer) AS BIGINT) AS n
+    """,
+)
+
+_register(
+    "dsl_simple_path_count",
+    # customer → its nation → everything located there; simplePath removes
+    # exactly the backtracking traverser (the origin customer itself)
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer").with_path()
+    .out("located_in").in_("located_in").simple_path().count(),
+    """
+    WITH loc AS (SELECT c_nationkey AS nk FROM customer
+                 UNION ALL SELECT s_nationkey FROM supplier),
+         pern AS (SELECT nk, count(*) AS m FROM loc GROUP BY nk)
+    SELECT CAST(SUM(m - 1) AS BIGINT) AS n
+    FROM customer JOIN pern ON c_nationkey = pern.nk
+    """,
+)
+
+_register(
+    "dsl_group_by_agg",
+    # group().by('brand').by(values('size').sum()) — integer sum, exact and
+    # summation-order-independent in both engines
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("part").group_by("brand", "sum", "size"),
+    """
+    SELECT p_brand AS brand, CAST(SUM(p_size) AS BIGINT) AS value
+    FROM part GROUP BY p_brand
+    """,
+)
+
 # -- window function over joined relations (rank within group) --------------
 
 def _q_rank_in_nation(spark: SparkSession, sf: str) -> DataFrame:
@@ -3053,6 +3095,9 @@ _compose("dsl_counts", [
     ("dsl_path_count", ["'path_2hop' AS tag", "n"], "'path_2hop' AS tag, n"),
     ("dsl_where_neq", ["'where_neq' AS tag", "n"], "'where_neq' AS tag, n"),
     ("dsl_not_count", ["'not_placed' AS tag", "n"], "'not_placed' AS tag, n"),
+    ("dsl_union_count", ["'union' AS tag", "n"], "'union' AS tag, n"),
+    ("dsl_simple_path_count",
+     ["'simple_path' AS tag", "n"], "'simple_path' AS tag, n"),
 ])
 
 _compose("dsl_rows", [
@@ -3073,6 +3118,13 @@ _compose("dsl_rows", [
       "CAST(NULL AS DOUBLE) AS n"],
      "'order_values' AS tag, name AS k, CAST(id AS DOUBLE) AS id, "
      "CAST(NULL AS VARCHAR) AS brand, retailprice AS size, CAST(NULL AS DOUBLE) AS n"),
+    ("dsl_group_by_agg",
+     ["'group_by_sum' AS tag", "brand AS k", "CAST(NULL AS DOUBLE) AS id",
+      "CAST(NULL AS STRING) AS brand", "CAST(NULL AS DOUBLE) AS size",
+      "CAST(value AS DOUBLE) AS n"],
+     "'group_by_sum' AS tag, brand AS k, CAST(NULL AS DOUBLE) AS id, "
+     "CAST(NULL AS VARCHAR) AS brand, CAST(NULL AS DOUBLE) AS size, "
+     "CAST(value AS DOUBLE) AS n"),
 ])
 
 # -- 15-19: graph analytics -------------------------------------------------

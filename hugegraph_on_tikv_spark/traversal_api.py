@@ -275,6 +275,67 @@ class Traversal:
         )
         return joined.groupBy(prop).agg(F.count(F.lit(1)).alias("n"))
 
+    _GROUP_AGGS = {
+        "count": lambda c: F.count(F.lit(1)),
+        "sum": F.sum,
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+    }
+
+    def group_by(self, key_prop: str, agg: str = "count",
+                 value_prop: str | None = None) -> DataFrame:
+        """Gremlin group().by(key).by(valueAgg): traversers grouped by one
+        property, aggregating another — e.g.
+        `group().by('mktsegment').by(values('acctbal').sum())` is
+        `group_by('mktsegment', 'sum', 'acctbal')`.  One property join + one
+        hash aggregate (map-side partial), multiplicity-aware like Gremlin's
+        (a traverser arriving twice counts twice).  Returns (key, value)."""
+        if agg not in self._GROUP_AGGS:
+            raise ValueError(f"agg must be one of {sorted(self._GROUP_AGGS)}")
+        if agg != "count" and value_prop is None:
+            raise ValueError(f"agg {agg!r} needs value_prop")
+        cols = [key_prop] + ([value_prop] if value_prop else [])
+        joined = (
+            self._df.join(self._g.vertices.select("id", *dict.fromkeys(cols)), "id")
+            if self._pos == "V" else self._df
+        )
+        measure = self._GROUP_AGGS[agg](F.col(value_prop)) if value_prop \
+            else self._GROUP_AGGS[agg](None)
+        return joined.groupBy(key_prop).agg(measure.alias("value"))
+
+    def simple_path(self) -> "Traversal":
+        """Gremlin simplePath(): keep traversers whose path history has no
+        repeated vertex (requires with_path()).  A pure column predicate —
+        size(path) == size(array_distinct(path)) — so it stays inside
+        whole-stage codegen and filters each hop's output before the next
+        join."""
+        if "_path" not in self._df.columns:
+            raise ValueError("simple_path() requires with_path() at the start")
+        keep = F.size(F.col("_path")) == F.size(F.array_distinct(F.col("_path")))
+        return Traversal(self._g, self._df.filter(keep), self._pos)
+
+    def union_(self, *steps) -> "Traversal":
+        """Gremlin union(t1, t2, ...): run each sub-traversal from the
+        current traversers and emit every result (multiplicity adds, like
+        Gremlin).  All branches must land on the same position; each branch
+        stays one Catalyst plan and the union is a zero-shuffle bag merge."""
+        if not steps:
+            raise ValueError("union_() needs at least one sub-traversal")
+        outs = [step(self) for step in steps]
+        positions = {t._pos for t in outs}
+        if len(positions) != 1:
+            raise ValueError("union_() branches must end at the same position")
+        cols = outs[0]._df.columns
+        if any(sorted(t._df.columns) != sorted(cols) for t in outs):
+            raise ValueError(
+                "union_() branches must carry the same columns "
+                "(apply as_()/with_path() before the union, not inside one branch)")
+        df = outs[0]._df
+        for t in outs[1:]:
+            df = df.unionByName(t._df)
+        return Traversal(self._g, df, positions.pop())
+
 
 class Graph:
     """Entry point: `g = Graph(spark, sf_dir); g.V()...` — the engine-side

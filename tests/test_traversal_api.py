@@ -247,3 +247,74 @@ def test_dsl_routes_through_dual_bucketed_layout(g, spark, tmp_path):
         assert "t_dsl_edges_by_src" in out_plan, out_plan
     finally:
         layout.drop()
+
+
+def test_group_by_count_and_sum(g, spark):
+    """group().by(key).by(agg): histogram and per-key sum against direct SQL
+    over the base table."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    cust = load_table(spark, SF_DIR, "customer")
+    got = {r["mktsegment"]: r["value"]
+           for r in g.V().has_label("customer").group_by("mktsegment").collect()}
+    want = {r["c_mktsegment"]: r["n"]
+            for r in cust.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+    got_sum = {r["mktsegment"]: round(r["value"], 2)
+               for r in g.V().has_label("customer")
+               .group_by("mktsegment", "sum", "acctbal").collect()}
+    want_sum = {r["c_mktsegment"]: round(r["s"], 2)
+                for r in cust.groupBy("c_mktsegment").agg(
+                    F.sum("c_acctbal").alias("s")).collect()}
+    assert got_sum == want_sum
+
+    # multiplicity-aware: two hops landing on one nation count twice
+    mult = {r["name"]: r["value"]
+            for r in g.V().has_label("customer").out("located_in")
+            .group_by("name").collect()}
+    assert sum(mult.values()) == cust.count()  # one traverser per customer
+
+    with pytest.raises(ValueError):
+        g.V().group_by("mktsegment", "sum")  # sum needs value_prop
+    with pytest.raises(ValueError):
+        g.V().group_by("mktsegment", "median", "acctbal")
+
+
+def test_simple_path_filters_backtracking(g):
+    """customer → nation → (customers in nation): without simple_path the
+    2-hop both() walk returns to the start; with it, the start is excluded."""
+    start = vid("customer", 1)
+    t = (g.V(start).with_path()
+         .out("located_in").in_("located_in"))
+    with_back = [r["id"] for r in t.to_df().collect()]
+    assert start in with_back  # the backtracking traverser exists...
+    simple = [r["id"] for r in
+              g.V(start).with_path().out("located_in").in_("located_in")
+              .simple_path().to_df().collect()]
+    assert start not in simple  # ...and simple_path removes exactly it
+    assert sorted(simple) == sorted(x for x in with_back if x != start)
+    with pytest.raises(ValueError):
+        g.V(start).simple_path()  # requires with_path()
+
+
+def test_union_merges_branches(g, spark):
+    """union(out('placed'), out('located_in')): both branches' traversers,
+    multiplicity additive."""
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    start = vid("customer", 1)
+    n_orders = load_table(spark, SF_DIR, "orders").filter("o_custkey = 1").count()
+    got = (g.V(start)
+           .union_(lambda t: t.out("placed"), lambda t: t.out("located_in"))
+           .count().collect()[0]["n"])
+    assert got == n_orders + 1  # orders + the one nation hop
+
+    # branches must land on the same position
+    with pytest.raises(ValueError):
+        g.V(start).union_(lambda t: t.out("placed"), lambda t: t.out_e("placed"))
+    with pytest.raises(ValueError):
+        g.V(start).union_()
