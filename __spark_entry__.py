@@ -2227,6 +2227,42 @@ _register(
     """,
 )
 
+# -- deterministic corpus sampling (functions/sampling.py): hash-driven
+#    train/val/test split and per-source cap — the dataset-assembly step
+#    after dedup/quality.  Pure md5 arithmetic, exact DuckDB twins. ---------
+
+def _sample_split(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    return sampling.split_assign(
+        load_table(spark, sf, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1}).select("doc_id", "split")
+
+def _sample_cap(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    return sampling.cap_per_group(
+        load_table(spark, sf, "documents"), "source", 50).select("doc_id")
+
+def _sampling_oracles():
+    from hugegraph_on_tikv_spark.functions import sampling
+    split = f"""
+    SELECT doc_id,
+           {sampling.split_sql({"train": 0.8, "val": 0.1, "test": 0.1})} AS split
+    FROM documents
+    """
+    h = ("CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 12))"
+         f" AS UBIGINT) AS BIGINT) % {sampling.BUCKETS}")
+    cap = f"""
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+      FROM documents) WHERE rn <= 50
+    """
+    return split, cap
+
+_SAMPLE_SPLIT_SQL, _SAMPLE_CAP_SQL = _sampling_oracles()
+_register("sample_split", _sample_split, _SAMPLE_SPLIT_SQL)
+_register("sample_cap", _sample_cap, _SAMPLE_CAP_SQL)
+
 _register(
     "text_quality_filter",
     lambda spark, sf: text.quality_metrics(load_table(spark, sf, "documents"))
@@ -3244,6 +3280,16 @@ _compose("dedup_exact_canonical", [
       "CAST(cluster_id AS DOUBLE) AS n_docs", "doc_id AS id"],
      "'near_clusters' AS tag, CAST(NULL AS VARCHAR) AS fp, "
      "CAST(cluster_id AS DOUBLE) AS n_docs, doc_id AS id"),
+    ("sample_split",
+     ["'sample_split' AS tag", "split AS fp", "CAST(NULL AS DOUBLE) AS n_docs",
+      "doc_id AS id"],
+     "'sample_split' AS tag, split AS fp, CAST(NULL AS DOUBLE) AS n_docs, "
+     "doc_id AS id"),
+    ("sample_cap",
+     ["'cap_kept' AS tag", "CAST(NULL AS STRING) AS fp",
+      "CAST(NULL AS DOUBLE) AS n_docs", "doc_id AS id"],
+     "'cap_kept' AS tag, CAST(NULL AS VARCHAR) AS fp, "
+     "CAST(NULL AS DOUBLE) AS n_docs, doc_id AS id"),
 ])
 
 _compose("dedup_pairs", [

@@ -1,0 +1,100 @@
+"""Deterministic corpus sampling — the dataset-assembly ops a training-data
+pipeline runs after dedup/quality filtering.
+
+Everything here is HASH-driven, never `rand()`: a row's fate is a pure
+function of its id (+ an explicit salt), so splits are reproducible across
+runs, engines, cluster sizes, and partitionings — the property training
+pipelines actually need ("the val set is the same val set next month").
+Hashes are md5-derived (first 48 bits), matching the engine-wide portable
+hash contract (functions/hashing.py / oracles.H48_SQL), so every operator
+here has an exact DuckDB oracle.
+
+Scale shapes:
+* `split_assign` / `stratified_sample` are pure column expressions — no
+  shuffle, no state, whole-stage codegen; they scale like a filter.
+* `cap_per_group` is a per-group top-k: one shuffle on the group key, and
+  the rank filter is a WindowGroupLimit in the physical plan, so each
+  partition keeps only `cap` rows per group during the sort — the classic
+  "cap documents per domain" op without materializing full groups.  Skewed
+  hot groups are exactly the rows the cap discards, and the group-limit
+  push-down drops them before they can spill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000  # hash-bucket resolution: weights quantize to 0.01%
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, BUCKETS): first 48 md5 bits of
+    (id || salt), mod BUCKETS.  Mirrors oracles.H48_SQL exactly."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 12),
+        16, 10).cast("long")
+    return h % BUCKETS
+
+
+def split_assign(df: DataFrame, weights: dict[str, float],
+                 id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hash
+    bucket: cumulative weight thresholds over `_bucket`.  Weights must sum
+    to 1 (±rounding); each quantizes to 1/BUCKETS.  Adding rows later never
+    moves an existing row's split (id-pure); changing `salt` reshuffles
+    all assignments at once."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = _bucket(F.col(id_col), salt)
+    expr, cum = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def split_sql(weights: dict[str, float], id_col: str = "doc_id",
+              salt: str = "") -> str:
+    """The DuckDB twin of split_assign's `split` column (oracle builder)."""
+    h = (f"CAST(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || '{salt}'),"
+         f" 1, 12)) AS UBIGINT) AS BIGINT) % {BUCKETS}")
+    names = list(weights)
+    parts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        parts.append(f"WHEN {h} < {int(round(cum * BUCKETS))} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(df: DataFrame, fraction: float,
+                      id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli-by-hash sample: keep rows whose bucket falls
+    under `fraction`.  Unlike `df.sample()`, re-running (on any cluster, any
+    partitioning) keeps exactly the same rows, and a second sample with a
+    different salt is independent of the first."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(F.col(id_col), salt) < int(round(fraction * BUCKETS)))
+
+
+def cap_per_group(df: DataFrame, group_col: str, cap: int,
+                  id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep at most `cap` rows per group, chosen deterministically (by hash
+    of id, tie-broken by id) — the standard over-represented-domain
+    downsampler.  The hash order makes the kept set a uniform-ish draw from
+    each group rather than 'first cap by storage order', and it is stable
+    under recomputation."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap).drop("_rn"))

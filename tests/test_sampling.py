@@ -1,0 +1,102 @@
+"""Deterministic corpus sampling: hash-driven splits, Bernoulli-by-hash
+sampling, per-group caps — reproducibility is the contract under test."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.functions import sampling
+from hugegraph_on_tikv_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_split_assign_partitions_and_reproduces(spark):
+    docs = _docs(spark)
+    out = sampling.split_assign(docs, WEIGHTS)
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n  # every row in exactly one split
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # byte-for-byte reproducible
+    again = {r["doc_id"]: r["split"]
+             for r in sampling.split_assign(docs, WEIGHTS).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+    # id-pure: assigning a SUBSET yields the same split per row (append
+    # stability — new data never moves old rows between splits)
+    sub = {r["doc_id"]: r["split"]
+           for r in sampling.split_assign(
+               docs.filter(F.col("doc_id") % 7 == 0), WEIGHTS).collect()}
+    assert all(first[k] == v for k, v in sub.items())
+    with pytest.raises(ValueError):
+        sampling.split_assign(docs, {"a": 0.5, "b": 0.2})
+
+
+def test_split_sql_is_exact_twin(spark):
+    """The oracle builder reproduces split_assign bit-for-bit in DuckDB."""
+    import duckdb
+
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["split"]
+           for r in sampling.split_assign(docs, WEIGHTS).collect()}
+    con = duckdb.connect()
+    want = dict(con.execute(
+        f"SELECT doc_id, {sampling.split_sql(WEIGHTS)} AS split "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet')").fetchall())
+    assert got == want
+
+
+def test_stratified_sample_deterministic_and_salted(spark):
+    docs = _docs(spark)
+    s1 = {r["doc_id"] for r in sampling.stratified_sample(docs, 0.2).collect()}
+    s2 = {r["doc_id"] for r in sampling.stratified_sample(docs, 0.2).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # a fraction superset keeps every row of the smaller fraction (nested
+    # samples — the property that lets you grow a sample without resampling)
+    s3 = {r["doc_id"] for r in sampling.stratified_sample(docs, 0.5).collect()}
+    assert s1 <= s3
+    # different salt = a different (independent) draw
+    s4 = {r["doc_id"] for r in
+          sampling.stratified_sample(docs, 0.2, salt="v2").collect()}
+    assert s4 != s1
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(docs, 1.5)
+
+
+def test_cap_per_group_caps_and_reproduces(spark):
+    docs = _docs(spark)
+    capped = sampling.cap_per_group(docs, "source", 10)
+    per = capped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    assert per.filter(F.col("n") > 10).count() == 0
+    # groups under the cap are untouched
+    orig = {r["source"]: r["n"] for r in
+            docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["source"]: r["n"] for r in per.collect()}
+    for src, n in orig.items():
+        assert got[src] == min(n, 10)
+    # deterministic kept set, schema unchanged
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in sampling.cap_per_group(docs, "source", 10).collect()}
+    assert a == b
+    assert capped.columns == docs.columns
+
+
+def test_sampling_plan_shapes(spark):
+    """stratified_sample compiles to a filtered scan (zero exchanges);
+    cap_per_group's rank filter becomes a WindowGroupLimit so hot groups
+    are cut to `cap` rows before the full sort materializes."""
+    docs = _docs(spark)
+    phys = sampling.stratified_sample(docs, 0.1) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in phys, phys
+    phys_cap = sampling.cap_per_group(docs, "source", 10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in phys_cap, phys_cap
