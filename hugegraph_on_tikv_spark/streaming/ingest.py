@@ -41,3 +41,26 @@ def stream_upsert(stream_df: DataFrame, catalog: TableCatalog, table: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(stream_df: DataFrame, key_cols: list[str],
+                 event_time_col: str, watermark: str = "30 minutes"):
+    """Exactly-once-by-key over an at-least-once firehose:
+    `dropDuplicatesWithinWatermark` keeps the FIRST arrival per key and
+    drops re-deliveries arriving within the watermark window.
+
+    This is the ingest-side dedup of a training-data pipeline (exact dedup
+    by content fingerprint or event id) in streaming form.  State is
+    bounded: a key's entry is evicted once the watermark passes its event
+    time — O(watermark window of keys), not O(stream) — which is why this
+    uses dropDuplicatesWithinWatermark and not plain dropDuplicates (whose
+    state in a stream grows forever).  The contract is therefore scoped:
+    duplicates farther apart in EVENT TIME than the watermark can both
+    survive; size the watermark to the redelivery horizon (retry windows,
+    not corpus history — corpus-wide dedup is the batch dedup_* family).
+
+    Returns the deduplicated streaming DataFrame (attach your own sink);
+    the event-time column must be instant-typed (see ntz_as_utc_instant
+    for NTZ sources)."""
+    return (stream_df.withWatermark(event_time_col, watermark)
+            .dropDuplicatesWithinWatermark(key_cols))

@@ -148,6 +148,43 @@ def test_stream_upsert_into_catalog(spark, tmp_path):
     assert catalog.table("events_live").df.count() == n_expected
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """stream_dedup over an at-least-once source (every event delivered
+    twice, in two separate files) keeps exactly one row per event_id —
+    equal to batch dropDuplicates — with watermark-bounded state."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.sources.catalog import load_events
+    from hugegraph_on_tikv_spark.streaming.ingest import stream_dedup
+    from hugegraph_on_tikv_spark.streaming.stream_joins import ntz_as_utc_instant
+
+    events = load_events(spark, "/root/testdata/sf0.001") \
+        .select("event_id", "ts", "user_id", "event_type")
+    src = str(tmp_path / "dup_src")
+    events.write.mode("append").parquet(src)       # first delivery
+    events.write.mode("append").parquet(src)       # full redelivery
+    schema = spark.read.parquet(src).schema
+
+    out_dir = str(tmp_path / "out")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(src)
+              .withColumn("wts", ntz_as_utc_instant(F.col("ts"))))
+    q = (stream_dedup(stream, ["event_id"], "wts", "30 minutes")
+         .drop("wts")
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == events.count()           # every duplicate dropped
+    assert got.select("event_id").distinct().count() == events.count()
+    # same multiset as the batch twin
+    want = sorted(r["event_id"] for r in events.collect())
+    assert sorted(r["event_id"] for r in got.collect()) == want
+
+
 def test_session_window_stream_twin(spark, tmp_path):
     """Streaming session windows (stateful agg) equal the batch form."""
     from pyspark.sql import functions as F
