@@ -1231,6 +1231,45 @@ _register(
     """,
 )
 
+# -- as-of join (operators/joins.py): last view at-or-before each click per
+#    user — the time-series lookup Spark lacks natively, built as
+#    union+window carry-forward (one shuffle).  The view side pre-aggregates
+#    to one row per (user_id, ts) so 'the' as-of row is well-defined; the
+#    oracle is DuckDB's native ASOF JOIN. ------------------------------------
+
+def _asof_last_view(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_events(spark, sf)
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts").agg(F.max("event_id").alias("view_id")))
+    out = joins.asof_join(clicks, views, "user_id", "ts", ["view_id"])
+    return out.select(
+        F.col("event_id").alias("click_id"), "user_id",
+        _ts(F.col("ts")).alias("click_ts"),
+        _ts(F.col("ts_right")).alias("view_ts"),
+        F.col("view_id_right").alias("view_id"),
+    )
+
+_register(
+    "asof_last_view",
+    _asof_last_view,
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts, max(event_id) AS view_id
+          FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT c.event_id AS click_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           v.view_id
+    FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+
 # -- windows (batch twins of the streaming operators) -----------------------
 
 _register(
@@ -3340,6 +3379,13 @@ _compose("win_windows", [
      "'attrib' AS tag, CAST(NULL AS VARCHAR) AS t1, CAST(NULL AS VARCHAR) AS t2, "
      "CAST(click_id AS VARCHAR) AS s, CAST(user_id AS DOUBLE) AS user_id, "
      "view_id AS n_events, CAST(lag_us AS DOUBLE) AS sum_value"),
+    ("asof_last_view",
+     ["'asof' AS tag", "click_ts AS t1", "view_ts AS t2",
+      "CAST(click_id AS STRING) AS s", "CAST(user_id AS DOUBLE) AS user_id",
+      "view_id AS n_events", "CAST(NULL AS DOUBLE) AS sum_value"],
+     "'asof' AS tag, click_ts AS t1, view_ts AS t2, "
+     "CAST(click_id AS VARCHAR) AS s, CAST(user_id AS DOUBLE) AS user_id, "
+     "view_id AS n_events, CAST(NULL AS DOUBLE) AS sum_value"),
 ])
 
 # -- 29-50: core scan/filter/agg/index/mutation surfaces --------------------

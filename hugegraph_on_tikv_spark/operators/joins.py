@@ -54,6 +54,65 @@ def broadcast_semi_filter(large: DataFrame, keys: DataFrame, on: str) -> DataFra
     return large.join(F.broadcast(keys.select(on).distinct()), on, "leftsemi")
 
 
+def asof_join(left: DataFrame, right: DataFrame, by: str, time_col: str,
+              right_value_cols: Sequence[str], tolerance_expr: str | None = None,
+              suffix: str = "_right") -> DataFrame:
+    """As-of join: for every left row, the LATEST right row of the same
+    `by` key with right.time <= left.time — the time-series lookup Spark
+    has no native operator for (last trade before each quote, feature
+    snapshot as of each training example).
+
+    Spark-native construction, no per-row Python: tag both sides, union on
+    (by, time), and carry right values forward with
+    `last(value, ignorenulls=True)` over (partition by `by` order by time,
+    side) — one shuffle on the key, one within-partition sort, the same
+    cost as a groupBy over the union.  That's the scalable distributed
+    as-of shape: state per partition is a single running value, skew rides
+    on the `by` key (salt upstream if one key dominates).  At equal
+    timestamps the right row sorts FIRST, so a same-instant right row is
+    visible to the left row (inclusive as-of), matching DuckDB's
+    `ASOF JOIN ... ON l.t >= r.t` oracle semantics.
+
+    Inner semantics: left rows with no prior right row are dropped (the
+    DuckDB ASOF default).  `tolerance_expr` (e.g. "INTERVAL 10 MINUTES")
+    additionally requires right.time >= left.time - tolerance.  Right rows
+    must be unique per (by, time) — pre-aggregate otherwise (the
+    deterministic contract; a multiset would make 'the' as-of row
+    ambiguous in any engine)."""
+    rt = f"{time_col}{suffix}"
+    l_tag = left.select(
+        F.col(by).alias(by), F.col(time_col).alias(time_col), F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in (by, time_col)],
+        F.lit(None).cast(right.schema[time_col].dataType).alias(rt),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in right_value_cols],
+    )
+    r_tag = right.select(
+        F.col(by).alias(by), F.col(time_col).alias(time_col), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (by, time_col)],
+        F.col(time_col).alias(rt),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+    )
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(by).orderBy(F.col(time_col).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = [F.last(F.col(rt), ignorenulls=True).over(w).alias(rt)] + [
+        F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in right_value_cols
+    ]
+    out = (l_tag.unionByName(r_tag)
+           .select(by, time_col, "__side",
+                   *[c for c in left.columns if c not in (by, time_col)], *carried)
+           .filter(F.col("__side") == 1)
+           .filter(F.col(rt).isNotNull())
+           .drop("__side"))
+    if tolerance_expr:
+        out = out.filter(F.col(rt) >= F.col(time_col) - F.expr(tolerance_expr))
+    return out
+
+
 def range_bucket_join(facts: DataFrame, bounds: Sequence[float], value_col: str,
                       bucket_name: str = "bucket") -> DataFrame:
     """Assign each row to the bucket whose [bounds[i], bounds[i+1]) range

@@ -63,3 +63,55 @@ def test_salted_join_skips_map_columns(spark):
     plain = large.join(small, "k")
     assert sorted((r["k"], r["v"], r["w"]) for r in got.collect()) == \
         sorted((r["k"], r["v"], r["w"]) for r in plain.collect())
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: latest right row at-or-before each left time, per key —
+    inclusive at equal instants, inner on unmatched, tolerance-bounded."""
+    from hugegraph_on_tikv_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 9, "b"), (1, 4, "pre"), (2, 3, "c"), (2, 9, "d")],
+        "k long, t long, v string")
+    right = spark.createDataFrame(
+        [(1, 4, 10.0), (1, 6, 20.0), (2, 9, 30.0)],
+        "k long, t long, p double")
+    got = {(r["k"], r["t"]): (r["t_right"], r["p_right"])
+           for r in asof_join(left, right, "k", "t", ["p"]).collect()}
+    assert got == {
+        (1, 4): (4, 10.0),   # equal instant: right row visible (inclusive)
+        (1, 5): (4, 10.0),
+        (1, 9): (6, 20.0),   # latest of the two priors
+        (2, 9): (9, 30.0),
+    }  # (2, 3) dropped: no right row at-or-before (inner semantics)
+
+    # tolerance: (1, 9) only matches within 2 ticks -> 6 < 9-2 drops it
+    tol = {(r["k"], r["t"]) for r in
+           asof_join(left, right, "k", "t", ["p"], tolerance_expr="2").collect()}
+    assert tol == {(1, 4), (1, 5), (2, 9)}
+
+    # agrees with DuckDB's native ASOF JOIN on the same data
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, t BIGINT, v VARCHAR)")
+    con.execute("INSERT INTO l VALUES (1,5,'a'),(1,9,'b'),(1,4,'pre'),(2,3,'c'),(2,9,'d')")
+    con.execute("CREATE TABLE r(k BIGINT, t BIGINT, p DOUBLE)")
+    con.execute("INSERT INTO r VALUES (1,4,10.0),(1,6,20.0),(2,9,30.0)")
+    want = {(k, t): (rt, p) for k, t, rt, p in con.execute(
+        "SELECT l.k, l.t, r.t, r.p FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.t >= r.t").fetchall()}
+    assert got == want
+
+
+def test_asof_join_one_shuffle(spark):
+    """The as-of plan shuffles once on the key (union -> window), never
+    per-row Python."""
+    from hugegraph_on_tikv_spark.operators.joins import asof_join
+
+    left = spark.range(100).selectExpr("id % 5 AS k", "id AS t", "id AS v")
+    right = spark.range(50).selectExpr("id % 5 AS k", "id * 2 AS t", "id AS p")
+    phys = asof_join(left, right, "k", "t", ["p"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange") == 1, phys
+    assert "Python" not in phys, phys
