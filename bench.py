@@ -155,6 +155,26 @@ def main() -> None:
     except Exception as ex:  # never let the layout probe sink the bench
         layout_metrics["error"] = str(ex)[:200]
 
+    # round-4 operators, measured OUTSIDE the comparable series (new keys
+    # never change "value"/"shared_cache_total" semantics): the Arrow-vs-JVM
+    # simhash twins and the as-of join.
+    extras: dict[str, float | str] = {}
+    try:
+        from hugegraph_on_tikv_spark.functions.dedup import simhash_signatures
+        from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        extras["simhash_arrow"] = run_isolated(
+            lambda s, sf: simhash_signatures(docs))
+        extras["simhash_jvm"] = run_isolated(
+            lambda s, sf: simhash_signatures(docs, use_arrow=False))
+        if "asof_last_view" in qs:
+            extras["asof_last_view"] = run_isolated(qs["asof_last_view"])
+        for k, v in extras.items():
+            print(f"# extra {k}: {v}s", file=sys.stderr)
+    except Exception as ex:
+        extras["error"] = str(ex)[:200]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -169,6 +189,7 @@ def main() -> None:
         "shared_cache_total": round(sum(shared.values()), 3),
         "steady_state": steady,
         "dual_edge_layout": layout_metrics,
+        "extras": extras,
         "protocols": "queries_shared_cache runs FIRST, immediately after "
                      "warm-up — positionally identical to the round-1 series "
                      "(apples-to-apples with BENCH_r01). queries/value: "
