@@ -754,6 +754,47 @@ _register(
     _pagerank_sql(),
 )
 
+# -- personalized PageRank: reset mass lands only on a seed set, ranks
+#    measure proximity to the seeds (same iteration plan, teleport vector
+#    as one literal isin column) ------------------------------------------
+
+_PPR_SEEDS = (_vid("customer", 1), _vid("customer", 42))
+
+
+def _ppr_sql(iters: int = 6) -> str:
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    tele = f"CASE WHEN {{col}} IN ({seeds}) THEN 1.0 ELSE 0.0 END"
+    ctes = [
+        "de AS MATERIALIZED (SELECT src, dst FROM edges WHERE label IN ('placed', 'contains'))",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM de UNION ALL SELECT dst FROM de))",
+        "od AS MATERIALIZED (SELECT src AS id, count(*) AS outd FROM de GROUP BY src)",
+        f"p0 AS MATERIALIZED (SELECT id, CAST({tele.format(col='id')} AS DOUBLE) AS rank FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT v.id, "
+            f"0.15 * {tele.format(col='v.id')} + 0.85 * COALESCE(s.c, 0) AS rank "
+            f"FROM verts v LEFT JOIN (SELECT de.dst AS id, SUM(r.rank / od.outd) AS c "
+            f"FROM de JOIN p{t-1} r ON de.src = r.id JOIN od ON de.src = od.id "
+            f"GROUP BY de.dst) s ON v.id = s.id)"
+        )
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM p{iters} WHERE rank > 0"
+    )
+
+_register(
+    "g_ppr",
+    lambda spark, sf: analytics.pagerank(
+        GraphStore(spark, sf).edges().filter(F.col("label").isin(["placed", "contains"])),
+        iterations=6,
+        checkpoint_every=2,
+        state_partitions=8,
+        teleport_ids=_PPR_SEEDS,
+    ).filter(F.col("rank") > 0).select("id", F.round("rank", 6).alias("rank")),
+    _ppr_sql(),
+)
+
 
 def _cc_sql(rounds: int = 16) -> str:
     ctes = [
@@ -3559,7 +3600,11 @@ _compose("m2_m7_delete_truncate", [
 
 _publish("m3_append_eliminate")
 _publish("m4_ttl_expiry")
-_publish("g_pagerank")
+_compose("g_pagerank", [
+    ("g_pagerank", ["'global' AS tag", "id", "rank"], "'global' AS tag, id, rank"),
+    ("g_ppr", ["'personalized' AS tag", "id", "rank"],
+     "'personalized' AS tag, id, rank"),
+])
 _publish("sim_cosine_topk")
 
 assert len(_QUERIES) == 50, f"roster must be exactly 50, got {len(_QUERIES)}"

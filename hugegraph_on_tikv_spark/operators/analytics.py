@@ -72,10 +72,19 @@ def aggregate_messages(edges: DataFrame, vertices: DataFrame | None,
 def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
              checkpoint_every: int = 3, broadcast_ranks: bool | None = None,
              state_partitions: int | None = None,
-             broadcast_max_vertices: int = 2_000_000) -> DataFrame:
+             broadcast_max_vertices: int = 2_000_000,
+             teleport_ids=None) -> DataFrame:
     """Standard damped PageRank over the directed edge list; dangling mass is
     NOT redistributed (matches GraphX's default behavior).  Returns
     (id, rank).  Ranks start at 1.0 per vertex.
+
+    `teleport_ids` (a small seed sequence) switches to PERSONALIZED
+    PageRank: the reset mass lands only on the seed set (teleport vector =
+    1.0 on seeds, 0 elsewhere — the unnormalized convention matching the
+    global form's all-ones start), so ranks measure proximity to the seeds.
+    Same iteration plan, one extra literal isin column; the seed list is a
+    query parameter, not data (point-lookup scale, like the multi-id
+    lookups).
 
     Each iteration: contributions = rank/out_degree shipped along edges,
     grouped by dst (one shuffle per iteration on the same key → a cluster
@@ -128,7 +137,9 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         # (hundreds of millions of rows at typical executor memory).  Beyond
         # that, leave False: the join shuffles on src, which a bucketed-by-src
         # edge table makes co-located.
-        ranks = verts.withColumn("rank", F.lit(1.0))
+        tele = (F.when(F.col("id").isin([int(v) for v in teleport_ids]), F.lit(1.0))
+                .otherwise(F.lit(0.0)) if teleport_ids is not None else F.lit(1.0))
+        ranks = verts.withColumn("rank", tele)
         for i in range(iterations):
             rank_side = ranks.withColumnRenamed("id", "src")
             if broadcast_ranks:
@@ -149,7 +160,8 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
                 verts.join(contribs, "id", "left")
                 .select(
                     "id",
-                    (F.lit(reset) + F.lit(1.0 - reset) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                    (F.lit(reset) * tele
+                     + F.lit(1.0 - reset) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
                 )
             )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:

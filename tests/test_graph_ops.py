@@ -66,6 +66,26 @@ def test_pagerank_sink_gets_reset_only(spark):
     assert ranks[2] > ranks[1]
 
 
+def test_personalized_pagerank_semantics(spark):
+    """PPR: reset mass lands only on seeds — vertices unreachable FROM the
+    seed set have exactly zero rank, the seed outranks its downstream, and
+    teleport_ids=None reduces to the global form."""
+    # 1 → 2 → 3, and an isolated pair 10 → 11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    ppr = {r["id"]: r["rank"] for r in
+           analytics.pagerank(edges, iterations=6, teleport_ids=[1]).collect()}
+    assert ppr[10] == 0.0 and ppr[11] == 0.0   # no seed proximity, ever
+    assert abs(ppr[1] - 0.15) < 1e-12          # seed: reset only (no in-edges)
+    assert ppr[2] > ppr[3] > 0                 # decays with distance from seed
+    # None teleport = the global algorithm, unchanged
+    g1 = {r["id"]: r["rank"] for r in
+          analytics.pagerank(edges, iterations=4).collect()}
+    g2 = {r["id"]: r["rank"] for r in
+          analytics.pagerank(edges, iterations=4, teleport_ids=None).collect()}
+    assert g1 == g2
+
+
 def test_k_hop_shuffle_fallback_matches_broadcast(tiny):
     """A tiny broadcast threshold forces the shuffle-join path; results are
     identical to the broadcast path (the scale-safety guard is plan-only)."""
