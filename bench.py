@@ -130,10 +130,14 @@ def main() -> None:
                                                name="bench_dual_edges")
         layout_metrics["materialize_both_copies"] = round(time.perf_counter() - t0, 3)
         try:
-            def run_df(df) -> float:
+            def run_df(df_or_thunk) -> float:
+                # iterative operators (pagerank, k_hop) do EAGER work at
+                # DataFrame-construction time (localCheckpoint per round),
+                # so timing must wrap construction — pass a thunk for those
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
+                df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
                 df.write.format("noop").mode("overwrite").save()
                 return round(time.perf_counter() - t0, 3)
 
@@ -147,7 +151,29 @@ def main() -> None:
             )
             layout_metrics["two_hop_plain_smj"] = run_df(plain)
             layout_metrics["two_hop_bucketed"] = run_df(layout.two_hop("out", "out"))
-            for k in ("two_hop_plain_smj", "two_hop_bucketed"):
+
+            # real operators routed through the layout.  pagerank is
+            # compared in the broadcast_ranks=False regime on BOTH sides —
+            # that's the >2M-vertices cluster path where the by-src copy is
+            # supposed to make the per-iteration contribution join
+            # co-located (the broadcast default never shuffles the edge
+            # side, so the layout can't help it).
+            from hugegraph_on_tikv_spark.operators.analytics import pagerank
+            from hugegraph_on_tikv_spark.operators.traversal import OUT, k_hop
+
+            start = entrymod._vid("customer", 42)
+            layout_metrics["khop2_routed"] = run_df(lambda: k_hop(
+                layout.edges("src"), [start], k=2, direction=OUT,
+                edges_by_dst=layout.edges("dst")))
+            pr = dict(iterations=10, checkpoint_every=2, state_partitions=8,
+                      broadcast_ranks=False)
+            lbl = F.col("label").isin(["placed", "contains"])
+            layout_metrics["pagerank_shuffle_plain"] = run_df(
+                lambda: pagerank(e.filter(lbl), **pr))
+            layout_metrics["pagerank_shuffle_bucketed"] = run_df(
+                lambda: pagerank(layout.edges("src").filter(lbl), **pr))
+            for k in ("two_hop_plain_smj", "two_hop_bucketed", "khop2_routed",
+                      "pagerank_shuffle_plain", "pagerank_shuffle_bucketed"):
                 print(f"# layout {k}: {layout_metrics[k]}s", file=sys.stderr)
         finally:
             layout.drop()
