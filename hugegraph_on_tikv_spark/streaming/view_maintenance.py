@@ -54,12 +54,19 @@ SUM_SCALE = 10_000  # 4 decimal places — matches the windows' round(sum, 4)
 
 # -- aggregate views --------------------------------------------------------
 
-def agg_partial(df: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
-    """Partial (mergeable) aggregate state of one batch: per-key row count
-    and int64 scaled sums.  Map-side combine applies natively."""
+def agg_partial(df: DataFrame, keys: list[str], sum_cols: list[str],
+                hll_cols: list[str] | None = None) -> DataFrame:
+    """Partial (mergeable) aggregate state of one batch: per-key row count,
+    int64 scaled sums, and (optionally) HLL distinct-count sketches —
+    approximate-distinct is the one aggregate whose EXACT form is not
+    incrementally maintainable (it would need the full value set), while
+    the sketch is closed under union.  Map-side combine applies natively."""
     measures = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(F.round(F.col(c) * SUM_SCALE).cast("long")).alias(f"_sum_{c}")
         for c in sum_cols
+    ] + [
+        F.hll_sketch_agg(F.col(c).cast("string")).alias(f"_hll_{c}")
+        for c in (hll_cols or [])
     ]
     return df.groupBy(*keys).agg(*measures)
 
@@ -76,32 +83,46 @@ def agg_merge(view_partial: DataFrame, delta_partial: DataFrame,
         *keys, *[F.col(c).alias(f"_v_{c}") for c in measures])
     d = delta_partial.select(
         *keys, *[F.col(c).alias(f"_d_{c}") for c in measures])
-    summed = [
-        (F.coalesce(F.col(f"_v_{c}"), F.lit(0).cast("long"))
-         + F.coalesce(F.col(f"_d_{c}"), F.lit(0).cast("long"))).alias(c)
-        for c in measures
-    ]
-    return v.join(d, keys, "full_outer").select(*keys, *summed)
+
+    def merged(c: str):
+        a, b = F.col(f"_v_{c}"), F.col(f"_d_{c}")
+        if c.startswith("_hll_"):
+            # sketches merge by union (either side may be absent for a key)
+            return (F.when(a.isNull(), b).when(b.isNull(), a)
+                    .otherwise(F.hll_union(a, b))).alias(c)
+        return (F.coalesce(a, F.lit(0).cast("long"))
+                + F.coalesce(b, F.lit(0).cast("long"))).alias(c)
+
+    return v.join(d, keys, "full_outer").select(
+        *keys, *[merged(c) for c in measures])
 
 
-def agg_finalize(view_partial: DataFrame, sum_cols: list[str]) -> DataFrame:
-    """Presentable form of the stored partial state: `n_rows` plus each
-    scaled sum divided back to a double (single division — deterministic)."""
+def agg_finalize(view_partial: DataFrame, sum_cols: list[str],
+                 hll_cols: list[str] | None = None) -> DataFrame:
+    """Presentable form of the stored partial state: `n_rows`, each scaled
+    sum divided back to a double (single division — deterministic), and
+    each sketch collapsed to its estimate (`distinct_<col>`)."""
     out = [F.col("_n").alias("n_rows")] + [
         (F.col(f"_sum_{c}") / F.lit(float(SUM_SCALE))).alias(f"sum_{c}")
         for c in sum_cols
+    ] + [
+        F.hll_sketch_estimate(F.col(f"_hll_{c}")).alias(f"distinct_{c}")
+        for c in (hll_cols or [])
     ]
     keys = [c for c in view_partial.columns
-            if c != "_n" and not c.startswith("_sum_")]
+            if c != "_n" and not c.startswith(("_sum_", "_hll_"))]
     return view_partial.select(*keys, *out)
 
 
 def agg_view_create(catalog: TableCatalog, name: str, keys: list[str],
-                    sum_cols: list[str], initial: DataFrame) -> None:
+                    sum_cols: list[str], initial: DataFrame,
+                    hll_cols: list[str] | None = None) -> None:
     """Register an aggregate view in the catalog.  `initial` is a base-table
     DataFrame (may be empty-filtered) aggregated once to seed the state."""
-    catalog.create_table(name, agg_partial(initial, keys, sum_cols), key=keys)
-    catalog.set_view_meta(name, {"last_batch_id": -1, "sum_cols": sum_cols})
+    catalog.create_table(
+        name, agg_partial(initial, keys, sum_cols, hll_cols), key=keys)
+    catalog.set_view_meta(name, {"last_batch_id": -1, "sum_cols": sum_cols,
+                                 "hll_cols": hll_cols or []})
 
 
 def agg_view_apply_delta(catalog: TableCatalog, name: str, batch_df: DataFrame,
@@ -114,7 +135,8 @@ def agg_view_apply_delta(catalog: TableCatalog, name: str, batch_df: DataFrame,
     if batch_id <= meta["last_batch_id"]:
         return False
     keys = catalog.table_key(name)
-    delta = agg_partial(batch_df, keys, meta["sum_cols"])
+    delta = agg_partial(batch_df, keys, meta["sum_cols"],
+                        meta.get("hll_cols"))
     merged = agg_merge(catalog.table(name).df, delta, keys)
     catalog.replace_data(name, merged,
                          view_meta={**meta, "last_batch_id": batch_id})
@@ -123,8 +145,9 @@ def agg_view_apply_delta(catalog: TableCatalog, name: str, batch_df: DataFrame,
 
 def agg_view_read(catalog: TableCatalog, name: str) -> DataFrame:
     """The finalized view (keys, n_rows, sum_<col>...)."""
-    return agg_finalize(catalog.table(name).df,
-                        catalog.view_meta(name)["sum_cols"])
+    meta = catalog.view_meta(name)
+    return agg_finalize(catalog.table(name).df, meta["sum_cols"],
+                        meta.get("hll_cols"))
 
 
 def agg_view_stream(stream_df: DataFrame, catalog: TableCatalog, name: str,

@@ -1,0 +1,58 @@
+"""Approximate sketches: error-bounded by contract (no SQL oracle — an
+engine-equality check would pin sketch internals, not semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.functions import sketches
+from hugegraph_on_tikv_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+# lgK=12 standard error ≈ 1.04/sqrt(4096) ≈ 1.6%; assert a conservative 5%
+TOL = 0.05
+
+
+def test_hll_distinct_within_error_bound(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    est = {r["l_suppkey"]: r["est"] for r in
+           sketches.hll_distinct(li, ["l_suppkey"], "l_partkey")
+           .select("l_suppkey", sketches.hll_estimate(F.col("sketch")).alias("est"))
+           .collect()}
+    exact = {r["l_suppkey"]: r["n"] for r in
+             li.groupBy("l_suppkey")
+             .agg(F.countDistinct("l_partkey").alias("n")).collect()}
+    assert est.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(2, TOL * n), (k, est[k], n)
+
+
+def test_hll_rollup_merges_without_raw_values(spark):
+    """Per-(suppkey) sketches roll up to a global sketch whose estimate
+    matches the global exact distinct — the mergeability contract."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    per_key = sketches.hll_distinct(li, ["l_suppkey"], "l_partkey")
+    total_est = sketches.hll_merge_rows(
+        per_key.withColumn("g", F.lit(1)), ["g"]) \
+        .select(sketches.hll_estimate(F.col("sketch")).alias("est")) \
+        .collect()[0]["est"]
+    total_exact = li.select("l_partkey").distinct().count()
+    assert abs(total_est - total_exact) <= max(2, TOL * total_exact)
+
+
+def test_approx_quantiles_rank_error(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    probs = [0.1, 0.5, 0.9]
+    got = sketches.approx_quantiles(li, "l_extendedprice", probs).collect()[0]["quantiles"]
+    n = li.count()
+    vals = [r["l_extendedprice"] for r in
+            li.select("l_extendedprice").orderBy("l_extendedprice").collect()]
+    for p, q in zip(probs, got):
+        # rank of the returned value must sit within a small multiple of
+        # 1/accuracy of p (the GK summary's bound is per-merge; observed
+        # ~2e-4 at this size, asserted at 5e-4)
+        import bisect
+
+        lo = bisect.bisect_left(vals, q) / n
+        hi = bisect.bisect_right(vals, q) / n
+        assert lo - 5e-4 <= p <= hi + 5e-4, (p, q, lo, hi)

@@ -76,6 +76,28 @@ def test_agg_view_stream_end_to_end(spark, tmp_path):
     assert catalog.view_meta("by_type")["last_batch_id"] >= 1  # >1 micro-batch
 
 
+def test_agg_view_hll_measure_tracks_distincts(spark, tmp_path):
+    """An HLL measure in a maintained view: per-batch sketches merge by
+    union, and the final estimate tracks the exact distinct count within
+    the sketch's error bound — approximate-distinct is the one aggregate
+    that is only incrementally maintainable in sketch form."""
+    events = load_events(spark, SF_DIR).select("event_id", "event_type", "user_id")
+    catalog = TableCatalog(spark, str(tmp_path / "cat"))
+    vm.agg_view_create(catalog, "by_type", ["event_type"], [],
+                       events.filter(F.lit(False)), hll_cols=["user_id"])
+    for i in range(3):
+        assert vm.agg_view_apply_delta(
+            catalog, "by_type", events.filter(F.col("event_id") % 3 == i), i)
+    got = {r["event_type"]: r["distinct_user_id"]
+           for r in vm.agg_view_read(catalog, "by_type").collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             events.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(2, 0.05 * n), (k, got[k], n)
+
+
 def test_projection_view_partsupp_incremental(spark, tmp_path):
     """The derived-partsupp shape maintained from a lineitem stream: distinct
     (partkey, suppkey) + arithmetic derived columns, upserted per batch —
