@@ -754,6 +754,41 @@ _register(
     _pagerank_sql(),
 )
 
+# -- deterministic random walks (node2vec/DeepWalk input): neighbor choice
+#    = min_by over the FULL md5 hex of (wid:step:neighbor) — the same
+#    32-char string comparison in both engines, so whole walk corpora are
+#    reproducible and exactly oracle-checkable --------------------------------
+
+_WALK_SEEDS = (_vid("customer", 1), _vid("customer", 7), _vid("customer", 42))
+_WALK_LEN, _WALKS_PER = 5, 2
+
+
+def _g_walks(spark: SparkSession, sf: str) -> DataFrame:
+    edges = GraphStore(spark, sf).edges()
+    return analytics.random_walks(edges, list(_WALK_SEEDS), _WALK_LEN,
+                                  walks_per_node=_WALKS_PER)
+
+
+def _walks_sql() -> str:
+    seeds = ", ".join(
+        f"({i * _WALKS_PER + j}, {v})"
+        for i, v in enumerate(_WALK_SEEDS) for j in range(_WALKS_PER))
+    ctes = [f"w0 AS (SELECT wid, vertex FROM (VALUES {seeds}) AS s(wid, vertex))"]
+    for t in range(1, _WALK_LEN + 1):
+        ctes.append(
+            f"w{t} AS (SELECT w.wid, "
+            f"arg_min(e.dst, md5(CAST(w.wid AS VARCHAR) || ':{t}:' "
+            f"|| CAST(e.dst AS VARCHAR) || ':')) AS vertex "
+            f"FROM w{t-1} w JOIN edges e ON e.src = w.vertex GROUP BY w.wid)"
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST(wid AS INTEGER) AS wid, CAST({t} AS INTEGER) AS step, "
+        f"CAST(vertex AS BIGINT) AS vertex FROM w{t}"
+        for t in range(_WALK_LEN + 1))
+    return f"WITH {graph_ctes()},\n" + ",\n".join(ctes) + "\n" + selects
+
+_register("g_walks", _g_walks, _walks_sql())
+
 # -- personalized PageRank: reset mass lands only on a seed set, ranks
 #    measure proximity to the seeds (same iteration plan, teleport vector
 #    as one literal isin column) ------------------------------------------
@@ -3267,6 +3302,12 @@ _compose("g_components", [
 _compose("g_khop2", [
     ("g_khop2", ["'plain' AS tag", "id", "hops"], "'plain' AS tag, id, hops"),
     ("g_khop2_labeled", ["'labeled' AS tag", "id", "hops"], "'labeled' AS tag, id, hops"),
+    # walk rows ride the (id, hops) projection: id=visited vertex,
+    # hops=wid*100+step (wid is a small enumeration, so this is lossless —
+    # the full trajectory of every walk is value-checked)
+    ("g_walks",
+     ["'walk' AS tag", "vertex AS id", "CAST(wid * 100 + step AS INT) AS hops"],
+     "'walk' AS tag, vertex AS id, CAST(wid * 100 + step AS INTEGER) AS hops"),
 ])
 
 _compose("g_neighborhood", [

@@ -331,3 +331,50 @@ def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFra
         return dists
     finally:
         e.unpersist()
+
+
+def random_walks(edges: DataFrame, start_ids: list[int], length: int,
+                 walks_per_node: int = 1, salt: str = "") -> DataFrame:
+    """Deterministic 'random' walks — the node2vec/DeepWalk input stage.
+    Walk w at vertex v picks the neighbor minimizing
+    md5(walk_id:step:neighbor:salt): uniform-ish among neighbors, but a
+    pure function of (walk, step, neighbor), so the corpus of walks is
+    reproducible across runs, engines, and partitionings — the same
+    property the hash-driven samplers (functions/sampling.py) guarantee,
+    and the reason the choice is a FULL md5 hex string comparison (no
+    numeric truncation — any engine compares the same 32 chars).
+
+    Returns (wid, step, vertex): step 0 is the seed; a walk reaching a
+    sink (no out-edges) simply stops contributing rows.  wid enumerates
+    (seed index × walks_per_node + walk index) — small ints, stable.
+
+    Plan: per step, one join of the O(#walks) frontier against the
+    adjacency (frontier broadcasts; the edge side never shuffles) and one
+    tiny min_by aggregate per walk.  Step count is the iteration bound;
+    lineage is cut every few steps.  At 100 TB the edge side is the by-src
+    copy of the dual layout and each step stays co-located."""
+    spark = edges.sparkSession
+    adj = edges.select(F.col("src").alias("cur"), F.col("dst").alias("nbr")).persist()
+    try:
+        seeds = [(i * walks_per_node + j, int(v), 0)
+                 for i, v in enumerate(start_ids) for j in range(walks_per_node)]
+        frontier = spark.createDataFrame(seeds, "wid int, vertex long, step int")
+        out = frontier
+        for t in range(1, length + 1):
+            choice = F.md5(F.concat_ws(
+                ":", F.col("wid").cast("string"), F.lit(str(t)),
+                F.col("nbr").cast("string"), F.lit(salt)))
+            frontier = (
+                F.broadcast(frontier.select("wid", F.col("vertex").alias("cur")))
+                .join(adj, "cur")
+                .groupBy("wid")
+                .agg(F.min_by(F.col("nbr"), choice).alias("vertex"))
+                .select("wid", "vertex", F.lit(t).alias("step"))
+            )
+            if t % 4 == 0:
+                frontier = frontier.localCheckpoint(eager=True)
+            out = out.unionByName(frontier)
+        # materialize while the adjacency cache is alive (pagerank's rule)
+        return out.select("wid", "step", "vertex").localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()

@@ -135,3 +135,30 @@ def test_near_dedup_keeps_cluster_representatives(spark):
     kept = sorted(r["doc_id"] for r in dedup.near_dedup(docs, threshold=0.5).collect())
     assert kept == [1, 10, 20] or kept == [1, 3, 10, 20]  # 3 may fall out of the chain at this threshold
     assert 2 not in kept and 11 not in kept
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walks start at their seed, follow only real edges, stop at sinks,
+    and are bit-reproducible; different salts walk differently."""
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long")
+    out = analytics.random_walks(edges, [1], length=4, walks_per_node=3)
+    rows = {(r["wid"], r["step"]): r["vertex"] for r in out.collect()}
+    # step 0 = seed for every walk
+    assert all(rows[(w, 0)] == 1 for w in range(3))
+    # every consecutive pair is an actual edge
+    eset = {(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)}
+    for (w, s), v in rows.items():
+        if s > 0:
+            assert (rows[(w, s - 1)], v) in eset, (w, s, v)
+    # 5 is a sink: any walk reaching it at step t contributes nothing after
+    for (w, s), v in rows.items():
+        if v == 5:
+            assert (w, s + 1) not in rows
+    # reproducible; salted run differs somewhere on this branching graph
+    again = {(r["wid"], r["step"]): r["vertex"]
+             for r in analytics.random_walks(edges, [1], 4, 3).collect()}
+    assert rows == again
+    salted = {(r["wid"], r["step"]): r["vertex"]
+              for r in analytics.random_walks(edges, [1], 4, 3, salt="v2").collect()}
+    assert salted != rows
