@@ -1052,11 +1052,13 @@ _register(
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, r: int = 4, k: int = 3, thr: float = 0.3,
-                     max_bucket: int = 1000) -> str:
+                     max_bucket: int = 1000,
+                     source_sql: str = "SELECT doc_id, text FROM documents") -> str:
     h60 = H60_SQL.format(x="shingle")
     return f"""
-    WITH t AS (
-      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    WITH src AS ({source_sql}),
+    t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM src
     ), sh AS MATERIALIZED (
       SELECT doc_id, unnest(list_distinct({word_shingles_sql("toks", k)})) AS shingle FROM t
     ), hashed AS (
@@ -1100,6 +1102,39 @@ _register(
     ),
     _minhash_lsh_sql(),
 )
+
+# -- train/test contamination: hash-split the corpus (functions/sampling.py)
+#    then find near-dup pairs CROSSING the split — the eval-integrity check;
+#    composes the sampler and the LSH pipeline in one program ----------------
+
+def _contamination(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    docs = load_table(spark, sf, "documents")
+    split = sampling.split_assign(docs, {"train": 0.7, "test": 0.3})
+    return dedup.cross_corpus_contamination(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+        num_hashes=32, rows_per_band=4, k=3, threshold=0.3)
+
+
+def _contamination_sql() -> str:
+    from hugegraph_on_tikv_spark.functions import sampling
+    split = sampling.split_sql({"train": 0.7, "test": 0.3})
+    source = (
+        f"SELECT 'a:' || CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents "
+        f"WHERE ({split}) = 'train' "
+        f"UNION ALL SELECT 'b:' || CAST(doc_id AS VARCHAR) AS doc_id, text "
+        f"FROM documents WHERE ({split}) = 'test'"
+    )
+    inner = _minhash_lsh_sql(source_sql=source)
+    return f"""
+    SELECT CAST(substr(doc_a, 3) AS BIGINT) AS train_id,
+           CAST(substr(doc_b, 3) AS BIGINT) AS test_id, jaccard
+    FROM ({inner})
+    WHERE substr(doc_a, 1, 2) = 'a:' AND substr(doc_b, 1, 2) = 'b:'
+    """
+
+_register("contamination", _contamination, _contamination_sql())
 
 
 def _near_clusters_sql(rounds: int = 8) -> str:
@@ -3419,6 +3454,9 @@ _compose("dedup_pairs", [
     ("dedup_minhash_lsh",
      ["'minhash_lsh' AS tag", "doc_a", "doc_b", "jaccard"],
      "'minhash_lsh' AS tag, doc_a, doc_b, jaccard"),
+    ("contamination",
+     ["'contamination' AS tag", "train_id AS doc_a", "test_id AS doc_b", "jaccard"],
+     "'contamination' AS tag, train_id AS doc_a, test_id AS doc_b, jaccard"),
 ])
 
 _compose("sim_ann_neardup", [

@@ -185,6 +185,44 @@ def lsh_candidate_pairs(bands: DataFrame, max_bucket_size: int | None = None) ->
     )
 
 
+def cross_corpus_contamination(train: DataFrame, test: DataFrame,
+                               num_hashes: int = 32, rows_per_band: int = 4,
+                               k: int = 3, threshold: float = 0.5,
+                               text_col: str = "text", id_col: str = "doc_id",
+                               max_bucket_size: int | None = 1000) -> DataFrame:
+    """Train/test contamination detection: near-duplicate pairs that CROSS
+    the corpus boundary — the eval-integrity check every training pipeline
+    needs (a test document whose near-twin sits in the training set
+    invalidates the benchmark).
+
+    Runs the one minhash-LSH pipeline over the tagged union ('a:'-prefixed
+    train ids, 'b:'-prefixed test ids — string ids flow through shingling
+    unchanged), then keeps only cross pairs.  Since 'a:…' < 'b:…' in every
+    string collation, a cross pair always lands as (doc_a=train,
+    doc_b=test) — no orientation logic.  Same cost shape as single-corpus
+    dedup: linear + the banded equi-join; within-corpus duplicate pairs are
+    computed and discarded (run near_dedup separately if you want them —
+    sharing the shingle scan is the cheaper combined plan anyway).
+
+    Returns (train_id, test_id, jaccard >= threshold)."""
+    t = train.select(
+        F.concat(F.lit("a:"), F.col(id_col).cast("string")).alias("doc_id"),
+        F.col(text_col).alias("text"))
+    e = test.select(
+        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias("doc_id"),
+        F.col(text_col).alias("text"))
+    pairs = minhash_lsh_duplicates(
+        t.unionByName(e), num_hashes, rows_per_band, k, threshold,
+        max_bucket_size=max_bucket_size)
+    return (
+        pairs.filter((F.col("doc_a").startswith("a:"))
+                     & (F.col("doc_b").startswith("b:")))
+        .select(F.expr("CAST(substring(doc_a, 3) AS BIGINT)").alias("train_id"),
+                F.expr("CAST(substring(doc_b, 3) AS BIGINT)").alias("test_id"),
+                "jaccard")
+    )
+
+
 def minhash_lsh_duplicates(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
                            k: int = 3, threshold: float = 0.7,
                            text_col: str = "text", id_col: str = "doc_id",

@@ -153,3 +153,24 @@ def test_simhash_twins_bit_identical(spark):
     assert len(arrow) > 0
     assert 10_000_001 not in arrow and 10_000_002 not in arrow  # no tokens
     assert 10_000_003 in arrow
+
+
+def test_cross_corpus_contamination(spark):
+    """Only pairs CROSSING the train/test boundary surface; within-corpus
+    duplicates are excluded; orientation is always (train, test)."""
+    from hugegraph_on_tikv_spark.functions.dedup import cross_corpus_contamination
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different text about spark dataframes and shuffles at scale"
+    train = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, other)], "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(100, base + " suffix"), (101, "nothing like anything else in either corpus here")],
+        "doc_id long, text string")
+    got = {(r["train_id"], r["test_id"])
+           for r in cross_corpus_contamination(train, test, threshold=0.4).collect()}
+    assert (1, 100) in got          # the contaminated test doc is caught
+    assert (2, 100) in got          # via its train near-twin too
+    assert all(t in (1, 2, 3) and e in (100, 101) for t, e in got)  # oriented
+    assert (1, 2) not in got and (2, 1) not in got  # within-train pair excluded
+    assert not any(e == 101 for _, e in got)        # clean test doc untouched
