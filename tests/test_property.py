@@ -87,3 +87,39 @@ def range_df(spark):
 def pair_df(spark):
     return spark.createDataFrame(
         [(a, b) for a in range(4) for b in range(4)], "a int, b int").cache()
+
+
+# -- as-of join vs DuckDB's native ASOF JOIN on random data -----------------
+
+_pair = st.tuples(st.integers(min_value=0, max_value=3),   # key
+                  st.integers(min_value=0, max_value=30))  # time
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lefts=st.lists(_pair, min_size=1, max_size=25),
+       rights=st.sets(_pair, min_size=1, max_size=25))
+def test_asof_join_matches_duckdb(spark, lefts, rights):
+    """For arbitrary (key, time) multisets on the left and unique (key,
+    time) sets on the right (the documented contract), the union+window
+    construction agrees with DuckDB's native ASOF JOIN row-for-row."""
+    import duckdb
+
+    from hugegraph_on_tikv_spark.operators.joins import asof_join
+
+    l_rows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    r_rows = [(k, t, 100 * k + t) for (k, t) in rights]
+    left = spark.createDataFrame(l_rows, "k long, t long, v long")
+    right = spark.createDataFrame(r_rows, "k long, t long, p long")
+    got = sorted((r["k"], r["t"], r["v"], r["t_right"], r["p_right"])
+                 for r in asof_join(left, right, "k", "t", ["p"]).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(k BIGINT, t BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", l_rows)
+    con.execute("CREATE TABLE r(k BIGINT, t BIGINT, p BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", r_rows)
+    want = sorted(map(tuple, con.execute(
+        "SELECT l.k, l.t, l.v, r.t, r.p FROM l ASOF JOIN r "
+        "ON l.k = r.k AND l.t >= r.t").fetchall()))
+    assert got == want
