@@ -878,6 +878,32 @@ _register(
 
 # -- extended aggregates (beyond reference's COUNT-only pushdown) -----------
 
+# -- count-min sketch (functions/sketches.py): the transparent counter
+#    table is plain exact sums, so the WHOLE sketch is oracle-checkable
+#    (bucket = H48(d ':' value) % width, shared hash contract) --------------
+
+def _cm_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sketches
+    return sketches.count_min_sketch(
+        load_table(spark, sf, "lineitem").select(F.col("l_suppkey").alias("v")),
+        "v", width=512, depth=3)
+
+_register(
+    "cm_sketch",
+    _cm_sketch,
+    """
+    WITH vals AS (SELECT CAST(l_suppkey AS VARCHAR) AS v FROM lineitem),
+    probe AS (
+      SELECT d,
+             CAST(CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || v),
+                                       1, 12)) AS UBIGINT) AS BIGINT) % 512 AS w
+      FROM vals CROSS JOIN (VALUES (0), (1), (2)) AS ds(d)
+    )
+    SELECT CAST(d AS INTEGER) AS d, w, CAST(count(*) AS BIGINT) AS c
+    FROM probe GROUP BY d, w
+    """,
+)
+
 _register(
     "agg_extended",
     lambda spark, sf: load_table(spark, sf, "lineitem")
@@ -3593,6 +3619,16 @@ _compose("a1_agg_counts", [
      "'agg' AS tag, l_returnflag AS k, CAST(min_qty AS DOUBLE) AS v_min, "
      "CAST(max_qty AS DOUBLE) AS v_max, CAST(sum_qty AS DOUBLE) AS v_sum, "
      "CAST(avg_qty AS DOUBLE) AS v_avg, CAST(n_suppliers AS DOUBLE) AS n"),
+    # the count-min COUNTER TABLE, value-checked cell by cell (k = "d:w")
+    ("cm_sketch",
+     ["'cm' AS tag", "concat(CAST(d AS STRING), ':', CAST(w AS STRING)) AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(c AS DOUBLE) AS n"],
+     "'cm' AS tag, CAST(d AS VARCHAR) || ':' || CAST(w AS VARCHAR) AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(c AS DOUBLE) AS n"),
 ])
 
 # the partsupp-derived TPC-H tail + skew-join toolkit (wave 8): six raw

@@ -66,3 +66,60 @@ def approx_quantiles(df: DataFrame, value_col: str, probs: list[float],
     return df.agg(F.percentile_approx(
         F.col(value_col), F.array(*[F.lit(p) for p in probs]),
         F.lit(accuracy)).alias("quantiles"))
+
+
+# -- count-min: mergeable frequency sketch ----------------------------------
+
+CM_WIDTH, CM_DEPTH = 2048, 4
+
+
+def _cm_bucket(value: Column, d: int, width: int) -> Column:
+    """Row-d bucket for a value: H48(d ':' value) mod width — the engine's
+    portable md5 hash contract, so the sketch is reproducible anywhere."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), value.cast("string"))),
+                    1, 12), 16, 10).cast("long")
+    return h % width
+
+
+def count_min_sketch(df: DataFrame, value_col: str, width: int = CM_WIDTH,
+                     depth: int = CM_DEPTH) -> DataFrame:
+    """Count-min frequency sketch as TRANSPARENT counter rows (d, w, c):
+    ≤ depth×width rows regardless of input size.  Unlike an opaque binary
+    sketch, the counters are plain exact sums — two sketches merge by
+    unioning and summing (bit-exactly: merge of halves == sketch of the
+    whole), they survive as an incremental-view measure, and the whole
+    structure is SQL-expressible for oracle checks.  Estimates are
+    one-sided: est(v) ≥ true(v), with overshoot ≤ n/width per row and the
+    min over `depth` independent rows taken."""
+    rows = [df.select(F.lit(d).alias("d"),
+                      _cm_bucket(F.col(value_col), d, width).alias("w"))
+            for d in range(depth)]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("d", "w").agg(F.count(F.lit(1)).alias("c"))
+
+
+def count_min_estimate(sketch: DataFrame, values: DataFrame, value_col: str,
+                       width: int = CM_WIDTH, depth: int = CM_DEPTH) -> DataFrame:
+    """Frequency estimates for `values[value_col]` (distinct): min over the
+    depth rows of the matching counters.  A value hashing to an untouched
+    bucket in any row estimates 0 (coalesce) — correct for unseen values."""
+    v = values.select(value_col).distinct()
+    probes = [v.select(F.col(value_col), F.lit(d).alias("d"),
+                       _cm_bucket(F.col(value_col), d, width).alias("w"))
+              for d in range(depth)]
+    p = probes[0]
+    for x in probes[1:]:
+        p = p.unionByName(x)
+    return (p.join(sketch, ["d", "w"], "left")
+            .groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")))
+
+
+def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches (same width/depth): counters add — exact, order-
+    independent, the property that makes per-partition / per-day sketches
+    roll up to any window."""
+    return a.unionByName(b).groupBy("d", "w").agg(F.sum("c").alias("c"))

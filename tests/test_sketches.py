@@ -56,3 +56,30 @@ def test_approx_quantiles_rank_error(spark):
         lo = bisect.bisect_left(vals, q) / n
         hi = bisect.bisect_right(vals, q) / n
         assert lo - 5e-4 <= p <= hi + 5e-4, (p, q, lo, hi)
+
+
+def test_count_min_one_sided_and_mergeable(spark):
+    """est >= true always; overshoot bounded by n/width; merge of halves is
+    BIT-EXACTLY the sketch of the whole (counters are plain sums)."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_suppkey").alias("v"))
+    sk = sketches.count_min_sketch(li, "v")
+    est = {r["v"]: r["est"] for r in
+           sketches.count_min_estimate(sk, li, "v").collect()}
+    true = {r["v"]: r["n"] for r in
+            li.groupBy("v").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = li.count()
+    for v, t in true.items():
+        assert est[v] >= t, (v, est[v], t)             # one-sided
+        assert est[v] - t <= 3 * n / sketches.CM_WIDTH  # crude cap on overshoot
+    # never-seen value estimates (near) zero-overshoot
+    unseen = spark.createDataFrame([("no-such-value-xyz",)], "v string")
+    u = sketches.count_min_estimate(sk, unseen, "v").collect()[0]["est"]
+    assert u <= 3 * n / sketches.CM_WIDTH
+    # exact mergeability
+    h1 = sketches.count_min_sketch(li.filter(F.col("v") % 2 == 0), "v")
+    h2 = sketches.count_min_sketch(li.filter(F.col("v") % 2 == 1), "v")
+    merged = {(r["d"], r["w"]): r["c"] for r in
+              sketches.count_min_merge(h1, h2).collect()}
+    whole = {(r["d"], r["w"]): r["c"] for r in sk.collect()}
+    assert merged == whole
