@@ -249,3 +249,42 @@ def test_ivf_search_prunes_cell_partitions(spark, tmp_path):
     phys = physical(got)
     assert "PartitionFilters" in phys
     assert "cell" in phys.split("PartitionFilters", 1)[1][:300]
+
+
+def test_zorder_tightens_rowgroup_stats_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort, measured on the actual parquet
+    footers: per-row-group min/max spans (the thing row-group pruning
+    consumes), as fractions of each column's full range.  A 1-D sort
+    leaves the second column near its full range per row group; z-order
+    keeps BOTH columns' spans to a fraction."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from hugegraph_on_tikv_spark.sources.zorder import zorder_write
+
+    cols = ["l_orderkey", "l_partkey"]
+    li = load_table(spark, SF_DIR, "lineitem").select(*cols)
+    ranges = {c: (li.agg(F.max(c) - F.min(c))).collect()[0][0] for c in cols}
+    z_dir, s_dir = str(tmp_path / "z"), str(tmp_path / "s")
+    zorder_write(li, z_dir, cols, bits=10, num_files=16)
+    (li.repartitionByRange(16, "l_orderkey").sortWithinPartitions("l_orderkey")
+       .write.mode("overwrite").parquet(s_dir))
+
+    def frac_span(path, col):
+        total, n = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += st.max - st.min
+                n += 1
+        return total / n / ranges[col]
+
+    assert frac_span(s_dir, "l_partkey") > 0.8     # 1-D sort: no help on col 2
+    assert frac_span(z_dir, "l_orderkey") < 0.5    # z: both columns prunable
+    assert frac_span(z_dir, "l_partkey") < 0.5
+    # and the z layout still beats "no sort at all" on its first column
+    assert frac_span(z_dir, "l_orderkey") < frac_span(s_dir, "l_partkey")
