@@ -315,6 +315,70 @@ class Traversal:
         keep = F.size(F.col("_path")) == F.size(F.array_distinct(F.col("_path")))
         return Traversal(self._g, self._df.filter(keep), self._pos)
 
+    def coalesce_(self, *steps) -> "Traversal":
+        """Gremlin coalesce(t1, t2, ...): per traverser, the results of the
+        FIRST sub-traversal that yields any — implemented as a cascade of
+        anti-joins (traversers whose earlier branch produced output are
+        excluded from later branches), so the whole step stays one
+        distributed plan with no per-traverser dispatch."""
+        if not steps:
+            raise ValueError("coalesce_() needs at least one sub-traversal")
+        if self._pos != "V":
+            raise ValueError("coalesce_() is supported at vertex positions")
+        remaining = self._df
+        outs = []
+        for step in steps:
+            probe = Traversal(
+                self._g,
+                remaining.select("id").distinct()
+                .withColumn("_as___origin", F.col("id")), "V")
+            produced = step(probe)
+            if produced._pos != "V":
+                raise ValueError("coalesce_() branches must end at vertices")
+            outs.append(produced)
+            satisfied = produced._df.select(
+                F.col("_as___origin").alias("id")).distinct()
+            remaining = remaining.join(satisfied, "id", "left_anti")
+        df = outs[0]._df
+        for t in outs[1:]:
+            df = df.unionByName(t._df)
+        return Traversal(self._g, df.drop("_as___origin")
+                         .select(*outs[0]._df.drop("_as___origin").columns), "V")
+
+    def optional(self, step) -> "Traversal":
+        """Gremlin optional(t): t's results where it produces any, the
+        incoming traverser unchanged where it doesn't — coalesce(t,
+        identity) as one anti-join + union."""
+        probe = Traversal(
+            self._g,
+            self._df.select("id").distinct().withColumn("_as___origin", F.col("id")),
+            "V")
+        produced = step(probe)
+        if produced._pos != "V":
+            raise ValueError("optional()'s sub-traversal must end at vertices")
+        satisfied = produced._df.select(F.col("_as___origin").alias("id")).distinct()
+        kept = self._df.join(satisfied, "id", "left_anti")
+        out = produced._df.select("id").unionByName(kept.select("id"))
+        return Traversal(self._g, out, "V")
+
+    def both_e(self, *labels: str) -> "Traversal":
+        """Vertex → incident edges in BOTH directions (one traverser per
+        incidence — an edge between two current traversers appears twice,
+        Gremlin's bothE multiplicity).  Each direction reads its
+        direction-matching edge copy."""
+        carried = self._carried()
+        if carried:
+            raise ValueError("both_e() after as_()/path() is ambiguous: "
+                             "an edge has no single anchor vertex; use "
+                             "out_e()/in_e() explicitly")
+        out_side = self._edges(labels).join(
+            self._df.select(F.col("id").alias("src")).distinct(), "src")
+        in_side = self._edges(labels, "dst").join(
+            self._df.select(F.col("id").alias("dst")).distinct(), "dst")
+        return Traversal(
+            self._g,
+            out_side.unionByName(in_side.select(*out_side.columns)), "E")
+
     def union_(self, *steps) -> "Traversal":
         """Gremlin union(t1, t2, ...): run each sub-traversal from the
         current traversers and emit every result (multiplicity adds, like

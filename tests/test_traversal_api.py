@@ -318,3 +318,49 @@ def test_union_merges_branches(g, spark):
         g.V(start).union_(lambda t: t.out("placed"), lambda t: t.out_e("placed"))
     with pytest.raises(ValueError):
         g.V(start).union_()
+
+
+def test_coalesce_first_producing_branch_wins(g, spark):
+    """coalesce(out('placed'), out('located_in')): customers with orders
+    emit their orders; orderless customers fall through to their nation."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    custs = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    with_orders = {r["o_custkey"] for r in orders.select("o_custkey").distinct().collect()}
+    n_without = custs.count() - len(with_orders)
+    n_orders = orders.count()
+    got = (g.V().has_label("customer")
+           .coalesce_(lambda t: t.out("placed"), lambda t: t.out("located_in"))
+           .count().collect()[0]["n"])
+    # customers with orders contribute one traverser per order; the rest
+    # contribute exactly their single nation hop
+    assert got == n_orders + n_without
+    with pytest.raises(ValueError):
+        g.V().coalesce_()
+
+
+def test_optional_keeps_unproductive_traversers(g, spark):
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    custs = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    with_orders = {r["o_custkey"] for r in orders.select("o_custkey").distinct().collect()}
+    got = (g.V().has_label("customer").optional(lambda t: t.out("placed"))
+           .count().collect()[0]["n"])
+    assert got == orders.count() + (custs.count() - len(with_orders))
+
+
+def test_both_e_incidence_multiplicity(g, spark):
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    # nation vertex: in-edges from customers and suppliers located there
+    n3 = vid("nation", 3)
+    got = g.V(n3).both_e("located_in").count().collect()[0]["n"]
+    custs = load_table(spark, SF_DIR, "customer").filter("c_nationkey = 3").count()
+    supps = load_table(spark, SF_DIR, "supplier").filter("s_nationkey = 3").count()
+    assert got == custs + supps
+    with pytest.raises(ValueError):
+        g.V(n3).as_("a").both_e("located_in")
