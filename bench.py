@@ -194,8 +194,9 @@ def main() -> None:
             lambda s, sf: simhash_signatures(docs))
         extras["simhash_jvm"] = run_isolated(
             lambda s, sf: simhash_signatures(docs, use_arrow=False))
-        if "asof_last_view" in qs:
-            extras["asof_last_view"] = run_isolated(qs["asof_last_view"])
+        for name in ("asof_last_view", "contamination", "g_walks", "cm_sketch"):
+            if name in qs:
+                extras[name] = run_isolated(qs[name])
         for k, v in extras.items():
             print(f"# extra {k}: {v}s", file=sys.stderr)
     except Exception as ex:
