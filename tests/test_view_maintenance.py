@@ -144,3 +144,56 @@ def test_agg_merge_never_reads_base_table(spark, tmp_path):
         vm.agg_partial(batch, ["event_type"], ["value"]), ["event_type"])
     phys = merged._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Scan parquet") == 1, phys  # the view, nothing else
+
+
+def test_graph_edge_view_maintained_from_stream(spark, tmp_path):
+    """The graph-store composition a real deployment runs: an edge stream
+    upserts into a catalog edge table on the composite (src, dst, label)
+    key (incremental maintenance of the adjacency view — no re-derivation
+    from base tables), and the dual bucketed layout periodically
+    re-materializes FROM the maintained table, after which traversals see
+    the streamed edges through exchange-free bucketed plans."""
+    from hugegraph_on_tikv_spark.operators.traversal import k_hop
+    from hugegraph_on_tikv_spark.sources.edge_layout import DualEdgeLayout
+    from hugegraph_on_tikv_spark.streaming.ingest import stream_upsert
+
+    # base edges + a later streamed delta that adds a 2-hop path 1→2→99
+    base = spark.createDataFrame(
+        [(1, 2, "e"), (3, 4, "e")], "src long, dst long, label string")
+    delta = spark.createDataFrame(
+        [(2, 99, "e"), (1, 2, "e")], "src long, dst long, label string")
+    src_dir = tmp_path / "edge_stream"
+    base.write.mode("append").parquet(str(src_dir))
+
+    catalog = TableCatalog(spark, str(tmp_path / "cat"))
+    catalog.create_table("edges_live", base.limit(0),
+                         key=["src", "dst", "label"])
+    schema = "src long, dst long, label string"
+
+    def ingest(chk):
+        q = stream_upsert(
+            spark.readStream.schema(schema).parquet(str(src_dir)),
+            catalog, "edges_live", ["src", "dst", "label"], str(tmp_path / chk))
+        q.awaitTermination(120)
+
+    ingest("chk1")
+    assert catalog.table("edges_live").df.count() == 2
+
+    delta.write.mode("append").parquet(str(src_dir))
+    ingest("chk2")  # new checkpoint dir: full replay — upsert is idempotent
+    live = catalog.table("edges_live").df
+    assert live.count() == 3  # (1,2) replayed, not duplicated
+
+    # compaction step: rebuild the dual layout from the maintained table
+    layout = DualEdgeLayout.materialize(
+        live, "t_live_edges", str(tmp_path / "dual"), buckets=4)
+    try:
+        reached = {(r["id"], r["hops"]) for r in k_hop(
+            layout.edges("src"), [1], k=2,
+            edges_by_dst=layout.edges("dst")).collect()}
+        assert reached == {(2, 1), (99, 2)}  # the streamed edge is traversable
+        phys = layout.two_hop("out", "out") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in phys  # and the layout is the bucketed one
+    finally:
+        layout.drop()
