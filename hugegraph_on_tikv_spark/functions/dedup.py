@@ -214,11 +214,16 @@ def cross_corpus_contamination(train: DataFrame, test: DataFrame,
     pairs = minhash_lsh_duplicates(
         t.unionByName(e), num_hashes, rows_per_band, k, threshold,
         max_bucket_size=max_bucket_size)
+    # strip the corpus prefix and restore the INPUT id type — string-id
+    # corpora keep string ids (an unconditional bigint cast would NULL
+    # them out and collapse distinct pairs)
+    id_type = train.schema[id_col].dataType.simpleString()
+    strip = lambda c: F.expr(f"substring({c}, 3)").cast(id_type)
     return (
         pairs.filter((F.col("doc_a").startswith("a:"))
                      & (F.col("doc_b").startswith("b:")))
-        .select(F.expr("CAST(substring(doc_a, 3) AS BIGINT)").alias("train_id"),
-                F.expr("CAST(substring(doc_b, 3) AS BIGINT)").alias("test_id"),
+        .select(strip("doc_a").alias("train_id"),
+                strip("doc_b").alias("test_id"),
                 "jaccard")
     )
 

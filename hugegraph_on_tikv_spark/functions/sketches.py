@@ -92,13 +92,16 @@ def count_min_sketch(df: DataFrame, value_col: str, width: int = CM_WIDTH,
     structure is SQL-expressible for oracle checks.  Estimates are
     one-sided: est(v) ≥ true(v), with overshoot ≤ n/width per row and the
     min over `depth` independent rows taken."""
-    rows = [df.select(F.lit(d).alias("d"),
-                      _cm_bucket(F.col(value_col), d, width).alias("w"))
-            for d in range(depth)]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.groupBy("d", "w").agg(F.count(F.lit(1)).alias("c"))
+    buckets = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cm_bucket(F.col(value_col), d, width).alias("w"))
+        for d in range(depth)
+    ])
+    # explode, not a depth-way self-union: ONE scan of the input feeds all
+    # depth rows
+    return (df.select(F.explode(buckets).alias("b"))
+            .groupBy(F.col("b.d").alias("d"), F.col("b.w").alias("w"))
+            .agg(F.count(F.lit(1)).alias("c")))
 
 
 def count_min_estimate(sketch: DataFrame, values: DataFrame, value_col: str,
@@ -106,13 +109,14 @@ def count_min_estimate(sketch: DataFrame, values: DataFrame, value_col: str,
     """Frequency estimates for `values[value_col]` (distinct): min over the
     depth rows of the matching counters.  A value hashing to an untouched
     bucket in any row estimates 0 (coalesce) — correct for unseen values."""
-    v = values.select(value_col).distinct()
-    probes = [v.select(F.col(value_col), F.lit(d).alias("d"),
-                       _cm_bucket(F.col(value_col), d, width).alias("w"))
-              for d in range(depth)]
-    p = probes[0]
-    for x in probes[1:]:
-        p = p.unionByName(x)
+    buckets = F.array(*[
+        F.struct(F.lit(d).alias("d"),
+                 _cm_bucket(F.col(value_col), d, width).alias("w"))
+        for d in range(depth)
+    ])
+    p = (values.select(value_col).distinct()
+         .select(F.col(value_col), F.explode(buckets).alias("b"))
+         .select(value_col, F.col("b.d").alias("d"), F.col("b.w").alias("w")))
     return (p.join(sketch, ["d", "w"], "left")
             .groupBy(value_col)
             .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")))

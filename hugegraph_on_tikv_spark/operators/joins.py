@@ -80,34 +80,41 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, time_col: str,
     deterministic contract; a multiset would make 'the' as-of row
     ambiguous in any engine)."""
     rt = f"{time_col}{suffix}"
+    # the right row travels as ONE struct: last(ignorenulls) then picks up
+    # the whole as-of row atomically.  Carrying each value column in its own
+    # last() would let a NULL in the true as-of row fall through to a STALE
+    # value from an older row — fabricating a row that never existed (and
+    # diverging from the native ASOF oracle, which returns the NULL).
+    r_struct = F.struct(
+        F.col(time_col).alias(rt),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols])
     l_tag = left.select(
         F.col(by).alias(by), F.col(time_col).alias(time_col), F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in (by, time_col)],
-        F.lit(None).cast(right.schema[time_col].dataType).alias(rt),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_value_cols],
+        F.lit(None).cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
     )
     r_tag = right.select(
         F.col(by).alias(by), F.col(time_col).alias(time_col), F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (by, time_col)],
-        F.col(time_col).alias(rt),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_value_cols],
+        r_struct.alias("__r"),
     )
     from pyspark.sql.window import Window
 
     w = (Window.partitionBy(by).orderBy(F.col(time_col).asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(F.col(rt), ignorenulls=True).over(w).alias(rt)] + [
-        F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in right_value_cols
-    ]
+    carried_struct = F.last(F.col("__r"), ignorenulls=True).over(w)
     out = (l_tag.unionByName(r_tag)
-           .select(by, time_col, "__side",
-                   *[c for c in left.columns if c not in (by, time_col)], *carried)
+           .withColumn("__r", carried_struct)
            .filter(F.col("__side") == 1)
-           .filter(F.col(rt).isNotNull())
-           .drop("__side"))
+           .filter(F.col("__r").isNotNull())
+           .select(by, time_col,
+                   *[c for c in left.columns if c not in (by, time_col)],
+                   F.col(f"__r.{rt}").alias(rt),
+                   *[F.col(f"__r.{c}{suffix}").alias(f"{c}{suffix}")
+                     for c in right_value_cols]))
     if tolerance_expr:
         out = out.filter(F.col(rt) >= F.col(time_col) - F.expr(tolerance_expr))
     return out

@@ -47,11 +47,20 @@ class DualEdgeLayout:
         """Write BOTH bucketed copies of `edges` (columns must include
         `src` and `dst`).  `name` prefixes the catalog table names; `path`
         holds the parquet.  Idempotent only in the overwrite sense — the
-        copies are always rewritten together so they cannot diverge."""
-        write_bucketed(edges, f"{name}{BY_SRC_SUFFIX}", f"{path}/by_src",
-                       buckets, "src")
-        write_bucketed(edges, f"{name}{BY_DST_SUFFIX}", f"{path}/by_dst",
-                       buckets, "dst")
+        copies are always rewritten together so they cannot diverge.
+
+        The input is persisted across the two writes: `edges` is typically
+        a lazy multi-source union (GraphStore's view derivation), and
+        without the cache each copy would re-derive the whole edge view
+        from base tables."""
+        edges = edges.persist()
+        try:
+            write_bucketed(edges, f"{name}{BY_SRC_SUFFIX}", f"{path}/by_src",
+                           buckets, "src")
+            write_bucketed(edges, f"{name}{BY_DST_SUFFIX}", f"{path}/by_dst",
+                           buckets, "dst")
+        finally:
+            edges.unpersist()
         return cls(edges.sparkSession, name)
 
     def edges(self, order_by: str = "src") -> DataFrame:

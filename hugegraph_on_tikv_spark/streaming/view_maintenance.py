@@ -84,12 +84,13 @@ def agg_merge(view_partial: DataFrame, delta_partial: DataFrame,
     d = delta_partial.select(
         *keys, *[F.col(c).alias(f"_d_{c}") for c in measures])
 
+    from hugegraph_on_tikv_spark.functions.sketches import hll_merge_cols
+
     def merged(c: str):
         a, b = F.col(f"_v_{c}"), F.col(f"_d_{c}")
         if c.startswith("_hll_"):
             # sketches merge by union (either side may be absent for a key)
-            return (F.when(a.isNull(), b).when(b.isNull(), a)
-                    .otherwise(F.hll_union(a, b))).alias(c)
+            return hll_merge_cols(a, b).alias(c)
         return (F.coalesce(a, F.lit(0).cast("long"))
                 + F.coalesce(b, F.lit(0).cast("long"))).alias(c)
 

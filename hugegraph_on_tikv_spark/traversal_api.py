@@ -276,7 +276,11 @@ class Traversal:
         return joined.groupBy(prop).agg(F.count(F.lit(1)).alias("n"))
 
     _GROUP_AGGS = {
-        "count": lambda c: F.count(F.lit(1)),
+        # count with a value_prop counts NON-NULL values (Gremlin's
+        # values(p).count() visits only traversers that HAVE p — significant
+        # in the sparse wide schema), consistent with sum/avg/min/max's
+        # null-skipping; bare count counts traversers
+        "count": lambda c: F.count(F.lit(1)) if c is None else F.count(c),
         "sum": F.sum,
         "avg": F.avg,
         "min": F.min,
@@ -317,49 +321,64 @@ class Traversal:
 
     def coalesce_(self, *steps) -> "Traversal":
         """Gremlin coalesce(t1, t2, ...): per traverser, the results of the
-        FIRST sub-traversal that yields any — implemented as a cascade of
-        anti-joins (traversers whose earlier branch produced output are
-        excluded from later branches), so the whole step stays one
-        distributed plan with no per-traverser dispatch."""
+        FIRST sub-traversal that yields any.  The branches run once per
+        DISTINCT current vertex (branch output depends only on the vertex),
+        then join back to the incoming traversers — so k traversers parked
+        on one vertex each emit that vertex's branch results (Gremlin
+        multiplicity) while the branch work is deduplicated.  Rejected
+        after as_()/with_path(): branch-internal hops can't extend the
+        incoming history, so carrying it would silently lie."""
         if not steps:
             raise ValueError("coalesce_() needs at least one sub-traversal")
         if self._pos != "V":
             raise ValueError("coalesce_() is supported at vertex positions")
-        remaining = self._df
-        outs = []
+        if self._carried():
+            raise ValueError("coalesce_() after as_()/with_path() is not "
+                             "supported (branch hops cannot extend the "
+                             "carried history); apply labels after it")
+        remaining = self._df.select("id").distinct()
+        produced_frames = []
         for step in steps:
             probe = Traversal(
-                self._g,
-                remaining.select("id").distinct()
-                .withColumn("_as___origin", F.col("id")), "V")
+                self._g, remaining.withColumn("_as___origin", F.col("id")), "V")
             produced = step(probe)
             if produced._pos != "V":
                 raise ValueError("coalesce_() branches must end at vertices")
-            outs.append(produced)
-            satisfied = produced._df.select(
-                F.col("_as___origin").alias("id")).distinct()
+            frame = produced._df.select(
+                F.col("_as___origin").alias("__origin"), "id")
+            produced_frames.append(frame)
+            satisfied = frame.select(F.col("__origin").alias("id")).distinct()
             remaining = remaining.join(satisfied, "id", "left_anti")
-        df = outs[0]._df
-        for t in outs[1:]:
-            df = df.unionByName(t._df)
-        return Traversal(self._g, df.drop("_as___origin")
-                         .select(*outs[0]._df.drop("_as___origin").columns), "V")
+        prod = produced_frames[0]
+        for f in produced_frames[1:]:
+            prod = prod.unionByName(f)
+        out = (self._df.select(F.col("id").alias("__origin"))
+               .join(prod, "__origin").select("id"))
+        return Traversal(self._g, out, "V")
 
     def optional(self, step) -> "Traversal":
         """Gremlin optional(t): t's results where it produces any, the
-        incoming traverser unchanged where it doesn't — coalesce(t,
-        identity) as one anti-join + union."""
+        incoming traverser unchanged where it doesn't.  Same per-distinct-
+        vertex evaluation + join-back as coalesce_, so multiplicity is
+        symmetric between the matched and fall-through sides; same
+        as_()/with_path() rejection."""
+        if self._pos != "V":
+            raise ValueError("optional() is supported at vertex positions")
+        if self._carried():
+            raise ValueError("optional() after as_()/with_path() is not "
+                             "supported; apply labels after it")
+        verts = self._df.select("id").distinct()
         probe = Traversal(
-            self._g,
-            self._df.select("id").distinct().withColumn("_as___origin", F.col("id")),
-            "V")
+            self._g, verts.withColumn("_as___origin", F.col("id")), "V")
         produced = step(probe)
         if produced._pos != "V":
             raise ValueError("optional()'s sub-traversal must end at vertices")
-        satisfied = produced._df.select(F.col("_as___origin").alias("id")).distinct()
-        kept = self._df.join(satisfied, "id", "left_anti")
-        out = produced._df.select("id").unionByName(kept.select("id"))
-        return Traversal(self._g, out, "V")
+        prod = produced._df.select(F.col("_as___origin").alias("__origin"), "id")
+        satisfied = prod.select(F.col("__origin").alias("id")).distinct()
+        matched = (self._df.select(F.col("id").alias("__origin"))
+                   .join(prod, "__origin").select("id"))
+        kept = self._df.join(satisfied, "id", "left_anti").select("id")
+        return Traversal(self._g, matched.unionByName(kept), "V")
 
     def both_e(self, *labels: str) -> "Traversal":
         """Vertex → incident edges in BOTH directions (one traverser per

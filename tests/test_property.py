@@ -98,17 +98,21 @@ _pair = st.tuples(st.integers(min_value=0, max_value=3),   # key
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(lefts=st.lists(_pair, min_size=1, max_size=25),
-       rights=st.sets(_pair, min_size=1, max_size=25))
-def test_asof_join_matches_duckdb(spark, lefts, rights):
+       rights=st.sets(_pair, min_size=1, max_size=25),
+       null_every=st.integers(min_value=2, max_value=5))
+def test_asof_join_matches_duckdb(spark, lefts, rights, null_every):
     """For arbitrary (key, time) multisets on the left and unique (key,
     time) sets on the right (the documented contract), the union+window
-    construction agrees with DuckDB's native ASOF JOIN row-for-row."""
+    construction agrees with DuckDB's native ASOF JOIN row-for-row —
+    including NULL right values, which must surface as NULL in the match
+    (not fall through to a stale older row's value)."""
     import duckdb
 
     from hugegraph_on_tikv_spark.operators.joins import asof_join
 
     l_rows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
-    r_rows = [(k, t, 100 * k + t) for (k, t) in rights]
+    r_rows = [(k, t, None if (k + t) % null_every == 0 else 100 * k + t)
+              for (k, t) in rights]
     left = spark.createDataFrame(l_rows, "k long, t long, v long")
     right = spark.createDataFrame(r_rows, "k long, t long, p long")
     got = sorted((r["k"], r["t"], r["v"], r["t_right"], r["p_right"])

@@ -283,6 +283,14 @@ def test_group_by_count_and_sum(g, spark):
     with pytest.raises(ValueError):
         g.V().group_by("mktsegment", "median", "acctbal")
 
+    # count WITH a value_prop counts non-null values only (Gremlin's
+    # values(p).count() semantics in the sparse wide schema)
+    n_cust = cust.count()
+    by_label = {r["label"]: r["value"] for r in
+                g.V().group_by("label", "count", "acctbal").collect()}
+    assert by_label["customer"] == n_cust
+    assert by_label.get("order", 0) == 0  # orders never carry acctbal
+
 
 def test_simple_path_filters_backtracking(g):
     """customer → nation → (customers in nation): without simple_path the
@@ -340,6 +348,25 @@ def test_coalesce_first_producing_branch_wins(g, spark):
     assert got == n_orders + n_without
     with pytest.raises(ValueError):
         g.V().coalesce_()
+    with pytest.raises(ValueError):
+        g.V().as_("a").coalesce_(lambda t: t.out("placed"))
+
+    # per-traverser multiplicity: k traversers parked on one nation each
+    # emit that nation's branch results (Gremlin semantics)
+    from pyspark.sql import functions as F
+
+    locs = {}  # nation id -> incoming customer-traverser count
+    for r in g.V().has_label("customer").out("located_in").to_df().collect():
+        locs[r["id"]] = locs.get(r["id"], 0) + 1
+    per_nation = {r["dst"]: r["n"] for r in
+                  g.edges.filter(F.col("label") == "located_in")
+                  .groupBy("dst").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    want_mult = sum(k * per_nation[n] for n, k in locs.items())
+    got_mult = (g.V().has_label("customer").out("located_in")
+                .coalesce_(lambda t: t.in_("located_in"))
+                .count().collect()[0]["n"])
+    assert got_mult == want_mult
 
 
 def test_optional_keeps_unproductive_traversers(g, spark):
