@@ -99,9 +99,12 @@ class Traversal:
         return Traversal(self._g, self._hop(e, "src"), "V")
 
     def both(self, *labels: str) -> "Traversal":
-        e = self._edges(labels)
-        fwd = e.select(F.col("src").alias("id"), F.col("dst").alias("nbr"))
-        bwd = e.select(F.col("dst").alias("id"), F.col("src").alias("nbr"))
+        # each direction reads its direction-matching physical copy, so on a
+        # layout-backed store BOTH branches arrive distributed on the hop key
+        fwd = self._edges(labels).select(
+            F.col("src").alias("id"), F.col("dst").alias("nbr"))
+        bwd = self._edges(labels, "dst").select(
+            F.col("dst").alias("id"), F.col("src").alias("nbr"))
         adj = fwd.unionByName(bwd)
         return Traversal(self._g, self._hop(adj, "nbr"), "V")
 

@@ -98,6 +98,37 @@ def test_agg_view_hll_measure_tracks_distincts(spark, tmp_path):
         assert abs(got[k] - n) <= max(2, 0.05 * n), (k, got[k], n)
 
 
+def test_agg_view_stream_checkpoint_restart(spark, tmp_path):
+    """Stop-and-restart against the SAME checkpoint: the restarted stream
+    must process only files that arrived after the first run — Spark's
+    source tracking and the view's batch-id watermark composing to
+    exactly-once across restarts."""
+    events = _events(spark)
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    src = tmp_path / "src"
+    first.write.mode("append").parquet(str(src))
+    catalog = TableCatalog(spark, str(tmp_path / "cat"))
+    vm.agg_view_create(catalog, "by_type", ["event_type"], ["value"],
+                       events.filter(F.lit(False)))
+    schema = "event_id long, event_type string, value double"
+    chk = str(tmp_path / "chk")
+
+    def run_once():
+        q = vm.agg_view_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            catalog, "by_type", chk)
+        q.awaitTermination(120)
+
+    run_once()
+    assert _rows(vm.agg_view_read(catalog, "by_type")) == _rows(_expected(first))
+    second.write.mode("append").parquet(str(src))
+    run_once()  # restart from the same checkpoint
+    assert _rows(vm.agg_view_read(catalog, "by_type")) == _rows(_expected(events))
+    run_once()  # nothing new: a third restart must change nothing
+    assert _rows(vm.agg_view_read(catalog, "by_type")) == _rows(_expected(events))
+
+
 def test_projection_view_partsupp_incremental(spark, tmp_path):
     """The derived-partsupp shape maintained from a lineitem stream: distinct
     (partkey, suppkey) + arithmetic derived columns, upserted per batch —
