@@ -98,3 +98,17 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
         _bucket(F.col(id_col), salt), F.col(id_col))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= cap).drop("_rn"))
+
+
+def weighted_sample(df: DataFrame, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Deterministic weighted Bernoulli: keep each row with probability
+    equal to its `weight_col` (clamped to [0, 1]) — the quality-weighted
+    corpus downsampler ("keep high-quality documents more often").  The
+    draw is the row's id-hash bucket, so it is reproducible and
+    independent of the weights: re-scoring documents changes only the rows
+    whose keep-threshold crossed their (fixed) bucket, not the whole
+    sample.  Pure column arithmetic — zero shuffle."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+                F.lit(1.0))
+    return df.filter(_bucket(F.col(id_col), salt) < (w * BUCKETS).cast("long"))

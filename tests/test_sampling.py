@@ -100,3 +100,30 @@ def test_sampling_plan_shapes(spark):
     phys_cap = sampling.cap_per_group(docs, "source", 10) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in phys_cap, phys_cap
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Keep-rate per weight tier ≈ the weight; weight 0 keeps nothing,
+    weight 1 keeps everything; deterministic; and re-weighting leaves the
+    draw itself fixed (rows keep their bucket — only thresholds move)."""
+    docs = _docs(spark).withColumn(
+        "w", (F.col("doc_id") % 4) / F.lit(4.0))  # tiers 0, .25, .5, .75
+    kept = sampling.weighted_sample(docs, "w")
+    n_tier = {r["w"]: r["n"] for r in docs.groupBy("w").count()
+              .withColumnRenamed("count", "n").collect()}
+    k_tier = {r["w"]: r["n"] for r in kept.groupBy("w").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert 0.0 not in k_tier                      # weight 0: nothing kept
+    for w, n in n_tier.items():
+        if w > 0:
+            rate = k_tier.get(w, 0) / n
+            assert abs(rate - w) < 0.25, (w, rate)  # tracks the weight
+    ones = docs.withColumn("w", F.lit(1.0))
+    assert sampling.weighted_sample(ones, "w").count() == docs.count()
+    # determinism + draw-independence from weights: a kept row stays kept
+    # when its weight only increases
+    bumped = docs.withColumn("w", F.least(F.col("w") + 0.25, F.lit(1.0)))
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    bumped_ids = {r["doc_id"] for r in
+                  sampling.weighted_sample(bumped, "w").collect()}
+    assert kept_ids <= bumped_ids
