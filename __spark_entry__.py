@@ -1864,6 +1864,85 @@ _register(
     """,
 )
 
+# -- curation pipeline v2: near-dedup → quality → PER-SOURCE CAP → BPE
+#    budget, still ONE declarative program with ONE differential oracle ------
+
+_CURATE_CAP = 15
+
+
+def _pipe_curate_v2(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    docs = load_table(spark, sf, "documents")
+    survivors = dedup.near_dedup(docs, num_hashes=32, rows_per_band=4,
+                                 k=3, threshold=0.3)
+    qm = text.quality_metrics(survivors)
+    kept_ids = qm.filter((F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.30)
+                         & (F.col("mean_token_len") >= 3.0)).select("doc_id")
+    kept = survivors.join(kept_ids, "doc_id")
+    capped = sampling.cap_per_group(kept, "source", _CURATE_CAP)
+    stats = capped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.bpe_token_estimate(F.col("text")).cast("long")).alias("total_bpe_tokens"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    surv_n = survivors.agg(F.count(F.lit(1)).alias("n_surv"))
+    kept_n = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        stats.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(surv_n))
+        .crossJoin(F.broadcast(kept_n))
+        .select(
+            "n_docs",
+            (F.col("n_total") - F.col("n_surv")).alias("n_dropped_neardup"),
+            (F.col("n_surv") - F.col("n_kept")).alias("n_dropped_quality"),
+            (F.col("n_kept") - F.col("n_docs")).alias("n_dropped_cap"),
+            "total_bpe_tokens",
+        )
+    )
+
+_register(
+    "pipe_curate_v2",
+    _pipe_curate_v2,
+    f"""
+    WITH clusters AS MATERIALIZED (
+      {_near_clusters_sql()}
+    ), survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / greatest(len(toks), 1), 4) AS mean_token_len,
+        round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+              * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+      FROM (SELECT doc_id, text, {TOKENS_SQL.format(col="text")} AS toks FROM survivors)
+    ), kept AS MATERIALIZED (
+      SELECT s.doc_id, s.text, s.source FROM survivors s JOIN m USING (doc_id)
+      WHERE n_tokens >= 20 AND stopword_ratio <= 0.30 AND mean_token_len >= 3.0
+    ), capped AS MATERIALIZED (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ''), 1, 12)) AS UBIGINT) AS BIGINT) % 10000,
+                          doc_id) AS rn
+        FROM kept) WHERE rn <= {_CURATE_CAP}
+    )
+    SELECT CAST((SELECT count(*) FROM capped) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM survivors)
+                AS BIGINT) AS n_dropped_neardup,
+           CAST((SELECT count(*) FROM survivors) - (SELECT count(*) FROM kept)
+                AS BIGINT) AS n_dropped_quality,
+           CAST((SELECT count(*) FROM kept) - (SELECT count(*) FROM capped)
+                AS BIGINT) AS n_dropped_cap,
+           CAST((SELECT SUM(list_sum(list_transform(
+                    regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+                    p -> CAST(ceil(length(p) / 4.0) AS INTEGER)))) FROM capped)
+                AS BIGINT) AS total_bpe_tokens
+    """,
+)
+
 # ===========================================================================
 # wave 5: more TPC-H-shaped headliners (join/predicate diversity)
 # ===========================================================================
@@ -3445,6 +3524,17 @@ _compose("text_quality_suite", [
      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # v2 adds the per-source cap stage; stopword_ratio carries its drop count
+    ("pipe_curate_v2",
+     ["'curated_v2' AS tag", "n_docs AS doc_id",
+      "CAST(total_bpe_tokens AS DOUBLE) AS n_tokens",
+      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len",
+      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio",
+      "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"],
+     "'curated_v2' AS tag, n_docs AS doc_id, CAST(total_bpe_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
+     "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "
+     "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"),
 ])
 
 _compose("dedup_exact_canonical", [
