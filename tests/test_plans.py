@@ -288,3 +288,34 @@ def test_zorder_tightens_rowgroup_stats_on_both_columns(spark, tmp_path):
     assert frac_span(z_dir, "l_partkey") < 0.5
     # and the z layout still beats "no sort at all" on its first column
     assert frac_span(z_dir, "l_orderkey") < frac_span(s_dir, "l_partkey")
+
+
+def test_plan_linter_flags_and_clears(spark):
+    """The SCALE.md rules as an executable audit: the linter flags a
+    cartesian and a row-at-a-time Python UDF, allowlists documented
+    contracts, and passes the engine's clean headline plans."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    import __spark_entry__ as m
+    from hugegraph_on_tikv_spark.plans.lint import lint_plan
+
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    codes = {f.code for f in lint_plan(a.crossJoin(b))}
+    assert "cartesian" in codes
+    assert lint_plan(a.crossJoin(b), allow={"cartesian"}) == [] or \
+        "cartesian" not in {f.code for f in lint_plan(a.crossJoin(b), allow={"cartesian"})}
+
+    slow = udf(lambda x: x + 1, LongType())
+    codes = {f.code for f in lint_plan(a.select(slow("id").alias("y")))}
+    assert "python-row-udf" in codes
+
+    # clean plans stay clean: q1 (scan+agg) and q3 (joins) lint empty
+    for name in ("q1_pricing_summary", "q3_shipping_priority"):
+        assert lint_plan(m.raw_queries()[name](spark, SF_DIR)) == [], name
+    # the exact cosine baseline is a DOCUMENTED all-pairs contract: flagged
+    # without an allowlist, silent with one
+    topk = m.raw_queries()["sim_cosine_topk"](spark, SF_DIR)
+    assert "cartesian" in {f.code for f in lint_plan(topk)}
+    assert "cartesian" not in {f.code for f in lint_plan(topk, allow={"cartesian"})}
