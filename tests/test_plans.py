@@ -319,3 +319,28 @@ def test_plan_linter_flags_and_clears(spark):
     topk = m.raw_queries()["sim_cosine_topk"](spark, SF_DIR)
     assert "cartesian" in {f.code for f in lint_plan(topk)}
     assert "cartesian" not in {f.code for f in lint_plan(topk, allow={"cartesian"})}
+
+
+def test_whole_roster_lints_clean(spark):
+    """Every raw roster query must lint clean or sit in the explicit
+    allowlist below — a new operator that introduces an all-pairs join or
+    a row-at-a-time Python UDF fails here before any driver run sees it."""
+    import __spark_entry__ as m
+    from hugegraph_on_tikv_spark.plans.lint import lint_plan
+
+    # documented bounded all-pairs shapes (1-row scalar broadcasts, the
+    # salt-range replication, and the exact-baseline contract):
+    ALLOW = {
+        "sim_cosine_topk": {"cartesian"},       # exact baseline BY CONTRACT
+        "j_salted_hub_revenue": {"cartesian"},  # salt-range × small side
+        "q11_important_stock": {"cartesian"},   # 1-row scalar subquery
+        "q22_global_sales_opportunity": {"cartesian"},  # 1-row avg
+        "pipe_curate_corpus": {"cartesian"},    # 1-row stat totals
+        "pipe_curate_v2": {"cartesian"},        # 1-row stat totals
+    }
+    unexpected = {}
+    for name, fn in sorted(m.raw_queries().items()):
+        findings = lint_plan(fn(spark, SF_DIR), allow=ALLOW.get(name, set()))
+        if findings:
+            unexpected[name] = [f.code for f in findings]
+    assert unexpected == {}, unexpected
