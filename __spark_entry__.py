@@ -548,13 +548,24 @@ _register(
 #    partial state (int64 scaled sums), never a base-table recompute. ------
 
 def _ivm_agg_view(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
     import tempfile
 
     from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
     from hugegraph_on_tikv_spark.streaming import view_maintenance as vm
 
     ev = load_events(spark, sf).select("event_id", "event_type", "value")
-    catalog = TableCatalog(spark, tempfile.mkdtemp(prefix="ivm_view_"))
+    # one fixed per-process dir, wiped per call and removed at exit — every
+    # roster enumeration re-runs the five catalog writes, and mkdtemp per
+    # call would leak a parquet-version pile into /tmp for each one
+    d = _ivm_agg_view.__dict__.setdefault(
+        "_dir", tempfile.mkdtemp(prefix="ivm_view_"))
+    if "_cleanup" not in _ivm_agg_view.__dict__:
+        _ivm_agg_view.__dict__["_cleanup"] = atexit.register(
+            shutil.rmtree, d, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+    catalog = TableCatalog(spark, d)
     vm.agg_view_create(catalog, "events_by_type", ["event_type"], ["value"],
                        ev.filter(F.lit(False)))
     for i in range(3):

@@ -80,6 +80,14 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, time_col: str,
     deterministic contract; a multiset would make 'the' as-of row
     ambiguous in any engine)."""
     rt = f"{time_col}{suffix}"
+    # NULL handling mirrors the DuckDB ASOF oracle (l.t >= r.t, equi on
+    # `by`): a NULL never satisfies >= or =, so NULL-time right rows can
+    # never be "the latest prior row", NULL-time left rows never match, and
+    # NULL keys never join.  Without these filters the ASC window (nulls
+    # first) would carry a NULL-time right struct into EVERY row of its key
+    # partition, fabricating matches the oracle doesn't produce.
+    left = left.filter(F.col(time_col).isNotNull() & F.col(by).isNotNull())
+    right = right.filter(F.col(time_col).isNotNull() & F.col(by).isNotNull())
     # the right row travels as ONE struct: last(ignorenulls) then picks up
     # the whole as-of row atomically.  Carrying each value column in its own
     # last() would let a NULL in the true as-of row fall through to a STALE

@@ -91,8 +91,12 @@ def pair_df(spark):
 
 # -- as-of join vs DuckDB's native ASOF JOIN on random data -----------------
 
+# time may be NULL on either side: DuckDB's ASOF (l.t >= r.t) never
+# matches a NULL time, so a NULL-time right row must never be carried
+# forward as "the" as-of row and a NULL-time left row must be dropped.
+_time = st.one_of(st.none(), st.integers(min_value=0, max_value=30))
 _pair = st.tuples(st.integers(min_value=0, max_value=3),   # key
-                  st.integers(min_value=0, max_value=30))  # time
+                  _time)
 
 
 @settings(max_examples=12, deadline=None,
@@ -105,13 +109,14 @@ def test_asof_join_matches_duckdb(spark, lefts, rights, null_every):
     time) sets on the right (the documented contract), the union+window
     construction agrees with DuckDB's native ASOF JOIN row-for-row —
     including NULL right values, which must surface as NULL in the match
-    (not fall through to a stale older row's value)."""
+    (not fall through to a stale older row's value), and NULL times on
+    either side, which must never fabricate a match."""
     import duckdb
 
     from hugegraph_on_tikv_spark.operators.joins import asof_join
 
     l_rows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
-    r_rows = [(k, t, None if (k + t) % null_every == 0 else 100 * k + t)
+    r_rows = [(k, t, None if t is None or (k + t) % null_every == 0 else 100 * k + t)
               for (k, t) in rights]
     left = spark.createDataFrame(l_rows, "k long, t long, v long")
     right = spark.createDataFrame(r_rows, "k long, t long, p long")
@@ -123,7 +128,14 @@ def test_asof_join_matches_duckdb(spark, lefts, rights, null_every):
     con.executemany("INSERT INTO l VALUES (?, ?, ?)", l_rows)
     con.execute("CREATE TABLE r(k BIGINT, t BIGINT, p BIGINT)")
     con.executemany("INSERT INTO r VALUES (?, ?, ?)", r_rows)
+    # DuckDB's native ASOF quirk: its sort-merge pairs a NULL-time left row
+    # with a NULL-time right row (NULL treated as a sortable value).  Our
+    # contract is standard SQL comparison semantics — NULL never satisfies
+    # l.t >= r.t — so the oracle filters NULL times explicitly; the Spark
+    # side must do the same internally (no filter on `got`).
     want = sorted(map(tuple, con.execute(
-        "SELECT l.k, l.t, l.v, r.t, r.p FROM l ASOF JOIN r "
+        "SELECT l.k, l.t, l.v, r.t, r.p "
+        "FROM (SELECT * FROM l WHERE t IS NOT NULL) l "
+        "ASOF JOIN (SELECT * FROM r WHERE t IS NOT NULL) r "
         "ON l.k = r.k AND l.t >= r.t").fetchall()))
     assert got == want
