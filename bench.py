@@ -2,24 +2,40 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line.
 
-TWO protocols per run, so every round is comparable with every other:
+Round-5 protocol — FALSIFIABLE round-over-round numbers.  The round-4
+adjudication showed the machine itself swings ~2× between bench runs, and a
+single-pass protocol cannot distinguish that from a plan regression.  Fixes:
 
-* shared-cache (the round-1 protocol): queries run back-to-back after one
-  session warm-up, sharing whatever cache/JIT state earlier queries built —
-  the long-lived-cluster regime.  Reported under "queries_shared_cache".
-* isolated (the round-2 protocol, the durable baseline): before each query
-  the cache is dropped and a full GC nudged, so each number is a
-  cold-cache plan execution paying its own materialization.  Reported under
-  "queries" and summed into "value".
+* **Pinned reference twin**: three frozen probes (`_TWIN_PROBES`, marked DO
+  NOT EDIT) built from pyspark built-ins only — a parquet scan, a
+  shuffle join+agg, and a driver-latency iterative loop.  They never change
+  when package code changes, so their runtime measures THE MACHINE.  Twin
+  samples run interleaved around the query series (T S1 T S2 T S3 T); the
+  JSON reports each probe's samples, median, the calibration recorded in
+  BENCH_TWIN.json, and a `reference_drift` flag when any probe's median
+  moved >30% from calibration — a flagged round's query deltas are machine
+  state until proven otherwise.
+* **Median-of-3 + dispersion**: the isolated series runs three times
+  interleaved with the twin; "queries" reports per-query medians and
+  "dispersion" the min/max spread, so every number carries its error bar.
+* **Layout-on headline series** ("queries_layout"): g_khop2, shuffle-mode
+  pagerank, and a two-in-hop DSL traversal routed through a bench-
+  materialized dual bucketed edge layout (sources/edge_layout.py) — the
+  configuration SCALE.md tells a 100 TB deployment to run — measured with
+  the same median-of-3, next to the same shapes on a pre-materialized PLAIN
+  parquet copy of the identical edge view ("queries_layout_plain"), so the
+  layout win is read+join vs read+join, not view-derivation vs read.
 
-"steady_state" additionally reports min-of-2 warm repeats of the iterative
-flagship (JIT-dominated cold runs; a long-lived cluster is always warm).
+The two legacy series are preserved for cross-round comparability:
+"queries_shared_cache" (round-1 protocol, first after warm-up) and
+"queries"/"value" (round-2 isolated protocol, now median-of-3).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -28,6 +44,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hugegraph_on_tikv_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TWIN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_TWIN.json")
 
 # headline subset: one per operator family — scans, aggregation, join-heavy,
 # graph traversal, graph analytics, windows, text/dedup, similarity.
@@ -46,8 +64,57 @@ HEADLINERS = [
 EXTRAS = ["dedup_minhash_lsh", "sim_cosine_topk", "g_pagerank"]
 
 
+# ---------------------------------------------------------------------------
+# PINNED REFERENCE TWIN — FROZEN AT ROUND 5, DO NOT EDIT.
+# Only pyspark built-ins over the fixture parquet: package changes cannot
+# move these numbers; machine-state swings can.  Each probe isolates one
+# subsystem the headline queries depend on.
+# ---------------------------------------------------------------------------
+
+def _twin_scan(spark, sf_dir):
+    # parquet scan throughput: full-column materialization of lineitem
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _twin_join_agg(spark, sf_dir):
+    # shuffle + hash-agg: the join/groupBy machinery headline joins use
+    from pyspark.sql import functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def _twin_iter(spark, sf_dir):
+    # driver-latency / JIT shape: 6 eager rounds of join+agg on a synthetic
+    # 100k-edge ring graph (no fixture dependence in the loop body)
+    from pyspark.sql import functions as F
+    e = spark.range(100_000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % 100_000).alias("dst"))
+    state = spark.range(100_000).select(F.col("id"), F.lit(1.0).alias("r"))
+    for i in range(6):
+        state = (e.join(state, e.src == state.id)
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("r").alias("r")))
+        if i % 2 == 1:
+            state = state.localCheckpoint()
+    return state
+
+
+_TWIN_PROBES = {
+    "twin_scan": _twin_scan,
+    "twin_join_agg": _twin_join_agg,
+    "twin_iter": _twin_iter,
+}
+
+DRIFT_TOLERANCE = 0.30  # ±30% on any probe median ⇒ reference_drift
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
 
     spark = get_spark("hugegraph-on-tikv-spark-bench")
     # Session + JIT warm-up: run the iterative join/agg shape once on a toy
@@ -55,7 +122,6 @@ def main() -> None:
     # JVM's first-compilation of the codegen paths (measured ~2x on the
     # iterative queries).  A long-lived cluster is always in this regime.
     spark.range(1).count()
-    from pyspark.sql import functions as F  # noqa: WPS433
 
     from hugegraph_on_tikv_spark.operators.analytics import pagerank
 
@@ -92,96 +158,156 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
         return run_plain(fn)
 
+    # ---- round-1-comparable shared-cache pass (FIRST, after warm-up) ------
     shared: dict[str, float] = {}
     for name in names:
         shared[name] = run_plain(qs[name])
         print(f"# shared {name}: {shared[name]}s", file=sys.stderr)
 
-    isolated: dict[str, float] = {}
-    for name in names:
-        isolated[name] = run_isolated(qs[name])
-        print(f"# isolated {name}: {isolated[name]}s", file=sys.stderr)
+    # ---- layout + plain-copy materialization (timed, outside the series) --
+    import shutil
+    import tempfile
 
+    from hugegraph_on_tikv_spark.sources.graph import GraphStore
+    from hugegraph_on_tikv_spark.traversal_api import Graph
+
+    layout_metrics: dict[str, float | str] = {}
+    layout_queries: dict[str, object] = {}
+    plain_queries: dict[str, object] = {}
+    tmp = tempfile.mkdtemp(prefix="bench_dual_edges_")
+    layout = None
+    try:
+        store_plain = GraphStore(spark, SF_DIR)       # /tmp parquet cache
+        store_layout = GraphStore(spark, SF_DIR)
+        # warm the plain cache OUTSIDE timing so "plain" sides below pay
+        # read+join only, not view derivation (both sides then compare the
+        # same work: pre-materialized parquet in, join out)
+        store_plain.edges().write.format("noop").mode("overwrite").save()
+        store_plain.edges(order_by="dst").write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        layout = store_layout.materialize_dual_layout(
+            tmp, buckets=32, name="bench_dual_edges")
+        layout_metrics["materialize_both_copies"] = round(time.perf_counter() - t0, 3)
+
+        from hugegraph_on_tikv_spark.operators.traversal import OUT, k_hop
+
+        start = entrymod._vid("customer", 42)
+        lbl = F.col("label").isin(["placed", "contains"])
+        pr_cfg = dict(iterations=10, checkpoint_every=2, state_partitions=8,
+                      broadcast_ranks=False)
+
+        def _mk(store):
+            # same three headline graph shapes, parameterized by store —
+            # thunks because the iterative operators do eager work at
+            # DataFrame-construction time (localCheckpoint per round)
+            return {
+                "g_khop2": lambda s, sf: k_hop(
+                    store.edges("src"), [start], k=2, direction=OUT,
+                    edges_by_dst=store.edges("dst")),
+                "g_pagerank_shuffle": lambda s, sf: pagerank(
+                    store.edges("src").filter(lbl), **pr_cfg),
+                "dsl_in_hops2": lambda s, sf: Graph(s, sf, store=store)
+                .V().has_label("part").in_("contains").in_("placed").count(),
+            }
+
+        layout_queries = _mk(store_layout)
+        plain_queries = _mk(store_plain)
+    except Exception as ex:  # never let the layout sink the bench
+        layout_metrics["error"] = str(ex)[:200]
+        layout_queries, plain_queries = {}, {}
+
+    # ---- interleaved isolated series: T S T S T S T -----------------------
+    twin_samples: dict[str, list[float]] = {k: [] for k in _TWIN_PROBES}
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    layout_samples: dict[str, list[float]] = {n: [] for n in layout_queries}
+    plain_samples: dict[str, list[float]] = {n: [] for n in plain_queries}
+
+    def twin_pass(tag: str) -> None:
+        for pname, pfn in _TWIN_PROBES.items():
+            t = run_isolated(pfn)
+            twin_samples[pname].append(t)
+            print(f"# twin[{tag}] {pname}: {t}s", file=sys.stderr)
+
+    twin_pass("0")
+    for series in range(3):
+        for name in names:
+            t = run_isolated(qs[name])
+            samples[name].append(t)
+            print(f"# isolated[{series}] {name}: {t}s", file=sys.stderr)
+        for name, fn in plain_queries.items():
+            t = run_isolated(fn)
+            plain_samples[name].append(t)
+            print(f"# layout-plain[{series}] {name}: {t}s", file=sys.stderr)
+        for name, fn in layout_queries.items():
+            t = run_isolated(fn)
+            layout_samples[name].append(t)
+            print(f"# layout-on[{series}] {name}: {t}s", file=sys.stderr)
+        twin_pass(str(series + 1))
+
+    def med(xs: list[float]) -> float:
+        return round(statistics.median(xs), 3)
+
+    isolated = {n: med(v) for n, v in samples.items()}
+    dispersion = {n: {"min": min(v), "max": max(v)} for n, v in samples.items()}
+
+    # ---- pinned-twin drift vs calibration ---------------------------------
+    twin_out: dict[str, object] = {}
+    drift_flag = False
+    calibration: dict[str, float] = {}
+    if os.path.exists(TWIN_FILE):
+        with open(TWIN_FILE) as f:
+            cal_doc = json.load(f)
+        # calibration is only meaningful at the SF it was recorded at
+        if cal_doc.get("sf_dir") == SF_DIR:
+            calibration = cal_doc.get("medians", {})
+    for pname, runs in twin_samples.items():
+        m = med(runs)
+        entry = {"runs": runs, "median": m}
+        if pname in calibration:
+            ratio = m / calibration[pname] if calibration[pname] else float("nan")
+            entry["calibration"] = calibration[pname]
+            entry["ratio_vs_calibration"] = round(ratio, 3)
+            if not (1 - DRIFT_TOLERANCE <= ratio <= 1 / (1 - DRIFT_TOLERANCE)):
+                drift_flag = True
+        twin_out[pname] = entry
+    if not calibration and SF_DIR.rstrip("/").endswith("sf0.1"):
+        # first run at the canonical SF: self-calibrate so the NEXT run has
+        # a reference (committed BENCH_TWIN.json pins it across rounds)
+        with open(TWIN_FILE, "w") as f:
+            json.dump({"medians": {p: med(r) for p, r in twin_samples.items()},
+                       "sf_dir": SF_DIR,
+                       "note": "pinned-twin calibration; delete to recalibrate"},
+                      f, indent=1)
+
+    # ---- steady-state of the iterative flagship ---------------------------
     steady: dict[str, float] = {}
-    # steady-state of the iterative flagship: C2 compilation of the join/agg
-    # codegen converges over ~3 executions (measured 13.2 → 7.6 → 5.9 →
-    # 5.6s at sf0.1); min-of-2 warm repeats is the usual protocol.
     if "g_pagerank" in isolated:
         steady["g_pagerank_warm"] = min(
             run_isolated(qs["g_pagerank"]) for _ in range(2)
         )
         print(f"# steady g_pagerank_warm: {steady['g_pagerank_warm']}s", file=sys.stderr)
 
-    # dual bucketed edge layout (sources/edge_layout.py): time the two-hop
-    # mid-join on the bucketed copies vs the identical SMJ on the raw edge
-    # view — the bucketed form runs the join with zero exchanges (plan
-    # pinned in tests/test_plans.py); this measures what that saves.
-    layout_metrics: dict[str, float | str] = {}
-    try:
-        import shutil
-        import tempfile
-
-        from hugegraph_on_tikv_spark.sources.graph import GraphStore
-
-        store = GraphStore(spark, SF_DIR)
-        tmp = tempfile.mkdtemp(prefix="bench_dual_edges_")
-        t0 = time.perf_counter()
-        layout = store.materialize_dual_layout(tmp, buckets=32,
-                                               name="bench_dual_edges")
-        layout_metrics["materialize_both_copies"] = round(time.perf_counter() - t0, 3)
+    # ---- one-shot layout probes (micro-shapes, not headline) --------------
+    if layout is not None:
         try:
-            def run_df(df_or_thunk) -> float:
-                # iterative operators (pagerank, k_hop) do EAGER work at
-                # DataFrame-construction time (localCheckpoint per round),
-                # so timing must wrap construction — pass a thunk for those
-                spark.catalog.clearCache()
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
-                df.write.format("noop").mode("overwrite").save()
-                return round(time.perf_counter() - t0, 3)
-
-            e = store._build_edges()
-            plain = (
-                e.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+            e_plain = store_plain.edges()
+            plain2h = (
+                e_plain.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
                 .hint("merge")
-                .join(e.select(F.col("src").alias("mid"), F.col("dst").alias("c")),
+                .join(e_plain.select(F.col("src").alias("mid"), F.col("dst").alias("c")),
                       "mid")
                 .select("a", "mid", "c")
             )
-            layout_metrics["two_hop_plain_smj"] = run_df(plain)
-            layout_metrics["two_hop_bucketed"] = run_df(layout.two_hop("out", "out"))
-
-            # real operators routed through the layout.  pagerank is
-            # compared in the broadcast_ranks=False regime on BOTH sides —
-            # that's the >2M-vertices cluster path where the by-src copy is
-            # supposed to make the per-iteration contribution join
-            # co-located (the broadcast default never shuffles the edge
-            # side, so the layout can't help it).
-            from hugegraph_on_tikv_spark.operators.analytics import pagerank
-            from hugegraph_on_tikv_spark.operators.traversal import OUT, k_hop
-
-            start = entrymod._vid("customer", 42)
-            layout_metrics["khop2_routed"] = run_df(lambda: k_hop(
-                layout.edges("src"), [start], k=2, direction=OUT,
-                edges_by_dst=layout.edges("dst")))
-            pr = dict(iterations=10, checkpoint_every=2, state_partitions=8,
-                      broadcast_ranks=False)
-            lbl = F.col("label").isin(["placed", "contains"])
-            layout_metrics["pagerank_shuffle_plain"] = run_df(
-                lambda: pagerank(e.filter(lbl), **pr))
-            layout_metrics["pagerank_shuffle_bucketed"] = run_df(
-                lambda: pagerank(layout.edges("src").filter(lbl), **pr))
-            for k in ("two_hop_plain_smj", "two_hop_bucketed", "khop2_routed",
-                      "pagerank_shuffle_plain", "pagerank_shuffle_bucketed"):
+            spark.catalog.clearCache()
+            layout_metrics["two_hop_plain_smj"] = run_isolated(lambda s, sf: plain2h)
+            layout_metrics["two_hop_bucketed"] = run_isolated(
+                lambda s, sf: layout.two_hop("out", "out"))
+            for k in ("two_hop_plain_smj", "two_hop_bucketed"):
                 print(f"# layout {k}: {layout_metrics[k]}s", file=sys.stderr)
-        finally:
-            layout.drop()
-            shutil.rmtree(tmp, ignore_errors=True)
-    except Exception as ex:  # never let the layout probe sink the bench
-        layout_metrics["error"] = str(ex)[:200]
+        except Exception as ex:
+            layout_metrics["probe_error"] = str(ex)[:200]
 
-    # round-4 operators, measured OUTSIDE the comparable series (new keys
+    # round-4+ operators, measured OUTSIDE the comparable series (new keys
     # never change "value"/"shared_cache_total" semantics): the Arrow-vs-JVM
     # simhash twins and the as-of join.
     extras: dict[str, float | str] = {}
@@ -202,6 +328,13 @@ def main() -> None:
     except Exception as ex:
         extras["error"] = str(ex)[:200]
 
+    if layout is not None:
+        try:
+            layout.drop()
+        except Exception:
+            pass
+    shutil.rmtree(tmp, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -212,20 +345,29 @@ def main() -> None:
         "value": round(sum(isolated.values()), 3),
         "unit": "sec",
         "queries": isolated,
+        "dispersion": dispersion,
         "queries_shared_cache": shared,
         "shared_cache_total": round(sum(shared.values()), 3),
+        "queries_layout": {n: med(v) for n, v in layout_samples.items() if v},
+        "queries_layout_plain": {n: med(v) for n, v in plain_samples.items() if v},
+        "pinned_twin": twin_out,
+        "reference_drift": drift_flag,
         "steady_state": steady,
         "dual_edge_layout": layout_metrics,
         "extras": extras,
-        "protocols": "queries_shared_cache runs FIRST, immediately after "
-                     "warm-up — positionally identical to the round-1 series "
-                     "(apples-to-apples with BENCH_r01). queries/value: "
-                     "cold-cache isolated (clearCache+GC per query, the r02 "
-                     "protocol) but measured AFTER the shared pass, i.e. in "
-                     "a fully JIT-warm JVM — improvements vs BENCH_r02's "
-                     "isolated numbers are partly position, not all plan. "
-                     "steady_state: min-of-2 warm repeats of the iterative "
-                     "flagship",
+        "protocols": "queries_shared_cache runs FIRST after warm-up "
+                     "(round-1-comparable single pass). queries/value: "
+                     "cold-cache isolated (clearCache+GC per query), now the "
+                     "MEDIAN of 3 series interleaved T S T S T S T with the "
+                     "pinned twin; dispersion = per-query min/max. "
+                     "pinned_twin: frozen pyspark-builtin probes measuring "
+                     "the machine — reference_drift=true means a probe "
+                     "median moved >30% from BENCH_TWIN.json calibration and "
+                     "cross-round query deltas are suspect. queries_layout / "
+                     "queries_layout_plain: the same graph shapes on the "
+                     "dual bucketed layout vs a pre-materialized plain copy "
+                     "(both pay read+join only). steady_state: min-of-2 warm "
+                     "repeats of the iterative flagship",
         "sf": sf_val,
     }
     print(json.dumps(result))
