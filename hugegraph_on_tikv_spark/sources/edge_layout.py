@@ -19,9 +19,33 @@ finds its build side already hash-distributed on the join key:
 Storage cost is 2× the edge table, identical to the reference's twin
 tables; both copies are written from one logical DataFrame so they cannot
 drift.  tests/test_plans.py pins the exchange-free plans.
+
+INCREMENTAL MAINTENANCE (the reference maintains its twin tables
+per-mutation, TikvTables.java:128-149 / TikvStore.java:176-210; here the
+same contract is per-batch):  each copy lives in a VERSIONED directory
+(`by_src/v000001`, ...).  `upsert(delta)` computes the touched buckets —
+`pmod(hash(key), buckets)`, the exact partition-id expression `bucketBy`
+and `repartition(n, key)` share — reads ONLY those buckets' files, merges
+by edge key, and builds the next version by hard-linking every untouched
+bucket file (no rewrite, no data copy) and writing fresh files for the
+touched buckets alone.  The catalog table then swaps to the new directory
+with a metadata-only `ALTER TABLE SET LOCATION`: readers planned against
+version N keep their file list and are never disturbed (the same
+atomic-pointer contract as sources/table_catalog.py).  Work per refresh is
+O(touched buckets), not O(table) — at 100 TB a trickle of edge mutations
+touches a few hundred of tens of thousands of buckets.  `compact()` is the
+recluster cadence (full rewrite, optionally with a new bucket count, for
+when buckets grow past their target size); `vacuum()` retires old version
+directories once their readers are gone.
 """
 
 from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,37 +55,93 @@ from hugegraph_on_tikv_spark.sources.bucketing import write_bucketed
 BY_SRC_SUFFIX = "_by_src"
 BY_DST_SUFFIX = "_by_dst"
 
+# edge identity for merges: multi-edges between one (src, dst) pair are
+# legal (one `contains` edge per lineitem), distinguished by linenumber
+DEFAULT_KEY_COLS = ("src", "dst", "label", "linenumber")
+
+_BUCKET_RE = re.compile(r"_(\d+)(?:\.|$)")
+
+
+def _bucket_of(fname: str) -> int | None:
+    m = _BUCKET_RE.search(fname)
+    return int(m.group(1)) if m else None
+
+
+def _data_files(location: str) -> dict[int, str]:
+    """bucket id → file name for one version directory (one file per
+    bucket is the layout invariant; enforced at write, asserted here)."""
+    out: dict[int, str] = {}
+    for f in sorted(os.listdir(location)):
+        if not f.startswith("part-"):
+            continue
+        b = _bucket_of(f)
+        if b is None:
+            continue
+        if b in out:
+            raise AssertionError(
+                f"bucket {b} has multiple files in {location} — the "
+                "one-file-per-bucket contract is broken; run compact()")
+        out[b] = f
+    return out
+
 
 class DualEdgeLayout:
     """Handle to a materialized dual edge layout (two bucketed catalog
     tables).  Use `materialize` to build one, `edges(direction_key)` to get
     the copy whose bucketing matches a join key."""
 
-    def __init__(self, spark: SparkSession, name: str):
+    def __init__(self, spark: SparkSession, name: str,
+                 path: str | None = None, buckets: int | None = None):
         self.spark = spark
         self.name = name
+        self.path = path
+        self.buckets = buckets
+        if path and buckets is None and os.path.exists(self._meta_path(path)):
+            with open(self._meta_path(path)) as f:
+                self.buckets = json.load(f)["buckets"]
+
+    # -- metadata ----------------------------------------------------------
+    @staticmethod
+    def _meta_path(path: str) -> str:
+        return os.path.join(path, "layout.json")
+
+    def _meta(self) -> dict:
+        with open(self._meta_path(self.path)) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = self._meta_path(self.path) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self._meta_path(self.path))  # atomic pointer swap
+
+    def _copy_dir(self, key: str, version: int) -> str:
+        return os.path.join(self.path, f"by_{key}", f"v{version:06d}")
 
     @classmethod
     def materialize(cls, edges: DataFrame, name: str, path: str,
                     buckets: int = 32) -> "DualEdgeLayout":
         """Write BOTH bucketed copies of `edges` (columns must include
-        `src` and `dst`).  `name` prefixes the catalog table names; `path`
-        holds the parquet.  Idempotent only in the overwrite sense — the
-        copies are always rewritten together so they cannot diverge.
+        `src` and `dst`) as VERSION 1 of the layout.  `name` prefixes the
+        catalog table names; `path` holds the versioned parquet dirs plus
+        `layout.json` (buckets / current version / last applied batch id).
 
         The input is persisted across the two writes: `edges` is typically
         a lazy multi-source union (GraphStore's view derivation), and
         without the cache each copy would re-derive the whole edge view
         from base tables."""
+        self = cls(edges.sparkSession, name, path, buckets)
         edges = edges.persist()
         try:
-            write_bucketed(edges, f"{name}{BY_SRC_SUFFIX}", f"{path}/by_src",
-                           buckets, "src")
-            write_bucketed(edges, f"{name}{BY_DST_SUFFIX}", f"{path}/by_dst",
-                           buckets, "dst")
+            write_bucketed(edges, f"{name}{BY_SRC_SUFFIX}",
+                           self._copy_dir("src", 1), buckets, "src")
+            write_bucketed(edges, f"{name}{BY_DST_SUFFIX}",
+                           self._copy_dir("dst", 1), buckets, "dst")
         finally:
             edges.unpersist()
-        return cls(edges.sparkSession, name)
+        self._write_meta({"buckets": buckets, "version": 1,
+                          "last_batch_id": None})
+        return self
 
     def edges(self, order_by: str = "src") -> DataFrame:
         """The copy bucketed on `order_by` ('src' serves out-traversals and
@@ -112,6 +192,143 @@ class DualEdgeLayout:
         e2 = self.edges(start2).select(F.col(start2).alias("mid"),
                                        F.col(end2).alias("c"))
         return e1.hint("merge").join(e2, "mid").select("a", "mid", "c")
+
+    # -- incremental maintenance -------------------------------------------
+    def _merge_copy(self, key: str, version: int,
+                    upserts: DataFrame | None, delete_keys: DataFrame | None,
+                    key_cols: tuple[str, ...]) -> int:
+        """Build version+1 of one copy: rewrite touched buckets, hard-link
+        the rest.  Returns the number of buckets rewritten."""
+        spark, b = self.spark, self.buckets
+        cur = self._copy_dir(key, version)
+        nxt = self._copy_dir(key, version + 1)
+        bucket_expr = F.pmod(F.hash(F.col(key)), F.lit(b))
+        touched: set[int] = set()
+        for d in (upserts, delete_keys):
+            if d is not None:
+                touched |= {r[0] for r in
+                            d.select(bucket_expr.alias("b")).distinct().collect()}
+        files = _data_files(cur)
+        if not touched:
+            return 0
+        schema = spark.table(f"{self.name}_by_{key}").schema
+        touched_files = [os.path.join(cur, files[t]) for t in touched if t in files]
+        existing = (spark.read.schema(schema).parquet(*touched_files)
+                    if touched_files else
+                    spark.createDataFrame([], schema))
+        # keys to retract: every upserted key (replaced) plus explicit deletes
+        gone = upserts.select(*key_cols) if upserts is not None else None
+        if delete_keys is not None:
+            dk = delete_keys.select(*key_cols)
+            gone = dk if gone is None else gone.unionByName(dk)
+        merged = existing.join(gone.distinct(), list(key_cols), "left_anti")
+        if upserts is not None:
+            merged = merged.unionByName(upserts.select(*schema.fieldNames()))
+        # stage the touched buckets through a throwaway bucketed table: the
+        # writer repartitions on the SAME pmod(hash) the touched-bucket set
+        # was computed with, so it emits files ONLY for touched bucket ids,
+        # named with the bucket suffix the bucketed reader parses
+        stage_tbl = f"{self.name}_stage_{key}"
+        stage_dir = os.path.join(self.path, f"stage_{key}_{uuid.uuid4().hex[:8]}")
+        write_bucketed(merged, stage_tbl, stage_dir, b, key)
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        staged = _data_files(stage_dir)
+        unexpected = set(staged) - touched
+        if unexpected:
+            raise AssertionError(
+                f"staged buckets {unexpected} outside the touched set "
+                f"{touched} — bucket-hash mismatch, refusing to merge")
+        os.makedirs(nxt, exist_ok=True)
+        for bid, fname in files.items():          # untouched: hard links,
+            if bid not in touched:                # zero data movement
+                os.link(os.path.join(cur, fname), os.path.join(nxt, fname))
+        for bid, fname in staged.items():
+            os.replace(os.path.join(stage_dir, fname), os.path.join(nxt, fname))
+        open(os.path.join(nxt, "_SUCCESS"), "w").close()
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        spark.sql(f"ALTER TABLE {self.name}_by_{key} "
+                  f"SET LOCATION '{nxt}'")       # metadata-only swap
+        return len(touched)
+
+    def upsert(self, upserts: DataFrame | None = None,
+               delete_keys: DataFrame | None = None,
+               key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+               batch_id: int | None = None) -> dict[str, int]:
+        """Apply one batch of edge mutations to BOTH copies without a full
+        rewrite: rows in `upserts` replace existing rows with the same
+        `key_cols`; `delete_keys` rows (key columns only) are removed.
+
+        Exactly-once under at-least-once redelivery: pass a monotonically
+        increasing `batch_id` and a replayed batch becomes a no-op (the id
+        is committed in layout.json only after BOTH copies swapped, so a
+        crash between copies is healed by re-applying the same batch —
+        the merge is idempotent by key).  Returns touched-bucket counts
+        per copy."""
+        meta = self._meta()
+        if batch_id is not None and meta["last_batch_id"] is not None \
+                and batch_id <= meta["last_batch_id"]:
+            return {"src": 0, "dst": 0}
+        if upserts is not None:
+            upserts = upserts.persist()
+        try:
+            v = meta["version"]
+            n_src = self._merge_copy("src", v, upserts, delete_keys, key_cols)
+            n_dst = self._merge_copy("dst", v, upserts, delete_keys, key_cols)
+        finally:
+            if upserts is not None:
+                upserts.unpersist()
+        if n_src or n_dst:
+            meta["version"] = v + 1
+        if batch_id is not None:
+            meta["last_batch_id"] = batch_id
+        self._write_meta(meta)
+        return {"src": n_src, "dst": n_dst}
+
+    def foreach_batch_upserter(self, key_cols: tuple[str, ...] = DEFAULT_KEY_COLS):
+        """`foreachBatch` adapter: stream edge upserts straight into the
+        layout — `writeStream.foreachBatch(layout.foreach_batch_upserter())`.
+        The Structured Streaming epoch id doubles as the exactly-once
+        batch id."""
+        def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+            self.upsert(upserts=batch_df, key_cols=key_cols, batch_id=epoch_id)
+        return _apply
+
+    def compact(self, buckets: int | None = None) -> None:
+        """Recluster cadence: full rewrite of the CURRENT data into a fresh
+        version — with a new bucket count if the table outgrew the old one
+        (bucket growth is the one thing per-bucket merges can't fix)."""
+        meta = self._meta()
+        v = meta["version"]
+        new_b = buckets or self.buckets
+        # read the current version DIRECTORY, not the catalog table — Spark
+        # refuses to overwrite a table it is also reading from, and the
+        # path read is the same files without the metadata self-reference
+        cur = self.spark.read.parquet(self._copy_dir("src", v)).persist()
+        try:
+            write_bucketed(cur, f"{self.name}{BY_SRC_SUFFIX}",
+                           self._copy_dir("src", v + 1), new_b, "src")
+            write_bucketed(cur, f"{self.name}{BY_DST_SUFFIX}",
+                           self._copy_dir("dst", v + 1), new_b, "dst")
+        finally:
+            cur.unpersist()
+        self.buckets = new_b
+        meta.update(version=v + 1, buckets=new_b)
+        self._write_meta(meta)
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Remove version directories older than the newest `keep` (readers
+        pinned to a retired version must be done — same contract as
+        TableCatalog.vacuum).  Returns removed dirs."""
+        removed = []
+        cur_version = self._meta()["version"]
+        for key in ("src", "dst"):
+            base = os.path.join(self.path, f"by_{key}")
+            for d in sorted(os.listdir(base)):
+                if d.startswith("v") and int(d[1:]) <= cur_version - keep:
+                    full = os.path.join(base, d)
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+        return removed
 
     def drop(self) -> None:
         """Drop both catalog entries (the parquet files remain at `path`)."""

@@ -1,0 +1,165 @@
+"""Incremental maintenance of the dual bucketed edge layout.
+
+The reference maintains its out/in twin adjacency tables per-mutation
+(TikvTables.java:128-149 via TikvStore.mutate, TikvStore.java:176-210).
+Spark-side the same contract is per-batch: `DualEdgeLayout.upsert` must
+make edge mutations visible in BOTH copies' hop joins while rewriting ONLY
+the buckets the mutated keys hash into — untouched bucket files are
+hard-linked into the next version, byte-identical and inode-identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.sources.edge_layout import (DualEdgeLayout,
+                                                         _data_files)
+
+EDGE_SCHEMA = ("src long, dst long, label string, linenumber int, "
+               "quantity double")
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, EDGE_SCHEMA)
+
+
+def _base_rows(n=400):
+    # src in [0, 50), dst in [100, 150) — several edges per bucket
+    return [(i % 50, 100 + (i * 7) % 50, "e", i, float(i)) for i in range(n)]
+
+
+def _mk_layout(spark, tmp_path, name, buckets=8):
+    return DualEdgeLayout.materialize(
+        _edges(spark, _base_rows()), name, str(tmp_path / "dual"), buckets)
+
+
+def _rows(df):
+    return sorted((r.src, r.dst, r.label, r.linenumber, r.quantity)
+                  for r in df.collect())
+
+
+def test_upsert_touches_only_mutated_buckets(spark, tmp_path):
+    layout = _mk_layout(spark, tmp_path, "t_ivm_a")
+    try:
+        v1_src = layout._copy_dir("src", 1)
+        files_before = _data_files(v1_src)
+        inodes_before = {b: os.stat(os.path.join(v1_src, f)).st_ino
+                         for b, f in files_before.items()}
+
+        # one replaced edge (same key, new quantity), one brand-new edge,
+        # one deleted edge — three keys, a strict subset of buckets
+        ups = _edges(spark, [(3, 121, "e", 3, 999.0),      # replaces row 3
+                             (7, 777, "e", 9999, 1.0)])    # new edge
+        dels = _edges(spark, [(5, 135, "e", 5, 0.0)]).select(
+            "src", "dst", "label", "linenumber")
+        stats = layout.upsert(upserts=ups, delete_keys=dels, batch_id=1)
+        assert 0 < stats["src"] < layout.buckets
+        assert 0 < stats["dst"] < layout.buckets
+
+        # contents: both copies agree and reflect all three mutations
+        for key in ("src", "dst"):
+            got = _rows(layout.edges(key))
+            assert (3, 121, "e", 3, 999.0) in got
+            assert (3, 121, "e", 3, 3.0) not in got
+            assert (7, 777, "e", 9999, 1.0) in got
+            assert (5, 135, "e", 5, 5.0) not in got
+        assert _rows(layout.edges("src")) == _rows(layout.edges("dst"))
+
+        # untouched buckets: the NEW version's file is the SAME inode (hard
+        # link — no rewrite, no data copy); touched buckets got new files
+        v2_src = layout._copy_dir("src", 2)
+        files_after = _data_files(v2_src)
+        touched_src = {F_row[0] for F_row in
+                       ups.select(F.pmod(F.hash("src"), F.lit(layout.buckets)))
+                       .union(dels.select(F.pmod(F.hash("src"), F.lit(layout.buckets))))
+                       .distinct().collect()}
+        untouched = set(files_before) - touched_src
+        assert untouched, "fixture too small: every bucket touched"
+        for b in untouched:
+            assert os.stat(os.path.join(v2_src, files_after[b])).st_ino \
+                == inodes_before[b], f"untouched bucket {b} was rewritten"
+        for b in touched_src & set(files_after):
+            assert os.stat(os.path.join(v2_src, files_after[b])).st_ino \
+                != inodes_before.get(b)
+    finally:
+        layout.drop()
+
+
+def test_upsert_preserves_exchange_free_hop_plans(spark, tmp_path):
+    """Plan guard: after an incremental merge the one-file-per-bucket
+    contract still holds, so the two-hop SMJ keeps ZERO exchanges and zero
+    sorts in both directions — the whole point of the layout survives
+    maintenance."""
+    layout = _mk_layout(spark, tmp_path, "t_ivm_b")
+    try:
+        layout.upsert(upserts=_edges(spark, [(1, 102, "e", 1, 42.0),
+                                             (2, 888, "e", 8888, 1.0)]),
+                      batch_id=1)
+        for first, second in (("out", "out"), ("in", "in")):
+            phys = (layout.two_hop(first, second)
+                    ._jdf.queryExecution().executedPlan().toString())
+            assert "SortMergeJoin" in phys, phys
+            assert "Exchange" not in phys, phys
+            assert "Sort " not in phys, phys
+        # and the new edge participates in hops served by BOTH copies:
+        # 1 -> 102 exists; add 102 -> X via dst-copy route
+        layout.upsert(upserts=_edges(spark, [(102, 200, "e", 7777, 1.0)]),
+                      batch_id=2)
+        hops = layout.two_hop("out", "out").filter(
+            (F.col("a") == 1) & (F.col("c") == 200)).collect()
+        assert any(h.mid == 102 for h in hops)
+    finally:
+        layout.drop()
+
+
+def test_upsert_batch_id_exactly_once_and_reader_isolation(spark, tmp_path):
+    layout = _mk_layout(spark, tmp_path, "t_ivm_c")
+    try:
+        old_reader = layout.edges("src")    # planned against v1
+        n_before = old_reader.count()
+
+        ups = _edges(spark, [(11, 311, "e", 311, 1.0)])
+        assert layout.upsert(upserts=ups, batch_id=5) == {"src": 1, "dst": 1}
+        # replay of the same batch id: no-op, version unchanged
+        assert layout.upsert(upserts=ups, batch_id=5) == {"src": 0, "dst": 0}
+        assert layout._meta()["version"] == 2
+        # a stale batch id is also a no-op
+        assert layout.upsert(upserts=ups, batch_id=4) == {"src": 0, "dst": 0}
+
+        # the pre-upsert reader still serves version 1 (its file list was
+        # resolved before the location swap; v1 files still exist)
+        assert old_reader.count() == n_before
+        assert layout.edges("src").count() == n_before + 1
+
+        # foreachBatch adapter = the same path keyed by epoch id
+        apply = layout.foreach_batch_upserter()
+        apply(_edges(spark, [(12, 312, "e", 312, 1.0)]), 6)
+        apply(_edges(spark, [(12, 312, "e", 312, 1.0)]), 6)   # redelivery
+        assert layout.edges("dst").filter(F.col("dst") == 312).count() == 1
+    finally:
+        layout.drop()
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    layout = _mk_layout(spark, tmp_path, "t_ivm_d", buckets=4)
+    try:
+        layout.upsert(upserts=_edges(spark, [(21, 321, "e", 321, 1.0)]),
+                      batch_id=1)
+        n = layout.edges("src").count()
+        # recluster into more buckets (the bucket-growth escape hatch)
+        layout.compact(buckets=8)
+        assert layout.buckets == 8
+        assert layout.edges("src").count() == n
+        assert len(_data_files(layout._copy_dir("src", 3))) <= 8
+        phys = (layout.two_hop("out", "out")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in phys
+
+        removed = layout.vacuum(keep=1)
+        assert any("v000001" in d for d in removed)
+        assert not os.path.exists(layout._copy_dir("src", 1))
+        assert layout.edges("src").count() == n    # current version intact
+    finally:
+        layout.drop()
