@@ -400,7 +400,14 @@ _register(
 import datetime as _dt
 
 from hugegraph_on_tikv_spark.functions import dedup, similarity, text
-from hugegraph_on_tikv_spark.functions.multimodal import extract_features, synthetic_media
+from hugegraph_on_tikv_spark.functions.multimodal import (
+    extract_features,
+    media_byte_simhash,
+    media_exact_dup_groups,
+    media_near_pairs,
+    synthetic_media,
+    synthetic_media_with_dups,
+)
 from hugegraph_on_tikv_spark.operators.mutations import MutationBatch, TableState
 from hugegraph_on_tikv_spark.oracles import (
     FINGERPRINT_SQL,
@@ -1350,6 +1357,83 @@ _register(
            {_MM_FEATURE_COLS}
     FROM m LEFT JOIN hist ON m.media_id = hist.media_id
     GROUP BY m.media_id, m.kind
+    """,
+)
+
+# -- byte-level media dedup (codec-free; functions/multimodal.py) -----------
+# Every hash is over the payload's LOWERCASE HEX string, so the oracle
+# rebuilds the identical corpus from sha256 hex (payload = digest×8 ⇒
+# hex = repeat(sha256_hex, 8)) and recomputes md5 fingerprints, 48-bit
+# byte-n-gram SimHash signatures, and the 4×12-bit banded near-pairs
+# bit-identically.  Three tagged parts: per-media signature, exact
+# byte-duplicate groups, near-duplicate pairs (hamming ≤ 8).
+
+def _mm_media_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    media = synthetic_media_with_dups(spark)
+    sig = media_byte_simhash(media).selectExpr(
+        "'sig' AS tag", "CAST(media_id AS DOUBLE) AS a",
+        "CAST(NULL AS DOUBLE) AS b", "CAST(simhash AS DOUBLE) AS v",
+        "CAST(NULL AS STRING) AS s")
+    ex = media_exact_dup_groups(media).selectExpr(
+        "'exact' AS tag", "CAST(canonical_id AS DOUBLE) AS a",
+        "CAST(NULL AS DOUBLE) AS b", "CAST(n_copies AS DOUBLE) AS v",
+        "fp AS s")
+    pr = media_near_pairs(media, max_hamming=8).selectExpr(
+        "'pair' AS tag", "CAST(media_a AS DOUBLE) AS a",
+        "CAST(media_b AS DOUBLE) AS b", "CAST(hamming AS DOUBLE) AS v",
+        "CAST(NULL AS STRING) AS s")
+    return sig.unionByName(ex).unionByName(pr)
+
+_register(
+    "mm_media_dedup",
+    _mm_media_dedup,
+    f"""
+    WITH base AS (
+      SELECT CAST(i AS BIGINT) AS media_id,
+             repeat(sha256(CAST(i AS VARCHAR)), 8) AS hx
+      FROM range(64) t(i)
+    ), media AS (
+      SELECT media_id, hx FROM base
+      UNION ALL
+      SELECT 1000 + media_id, hx || substr(hx, 1, 8) FROM base WHERE media_id < 16
+      UNION ALL
+      SELECT 2000 + media_id, hx FROM base WHERE media_id < 8
+    ), grams AS (
+      SELECT media_id, substr(hx, CAST(2 * p + 1 AS INTEGER), 16) AS gram
+      FROM (SELECT media_id, hx,
+                   unnest(range(0, length(hx) // 2 - 7, 4)) AS p
+            FROM media)
+    ), bits AS (
+      SELECT media_id, j, SUM(((({H48_SQL.format(x="gram")}) >> j) & 1) * 2 - 1) AS w
+      FROM grams CROSS JOIN (SELECT unnest(range(48)) AS j) js
+      GROUP BY media_id, j
+    ), sig AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY media_id
+    ), fps AS (
+      SELECT media_id, md5(hx) AS f FROM media
+    ), exact AS (
+      SELECT f, count(*) AS n_copies, min(media_id) AS canonical
+      FROM fps GROUP BY f HAVING count(*) > 1
+    ), chunks AS (
+      SELECT media_id, simhash, c, (simhash >> CAST(c * 12 AS INTEGER)) & 4095 AS cb
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cs
+    ), pairs AS (
+      SELECT DISTINCT a.media_id AS pa, b.media_id AS pb,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.cb = b.cb AND a.media_id < b.media_id
+    )
+    SELECT 'sig' AS tag, CAST(media_id AS DOUBLE) AS a, CAST(NULL AS DOUBLE) AS b,
+           CAST(simhash AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS s FROM sig
+    UNION ALL
+    SELECT 'exact', CAST(canonical AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(n_copies AS DOUBLE), f FROM exact
+    UNION ALL
+    SELECT 'pair', CAST(pa AS DOUBLE), CAST(pb AS DOUBLE), CAST(hamming AS DOUBLE),
+           CAST(NULL AS VARCHAR) FROM pairs WHERE hamming <= 8
     """,
 )
 
@@ -2377,6 +2461,45 @@ _register(
     """,
 )
 
+# -- DSL long-tail: repeat().emit() and match()-lite ------------------------
+
+_register(
+    "dsl_repeat_emit_count",
+    # repeat(out).emit().times(2): the union of BOTH frontiers (orders of
+    # customer 42, then per-lineitem parts), multiplicity preserved — the
+    # neighborhood, not the 2nd frontier
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V(_KHOP_START).repeat(lambda t: t.out("placed", "contains"), 2, emit=True)
+    .count(),
+    f"""
+    WITH {graph_ctes()},
+    de AS MATERIALIZED (SELECT src, dst FROM edges WHERE label IN ('placed', 'contains')),
+    h1 AS (SELECT dst AS id FROM de WHERE src = {_KHOP_START}),
+    h2 AS (SELECT de.dst AS id FROM de JOIN h1 ON de.src = h1.id)
+    SELECT CAST((SELECT count(*) FROM h1) + (SELECT count(*) FROM h2) AS BIGINT) AS n
+    """,
+)
+
+_register(
+    "dsl_match_count",
+    # match()-lite: customer a placed order b, b contains part c,
+    # a located_in nation n — one row per satisfying (a, b, c, n) assignment
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer").has("mktsegment", "MACHINERY")
+    .has("acctbal", (">", 9000.0))
+    .match_(
+        ("a", lambda t: t.out("placed"), "b"),
+        ("b", lambda t: t.out("contains"), "c"),
+        ("a", lambda t: t.out("located_in"), "n"),
+    ).count(),
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n
+    FROM customer JOIN orders ON o_custkey = c_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000
+    """,
+)
+
 # -- window function over joined relations (rank within group) --------------
 
 def _q_rank_in_nation(spark: SparkSession, sf: str) -> DataFrame:
@@ -3257,7 +3380,23 @@ def _compose(name: str, parts) -> None:
 # -- 1-5: new / previously-red surfaces first -------------------------------
 
 _publish("dedup_simhash")
-_publish("mm_extract_features")
+
+# multimodal: Arrow feature extraction + byte-level dedup (signatures, exact
+# groups, near-pairs), one fused row.  The dedup parts carry NULL f-columns;
+# the feature part carries NULL pair columns (fusion type rule: DOUBLE/STRING).
+_F_NULLS = [f"CAST(NULL AS DOUBLE) AS f{i}" for i in range(16)]
+_compose("mm_extract_features", [
+    ("mm_extract_features",
+     ["'feat' AS tag", "CAST(media_id AS DOUBLE) AS a",
+      "CAST(n_bytes AS DOUBLE) AS b", "CAST(NULL AS DOUBLE) AS v",
+      "kind AS s"] + [f"f{i}" for i in range(16)],
+     "'feat' AS tag, CAST(media_id AS DOUBLE) AS a, CAST(n_bytes AS DOUBLE) AS b, "
+     "CAST(NULL AS DOUBLE) AS v, kind AS s, "
+     + ", ".join(f"f{i}" for i in range(16))),
+    ("mm_media_dedup",
+     ["tag", "a", "b", "v", "s"] + _F_NULLS,
+     "tag, a, b, v, s, " + ", ".join(_F_NULLS)),
+])
 
 _compose("idx_range_typed", [
     ("idx_range_int",
@@ -3398,6 +3537,8 @@ _compose("dsl_counts", [
     ("dsl_where_neq", ["'where_neq' AS tag", "n"], "'where_neq' AS tag, n"),
     ("dsl_not_count", ["'not_placed' AS tag", "n"], "'not_placed' AS tag, n"),
     ("dsl_union_count", ["'union' AS tag", "n"], "'union' AS tag, n"),
+    ("dsl_repeat_emit_count", ["'repeat_emit' AS tag", "n"], "'repeat_emit' AS tag, n"),
+    ("dsl_match_count", ["'match' AS tag", "n"], "'match' AS tag, n"),
     ("dsl_simple_path_count",
      ["'simple_path' AS tag", "n"], "'simple_path' AS tag, n"),
 ])

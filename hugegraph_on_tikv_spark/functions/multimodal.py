@@ -200,3 +200,131 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 def decode_real(payload: bytes):  # pragma: no cover - documentation stub
     """Placeholder for the real codec path."""
     raise NotImplementedError("media codecs are not available in this environment")
+
+
+# -- byte-level media dedup (codec-free) -------------------------------------
+#
+# Deduplicating image/audio/video columns does NOT need a decoder: exact
+# duplicates are byte-identical payloads (one md5 fingerprint per payload,
+# hash-groupBy — the same one-shuffle shape as text exact_dedup), and
+# near-duplicates (same file re-muxed with appended/patched metadata,
+# truncated tails, ...) are caught by SimHash over shingled BYTE n-grams —
+# the banded-LSH machinery from functions/dedup.py reused unchanged on a
+# binary column.  Portability contract (md5-only hash rule): every hash is
+# computed over the payload's LOWERCASE HEX string, so the DuckDB oracle
+# reproduces signatures bit-identically without blob functions.
+
+def synthetic_media_with_dups(spark, n: int = 64, n_near: int = 16,
+                              n_exact: int = 8) -> DataFrame:
+    """The dedup test fixture: `n` base payloads (synthetic_media bytes),
+    plus `n_near` near-duplicate mutants (media_id 1000+i — the base payload
+    with its first 4 bytes APPENDED, the classic trailing-metadata twin) and
+    `n_exact` byte-identical copies (media_id 2000+i).  Deterministic, so
+    the DuckDB oracle rebuilds the identical corpus from sha256 hex."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(str(i).encode()).digest() * 8
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append((i, kind, f"application/x-fake-{kind}", bytearray(payload)))
+        if i < n_near:
+            rows.append((1000 + i, kind, f"application/x-fake-{kind}",
+                         bytearray(payload + payload[:4])))
+        if i < n_exact:
+            rows.append((2000 + i, kind, f"application/x-fake-{kind}",
+                         bytearray(payload)))
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def media_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, fp, n_bytes): fp = md5 of the lowercase payload hex —
+    pure JVM column expressions (hex → lower → md5), codegen'd, portable to
+    the oracle as md5(hex_string).  NULL payloads get a NULL fp."""
+    return media.select(
+        "media_id",
+        F.md5(F.lower(F.hex(F.col("payload")))).alias("fp"),
+        F.coalesce(F.length(F.col("payload")), F.lit(0)).cast("long").alias("n_bytes"),
+    )
+
+
+def media_exact_dup_groups(media: DataFrame) -> DataFrame:
+    """Exact byte-duplicate groups: (fp, n_copies, canonical_id = min id).
+    One hash-groupBy on the 32-char fingerprint — no payload comparison, no
+    payload shuffle (only (id, fp) moves), the shape that holds at 100 TB."""
+    return (
+        media_fingerprints(media)
+        .filter(F.col("fp").isNotNull())
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min("media_id").alias("canonical_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def media_byte_simhash(media: DataFrame, ngram_bytes: int = 8,
+                       stride: int = 4) -> DataFrame:
+    """48-bit SimHash over shingled byte n-grams: (media_id, simhash).
+
+    Arrow-batched mapInPandas (same discipline as simhash_signatures_arrow —
+    the amplified grams×48 intermediate never leaves the Python batch; only
+    (id, payload) in and (id, signature) out cross the boundary).  Each
+    n-gram token is the lowercase hex of `ngram_bytes` consecutive payload
+    bytes starting at multiples of `stride`; its hash is the first 48 bits
+    of md5(token) — identical to hashing.md5_long48 over the same string, so
+    the oracle recomputes signatures exactly.  Rows with NULL or
+    shorter-than-ngram payloads are absent from the output (the zero-token
+    convention).  `stride` trades recall for gram count: stride=1 is full
+    shingling; 4 keeps ~n_bytes/4 grams per doc — at multi-MB payloads
+    raise it proportionally."""
+    import re as _re  # noqa: F401  (parity with sibling arrow fns)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            sigs: list = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                hx = bytes(p).hex()
+                nbytes = len(hx) // 2
+                if nbytes < ngram_bytes:
+                    continue
+                grams = [hx[2 * s: 2 * (s + ngram_bytes)]
+                         for s in range(0, nbytes - ngram_bytes + 1, stride)]
+                hs = np.array(
+                    [int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+                     for t in grams], dtype=np.int64)
+                bits = (hs[:, None] >> np.arange(48)) & 1
+                w = 2 * bits.sum(axis=0) - len(hs)
+                sigs.append(int(((w > 0).astype(np.int64) << np.arange(48)).sum()))
+                ids.append(mid)
+            yield pd.DataFrame({"media_id": ids, "simhash": sigs})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, simhash long")
+
+
+def media_near_pairs(media: DataFrame, max_hamming: int = 8,
+                     ngram_bytes: int = 8, stride: int = 4) -> DataFrame:
+    """Near-duplicate media pairs: byte-SimHash signatures fed to the SAME
+    4×12-bit banded candidate join as text SimHash (functions/dedup.py:
+    simhash_near_pairs) — candidates collide on ≥1 chunk, verified by
+    bit_count(xor) ≤ max_hamming.  Byte-level edits perturb more bits than
+    word-level ones (every overlapping n-gram changes), so the media default
+    threshold is looser than text's 3; candidate recall beyond hamming 3 is
+    partial by pigeonhole and exactly mirrored in the oracle.
+    Returns (media_a, media_b, hamming)."""
+    from hugegraph_on_tikv_spark.functions.dedup import simhash_near_pairs
+
+    sigs = media_byte_simhash(media, ngram_bytes, stride) \
+        .withColumnRenamed("media_id", "doc_id")
+    return simhash_near_pairs(sigs, max_hamming).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

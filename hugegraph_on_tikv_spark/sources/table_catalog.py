@@ -65,10 +65,22 @@ class TableCatalog:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path(name))  # the atomic pointer swap
-        # best-effort cleanup of older versions (readers of the old pointer
-        # finished before the swap in this single-driver model)
+        # Retain the immediately-previous version: a reader that resolved
+        # version N's file list (Spark's InMemoryFileIndex binds files at
+        # read.parquet time) must stay valid while version N+1 commits —
+        # the reader-isolation half of the atomic-pointer contract.  Only
+        # versions older than the previous one are reclaimed here; callers
+        # that know no readers are live can purge_versions() explicitly.
         for d in os.listdir(os.path.join(self.root, name)):
-            if d.startswith("v") and d != f"v{version}":
+            if d.startswith("v") and d not in (f"v{version}", f"v{version - 1}"):
+                shutil.rmtree(os.path.join(self.root, name, d), ignore_errors=True)
+
+    def purge_versions(self, name: str) -> None:
+        """Reclaim every non-current version directory.  Safe only when no
+        reader still holds a pre-swap DataFrame (e.g. between jobs)."""
+        current = self._meta(name)["data"]
+        for d in os.listdir(os.path.join(self.root, name)):
+            if d.startswith("v") and d != current:
                 shutil.rmtree(os.path.join(self.root, name, d), ignore_errors=True)
 
     def _meta(self, name: str) -> dict:

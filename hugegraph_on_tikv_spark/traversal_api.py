@@ -143,15 +143,96 @@ class Traversal:
     def in_v(self) -> "Traversal":
         return Traversal(self._g, self._edge_to_vertex("dst"), "V")
 
-    def repeat(self, step, times: int) -> "Traversal":
+    def repeat(self, step, times: int, emit: bool = False,
+               emit_first: bool = False) -> "Traversal":
         """Gremlin repeat(...).times(n): apply a traversal-to-traversal
         function n times (e.g. `t.repeat(lambda t: t.out('knows'), 3)`).
         For hop-steps this composes n joins into one plan — deep repeats
-        should checkpoint via .barrier() every few rounds."""
+        should checkpoint via .barrier() every few rounds.
+
+        `emit=True` is Gremlin's repeat(X).emit().times(n): the result is
+        the bag-union of every intermediate frontier (after each of the n
+        applications), multiplicity preserved — the k-hop *neighborhood*
+        instead of the k-th frontier.  `emit_first=True` additionally emits
+        the incoming traversers (Gremlin's emit() placed BEFORE repeat()).
+        Each emitted frontier is one branch of a unionByName, so the whole
+        emission is still a single Catalyst plan; the branches share the
+        hop-prefix subplans and the union itself is a zero-shuffle bag
+        merge.  Deep emitting repeats should .barrier() inside the step so
+        branch k doesn't re-execute hops 1..k-1 from scratch."""
         t = self
+        frames = [self._df] if (emit and emit_first) else []
         for _ in range(times):
             t = step(t)
-        return t
+            if emit:
+                if t._pos != self._pos or sorted(t._df.columns) != sorted(self._df.columns):
+                    raise ValueError(
+                        "repeat(emit=True) requires the step to preserve "
+                        "position and carried columns")
+                frames.append(t._df)
+        if not emit:
+            return t
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+        return Traversal(self._g, df, self._pos)
+
+    def match_(self, *clauses) -> "Traversal":
+        """Gremlin match()-lite: conjunctive pattern matching.  Each clause
+        is `(from_label, step_fn, to_label)` — the sub-traversal binds
+        `to_label` for every element reachable from a `from_label` binding,
+        e.g.::
+
+            g.V().has_label('customer').match_(
+                ('a', lambda t: t.out('placed'),     'b'),
+                ('b', lambda t: t.out('contains'),   'c'),
+                ('a', lambda t: t.out('located_in'), 'n'),
+            ).select('a', 'c', 'n')
+
+        Compilation: the incoming traversers seed the first clause's
+        from-label; each clause is evaluated ONCE from the DISTINCT
+        currently-bound vertices of its from-label (same per-distinct-vertex
+        discipline as coalesce_/not_) and produces a (from, to) binding
+        table; binding tables join on their shared labels.  A clause whose
+        to-label is already bound joins on BOTH columns — a cyclic/equality
+        constraint.  The result is one row per satisfying assignment
+        (pattern-match semantics; incoming traverser multiplicity at a
+        vertex multiplies its assignments, like Gremlin), with every label
+        retrievable via select().  Clauses must be orderable so each
+        from-label is bound before use (lite restriction — no solver
+        reordering).  The whole pattern stays one Catalyst plan: clause
+        joins are plain equi-joins Catalyst can reorder/broadcast."""
+        if self._pos != "V":
+            raise ValueError("match_() is supported at vertex positions")
+        if self._carried():
+            raise ValueError("match_() after as_()/with_path() is not "
+                             "supported; apply labels after it")
+        if not clauses:
+            raise ValueError("match_() needs at least one clause")
+        first_from = clauses[0][0]
+        result = self._df.select(F.col("id").alias(first_from))
+        bound = {first_from}
+        for frm, fn, to in clauses:
+            if frm not in bound:
+                raise ValueError(
+                    f"clause from-label {frm!r} is not bound yet — order "
+                    f"clauses so every from-label is bound before use")
+            start = result.select(F.col(frm).alias("id")).distinct()
+            probe = Traversal(
+                self._g, start.withColumn("_as___origin", F.col("id")), "V")
+            out = fn(probe)
+            if out._pos != "V":
+                raise ValueError("match_() clauses must end at vertices")
+            binding = out._df.select(F.col("_as___origin").alias(frm),
+                                     F.col("id").alias(to))
+            if to in bound:
+                result = result.join(binding, [frm, to])
+            else:
+                result = result.join(binding, frm)
+                bound.add(to)
+        labeled = [F.col(b).alias(f"_as_{b}") for b in sorted(bound)]
+        df = result.select(F.col(first_from).alias("id"), *labeled)
+        return Traversal(self._g, df, "V")
 
     def barrier(self) -> "Traversal":
         """Materialization barrier (localCheckpoint): cuts lineage inside

@@ -406,3 +406,67 @@ def test_resize_images_nearest_neighbor(spark):
         rows = (np.arange(8) * (64 / 8)).astype(np.int64)
         cols = (np.arange(16) * (64 / 16)).astype(np.int64)
         assert bytes(r["payload"]) == img[rows][:, cols].tobytes()
+
+
+def test_media_byte_dedup_exact_and_near(spark):
+    """Codec-free media dedup: exact byte-duplicate groups via hex-md5
+    fingerprints; near-duplicates (appended-tail mutants) via byte-n-gram
+    SimHash + the shared 4x12-bit banding."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        media_byte_simhash,
+        media_exact_dup_groups,
+        media_near_pairs,
+        synthetic_media_with_dups,
+    )
+
+    media = synthetic_media_with_dups(spark, n=64, n_near=16, n_exact=8)
+
+    # exact: each of the 8 copies pairs with its base; canonical = min id
+    groups = {r["canonical_id"]: r["n_copies"]
+              for r in media_exact_dup_groups(media).collect()}
+    assert groups == {i: 2 for i in range(8)}
+
+    # signatures: every payload >= 8 bytes gets one; exact copies get the
+    # SAME signature as their base
+    sigs = {r["media_id"]: r["simhash"]
+            for r in media_byte_simhash(media).collect()}
+    assert len(sigs) == 64 + 16 + 8
+    for i in range(8):
+        assert sigs[2000 + i] == sigs[i]
+
+    # near pairs: every exact copy is a hamming-0 pair with its base, and
+    # appended-tail mutants land within the loose media threshold for at
+    # least some bases (partial recall beyond hamming 3 is by design)
+    pairs = {(r["media_a"], r["media_b"]): r["hamming"]
+             for r in media_near_pairs(media, max_hamming=8).collect()}
+    for i in range(8):
+        assert pairs[(i, 2000 + i)] == 0
+    mutant_pairs = [h for (a, b), h in pairs.items()
+                    if b == 1000 + a and 0 < h <= 8]
+    assert len(mutant_pairs) >= 3
+    # no false positives: unrelated bases never collide within hamming 8
+    unrelated = [(a, b) for (a, b) in pairs
+                 if not (b in (1000 + a, 2000 + a)
+                         or (a >= 1000 and b == a + 1000))]
+    assert unrelated == []
+
+
+def test_media_byte_simhash_skips_null_and_short_payloads(spark):
+    from pyspark.sql.types import (
+        BinaryType, LongType, StringType, StructField, StructType,
+    )
+
+    from hugegraph_on_tikv_spark.functions.multimodal import media_byte_simhash
+
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),
+        StructField("payload", BinaryType(), True),
+    ])
+    media = spark.createDataFrame(
+        [(1, "image", None),
+         (2, "image", bytearray(b"abc")),          # < 8 bytes
+         (3, "image", bytearray(b"abcdefgh"))],    # exactly one n-gram
+        schema)
+    got = media_byte_simhash(media).collect()
+    assert [r["media_id"] for r in got] == [3]

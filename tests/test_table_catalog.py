@@ -82,3 +82,55 @@ def test_public_upsert(spark, catalog):
     assert got[1] == "a" and got[3] == "c"
     assert got[2] in ("B", "B2")  # intra-batch dup collapsed to ONE row
     assert catalog.table("u").df.count() == 3
+
+
+def test_vacuum_isolated_from_concurrent_reader(spark, catalog):
+    """The reader-isolation half of the atomic-pointer contract (SURVEY §7):
+    a reader that resolved version N's files BEFORE a vacuum commits N+1
+    keeps reading N's data unaffected — the previous version directory is
+    retained through the swap, so the reader's bound file list stays valid."""
+    import datetime as dt
+    import os
+
+    df = spark.createDataFrame([(1, "keep")], "id long, v string")
+    catalog.create_table("t", df)
+    t0 = dt.datetime(2024, 1, 1)
+    batch = MutationBatch()
+    batch.insert("t", {"id": 2, "v": "shortlived"}, ttl=60)
+    catalog.commit(batch, now=t0)
+
+    # reader binds version N (its parquet file list resolves here)
+    pre_vacuum = catalog.table("t").df
+    assert pre_vacuum.count() == 2
+
+    removed = catalog.vacuum("t", now=t0 + dt.timedelta(hours=1))
+    assert removed == 1
+
+    # post-swap readers see the vacuumed table...
+    assert {r["id"] for r in catalog.table("t").df.collect()} == {1}
+    # ...while the pre-swap reader still sees its version, fully intact
+    assert {r["id"] for r in pre_vacuum.collect()} == {1, 2}
+    assert pre_vacuum.count() == 2
+
+    # explicit purge reclaims the old version once no readers are live
+    catalog.purge_versions("t")
+    dirs = [d for d in os.listdir(os.path.join(catalog.root, "t"))
+            if d.startswith("v")]
+    assert dirs == [catalog._meta("t")["data"]]
+
+
+def test_write_version_retains_only_previous(spark, catalog):
+    """Version retention is bounded: each commit keeps current + previous,
+    reclaiming anything older — disk cost is 2x steady-state, not unbounded
+    history."""
+    import os
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    catalog.create_table("t", df)
+    for i in range(3):
+        batch = MutationBatch()
+        batch.insert("t", {"id": 10 + i, "v": "x"})
+        catalog.commit(batch)
+    dirs = sorted(d for d in os.listdir(os.path.join(catalog.root, "t"))
+                  if d.startswith("v"))
+    assert dirs == ["v3", "v4"]

@@ -391,3 +391,95 @@ def test_both_e_incidence_multiplicity(g, spark):
     assert got == custs + supps
     with pytest.raises(ValueError):
         g.V(n3).as_("a").both_e("located_in")
+
+
+def test_repeat_emit_unions_frontiers(g, spark):
+    # emit(): bag-union of frontier1 (orders) and frontier2 (per-lineitem
+    # parts), multiplicity preserved
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    start = vid("customer", 1)
+    n = (
+        g.V(start).repeat(lambda t: t.out("placed", "contains"), 2, emit=True)
+        .count().collect()[0]["n"]
+    )
+    o = load_table(spark, SF_DIR, "orders").filter("o_custkey = 1")
+    li = load_table(spark, SF_DIR, "lineitem")
+    h1 = o.count()
+    h2 = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert n == h1 + h2
+
+    # emit_first additionally emits the incoming traverser itself
+    n_first = (
+        g.V(start).repeat(lambda t: t.out("placed", "contains"), 2,
+                          emit=True, emit_first=True)
+        .count().collect()[0]["n"]
+    )
+    assert n_first == n + 1
+
+
+def test_repeat_without_emit_unchanged(g):
+    plain = g.V(vid("customer", 1)).repeat(lambda t: t.out("placed", "contains"), 2)
+    emitted = g.V(vid("customer", 1)).repeat(
+        lambda t: t.out("placed", "contains"), 2, emit=True)
+    # the non-emit form returns only the final frontier, a subset count
+    assert plain.count().collect()[0]["n"] < emitted.count().collect()[0]["n"]
+
+
+def test_match_bindings_and_multiplicity(g, spark):
+    # (a placed b), (b contains c): one assignment per (customer, order,
+    # lineitem) — identical to the relational join count
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    m = (
+        g.V().has_label("customer").has("mktsegment", "BUILDING")
+        .match_(
+            ("a", lambda t: t.out("placed"), "b"),
+            ("b", lambda t: t.out("contains"), "c"),
+        )
+    )
+    c = load_table(spark, SF_DIR, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    expected = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey).count()
+    )
+    assert m.count().collect()[0]["n"] == expected
+    # select() retrieves every bound label
+    rows = m.select("a", "b", "c")
+    assert sorted(rows.columns) == ["a", "b", "c"]
+    assert rows.count() == expected
+
+
+def test_match_cyclic_clause_is_equality_constraint(g):
+    # (a placed b) + (b in_placed a): the second clause re-binds an already-
+    # bound label, becoming a both-column equality join.  Every order has
+    # exactly one placing customer, so the constraint holds for all rows.
+    base = g.V().has_label("customer").has("mktsegment", "BUILDING")
+    once = base.match_(("a", lambda t: t.out("placed"), "b"))
+    cyc = base.match_(
+        ("a", lambda t: t.out("placed"), "b"),
+        ("b", lambda t: t.in_("placed"), "a"),
+    )
+    assert once.count().collect()[0]["n"] == cyc.count().collect()[0]["n"]
+
+
+def test_match_rejects_unbound_from_label(g):
+    # the FIRST clause's from-label is seeded by the incoming traversers;
+    # any LATER clause must start from an already-bound label
+    with pytest.raises(ValueError, match="not bound"):
+        g.V().has_label("customer").match_(
+            ("a", lambda t: t.out("placed"), "b"),
+            ("z", lambda t: t.out("contains"), "c"))
+
+
+def test_match_incoming_multiplicity_multiplies(g, spark):
+    # two traversers parked on the same customer double its assignments
+    from pyspark.sql import functions as F
+
+    base = g.V(vid("customer", 1))
+    doubled = base.union_(lambda t: t, lambda t: t)  # 2 traversers, same vertex
+    n1 = base.match_(("a", lambda t: t.out("placed"), "b")).count().collect()[0]["n"]
+    n2 = doubled.match_(("a", lambda t: t.out("placed"), "b")).count().collect()[0]["n"]
+    assert n2 == 2 * n1
