@@ -2500,6 +2500,43 @@ _register(
     """,
 )
 
+# -- DSL long-tail: sack() accumulator and local(limit) ---------------------
+
+_register(
+    "dsl_sack_quantity",
+    # withSack(0).out('placed').outE('contains').sack(sum).by('quantity')
+    # .inV().sack(): per-lineitem part traversers for customer 42's orders,
+    # each carrying the folded quantity
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V(_KHOP_START).out("placed").with_sack(0.0)
+    .out_e("contains").sack_by("quantity").in_v().sack()
+    .selectExpr("CAST(id AS DOUBLE) AS id", "sack"),
+    f"""
+    SELECT CAST(3 * {ID_BASE} + l_partkey AS DOUBLE) AS id,
+           CAST(l_quantity AS DOUBLE) AS sack
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey = 42
+    """,
+)
+
+_register(
+    "dsl_local_limit",
+    # local(out('placed').limit(3)): each AUTOMOBILE customer's first 3
+    # orders by vertex id — the per-traverser scoped cut
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer").has("mktsegment", "AUTOMOBILE")
+    .local_limit(lambda t: t.out("placed"), 3).count(),
+    f"""
+    WITH ranked AS (
+      SELECT o_custkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS r
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n FROM ranked WHERE r <= 3
+    """,
+)
+
 # -- window function over joined relations (rank within group) --------------
 
 def _q_rank_in_nation(spark: SparkSession, sf: str) -> DataFrame:
@@ -3539,6 +3576,7 @@ _compose("dsl_counts", [
     ("dsl_union_count", ["'union' AS tag", "n"], "'union' AS tag, n"),
     ("dsl_repeat_emit_count", ["'repeat_emit' AS tag", "n"], "'repeat_emit' AS tag, n"),
     ("dsl_match_count", ["'match' AS tag", "n"], "'match' AS tag, n"),
+    ("dsl_local_limit", ["'local_limit' AS tag", "n"], "'local_limit' AS tag, n"),
     ("dsl_simple_path_count",
      ["'simple_path' AS tag", "n"], "'simple_path' AS tag, n"),
 ])
@@ -3568,6 +3606,12 @@ _compose("dsl_rows", [
      "'group_by_sum' AS tag, brand AS k, CAST(NULL AS DOUBLE) AS id, "
      "CAST(NULL AS VARCHAR) AS brand, CAST(NULL AS DOUBLE) AS size, "
      "CAST(value AS DOUBLE) AS n"),
+    ("dsl_sack_quantity",
+     ["'sack_qty' AS tag", "CAST(NULL AS STRING) AS k", "id",
+      "CAST(NULL AS STRING) AS brand", "sack AS size",
+      "CAST(NULL AS DOUBLE) AS n"],
+     "'sack_qty' AS tag, CAST(NULL AS VARCHAR) AS k, id, "
+     "CAST(NULL AS VARCHAR) AS brand, sack AS size, CAST(NULL AS DOUBLE) AS n"),
 ])
 
 # -- 15-19: graph analytics -------------------------------------------------

@@ -7,6 +7,14 @@ ineligible* build side whose join key has a few massive hot values (hub
 vertices in a power-law graph, null-ish default keys in logs).  Salting
 spreads each hot key over `salt` partitions by appending a random-ish salt
 digit to the probe side and replicating the build side once per digit.
+
+Measured (tools/skew_bench.py, SCALE.md "Skew & memory"): AQE skew-split
+beats both plain and salted joins ~3x on a 20M-row power-law fixture at 25%
+and 50% hub-key share; salting only crosses over the plain join at high
+skew with a LOW salt count (x4), because build-side replication cost grows
+linearly with `salt`.  Use AQE first; reach for salted_join where AQE
+cannot fire — stream-stream joins, skew materializing in the join output,
+or AQE-off environments — and keep `salt` small.
 """
 
 from __future__ import annotations

@@ -74,8 +74,9 @@ class Traversal:
 
     def _carried(self) -> list[str]:
         """Columns that ride along with the traverser through hops: as_()
-        labels and the path history."""
-        return [c for c in self._df.columns if c.startswith("_as_") or c == "_path"]
+        labels, the path history, and the sack accumulator."""
+        return [c for c in self._df.columns
+                if c.startswith("_as_") or c in ("_path", "_sack")]
 
     def _hop(self, edge_df: DataFrame, new_id: str) -> DataFrame:
         """One hop: join current traversers (id) to edge_df on `id`, the new
@@ -273,6 +274,87 @@ class Traversal:
         if "_path" not in self._df.columns:
             raise ValueError("path() requires with_path() at the traversal start")
         return self._df.select(F.col("_path").alias("path"))
+
+    # -- sack (per-traverser accumulator) ----------------------------------
+    _SACK_OPS = {
+        "sum": lambda s, v: s + v,
+        "mult": lambda s, v: s * v,
+        "min": F.least,
+        "max": F.greatest,
+    }
+
+    def with_sack(self, init: float) -> "Traversal":
+        """Gremlin withSack(init): give every traverser a numeric
+        accumulator that rides through hops (a carried column — pure
+        column arithmetic, no state store).  Fold edge properties into it
+        with sack_by() at edge positions; read it with sack()."""
+        if self._pos != "V":
+            raise ValueError("with_sack() starts at a vertex position")
+        return Traversal(
+            self._g,
+            self._df.withColumn("_sack", F.lit(float(init)).cast("double")),
+            "V",
+        )
+
+    def sack_by(self, prop: str, op: str = "sum") -> "Traversal":
+        """Gremlin sack(sum).by('prop'): fold the current edge's property
+        into each traverser's sack (op: sum | mult | min | max; NULL
+        property values leave the sack unchanged — Gremlin visits only
+        elements that have the key).  Edge positions only: the edge row is
+        in hand, so the fold is one codegen'd column expression."""
+        if self._pos != "E":
+            raise ValueError("sack_by() folds an EDGE property — call it "
+                             "between out_e()/in_e() and in_v()/out_v()")
+        if "_sack" not in self._df.columns:
+            raise ValueError("sack_by() requires with_sack() earlier in the "
+                             "traversal")
+        if op not in self._SACK_OPS:
+            raise ValueError(f"op must be one of {sorted(self._SACK_OPS)}")
+        folded = self._SACK_OPS[op](F.col("_sack"), F.col(prop).cast("double"))
+        new = F.when(F.col(prop).isNull(), F.col("_sack")).otherwise(folded)
+        return Traversal(self._g, self._df.withColumn("_sack", new), "E")
+
+    def sack(self) -> DataFrame:
+        """The sack value per traverser: (id, sack) at vertex positions,
+        (src, dst, sack) at edges."""
+        if "_sack" not in self._df.columns:
+            raise ValueError("sack() requires with_sack() at the start")
+        keys = ["id"] if self._pos == "V" else ["src", "dst"]
+        return self._df.select(*keys, F.col("_sack").alias("sack"))
+
+    def local_limit(self, step, n: int) -> "Traversal":
+        """Gremlin local(t.limit(n)) — the by-far-most-common local() use:
+        apply the sub-traversal PER TRAVERSER and keep each one's first `n`
+        results (deterministic order: ascending result vertex id).  The
+        sub-traversal runs once per DISTINCT current vertex (same
+        per-distinct-vertex discipline as coalesce_/not_), the per-origin
+        cut is a rank-over-window Catalyst rewrites to WindowGroupLimit
+        (partial per-partition top-n before the shuffle — the skew-proof
+        group-cap shape, functions/sampling.cap_per_group), and the cut
+        results join back so incoming multiplicity is preserved."""
+        if self._pos != "V":
+            raise ValueError("local_limit() is supported at vertex positions")
+        if self._carried():
+            raise ValueError("local_limit() after as_()/with_path() is not "
+                             "supported; apply labels after it")
+        from pyspark.sql.window import Window
+
+        verts = self._df.select("id").distinct()
+        probe = Traversal(
+            self._g, verts.withColumn("_as___origin", F.col("id")), "V")
+        produced = step(probe)
+        if produced._pos != "V":
+            raise ValueError("local_limit()'s sub-traversal must end at vertices")
+        w = Window.partitionBy("__origin").orderBy(F.col("id").asc())
+        capped = (
+            produced._df.select(F.col("_as___origin").alias("__origin"), "id")
+            .withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= n)
+            .drop("__rank")
+        )
+        out = (self._df.select(F.col("id").alias("__origin"))
+               .join(capped, "__origin").select("id"))
+        return Traversal(self._g, out, "V")
 
     def not_(self, step) -> "Traversal":
         """Gremlin not(traversal): keep traversers for which the

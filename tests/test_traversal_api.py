@@ -483,3 +483,83 @@ def test_match_incoming_multiplicity_multiplies(g, spark):
     n1 = base.match_(("a", lambda t: t.out("placed"), "b")).count().collect()[0]["n"]
     n2 = doubled.match_(("a", lambda t: t.out("placed"), "b")).count().collect()[0]["n"]
     assert n2 == 2 * n1
+
+
+def test_sack_accumulates_edge_property(g, spark):
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    # per-lineitem traverser carries its folded quantity
+    rows = (
+        g.V(vid("customer", 1)).out("placed").with_sack(0.0)
+        .out_e("contains").sack_by("quantity").in_v().sack().collect()
+    )
+    o = load_table(spark, SF_DIR, "orders").filter("o_custkey = 1")
+    li = load_table(spark, SF_DIR, "lineitem")
+    expected = sorted(
+        r["l_quantity"]
+        for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    )
+    assert sorted(r["sack"] for r in rows) == expected
+
+    # chained folds compose (sum then mult)
+    rows2 = (
+        g.V(vid("customer", 1)).out("placed").with_sack(1.0)
+        .out_e("contains").sack_by("quantity", "mult")
+        .sack_by("linenumber", "sum").in_v().sack().collect()
+    )
+    expected2 = sorted(
+        r["l_quantity"] * 1.0 + r["l_linenumber"]
+        for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    )
+    assert sorted(r["sack"] for r in rows2) == pytest.approx(expected2)
+
+
+def test_sack_requires_with_sack_and_edge_position(g):
+    with pytest.raises(ValueError, match="with_sack"):
+        g.V(vid("customer", 1)).out_e("placed").sack_by("orderdate")
+    with pytest.raises(ValueError, match="EDGE"):
+        g.V(vid("customer", 1)).with_sack(0.0).sack_by("acctbal")
+
+
+def test_sack_null_property_leaves_sack_unchanged(g):
+    # 'quantity' is NULL on placed edges; folding it must be a no-op
+    rows = (
+        g.V(vid("customer", 1)).with_sack(7.0)
+        .out_e("placed").sack_by("quantity").in_v().sack().collect()
+    )
+    assert rows and all(r["sack"] == 7.0 for r in rows)
+
+
+def test_local_limit_caps_per_origin(g, spark):
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    capped = (
+        g.V().has_label("customer").has("mktsegment", "BUILDING")
+        .local_limit(lambda t: t.out("placed"), 3)
+    )
+    c = load_table(spark, SF_DIR, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = load_table(spark, SF_DIR, "orders")
+    from pyspark.sql import functions as F
+
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey).groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.least(F.col("cnt"), F.lit(3)).alias("m"))
+        .agg(F.sum("m").alias("total")).collect()[0]["total"]
+    )
+    assert capped.count().collect()[0]["n"] == per_cust
+
+    # deterministic cut: the kept orders are the lowest vertex ids
+    one = g.V(vid("customer", 1)).local_limit(lambda t: t.out("placed"), 2)
+    all_orders = sorted(
+        r["id"] for r in g.V(vid("customer", 1)).out("placed").to_df().collect()
+    )
+    assert sorted(r["id"] for r in one.to_df().collect()) == all_orders[:2]
+
+
+def test_local_limit_multiplicity_multiplies(g):
+    base = g.V(vid("customer", 1))
+    doubled = base.union_(lambda t: t, lambda t: t)
+    n1 = base.local_limit(lambda t: t.out("placed"), 2).count().collect()[0]["n"]
+    n2 = doubled.local_limit(lambda t: t.out("placed"), 2).count().collect()[0]["n"]
+    assert n2 == 2 * n1

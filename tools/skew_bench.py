@@ -24,11 +24,16 @@ Results recorded in SCALE.md §"Skew & memory".
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import statistics
 import sys
 import tempfile
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
