@@ -1463,6 +1463,33 @@ _register(
     """,
 )
 
+_register(
+    "win_attribution_outer",
+    # left-outer interval join: every click, NULL view when no view fell in
+    # its 10-minute window (the streaming twin's watermark-expiry emission,
+    # stream_joins.stream_attribution_join(how='leftOuter'))
+    lambda spark, sf: _stream_joins.attribution_join_outer(
+        load_events(spark, sf).filter(F.col("event_type") == "click"),
+        load_events(spark, sf).filter(F.col("event_type") == "view"),
+        within="10 minutes",
+    ),
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      FROM events
+    ),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM ev WHERE event_type = 'click'),
+    v AS (SELECT event_id AS view_id, user_id AS v_user_id, ts AS view_ts
+          FROM ev WHERE event_type = 'view')
+    SELECT c.click_id, v.view_id, c.user_id,
+           CAST(date_diff('microsecond', v.view_ts, c.click_ts) AS BIGINT) AS lag_us
+    FROM c LEFT JOIN v
+      ON c.user_id = v.v_user_id AND v.view_ts <= c.click_ts
+     AND v.view_ts >= c.click_ts - INTERVAL '10 minutes'
+    """,
+)
+
 # -- as-of join (operators/joins.py): last view at-or-before each click per
 #    user — the time-series lookup Spark lacks natively, built as
 #    union+window carry-forward (one shuffle).  The view side pre-aggregates
@@ -3818,6 +3845,19 @@ _compose("win_windows", [
      "'asof' AS tag, click_ts AS t1, view_ts AS t2, "
      "CAST(click_id AS VARCHAR) AS s, CAST(user_id AS DOUBLE) AS user_id, "
      "view_id AS n_events, CAST(NULL AS DOUBLE) AS sum_value"),
+    # nullable view_id/lag_us are cast DOUBLE (fusion type rule); the union
+    # then coerces the whole n_events column long→double identically in
+    # Spark (unionByName) and DuckDB (UNION ALL)
+    ("win_attribution_outer",
+     ["'attr_outer' AS tag", "CAST(NULL AS STRING) AS t1",
+      "CAST(NULL AS STRING) AS t2", "CAST(click_id AS STRING) AS s",
+      "CAST(user_id AS DOUBLE) AS user_id",
+      "CAST(view_id AS DOUBLE) AS n_events",
+      "CAST(lag_us AS DOUBLE) AS sum_value"],
+     "'attr_outer' AS tag, CAST(NULL AS VARCHAR) AS t1, "
+     "CAST(NULL AS VARCHAR) AS t2, CAST(click_id AS VARCHAR) AS s, "
+     "CAST(user_id AS DOUBLE) AS user_id, CAST(view_id AS DOUBLE) AS n_events, "
+     "CAST(lag_us AS DOUBLE) AS sum_value"),
 ])
 
 # -- 29-50: core scan/filter/agg/index/mutation surfaces --------------------

@@ -71,16 +71,52 @@ def attribution_join(clicks: DataFrame, views: DataFrame,
     )
 
 
+def attribution_join_outer(clicks: DataFrame, views: DataFrame,
+                           within: str = "10 minutes") -> DataFrame:
+    """LEFT-OUTER batch twin: every click, with NULL view columns when no
+    view fell in its window — the unmatched rows are exactly what a
+    conversion-funnel pipeline counts (clicks with no preceding impression).
+    Same per-user equi-join contract as attribution_join; the outer
+    condition must live in the join ON clause (a post-filter would turn the
+    outer join back into an inner one)."""
+    c = clicks.select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"))
+    v = views.select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user_id"),
+                     F.col("ts").alias("view_ts"))
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        c.join(v, cond, "left")
+        .select("click_id", "view_id", "user_id",
+                F.expr("timestampdiff(MICROSECOND, view_ts, click_ts)").alias("lag_us"))
+    )
+
+
 def stream_attribution_join(spark: SparkSession, clicks_dir: str, views_dir: str,
                             checkpoint_dir: str, sink,
                             within: str = "10 minutes",
-                            watermark: str = "30 minutes"):
+                            watermark: str = "30 minutes",
+                            how: str = "inner"):
     """Streaming form over two parquet file-streams.  Both sides carry a
     watermark and the join predicate bounds view_ts to a window ending at
     click_ts, so Spark can drop view state older than
     (max click watermark - within) and click state as batches complete.
     `sink(batch_df, batch_id)` receives results via foreachBatch
-    (checkpoint-recoverable); triggered availableNow."""
+    (checkpoint-recoverable); triggered availableNow.
+
+    `how='leftOuter'` emits unmatched clicks with NULL view columns — but
+    only once the VIEW-side watermark has passed the click's window (the
+    earliest moment no future view can still match), which is Spark's
+    outer-join state-expiry contract.  Consequence for finite runs: a
+    trailing click's NULL row is emitted only after a LATER event advances
+    the watermark past it — an unbounded stream does this naturally; a
+    drained one needs a subsequent trigger with later data (see the
+    two-trigger equality test).  State stays O(watermark window) exactly as
+    in the inner form."""
     # the watermark/join-bound column is a DST-safe treat-NTZ-as-UTC instant
     # (see ntz_as_utc_instant); the original NTZ columns ride along so the
     # emitted lag is computed on the same values as the batch twin
@@ -103,6 +139,7 @@ def stream_attribution_join(spark: SparkSession, clicks_dir: str, views_dir: str
                 view_wts <= click_wts AND
                 view_wts >= click_wts - INTERVAL {within}
             """),
+            how,
         )
         .select("click_id", "view_id", "user_id",
                 F.expr("timestampdiff(MICROSECOND, view_ts, click_ts)").alias("lag_us"))

@@ -470,3 +470,66 @@ def test_media_byte_simhash_skips_null_and_short_payloads(spark):
         schema)
     got = media_byte_simhash(media).collect()
     assert [r["media_id"] for r in got] == [3]
+
+
+def test_stream_stream_outer_attribution_join(spark, tmp_path):
+    """LEFT-OUTER stream-stream interval join: unmatched clicks emit NULL
+    view rows once the watermark passes their window.  Finite-run recipe:
+    trigger 1 drains the real data (inner matches emit; trailing NULLs are
+    still held as state), then a far-future sentinel event lands and
+    trigger 2 (same checkpoint) advances the watermark past every real
+    click, flushing the NULL rows.  The union of both triggers' output must
+    equal the batch outer twin exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.streaming import stream_joins
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "view").write.parquet(views_dir)
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
+            for r in batch_df.collect()
+        )
+
+    q = stream_joins.stream_attribution_join(
+        spark, clicks_dir, views_dir, str(tmp_path / "ckpt"), sink,
+        how="leftOuter")
+    q.awaitTermination(180)
+
+    # sentinel: one click+view pair for a user that does not exist in the
+    # fixture, 2 hours past the max event time — advances both watermarks
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + dt.timedelta(hours=2)
+    sentinel = spark.createDataFrame(
+        [(10**9, sentinel_ts, -1, "click", 0.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string")
+    sentinel.write.mode("append").parquet(clicks_dir)
+    sentinel.withColumn("event_type", F.lit("view")) \
+        .write.mode("append").parquet(views_dir)
+
+    q2 = stream_joins.stream_attribution_join(
+        spark, clicks_dir, views_dir, str(tmp_path / "ckpt"), sink,
+        how="leftOuter")
+    q2.awaitTermination(180)
+
+    real = [t for t in got if t[2] != -1]
+    want = [
+        (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
+        for r in stream_joins.attribution_join_outer(
+            spark.read.parquet(clicks_dir).filter("user_id <> -1"),
+            spark.read.parquet(views_dir).filter("user_id <> -1"),
+        ).collect()
+    ]
+    assert sorted(real, key=str) == sorted(want, key=str)
+    # the outer form really added NULL rows beyond the inner join's output
+    nulls = [t for t in real if t[1] is None]
+    assert len(nulls) > 0
