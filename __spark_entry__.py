@@ -922,6 +922,32 @@ _register(
     """,
 )
 
+# -- heavy hitters (functions/sketches.py): Misra-Gries candidates + exact
+#    verify — the output is EXACT by construction (the MG pass only bounds
+#    which values reach verification, and the superset guarantee makes that
+#    lossless), so a plain groupBy-HAVING oracle checks the full pipeline --
+
+def _hh_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sketches
+    from hugegraph_on_tikv_spark.functions.text import tokens as _tokens
+    tok = load_table(spark, sf, "documents").select(
+        F.explode(_tokens(F.col("text"))).alias("token"))
+    return sketches.heavy_hitters(tok, "token", threshold_frac=0.01) \
+        .select("value", F.col("n_occurrences").cast("long").alias("n_occurrences"))
+
+_register(
+    "hh_tokens",
+    _hh_tokens,
+    f"""
+    WITH tok AS (
+      SELECT unnest({TOKENS_SQL.format(col="text")}) AS value FROM documents
+    ), tot AS (SELECT count(*) AS n FROM tok)
+    SELECT value, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM tok GROUP BY value
+    HAVING count(*) >= CAST(ceiling(0.01 * (SELECT n FROM tot)) AS BIGINT)
+    """,
+)
+
 _register(
     "agg_extended",
     lambda spark, sf: load_table(spark, sf, "lineitem")
@@ -1847,6 +1873,27 @@ _register(
         GraphStore(spark, sf).edges(), _LANDMARKS, iterations=10
     ),
     _shortest_paths_sql(),
+)
+
+
+# landmark-approximated harmonic closeness: rides the same unrolled-BFS
+# oracle; the 1/d sum is integer-scaled by lcm(1..10)=2520 in BOTH engines
+# (order-independent — see analytics.harmonic_closeness determinism note)
+
+_register(
+    "g_closeness",
+    lambda spark, sf: analytics.harmonic_closeness(
+        GraphStore(spark, sf).edges(), _LANDMARKS, iterations=10
+    ),
+    _shortest_paths_sql().replace(
+        "\nSELECT id, landmark, distance FROM d10",
+        """
+    SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+           round(COALESCE(SUM(CASE WHEN distance > 0
+                 THEN CAST(2520 / distance AS BIGINT) END), 0) / 2520.0, 6)
+           AS harmonic
+    FROM d10 GROUP BY id
+    """),
 )
 
 
@@ -3652,6 +3699,12 @@ _compose("g_paths", [
     ("g_sssp_weighted",
      ["'sssp' AS tag", "id", "CAST(NULL AS DOUBLE) AS landmark", "distance"],
      "'sssp' AS tag, id, CAST(NULL AS DOUBLE) AS landmark, distance"),
+    # closeness rides (landmark=n_reached, distance=harmonic)
+    ("g_closeness",
+     ["'closeness' AS tag", "id", "CAST(n_reached AS DOUBLE) AS landmark",
+      "harmonic AS distance"],
+     "'closeness' AS tag, id, CAST(n_reached AS DOUBLE) AS landmark, "
+     "harmonic AS distance"),
 ])
 
 _compose("g_components", [
@@ -3955,6 +4008,16 @@ _compose("a1_agg_counts", [
      "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
      "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
      "CAST(c AS DOUBLE) AS n"),
+    # exact heavy hitters over the token stream (MG candidates + verify)
+    ("hh_tokens",
+     ["'hh' AS tag", "value AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(n_occurrences AS DOUBLE) AS n"],
+     "'hh' AS tag, value AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(n_occurrences AS DOUBLE) AS n"),
 ])
 
 # the partsupp-derived TPC-H tail + skew-join toolkit (wave 8): six raw

@@ -252,6 +252,65 @@ def ivf_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
      .partitionBy("cell").parquet(f"{path}/corpus"))
 
 
+def ivf_append_index(spark, path: str, new_vectors: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     batch_id: int | None = None) -> int:
+    """Incremental IVF maintenance — the streaming-embedding-ingest story:
+    assign `new_vectors` to the EXISTING (frozen) centroids and APPEND them
+    to the cell-partitioned corpus.  Only the touched cells' directories
+    receive new files (hive append), and the next search sees them through
+    its normal partition-pruned listing — no rebuild, no rewrite of resident
+    cells.  Centroids are intentionally NOT refit per batch: that is the
+    standard IVF maintenance contract (assignment quality degrades slowly
+    under drift), and `ivf_write_index` is the recluster cadence — the same
+    role compact() plays for the dual edge layout.
+
+    Append-only id contract: callers stream NEW vector ids (re-sending an
+    id would duplicate it in search results — dedup upstream, e.g.
+    stream_dedup).  Exactly-once under at-least-once redelivery via a
+    monotonically increasing `batch_id` committed to index_meta.json AFTER
+    the append lands; a replayed batch is a no-op.  (Crash between the
+    parquet append and the meta write re-appends on replay — the same
+    at-least-once seam every file-append sink has; route exact pipelines
+    through a staging dir if that matters.)  Returns rows appended."""
+    import json as _json
+    import os as _os
+
+    meta_path = f"{path}/index_meta.json"
+    meta = {}
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    if batch_id is not None and meta.get("last_batch_id") is not None \
+            and batch_id <= meta["last_batch_id"]:
+        return 0
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = (assign_best_cell(new_vectors.select(id_col, vec_col), cents,
+                                 id_col, vec_col)
+                .select(id_col, vec_col, "cell"))
+    n = assigned.count()
+    (assigned.repartition("cell").write.mode("append")
+     .partitionBy("cell").parquet(f"{path}/corpus"))
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        _os.replace(tmp, meta_path)
+    return n
+
+
+def ivf_stream_appender(spark, path: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """foreachBatch adapter: stream embeddings straight into a persisted IVF
+    index — `writeStream.foreachBatch(ivf_stream_appender(spark, path))`.
+    The streaming epoch id doubles as the exactly-once batch id."""
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        ivf_append_index(spark, path, batch_df, id_col, vec_col,
+                         batch_id=epoch_id)
+    return _apply
+
+
 def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
                      n_probe: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:

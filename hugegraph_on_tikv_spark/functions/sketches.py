@@ -127,3 +127,82 @@ def count_min_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     independent, the property that makes per-partition / per-day sketches
     roll up to any window."""
     return a.unionByName(b).groupBy("d", "w").agg(F.sum("c").alias("c"))
+
+
+# -- heavy hitters: Misra-Gries candidates + exact verify --------------------
+
+def misra_gries_candidates(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries, merged: ≤ k candidate values per
+    partition regardless of partition size (distinct `value` strings).
+
+    The MG guarantee per partition: every item with local frequency
+    > N_p/(k+1) survives its summary (each decrement round cancels k+1
+    occurrences, so undercount ≤ N_p/(k+1)).  The per-partition loop is
+    amortized O(1) per row (total decrements ≤ total increments) inside ONE
+    Arrow-batched generator that spans the partition — only the ≤ k summary
+    rows per partition ever leave Python."""
+    import pandas as pd
+
+    def run(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf["value"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"value": list(counters)})
+
+    return (df.select(F.col(value_col).cast("string").alias("value"))
+            .mapInPandas(run, "value string").distinct())
+
+
+def heavy_hitters(df: DataFrame, value_col: str, threshold_frac: float,
+                  slack: int = 2) -> DataFrame:
+    """EXACT frequent items at scale: `(value, n_occurrences)` for every
+    value occurring in at least `threshold_frac` of the rows.
+
+    The naive plan — groupBy(value).count() — shuffles every distinct value
+    (at 100 TB of tokens, that is the whole vocabulary with its long tail).
+    This is the classic two-pass sketch-filter instead:
+
+    1. per-partition Misra-Gries with k = slack·⌈1/f⌉ counters.  Averaging:
+       a value with global frequency ≥ f·N has ≥ f·N_p occurrences in at
+       least one partition, and f·N_p > N_p/(k+1) whenever slack ≥ 2 — so
+       every true heavy hitter IS among the merged candidates (superset
+       guarantee; false candidates are fine, they just pay a little in
+       pass 2);
+    2. exact verification: broadcast-semi-filter the data to candidate
+       values only, one small groupBy, threshold filter.
+
+    The result is EXACT (hence SQL-oracle-able) and independent of row
+    order or partitioning — MG's internal order sensitivity only moves
+    which non-hitters pad the candidate set.  Cost: two scans, but the
+    shuffle carries ≤ k·partitions candidate rows instead of the
+    vocabulary."""
+    import math
+
+    if not (0 < threshold_frac <= 1):
+        raise ValueError("threshold_frac must be in (0, 1]")
+    k = slack * math.ceil(1 / threshold_frac)
+    vals = df.select(F.col(value_col).cast("string").alias("value")) \
+        .filter(F.col("value").isNotNull())
+    n_total = vals.count()
+    support = math.ceil(threshold_frac * n_total)
+    cands = misra_gries_candidates(df, value_col, k)
+    return (
+        vals.join(F.broadcast(cands), "value", "leftsemi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= support)
+    )

@@ -333,6 +333,33 @@ def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFra
         e.unpersist()
 
 
+def harmonic_closeness(edges: DataFrame, landmarks: list[int],
+                       iterations: int = 10) -> DataFrame:
+    """Landmark-approximated harmonic closeness centrality:
+    h(v) = Σ over reached landmarks (distance > 0) of 1/distance — the
+    standard scalable centrality estimate (exact closeness needs all-pairs
+    BFS; landmark sampling is the textbook approximation, cost = one
+    shortest_paths run, state |V|×|landmarks|).
+
+    Determinism contract: the 1/d terms are summed as INTEGERS scaled by
+    lcm(1..iterations) (every hop distance divides it), so the sum is
+    order-independent — a raw float Σ1/d would be partition-order-dependent
+    in the last bits and could flip the rounded value between engines.  One
+    final division + round(6) produces the reported double.
+    Returns (id, n_reached, harmonic)."""
+    import math
+
+    scale = math.lcm(*range(1, iterations + 1))
+    d = shortest_paths(edges, landmarks, iterations)
+    scaled = F.sum(
+        F.when(F.col("distance") > 0,
+               (F.lit(scale) / F.col("distance")).cast("long")))
+    return d.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.round(F.coalesce(scaled, F.lit(0)) / float(scale), 6).alias("harmonic"),
+    )
+
+
 def random_walks(edges: DataFrame, start_ids: list[int], length: int,
                  walks_per_node: int = 1, salt: str = "") -> DataFrame:
     """Deterministic 'random' walks — the node2vec/DeepWalk input stage.

@@ -83,3 +83,56 @@ def test_count_min_one_sided_and_mergeable(spark):
               sketches.count_min_merge(h1, h2).collect()}
     whole = {(r["d"], r["w"]): r["c"] for r in sk.collect()}
     assert merged == whole
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """heavy_hitters is EXACT by construction: MG only bounds the candidate
+    set, the superset guarantee makes the threshold filter lossless."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.sketches import heavy_hitters
+    from hugegraph_on_tikv_spark.functions.text import tokens
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    tok = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token"))
+    got = {(r["value"], r["n_occurrences"])
+           for r in heavy_hitters(tok, "token", 0.01).collect()}
+    n = tok.count()
+    import math
+
+    support = math.ceil(0.01 * n)
+    want = {(r["token"], r["cnt"])
+            for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= support).collect()}
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_order_and_partitioning_invariant(spark):
+    """MG's internal order sensitivity must not leak: an adversarial layout
+    (hot values clustered at the end of each partition, many partitions)
+    yields the identical exact answer."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.sketches import heavy_hitters
+
+    # 10k rows: values 'hot_0'..'hot_4' hold 10% each, 5000 singletons tail
+    rows = [(f"u{i}",) for i in range(5000)] + \
+           [(f"hot_{i % 5}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "v string")
+    expected = {(f"hot_{i}", 1000) for i in range(5)}
+    for arrangement in (df.repartition(17), df.orderBy("v"),
+                        df.orderBy(F.col("v").desc()).repartition(3)):
+        got = {(r["value"], r["n_occurrences"])
+               for r in heavy_hitters(arrangement, "v", 0.05).collect()}
+        assert got == expected
+
+
+def test_misra_gries_candidates_superset_and_bounded(spark):
+    from hugegraph_on_tikv_spark.functions.sketches import misra_gries_candidates
+
+    rows = [("hot",)] * 400 + [(f"u{i}",) for i in range(600)]
+    df = spark.createDataFrame(rows, "v string").repartition(4)
+    cands = {r["value"] for r in misra_gries_candidates(df, "v", 10).collect()}
+    assert "hot" in cands                  # 40% >> 1/11 per partition
+    assert len(cands) <= 10 * 4            # <= k per partition
