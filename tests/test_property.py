@@ -139,3 +139,32 @@ def test_asof_join_matches_duckdb(spark, lefts, rights, null_every):
         "ASOF JOIN (SELECT * FROM r WHERE t IS NOT NULL) r "
         "ON l.k = r.k AND l.t >= r.t").fetchall()))
     assert got == want
+
+
+# -- heavy hitters: MG candidates + verify == exact, any data shape ---------
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=20),
+                    min_size=1, max_size=300),
+    threshold=st.sampled_from([0.05, 0.1, 0.3]),
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_heavy_hitters_matches_exact_model(spark, values, threshold, n_parts):
+    """heavy_hitters must equal the exact counter model for every value
+    distribution, threshold, and partitioning — the superset guarantee is
+    what the property exercises (a lossy candidate pass would drop a true
+    hitter for SOME layout)."""
+    import math
+    from collections import Counter
+
+    from hugegraph_on_tikv_spark.functions.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(str(v),) for v in values], "v string") \
+        .repartition(n_parts)
+    got = {(r["value"], r["n_occurrences"])
+           for r in heavy_hitters(df, "v", threshold).collect()}
+    support = math.ceil(threshold * len(values))
+    want = {(str(v), c) for v, c in Counter(values).items() if c >= support}
+    assert got == want
