@@ -2652,6 +2652,60 @@ _register(
     """,
 )
 
+# analytic-function long tail over the same ranked set: lag (revenue gap to
+# the customer above), lead (next customer id), ntile halves.  Nullable
+# lead/ntile ids are cast DOUBLE (nullable-int None/NaN hash divergence);
+# prev_revenue stays a nullable double (NaN renders identically in both
+# engines' pandas frames).
+
+def _q_window_analytics(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    rev = o.groupBy("o_custkey").agg(_money(F.col("o_totalprice")).alias("revenue"))
+    joined = (
+        c.join(rev, c.c_custkey == rev.o_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    top = (joined.withColumn("rank_in_nation", F.row_number().over(w))
+           .filter(F.col("rank_in_nation") <= 5)
+           .select("n_name", "c_custkey", "revenue"))
+    w2 = Window.partitionBy("n_name").orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return top.select(
+        "n_name", "c_custkey",
+        F.lag("revenue").over(w2).alias("prev_revenue"),
+        F.lead("c_custkey").over(w2).cast("double").alias("next_custkey"),
+        F.ntile(2).over(w2).cast("double").alias("half"),
+    )
+
+_register(
+    "q_window_analytics",
+    _q_window_analytics,
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT n_name, c_custkey, revenue,
+             CAST(row_number() OVER (PARTITION BY n_name
+                  ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rank_in_nation
+      FROM customer JOIN rev ON c_custkey = o_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+    ), top5 AS (
+      SELECT n_name, c_custkey, revenue FROM ranked WHERE rank_in_nation <= 5
+    )
+    SELECT n_name, c_custkey,
+           lag(revenue) OVER w AS prev_revenue,
+           CAST(lead(c_custkey) OVER w AS DOUBLE) AS next_custkey,
+           CAST(ntile(2) OVER w AS DOUBLE) AS half
+    FROM top5
+    WINDOW w AS (PARTITION BY n_name ORDER BY revenue DESC, c_custkey)
+    """,
+)
+
 # -- CUBE (multi-dimensional aggregate; absent in reference, free here) -----
 
 _register(
@@ -3626,7 +3680,19 @@ _compose("q13_q18_customers", [
      "CAST(NULL AS DOUBLE) AS o_totalprice, CAST(numwait AS DOUBLE) AS v"),
 ])
 
-_publish("q_rank_in_nation")
+# rank + analytic-function (lag/lead/ntile) windows over the same ranked set
+_compose("q_rank_in_nation", [
+    ("q_rank_in_nation",
+     ["'rank' AS tag", "n_name", "c_custkey", "revenue AS v1",
+      "CAST(rank_in_nation AS DOUBLE) AS v2", "CAST(NULL AS DOUBLE) AS v3"],
+     "'rank' AS tag, n_name, c_custkey, revenue AS v1, "
+     "CAST(rank_in_nation AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3"),
+    ("q_window_analytics",
+     ["'analytic' AS tag", "n_name", "c_custkey", "prev_revenue AS v1",
+      "next_custkey AS v2", "half AS v3"],
+     "'analytic' AS tag, n_name, c_custkey, prev_revenue AS v1, "
+     "next_custkey AS v2, half AS v3"),
+])
 
 _compose("agg_grouping_sets", [
     ("agg_rollup",
