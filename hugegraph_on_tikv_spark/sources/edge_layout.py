@@ -293,6 +293,51 @@ class DualEdgeLayout:
             self.upsert(upserts=batch_df, key_cols=key_cols, batch_id=epoch_id)
         return _apply
 
+    def bucket_stats(self) -> dict:
+        """Size distribution of the by-src copy's bucket files (bytes):
+        {'max': .., 'median': .., 'total': .., 'n_buckets': ..} — the input
+        to the recluster decision.  File size is the honest proxy: a bucket
+        that outgrew its siblings makes every hop task ragged (stragglers)
+        and its per-bucket merges proportionally slower."""
+        import statistics as _stats
+
+        v = self._meta()["version"]
+        cur = self._copy_dir("src", v)
+        sizes = [os.path.getsize(os.path.join(cur, f))
+                 for f in _data_files(cur).values()]
+        if not sizes:
+            return {"max": 0, "median": 0, "total": 0, "n_buckets": 0}
+        return {"max": max(sizes), "median": _stats.median(sizes),
+                "total": sum(sizes), "n_buckets": len(sizes)}
+
+    def maybe_compact(self, skew_ratio: float = 4.0,
+                      target_bucket_bytes: int = 256 * 1024 * 1024,
+                      growth_ratio: float = 2.0) -> bool:
+        """The recluster cadence as a POLICY: compact with DOUBLED buckets
+        when either
+        (a) bucket skew — the largest bucket is > `skew_ratio`× the median.
+        Doubling splits buckets where several keys' adjacencies collided
+        (the common accretion case); a SINGLE hub vertex whose adjacency
+        dominates its bucket is not hash-splittable by any bucket count —
+        that residual skew is the read side's job (AQE skew-split /
+        salted_join, see SCALE.md "Skew & memory") — or
+        (b) bucket growth — the MEDIAN bucket exceeds `growth_ratio`×
+        `target_bucket_bytes` (the whole table outgrew its bucket count;
+        doubling keeps per-task work at the size maxPartitionBytes-style
+        tuning assumes).  Call it after upsert batches (e.g. every N
+        streamed batches); returns True if a compact ran.  Stats are file
+        metadata only — no data is read to decide."""
+        s = self.bucket_stats()
+        if not s["n_buckets"]:
+            return False
+        if s["median"] > 0 and s["max"] / s["median"] > skew_ratio:
+            self.compact(buckets=self.buckets * 2)
+            return True
+        if s["median"] > growth_ratio * target_bucket_bytes:
+            self.compact(buckets=self.buckets * 2)
+            return True
+        return False
+
     def compact(self, buckets: int | None = None) -> None:
         """Recluster cadence: full rewrite of the CURRENT data into a fresh
         version — with a new bucket count if the table outgrew the old one

@@ -163,3 +163,34 @@ def test_compact_and_vacuum(spark, tmp_path):
         assert layout.edges("src").count() == n    # current version intact
     finally:
         layout.drop()
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """The recluster POLICY: file-metadata-only decision, compacts on
+    bucket skew (hot-key accretion) or bucket growth, no-ops on a healthy
+    layout."""
+    layout = _mk_layout(spark, tmp_path, "t_ivm_e", buckets=4)
+    try:
+        v0 = layout._meta()["version"]
+        # healthy layout: balanced buckets -> no compact
+        assert layout.maybe_compact(skew_ratio=4.0) is False
+        assert layout._meta()["version"] == v0
+
+        # accrete many edges onto ONE hub src so its bucket outgrows the
+        # median file size by far
+        hub = [(7, 10_000 + i, "hub", 100_000 + i, 0.0) for i in range(6000)]
+        layout.upsert(upserts=_edges(spark, hub), batch_id=1)
+        s = layout.bucket_stats()
+        assert s["max"] / s["median"] > 4.0
+        assert layout.maybe_compact(skew_ratio=4.0) is True
+        # skew compact doubles the buckets; data intact
+        assert layout.buckets == 8
+        assert layout.edges("src").filter(F.col("label") == "hub").count() == 6000
+
+        # growth trigger: a tiny target forces the doubling path
+        b0 = layout.buckets
+        assert layout.maybe_compact(skew_ratio=1e9, target_bucket_bytes=1,
+                                    growth_ratio=1.0) is True
+        assert layout.buckets == 2 * b0
+    finally:
+        layout.drop()
