@@ -199,10 +199,13 @@ class Traversal:
         constraint.  The result is one row per satisfying assignment
         (pattern-match semantics; incoming traverser multiplicity at a
         vertex multiplies its assignments, like Gremlin), with every label
-        retrievable via select().  Clauses must be orderable so each
-        from-label is bound before use (lite restriction — no solver
-        reordering).  The whole pattern stays one Catalyst plan: clause
-        joins are plain equi-joins Catalyst can reorder/broadcast."""
+        retrievable via select().  Clauses may be written in ANY order —
+        a forward-chaining solver-lite pass reorders them so each
+        from-label is bound before use (the first clause's from-label is
+        seeded by the incoming traversers); a pattern where some
+        from-label is never bindable is rejected.  The whole pattern stays
+        one Catalyst plan: clause joins are plain equi-joins Catalyst can
+        reorder/broadcast."""
         if self._pos != "V":
             raise ValueError("match_() is supported at vertex positions")
         if self._carried():
@@ -210,14 +213,28 @@ class Traversal:
                              "supported; apply labels after it")
         if not clauses:
             raise ValueError("match_() needs at least one clause")
+        # solver-lite clause ordering (forward chaining): repeatedly take
+        # the first pending clause whose from-label is already bound — the
+        # caller may write clauses in any order; a pattern with no such
+        # ordering (a from-label nothing ever binds) is rejected
         first_from = clauses[0][0]
+        reachable = {first_from}
+        pending = list(clauses)
+        ordered = []
+        while pending:
+            pick = next((c for c in pending if c[0] in reachable), None)
+            if pick is None:
+                unbound = sorted({c[0] for c in pending})
+                raise ValueError(
+                    f"clause from-label(s) {unbound} are not bound by any "
+                    f"ordering of the clauses — every from-label must be "
+                    f"reachable from {first_from!r} via earlier to-labels")
+            pending.remove(pick)
+            ordered.append(pick)
+            reachable.add(pick[2])
         result = self._df.select(F.col("id").alias(first_from))
         bound = {first_from}
-        for frm, fn, to in clauses:
-            if frm not in bound:
-                raise ValueError(
-                    f"clause from-label {frm!r} is not bound yet — order "
-                    f"clauses so every from-label is bound before use")
+        for frm, fn, to in ordered:
             start = result.select(F.col(frm).alias("id")).distinct()
             probe = Traversal(
                 self._g, start.withColumn("_as___origin", F.col("id")), "V")

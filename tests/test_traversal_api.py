@@ -563,3 +563,21 @@ def test_local_limit_multiplicity_multiplies(g):
     n1 = base.local_limit(lambda t: t.out("placed"), 2).count().collect()[0]["n"]
     n2 = doubled.local_limit(lambda t: t.out("placed"), 2).count().collect()[0]["n"]
     assert n2 == 2 * n1
+
+
+def test_match_solver_reorders_out_of_order_clauses(g):
+    # clause 2 ('c' supplied_by 's') depends on clause 3 ('b' contains 'c');
+    # the forward-chaining pass defers it — same result as written in order.
+    # (The FIRST clause always stays first: its from-label is what the
+    # incoming traversers bind to.)
+    base = g.V().has_label("customer").has("mktsegment", "BUILDING")
+    placed = lambda t: t.out("placed")
+    contains = lambda t: t.out("contains")
+    supplied = lambda t: t.out("supplied_by")
+    in_order = base.match_(
+        ("a", placed, "b"), ("b", contains, "c"), ("c", supplied, "s"))
+    shuffled = base.match_(
+        ("a", placed, "b"), ("c", supplied, "s"), ("b", contains, "c"))
+    n1 = in_order.count().collect()[0]["n"]
+    n2 = shuffled.count().collect()[0]["n"]
+    assert n1 == n2 > 0
