@@ -300,6 +300,81 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
     return n
 
 
+def ivf_cell_stats(path: str) -> dict:
+    """Size distribution of the index's cell directories (bytes):
+    {'max': .., 'median': .., 'total': .., 'n_cells': ..}.  File metadata
+    only — the input to the recompaction decision, zero data reads.  Cell
+    imbalance is what erodes IVF's n_probe/n_cells cost model: a probe
+    that lands on one bloated cell scans far more than total/n_cells."""
+    import os as _os
+    import statistics as _stats
+
+    corpus = f"{path}/corpus"
+    sizes = []
+    for d in _os.listdir(corpus):
+        if not d.startswith("cell="):
+            continue
+        full = _os.path.join(corpus, d)
+        sizes.append(sum(_os.path.getsize(_os.path.join(full, f))
+                         for f in _os.listdir(full) if f.startswith("part-")))
+    if not sizes:
+        return {"max": 0, "median": 0, "total": 0, "n_cells": 0}
+    return {"max": max(sizes), "median": _stats.median(sizes),
+            "total": sum(sizes), "n_cells": len(sizes)}
+
+
+def ivf_compact(spark, path: str, n_cells: int | None = None,
+                refine_iters: int = 1, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> None:
+    """The IVF recluster cadence: re-fit centroids on the CURRENT corpus
+    (which incremental appends have drifted away from the frozen ones) and
+    rewrite the cell-partitioned layout — `ivf_write_index` fed by the
+    index's own corpus.  `n_cells` defaults to the existing cell count.
+    The batch-id watermark survives (appends after a compact keep their
+    exactly-once contract)."""
+    import json as _json
+    import os as _os
+
+    corpus = spark.read.parquet(f"{path}/corpus").select(id_col, vec_col) \
+        .localCheckpoint(eager=True)  # cut lineage before overwriting source
+    if n_cells is None:
+        n_cells = spark.read.parquet(f"{path}/centroids").count()
+    ivf_write_index(corpus, path, n_cells=n_cells, refine_iters=refine_iters,
+                    id_col=id_col, vec_col=vec_col)
+    # ivf_write_index does not touch index_meta.json, so last_batch_id
+    # rides through; assert the invariant stays visible to readers
+    meta_path = f"{path}/index_meta.json"
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _json.load(f)
+
+
+def ivf_maybe_compact(spark, path: str, skew_ratio: float = 4.0,
+                      target_cell_bytes: int = 256 * 1024 * 1024,
+                      growth_ratio: float = 2.0, refine_iters: int = 1,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> bool:
+    """Recompaction POLICY (mirrors edge_layout.maybe_compact): re-fit when
+    (a) cell skew — the largest cell outgrew the median by `skew_ratio`
+    (appended vectors piled into few cells because the frozen centroids no
+    longer fit the distribution; re-fitting rebalances, unlike hash
+    buckets), or (b) cell growth — the MEDIAN cell exceeds `growth_ratio`×
+    `target_cell_bytes` (doubles the cell count so probes keep their
+    n_probe/n_cells cost).  File-metadata decision; returns True if a
+    compact ran."""
+    s = ivf_cell_stats(path)
+    if not s["n_cells"]:
+        return False
+    if s["median"] > 0 and s["max"] / s["median"] > skew_ratio:
+        ivf_compact(spark, path, refine_iters=refine_iters,
+                    id_col=id_col, vec_col=vec_col)
+        return True
+    if s["median"] > growth_ratio * target_cell_bytes:
+        ivf_compact(spark, path, n_cells=2 * s["n_cells"],
+                    refine_iters=refine_iters, id_col=id_col, vec_col=vec_col)
+        return True
+    return False
+
+
 def ivf_stream_appender(spark, path: str, id_col: str = "vec_id",
                         vec_col: str = "embedding"):
     """foreachBatch adapter: stream embeddings straight into a persisted IVF

@@ -217,3 +217,50 @@ def test_ivf_append_incremental_maintenance(spark, tmp_path):
     before = spark.read.parquet(f"{one}/corpus").count()
     assert similarity.ivf_append_index(spark, one, part_b, batch_id=1) == 0
     assert spark.read.parquet(f"{one}/corpus").count() == before
+
+
+def test_ivf_maybe_compact_refits_drifted_index(spark, tmp_path):
+    """IVF recompaction policy: a pile of appended near-identical vectors
+    bloats one cell (frozen centroids no longer fit); maybe_compact detects
+    the skew from file metadata, re-fits, and the compacted index equals a
+    fresh build on the same corpus; the batch watermark survives."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    similarity.ivf_write_index(emb, path, n_cells=8, refine_iters=1)
+
+    # healthy: no compact
+    assert similarity.ivf_maybe_compact(spark, path, skew_ratio=3.0) is False
+
+    # append one vector replicated 5000x (tiny per-row perturbation so
+    # parquet cannot compress the pile away) -> one bloated cell
+    hot = (emb.orderBy("vec_id").limit(1)
+           .crossJoin(spark.range(5000).select(F.col("id").alias("k")))
+           .select((F.lit(100_000) + F.col("k")).alias("vec_id"),
+                   F.expr("transform(embedding, (x, i) -> CAST(x + CASE "
+                          "WHEN i = 0 THEN k * 1e-6 ELSE 0 END AS FLOAT))")
+                   .alias("embedding")))
+    n = similarity.ivf_append_index(spark, path, hot, batch_id=1)
+    assert n == 5000
+    s = similarity.ivf_cell_stats(path)
+    assert s["n_cells"] == 8 and s["max"] / s["median"] > 3.0
+
+    assert similarity.ivf_maybe_compact(spark, path, skew_ratio=3.0) is True
+
+    # compacted index == fresh build over the identical corpus
+    fresh = str(tmp_path / "fresh")
+    corpus_now = spark.read.parquet(f"{path}/corpus").select("vec_id", "embedding")
+    similarity.ivf_write_index(corpus_now, fresh, n_cells=8, refine_iters=1)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    a = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in similarity.ivf_search_index(spark, path, queries).collect()}
+    b = {(r["query_id"], r["rank"]): r["neighbor_id"]
+         for r in similarity.ivf_search_index(spark, fresh, queries).collect()}
+    assert a == b and len(a) > 0
+
+    # exactly-once watermark rode through the compact
+    assert similarity.ivf_append_index(spark, path, hot, batch_id=1) == 0
