@@ -894,6 +894,108 @@ _register(
     """,
 )
 
+
+# -- k-core decomposition (operators/analytics.py k_core): iterative
+#    peeling over the support>=2 co-purchase graph.  The oracle unrolls the
+#    peeling to a fixed round count (AS MATERIALIZED — DuckDB inlines plain
+#    CTEs per reference, exponential otherwise); the fixpoint is unique and
+#    peeling past it is a no-op, so the Spark side's early exit and the
+#    oracle's fixed unroll agree as long as rounds >= peeling depth
+#    (measured: 9 rounds at sf0.01; unrolled 14) ---------------------------
+
+def _g_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    support2 = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return analytics.k_core(support2, k=3, max_iterations=30)
+
+
+def _kcore_sql(k: int = 3, rounds: int = 14) -> str:
+    ctes = [
+        """sup AS MATERIALIZED (
+      SELECT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2
+    )""",
+        "a0 AS MATERIALIZED (SELECT u AS a, v AS b FROM sup "
+        "UNION ALL SELECT v AS a, u AS b FROM sup)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"k{t} AS MATERIALIZED (SELECT a FROM a{t-1} "
+            f"GROUP BY a HAVING count(*) >= {k})")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT a, b FROM a{t-1} "
+            f"WHERE a IN (SELECT a FROM k{t}) AND b IN (SELECT a FROM k{t}))")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a AS id, CAST(count(*) AS BIGINT) AS degree "
+          f"FROM a{rounds} GROUP BY a"
+    )
+
+
+_register("g_kcore", _g_kcore, _kcore_sql())
+
+
+# -- per-vertex clustering coefficient (operators/analytics.py
+#    clustering_coefficient) over the co-purchase graph: same ordered-wedge
+#    triangle enumeration as g_triangle_count, attributed to corners; the
+#    2T/(d(d-1)) division has exact-integer inputs, so the double is
+#    bit-identical across engines ------------------------------------------
+
+def _g_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    cop = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return analytics.clustering_coefficient(cop)
+
+
+_register(
+    "g_clustering",
+    _g_clustering,
+    """
+    WITH cop AS MATERIALIZED (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    ),
+    tri AS MATERIALIZED (
+      SELECT w.a, w.b, w.c
+      FROM (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM cop e1 JOIN cop e2 ON e1.v = e2.u
+            WHERE e1.u < e2.v) w
+      JOIN cop e3 ON e3.u = w.a AND e3.v = w.c
+    ),
+    pv AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY id
+    ),
+    deg AS (
+      SELECT id, count(*) AS d
+      FROM (SELECT u AS id FROM cop UNION ALL SELECT v AS id FROM cop)
+      GROUP BY id
+    )
+    SELECT deg.id, COALESCE(pv.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.d < 2 THEN 0.0
+                ELSE (2.0 * COALESCE(pv.n_triangles, 0)) / (deg.d * (deg.d - 1.0))
+           END AS coeff
+    FROM deg LEFT JOIN pv ON deg.id = pv.id
+    """,
+)
+
 # -- extended aggregates (beyond reference's COUNT-only pushdown) -----------
 
 # -- count-min sketch (functions/sketches.py): the transparent counter
@@ -2594,6 +2696,25 @@ _register(
 )
 
 _register(
+    "dsl_sack_merge",
+    # withSack(1.0, mergeOperator=sum): Gremlin's bulking merge as exact
+    # path counting — traversers reaching the same 2-hop part collapse,
+    # sacks summed, so the sack IS the number of (order, lineitem) routes
+    # from customer 42 (integer-valued doubles: the sum is exact)
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V(_KHOP_START).with_sack(1.0).out("placed").out("contains")
+    .merge_sacks("sum").sack()
+    .selectExpr("CAST(id AS DOUBLE) AS id", "sack"),
+    f"""
+    SELECT CAST(3 * {ID_BASE} + l_partkey AS DOUBLE) AS id,
+           CAST(count(*) AS DOUBLE) AS sack
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey = 42
+    GROUP BY l_partkey
+    """,
+)
+
+_register(
     "dsl_local_limit",
     # local(out('placed').limit(3)): each AUTOMOBILE customer's first 3
     # orders by vertex id — the per-traverser scoped cut
@@ -3752,6 +3873,12 @@ _compose("dsl_rows", [
       "CAST(NULL AS DOUBLE) AS n"],
      "'sack_qty' AS tag, CAST(NULL AS VARCHAR) AS k, id, "
      "CAST(NULL AS VARCHAR) AS brand, sack AS size, CAST(NULL AS DOUBLE) AS n"),
+    ("dsl_sack_merge",
+     ["'sack_merge' AS tag", "CAST(NULL AS STRING) AS k", "id",
+      "CAST(NULL AS STRING) AS brand", "sack AS size",
+      "CAST(NULL AS DOUBLE) AS n"],
+     "'sack_merge' AS tag, CAST(NULL AS VARCHAR) AS k, id, "
+     "CAST(NULL AS VARCHAR) AS brand, sack AS size, CAST(NULL AS DOUBLE) AS n"),
 ])
 
 # -- 15-19: graph analytics -------------------------------------------------
@@ -3771,6 +3898,12 @@ _compose("g_paths", [
       "harmonic AS distance"],
      "'closeness' AS tag, id, CAST(n_reached AS DOUBLE) AS landmark, "
      "harmonic AS distance"),
+    # local clustering coefficient rides (landmark=triangles, distance=coeff)
+    ("g_clustering",
+     ["'clustering' AS tag", "CAST(id AS BIGINT) AS id",
+      "CAST(n_triangles AS DOUBLE) AS landmark", "coeff AS distance"],
+     "'clustering' AS tag, CAST(id AS BIGINT) AS id, "
+     "CAST(n_triangles AS DOUBLE) AS landmark, coeff AS distance"),
 ])
 
 _compose("g_components", [
@@ -3779,6 +3912,11 @@ _compose("g_components", [
     ("g_label_propagation",
      ["'lpa' AS tag", "id", "community AS component"],
      "'lpa' AS tag, id, community AS component"),
+    # k-core membership rides (component = in-core degree)
+    ("g_kcore",
+     ["'kcore3' AS tag", "CAST(id AS BIGINT) AS id",
+      "CAST(degree AS BIGINT) AS component"],
+     "'kcore3' AS tag, CAST(id AS BIGINT) AS id, degree AS component"),
 ])
 
 _compose("g_khop2", [

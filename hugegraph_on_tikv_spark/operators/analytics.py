@@ -239,6 +239,85 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def _undirected_simple(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edges (u < v), self-loops dropped."""
+    return (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
+    """k-core membership over the undirected simple graph: iteratively
+    delete vertices with degree < k until fixpoint; returns the survivors
+    as (id, degree) with degree measured INSIDE the core subgraph.
+
+    The classic distributed peeling loop: each round is one degree
+    aggregation (map-side combinable) plus two semi-joins that restrict the
+    adjacency to surviving endpoints — O(rounds × |E|) shuffled, rounds
+    bounded by the peeling depth (typically ≪ diameter).  State between
+    rounds is only the shrinking adjacency list, localCheckpoint'ed so the
+    lineage stays flat.  The fixpoint is unique, so early exit on a
+    no-vertex-removed round is safe regardless of max_iterations."""
+    und = _undirected_simple(edges)
+    adj = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+           .localCheckpoint(eager=True))
+    n_prev = adj.select("a").distinct().count()
+    for _ in range(max_iterations):
+        keep = (adj.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= k).select("a"))
+        nxt = (adj.join(keep, "a")
+               .join(keep.withColumnRenamed("a", "b"), "b")
+               .select("a", "b")
+               .localCheckpoint(eager=True))
+        n_now = nxt.select("a").distinct().count()
+        adj = nxt
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return (adj.groupBy(F.col("a").alias("id"))
+            .agg(F.count(F.lit(1)).alias("degree")))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    graph: coeff(v) = 2·T(v) / (d(v)·(d(v)−1)), where T(v) is the number of
+    triangles through v (0 when d < 2).  Rides the same ordered-wedge join
+    as triangle_count, then attributes each triangle to its three corners
+    (posexplode — three rows per triangle, no re-join) and divides by the
+    degree pair count.  All inputs to the division are exact integers, so
+    the double result is bit-identical across engines.
+    Returns (id, n_triangles, coeff) for every vertex of the graph."""
+    und = _undirected_simple(edges)
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
+    tri = wedges.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    per_vertex = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (und.select(F.col("u").alias("id"))
+           .unionByName(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("_d")))
+    return (
+        deg.join(per_vertex, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(F.col("_d") < 2, F.lit(0.0))
+            .otherwise(2.0 * F.coalesce("n_triangles", F.lit(0))
+                       / (F.col("_d") * (F.col("_d") - 1.0)))
+            .alias("coeff"),
+        )
+    )
+
+
 def shortest_paths(edges: DataFrame, landmarks: list[int], iterations: int = 10) -> DataFrame:
     """GraphX-style ShortestPaths: hop distance from every vertex TO each
     landmark, following edge direction (dist(v,l) = 1 + min over

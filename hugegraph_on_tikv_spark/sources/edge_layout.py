@@ -1,42 +1,50 @@
-"""Dual bucketed edge layout — the reference's out/in twin adjacency tables
-as Spark physical layout.
+"""Bucketed graph layouts — the reference's adjacency/vertex tables as Spark
+physical layout, with per-bucket incremental maintenance.
 
 The reference stores every edge TWICE: an out-edges table keyed
 (src, label, dst) and an in-edges table keyed (dst, label, src)
 (TikvTables.java:128-149), so adjacency in either direction is a local
-prefix scan.  The Spark-native equivalent of "adjacency is local by
-construction" is bucketing: persist the edge table twice, bucketed (and
-sorted) by `src` in one copy and by `dst` in the other.  A hop join then
-finds its build side already hash-distributed on the join key:
+prefix scan; vertices live in their own id-keyed table (TikvTables.java:
+114-127).  The Spark-native equivalent of "access is local by construction"
+is bucketing: persist each table bucketed (and sorted) by its access key —
+edges twice (by `src` and by `dst`), vertices once (by `id`).  A hop join
+then finds its build side already hash-distributed on the join key:
 
 * out-hops (`frontier ⋈ edges ON vertex = src`) read the by-src copy —
   the edge side needs NO exchange, only the (small) frontier shuffles;
 * in-hops read the by-dst copy — same property on `dst`;
 * multi-hop expansion (`e1 ⋈ e2 ON e1.dst = e2.src`) reads the by-dst
   copy for e1 and the by-src copy for e2 — a sort-merge join with ZERO
-  exchanges and zero sorts on either side, in both directions.
+  exchanges and zero sorts on either side, in both directions;
+* property expansion (`hops ⋈ vertices ON dst = id`) reads the by-dst
+  edge copy against the by-id vertex copy — again exchange-free on BOTH
+  sides (tests/test_edge_layout_ivm.py pins the plan).
 
-Storage cost is 2× the edge table, identical to the reference's twin
-tables; both copies are written from one logical DataFrame so they cannot
-drift.  tests/test_plans.py pins the exchange-free plans.
+Storage cost is 2× the edge table plus 1× vertices, identical to the
+reference's twin tables + vertex table; each layout's copies are written
+from one logical DataFrame so they cannot drift.
 
-INCREMENTAL MAINTENANCE (the reference maintains its twin tables
-per-mutation, TikvTables.java:128-149 / TikvStore.java:176-210; here the
-same contract is per-batch):  each copy lives in a VERSIONED directory
-(`by_src/v000001`, ...).  `upsert(delta)` computes the touched buckets —
-`pmod(hash(key), buckets)`, the exact partition-id expression `bucketBy`
-and `repartition(n, key)` share — reads ONLY those buckets' files, merges
-by edge key, and builds the next version by hard-linking every untouched
+INCREMENTAL MAINTENANCE (the reference maintains its tables per-mutation,
+TikvTables.java:128-149 / TikvStore.java:176-210; here the same contract is
+per-batch):  each copy lives in a VERSIONED directory (`by_src/v000001`,
+...).  `upsert(delta)` computes the touched buckets — `pmod(hash(key),
+buckets)`, the exact partition-id expression `bucketBy` and
+`repartition(n, key)` share — reads ONLY those buckets' files, merges by
+row key, and builds the next version by hard-linking every untouched
 bucket file (no rewrite, no data copy) and writing fresh files for the
 touched buckets alone.  The catalog table then swaps to the new directory
 with a metadata-only `ALTER TABLE SET LOCATION`: readers planned against
 version N keep their file list and are never disturbed (the same
 atomic-pointer contract as sources/table_catalog.py).  Work per refresh is
-O(touched buckets), not O(table) — at 100 TB a trickle of edge mutations
+O(touched buckets), not O(table) — at 100 TB a trickle of mutations
 touches a few hundred of tens of thousands of buckets.  `compact()` is the
 recluster cadence (full rewrite, optionally with a new bucket count, for
 when buckets grow past their target size); `vacuum()` retires old version
 directories once their readers are gone.
+
+`BucketedLayout` is the copy-count-agnostic machinery; `DualEdgeLayout`
+(two copies, src/dst) and `VertexLayout` (one copy, id) are the graph
+instantiations GraphStore materializes.
 """
 
 from __future__ import annotations
@@ -85,10 +93,14 @@ def _data_files(location: str) -> dict[int, str]:
     return out
 
 
-class DualEdgeLayout:
-    """Handle to a materialized dual edge layout (two bucketed catalog
-    tables).  Use `materialize` to build one, `edges(direction_key)` to get
-    the copy whose bucketing matches a join key."""
+class BucketedLayout:
+    """Versioned, incrementally-maintained bucketed layout of one logical
+    DataFrame as one-or-more bucketed catalog tables (`<name>_by_<key>`,
+    one per entry of COPY_KEYS).  Subclasses fix the copy keys and the row
+    identity used by merges."""
+
+    COPY_KEYS: tuple[str, ...] = ()
+    KEY_COLS: tuple[str, ...] = ()
 
     def __init__(self, spark: SparkSession, name: str,
                  path: str | None = None, buckets: int | None = None):
@@ -119,79 +131,35 @@ class DualEdgeLayout:
         return os.path.join(self.path, f"by_{key}", f"v{version:06d}")
 
     @classmethod
-    def materialize(cls, edges: DataFrame, name: str, path: str,
-                    buckets: int = 32) -> "DualEdgeLayout":
-        """Write BOTH bucketed copies of `edges` (columns must include
-        `src` and `dst`) as VERSION 1 of the layout.  `name` prefixes the
-        catalog table names; `path` holds the versioned parquet dirs plus
-        `layout.json` (buckets / current version / last applied batch id).
+    def materialize(cls, df: DataFrame, name: str, path: str,
+                    buckets: int = 32) -> "BucketedLayout":
+        """Write every bucketed copy of `df` as VERSION 1 of the layout.
+        `name` prefixes the catalog table names; `path` holds the versioned
+        parquet dirs plus `layout.json` (buckets / current version / last
+        applied batch id).
 
-        The input is persisted across the two writes: `edges` is typically
-        a lazy multi-source union (GraphStore's view derivation), and
-        without the cache each copy would re-derive the whole edge view
-        from base tables."""
-        self = cls(edges.sparkSession, name, path, buckets)
-        edges = edges.persist()
+        The input is persisted across the copy writes: it is typically a
+        lazy multi-source union (GraphStore's view derivation), and without
+        the cache each copy would re-derive the whole view from base
+        tables."""
+        self = cls(df.sparkSession, name, path, buckets)
+        df = df.persist()
         try:
-            write_bucketed(edges, f"{name}{BY_SRC_SUFFIX}",
-                           self._copy_dir("src", 1), buckets, "src")
-            write_bucketed(edges, f"{name}{BY_DST_SUFFIX}",
-                           self._copy_dir("dst", 1), buckets, "dst")
+            for key in cls.COPY_KEYS:
+                write_bucketed(df, f"{name}_by_{key}",
+                               self._copy_dir(key, 1), buckets, key)
         finally:
-            edges.unpersist()
+            df.unpersist()
         self._write_meta({"buckets": buckets, "version": 1,
                           "last_batch_id": None})
         return self
 
-    def edges(self, order_by: str = "src") -> DataFrame:
-        """The copy bucketed on `order_by` ('src' serves out-traversals and
-        any join on src; 'dst' serves in-traversals).  Read through the
-        catalog — a plain path read would lose the bucket metadata."""
-        if order_by == "src":
-            return self.spark.table(f"{self.name}{BY_SRC_SUFFIX}")
-        if order_by == "dst":
-            return self.spark.table(f"{self.name}{BY_DST_SUFFIX}")
-        raise ValueError("order_by must be 'src' or 'dst'")
-
-    def adjacency(self, direction: str = "out") -> DataFrame:
-        """(vertex, neighbor) view served from the direction-matching copy,
-        so the scan arrives hash-distributed on `vertex`:
-
-        * 'out'  → by-src copy, vertex=src;
-        * 'in'   → by-dst copy, vertex=dst;
-        * 'both' → union of the two, EACH branch bucket-local on vertex
-          (the union itself has no single partitioning — a join against it
-          will still exchange the union output; per-direction plans don't).
-        """
-        out = self.edges("src").select(F.col("src").alias("vertex"),
-                                       F.col("dst").alias("neighbor"))
-        inn = self.edges("dst").select(F.col("dst").alias("vertex"),
-                                       F.col("src").alias("neighbor"))
-        if direction == "out":
-            return out
-        if direction == "in":
-            return inn
-        if direction == "both":
-            return out.unionByName(inn)
-        raise ValueError("direction must be 'out', 'in' or 'both'")
-
-    def two_hop(self, first: str = "out", second: str = "out") -> DataFrame:
-        """Two-hop expansion (a, mid, c) joining the copies so the middle
-        join is exchange-free: the first hop's END side comes from the copy
-        bucketed on its end column, the second hop's START side from the
-        copy bucketed on its start column — both sides of the mid-join are
-        pre-bucketed AND pre-sorted on the join key, so the sort-merge join
-        needs no exchange and no sort in EITHER direction combination."""
-        ends = {"out": ("src", "dst"), "in": ("dst", "src")}
-        if first not in ends or second not in ends:
-            raise ValueError("hops must be 'out' or 'in'")
-        start1, end1 = ends[first]
-        start2, end2 = ends[second]
-        e1 = self.edges(end1).select(F.col(start1).alias("a"),
-                                     F.col(end1).alias("mid"))
-        e2 = self.edges(start2).select(F.col(start2).alias("mid"),
-                                       F.col(end2).alias("c"))
-        return e1.hint("merge").join(e2, "mid").select("a", "mid", "c")
+    def copy(self, key: str) -> DataFrame:
+        """The copy bucketed on `key`.  Read through the catalog — a plain
+        path read would lose the bucket metadata."""
+        if key not in self.COPY_KEYS:
+            raise ValueError(f"key must be one of {self.COPY_KEYS}")
+        return self.spark.table(f"{self.name}_by_{key}")
 
     # -- incremental maintenance -------------------------------------------
     def _merge_copy(self, key: str, version: int,
@@ -252,40 +220,42 @@ class DualEdgeLayout:
 
     def upsert(self, upserts: DataFrame | None = None,
                delete_keys: DataFrame | None = None,
-               key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
+               key_cols: tuple[str, ...] | None = None,
                batch_id: int | None = None) -> dict[str, int]:
-        """Apply one batch of edge mutations to BOTH copies without a full
+        """Apply one batch of mutations to EVERY copy without a full
         rewrite: rows in `upserts` replace existing rows with the same
-        `key_cols`; `delete_keys` rows (key columns only) are removed.
+        `key_cols` (default: the subclass row identity); `delete_keys` rows
+        (key columns only) are removed.
 
         Exactly-once under at-least-once redelivery: pass a monotonically
         increasing `batch_id` and a replayed batch becomes a no-op (the id
-        is committed in layout.json only after BOTH copies swapped, so a
+        is committed in layout.json only after ALL copies swapped, so a
         crash between copies is healed by re-applying the same batch —
         the merge is idempotent by key).  Returns touched-bucket counts
         per copy."""
+        key_cols = key_cols or self.KEY_COLS
         meta = self._meta()
         if batch_id is not None and meta["last_batch_id"] is not None \
                 and batch_id <= meta["last_batch_id"]:
-            return {"src": 0, "dst": 0}
+            return {k: 0 for k in self.COPY_KEYS}
         if upserts is not None:
             upserts = upserts.persist()
         try:
             v = meta["version"]
-            n_src = self._merge_copy("src", v, upserts, delete_keys, key_cols)
-            n_dst = self._merge_copy("dst", v, upserts, delete_keys, key_cols)
+            counts = {k: self._merge_copy(k, v, upserts, delete_keys, key_cols)
+                      for k in self.COPY_KEYS}
         finally:
             if upserts is not None:
                 upserts.unpersist()
-        if n_src or n_dst:
+        if any(counts.values()):
             meta["version"] = v + 1
         if batch_id is not None:
             meta["last_batch_id"] = batch_id
         self._write_meta(meta)
-        return {"src": n_src, "dst": n_dst}
+        return counts
 
-    def foreach_batch_upserter(self, key_cols: tuple[str, ...] = DEFAULT_KEY_COLS):
-        """`foreachBatch` adapter: stream edge upserts straight into the
+    def foreach_batch_upserter(self, key_cols: tuple[str, ...] | None = None):
+        """`foreachBatch` adapter: stream upserts straight into the
         layout — `writeStream.foreachBatch(layout.foreach_batch_upserter())`.
         The Structured Streaming epoch id doubles as the exactly-once
         batch id."""
@@ -294,7 +264,7 @@ class DualEdgeLayout:
         return _apply
 
     def bucket_stats(self) -> dict:
-        """Size distribution of the by-src copy's bucket files (bytes):
+        """Size distribution of the first copy's bucket files (bytes):
         {'max': .., 'median': .., 'total': .., 'n_buckets': ..} — the input
         to the recluster decision.  File size is the honest proxy: a bucket
         that outgrew its siblings makes every hop task ragged (stragglers)
@@ -302,7 +272,7 @@ class DualEdgeLayout:
         import statistics as _stats
 
         v = self._meta()["version"]
-        cur = self._copy_dir("src", v)
+        cur = self._copy_dir(self.COPY_KEYS[0], v)
         sizes = [os.path.getsize(os.path.join(cur, f))
                  for f in _data_files(cur).values()]
         if not sizes:
@@ -316,10 +286,10 @@ class DualEdgeLayout:
         """The recluster cadence as a POLICY: compact with DOUBLED buckets
         when either
         (a) bucket skew — the largest bucket is > `skew_ratio`× the median.
-        Doubling splits buckets where several keys' adjacencies collided
-        (the common accretion case); a SINGLE hub vertex whose adjacency
-        dominates its bucket is not hash-splittable by any bucket count —
-        that residual skew is the read side's job (AQE skew-split /
+        Doubling splits buckets where several keys' rows collided
+        (the common accretion case); a SINGLE hub key whose rows dominate
+        its bucket is not hash-splittable by any bucket count — that
+        residual skew is the read side's job (AQE skew-split /
         salted_join, see SCALE.md "Skew & memory") — or
         (b) bucket growth — the MEDIAN bucket exceeds `growth_ratio`×
         `target_bucket_bytes` (the whole table outgrew its bucket count;
@@ -348,12 +318,12 @@ class DualEdgeLayout:
         # read the current version DIRECTORY, not the catalog table — Spark
         # refuses to overwrite a table it is also reading from, and the
         # path read is the same files without the metadata self-reference
-        cur = self.spark.read.parquet(self._copy_dir("src", v)).persist()
+        cur = self.spark.read.parquet(
+            self._copy_dir(self.COPY_KEYS[0], v)).persist()
         try:
-            write_bucketed(cur, f"{self.name}{BY_SRC_SUFFIX}",
-                           self._copy_dir("src", v + 1), new_b, "src")
-            write_bucketed(cur, f"{self.name}{BY_DST_SUFFIX}",
-                           self._copy_dir("dst", v + 1), new_b, "dst")
+            for key in self.COPY_KEYS:
+                write_bucketed(cur, f"{self.name}_by_{key}",
+                               self._copy_dir(key, v + 1), new_b, key)
         finally:
             cur.unpersist()
         self.buckets = new_b
@@ -366,7 +336,7 @@ class DualEdgeLayout:
         TableCatalog.vacuum).  Returns removed dirs."""
         removed = []
         cur_version = self._meta()["version"]
-        for key in ("src", "dst"):
+        for key in self.COPY_KEYS:
             base = os.path.join(self.path, f"by_{key}")
             for d in sorted(os.listdir(base)):
                 if d.startswith("v") and int(d[1:]) <= cur_version - keep:
@@ -376,6 +346,79 @@ class DualEdgeLayout:
         return removed
 
     def drop(self) -> None:
-        """Drop both catalog entries (the parquet files remain at `path`)."""
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{BY_SRC_SUFFIX}")
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.name}{BY_DST_SUFFIX}")
+        """Drop the catalog entries (the parquet files remain at `path`)."""
+        for key in self.COPY_KEYS:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.name}_by_{key}")
+
+
+class DualEdgeLayout(BucketedLayout):
+    """Handle to a materialized dual edge layout (two bucketed catalog
+    tables, by src and by dst — the reference's out/in twin adjacency
+    tables, TikvTables.java:128-149).  Use `materialize` to build one,
+    `edges(direction_key)` to get the copy whose bucketing matches a join
+    key."""
+
+    COPY_KEYS = ("src", "dst")
+    KEY_COLS = DEFAULT_KEY_COLS
+
+    def edges(self, order_by: str = "src") -> DataFrame:
+        """The copy bucketed on `order_by` ('src' serves out-traversals and
+        any join on src; 'dst' serves in-traversals)."""
+        if order_by not in ("src", "dst"):
+            raise ValueError("order_by must be 'src' or 'dst'")
+        return self.copy(order_by)
+
+    def adjacency(self, direction: str = "out") -> DataFrame:
+        """(vertex, neighbor) view served from the direction-matching copy,
+        so the scan arrives hash-distributed on `vertex`:
+
+        * 'out'  → by-src copy, vertex=src;
+        * 'in'   → by-dst copy, vertex=dst;
+        * 'both' → union of the two, EACH branch bucket-local on vertex
+          (the union itself has no single partitioning — a join against it
+          will still exchange the union output; per-direction plans don't).
+        """
+        out = self.edges("src").select(F.col("src").alias("vertex"),
+                                       F.col("dst").alias("neighbor"))
+        inn = self.edges("dst").select(F.col("dst").alias("vertex"),
+                                       F.col("src").alias("neighbor"))
+        if direction == "out":
+            return out
+        if direction == "in":
+            return inn
+        if direction == "both":
+            return out.unionByName(inn)
+        raise ValueError("direction must be 'out', 'in' or 'both'")
+
+    def two_hop(self, first: str = "out", second: str = "out") -> DataFrame:
+        """Two-hop expansion (a, mid, c) joining the copies so the middle
+        join is exchange-free: the first hop's END side comes from the copy
+        bucketed on its end column, the second hop's START side from the
+        copy bucketed on its start column — both sides of the mid-join are
+        pre-bucketed AND pre-sorted on the join key, so the sort-merge join
+        needs no exchange and no sort in EITHER direction combination."""
+        ends = {"out": ("src", "dst"), "in": ("dst", "src")}
+        if first not in ends or second not in ends:
+            raise ValueError("hops must be 'out' or 'in'")
+        start1, end1 = ends[first]
+        start2, end2 = ends[second]
+        e1 = self.edges(end1).select(F.col(start1).alias("a"),
+                                     F.col(end1).alias("mid"))
+        e2 = self.edges(start2).select(F.col(start2).alias("mid"),
+                                       F.col(end2).alias("c"))
+        return e1.hint("merge").join(e2, "mid").select("a", "mid", "c")
+
+
+class VertexLayout(BucketedLayout):
+    """Single bucketed vertex copy, keyed and bucketed by `id` — the
+    reference's vertex table (TikvTables.java:114-127) as Spark physical
+    layout.  Property-expansion joins (`hops ⋈ vertices ON dst = id`)
+    against the by-dst edge copy are exchange-free on both sides when the
+    bucket counts match; streamed vertex property upserts maintain the
+    copy per-bucket exactly like the edge layout."""
+
+    COPY_KEYS = ("id",)
+    KEY_COLS = ("id",)
+
+    def vertices(self) -> DataFrame:
+        return self.copy("id")

@@ -122,6 +122,7 @@ class GraphStore:
         self.sf_dir = sf_dir
         self.materialize = materialize
         self.layout = None  # DualEdgeLayout once materialize_dual_layout ran
+        self.vertex_layout = None  # VertexLayout once materialize_vertex_layout ran
         self._vertices: DataFrame | None = None
         self._edges: DataFrame | None = None
         self._edges_by_dst: DataFrame | None = None
@@ -141,6 +142,22 @@ class GraphStore:
             self._build_edges(), name, path, buckets)
         self._edges = self._edges_by_dst = None
         return self.layout
+
+    def materialize_vertex_layout(self, path: str, buckets: int = 32,
+                                  name: str = "graph_vertices"):
+        """Persist the vertex view as a single BUCKETED-by-id copy
+        (sources/edge_layout.py VertexLayout) and route every subsequent
+        `vertices()` call through it.  Property-expansion joins against the
+        by-dst edge copy (`hops.dst = vertices.id`) then run exchange-free
+        on both sides, and streamed vertex property upserts maintain the
+        copy per-bucket (the reference maintains its vertex table
+        per-mutation, TikvTables.java:114-127; here per-batch)."""
+        from hugegraph_on_tikv_spark.sources.edge_layout import VertexLayout
+
+        self.vertex_layout = VertexLayout.materialize(
+            self._build_vertices(), name, path, buckets)
+        self._vertices = None
+        return self.vertex_layout
 
     def _cache_path(self, name: str) -> str:
         import hashlib
@@ -178,19 +195,25 @@ class GraphStore:
                 return df  # read-only /tmp etc. — fall back to the live plan
         return self.spark.read.parquet(path)
 
+    def _build_vertices(self) -> DataFrame:
+        parts = []
+        for label, table, key, props in VERTEX_SPECS:
+            df = load_table(self.spark, self.sf_dir, table)
+            cols = [encode_id(label, F.col(key)).alias("id"), F.lit(label).alias("label")]
+            for name, typ in VERTEX_PROP_COLUMNS:
+                src = props.get(name)
+                cols.append((F.col(src) if src else F.lit(None)).cast(typ).alias(name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def vertices(self) -> DataFrame:
+        if self.vertex_layout is not None:
+            return self.vertex_layout.vertices()
         if self._vertices is None:
-            parts = []
-            for label, table, key, props in VERTEX_SPECS:
-                df = load_table(self.spark, self.sf_dir, table)
-                cols = [encode_id(label, F.col(key)).alias("id"), F.lit(label).alias("label")]
-                for name, typ in VERTEX_PROP_COLUMNS:
-                    src = props.get(name)
-                    cols.append((F.col(src) if src else F.lit(None)).cast(typ).alias(name))
-                parts.append(df.select(*cols))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+            out = self._build_vertices()
             if self.materialize:
                 out = self._materialized("vertices", out, "id")
             self._vertices = out

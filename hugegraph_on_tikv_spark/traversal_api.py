@@ -339,6 +339,58 @@ class Traversal:
         keys = ["id"] if self._pos == "V" else ["src", "dst"]
         return self._df.select(*keys, F.col("_sack").alias("sack"))
 
+    def split_sack(self, direction: str = "out", *labels: str) -> "Traversal":
+        """Gremlin's sack SPLIT operator, specialized to the probability-mass
+        idiom (withSack(1.0, splitOperator=divide-by-fanout)): before the
+        next `direction` hop, divide each traverser's sack evenly among the
+        children it is about to spawn — sack/degree, so
+        `with_sack(1.0).split_sack('out').out().merge_sacks('sum')` is one
+        random-walk step's visiting distribution.  Expressed as a degree
+        aggregation joined in before the hop (pure DataFrame ops — degree is
+        a map-side-combinable count, no per-traverser state); traversers on
+        vertices with no matching edges keep their sack and die at the hop,
+        exactly as in Gremlin."""
+        if self._pos != "V":
+            raise ValueError("split_sack() applies at a vertex position, "
+                             "before the hop it splits for")
+        if "_sack" not in self._df.columns:
+            raise ValueError("split_sack() requires with_sack() earlier in "
+                             "the traversal")
+        key = {"out": ("src",), "in": ("dst",), "both": ("src", "dst")}.get(direction)
+        if key is None:
+            raise ValueError("direction must be 'out', 'in' or 'both'")
+        parts = []
+        for k in key:
+            e = self._edges(labels, k)
+            parts.append(e.select(F.col(k).alias("id")))
+        adj = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        deg = adj.groupBy("id").agg(F.count(F.lit(1)).alias("_deg"))
+        df = (self._df.join(deg, "id", "left")
+              .withColumn("_sack", F.when(F.col("_deg").isNull(), F.col("_sack"))
+                          .otherwise(F.col("_sack") / F.col("_deg")))
+              .drop("_deg"))
+        return Traversal(self._g, df, "V")
+
+    def merge_sacks(self, op: str = "sum") -> "Traversal":
+        """Gremlin's bulking MERGE operator (withSack(..., mergeOperator)):
+        traversers with identical state — same position and the same carried
+        as_() labels / path history — collapse into one, their sacks
+        combined with `op` (sum | min | max; all order-independent, so the
+        distributed aggregation is deterministic).  With integer-valued
+        sacks and op='sum' this is exact path counting; after split_sack()
+        it folds a step's probability mass per vertex.  One hash
+        aggregation — the multiset of traversers never leaves the JVM."""
+        if "_sack" not in self._df.columns:
+            raise ValueError("merge_sacks() requires with_sack() earlier in "
+                             "the traversal")
+        ops = {"sum": F.sum, "min": F.min, "max": F.max}
+        if op not in ops:
+            raise ValueError(f"op must be one of {sorted(ops)}")
+        group_cols = [c for c in self._df.columns if c != "_sack"]
+        df = (self._df.groupBy(*group_cols)
+              .agg(ops[op](F.col("_sack")).alias("_sack")))
+        return Traversal(self._g, df, self._pos)
+
     def local_limit(self, step, n: int) -> "Traversal":
         """Gremlin local(t.limit(n)) — the by-far-most-common local() use:
         apply the sub-traversal PER TRAVERSER and keep each one's first `n`

@@ -194,3 +194,114 @@ def test_maybe_compact_policy(spark, tmp_path):
         assert layout.buckets == 2 * b0
     finally:
         layout.drop()
+
+
+# -- VertexLayout: the same per-bucket maintenance for the vertex table ----
+# (the reference's id-keyed vertex table, TikvTables.java:114-127)
+
+VERTEX_SCHEMA = "id long, label string, name string, acctbal double"
+
+
+def _vertices(spark, rows):
+    return spark.createDataFrame(rows, VERTEX_SCHEMA)
+
+
+def _vertex_rows(n=300):
+    return [(i, "customer", f"name#{i}", float(i)) for i in range(n)]
+
+
+def test_vertex_layout_upsert_per_bucket(spark, tmp_path):
+    from hugegraph_on_tikv_spark.sources.edge_layout import VertexLayout
+
+    layout = VertexLayout.materialize(
+        _vertices(spark, _vertex_rows()), "t_ivm_v", str(tmp_path / "vl"), 8)
+    try:
+        v1 = layout._copy_dir("id", 1)
+        inodes_before = {b: os.stat(os.path.join(v1, f)).st_ino
+                         for b, f in _data_files(v1).items()}
+
+        # property update on two ids, one delete — a strict bucket subset
+        ups = _vertices(spark, [(3, "customer", "renamed", 999.0),
+                                (301, "customer", "new", 1.0)])
+        dels = _vertices(spark, [(5, "customer", "x", 0.0)]).select("id")
+        stats = layout.upsert(upserts=ups, delete_keys=dels, batch_id=1)
+        assert 0 < stats["id"] < layout.buckets
+
+        got = {r.id: (r.name, r.acctbal) for r in layout.vertices().collect()}
+        assert got[3] == ("renamed", 999.0)
+        assert got[301] == ("new", 1.0)
+        assert 5 not in got
+
+        # untouched buckets hard-linked (inode-identical), replay a no-op
+        v2 = layout._copy_dir("id", 2)
+        files_after = _data_files(v2)
+        touched = {r[0] for r in
+                   ups.select(F.pmod(F.hash("id"), F.lit(layout.buckets)))
+                   .union(dels.select(F.pmod(F.hash("id"), F.lit(layout.buckets))))
+                   .distinct().collect()}
+        untouched = set(inodes_before) - touched
+        assert untouched
+        for b in untouched:
+            assert os.stat(os.path.join(v2, files_after[b])).st_ino \
+                == inodes_before[b], f"untouched bucket {b} was rewritten"
+        assert layout.upsert(upserts=ups, batch_id=1) == {"id": 0}
+    finally:
+        layout.drop()
+
+
+def test_vertex_property_expand_exchange_free(spark, tmp_path):
+    """Plan guard for the dual+vertex layout pair: property expansion
+    (`hops ⋈ vertices ON dst = id`) reads the by-dst edge copy against the
+    by-id vertex copy — both sides pre-bucketed AND pre-sorted on their
+    join key, so the SMJ needs no exchange and no sort on either side,
+    and the property survives a vertex upsert."""
+    from hugegraph_on_tikv_spark.sources.edge_layout import VertexLayout
+
+    edges = _mk_layout(spark, tmp_path, "t_ivm_ev")
+    verts = VertexLayout.materialize(
+        _vertices(spark, [(100 + i, "v", f"n{i}", float(i)) for i in range(50)]),
+        "t_ivm_vv", str(tmp_path / "vl2"), edges.buckets)
+    try:
+        verts.upsert(upserts=_vertices(spark, [(121, "v", "hot", 7.0)]),
+                     batch_id=1)
+        expand = (edges.edges("dst").hint("merge")
+                  .join(verts.vertices(), F.col("dst") == F.col("id"))
+                  .select("src", "dst", "name", "acctbal"))
+        phys = expand._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in phys, phys
+        assert "Exchange" not in phys, phys
+        assert "Sort " not in phys, phys
+        assert expand.filter(F.col("dst") == 121).select("name") \
+            .distinct().collect()[0][0] == "hot"
+    finally:
+        edges.drop()
+        verts.drop()
+
+
+def test_graphstore_vertex_layout_routing(spark, tmp_path):
+    """GraphStore.materialize_vertex_layout routes vertices() through the
+    bucketed copy and streamed-style property upserts become visible in a
+    traversal's property read."""
+    from hugegraph_on_tikv_spark.sources.graph import GraphStore
+    from tests.conftest import SF_DIR
+
+    store = GraphStore(spark, SF_DIR)
+    base = {r.id: r.name for r in
+            store.vertices().filter(F.col("label") == "nation").collect()}
+    layout = store.materialize_vertex_layout(str(tmp_path / "gvl"), buckets=8)
+    try:
+        routed = store.vertices()
+        assert {r.id: r.name for r in
+                routed.filter(F.col("label") == "nation").collect()} == base
+
+        some_id = min(base)
+        row = routed.filter(F.col("id") == some_id).collect()[0]
+        upd = routed.sparkSession.createDataFrame(
+            [row.asDict()], routed.schema) \
+            .withColumn("name", F.lit("RENAMED"))
+        layout.upsert(upserts=upd, batch_id=1)
+        assert store.vertices().filter(F.col("id") == some_id) \
+            .select("name").collect()[0][0] == "RENAMED"
+    finally:
+        layout.drop()
+        store.vertex_layout = None

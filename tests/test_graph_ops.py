@@ -162,3 +162,39 @@ def test_random_walks_deterministic_and_valid(spark):
     salted = {(r["wid"], r["step"]): r["vertex"]
               for r in analytics.random_walks(edges, [1], 4, 3, salt="v2").collect()}
     assert salted != rows
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    # triangle+tail: 1-2-3 triangle (2-core), 3-4-5 path peels away under k=2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)], "src long, dst long"
+    )
+    core2 = {r["id"]: r["degree"]
+             for r in analytics.k_core(edges, k=2).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}     # 4 and 5 peeled (cascade: 5 then 4)
+    # k=3: the triangle itself dissolves — empty core
+    assert analytics.k_core(edges, k=3).count() == 0
+    # k=1: everything survives with its full degree
+    core1 = {r["id"]: r["degree"]
+             for r in analytics.k_core(edges, k=1).collect()}
+    assert core1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+
+def test_clustering_coefficient_known_values(spark):
+    # K4 minus one edge: 1-2,1-3,1-4,2-3,2-4 (3-4 missing)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "src long, dst long"
+    )
+    got = {r["id"]: (r["n_triangles"], r["coeff"])
+           for r in analytics.clustering_coefficient(edges).collect()}
+    # vertices 1,2: degree 3, 2 triangles each -> 2*2/(3*2) = 2/3
+    assert got[1] == (2, pytest.approx(2 / 3))
+    assert got[2] == (2, pytest.approx(2 / 3))
+    # vertices 3,4: degree 2, 1 triangle -> 2*1/(2*1) = 1.0
+    assert got[3] == (1, 1.0)
+    assert got[4] == (1, 1.0)
+    # degree-1 vertex: coeff 0 by convention
+    edges2 = spark.createDataFrame([(7, 8)], "src long, dst long")
+    got2 = {r["id"]: r["coeff"]
+            for r in analytics.clustering_coefficient(edges2).collect()}
+    assert got2 == {7: 0.0, 8: 0.0}

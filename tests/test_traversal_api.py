@@ -581,3 +581,68 @@ def test_match_solver_reorders_out_of_order_clauses(g):
     n1 = in_order.count().collect()[0]["n"]
     n2 = shuffled.count().collect()[0]["n"]
     assert n1 == n2 > 0
+
+
+def test_merge_sacks_counts_paths_exactly(g, spark):
+    """with_sack(1.0) + merge_sacks('sum') = exact path counting: the
+    merged sack at each 2-hop target equals the number of distinct
+    (order, lineitem) routes reaching it — integer-valued doubles, exact."""
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    rows = (
+        g.V(vid("customer", 1)).with_sack(1.0)
+        .out("placed").out("contains").merge_sacks("sum").sack().collect()
+    )
+    o = load_table(spark, SF_DIR, "orders").filter("o_custkey = 1")
+    li = load_table(spark, SF_DIR, "lineitem")
+    import collections
+
+    expected = collections.Counter(
+        vid("part", r["l_partkey"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+    )
+    got = {r["id"]: r["sack"] for r in rows}
+    assert got == {k: float(v) for k, v in expected.items()}
+    # multiplicity collapsed: one traverser per reached vertex
+    assert len(rows) == len(expected)
+
+
+def test_split_sack_conserves_probability_mass(g, spark):
+    """split_sack('out') + out() + merge_sacks('sum'): each seed's unit
+    mass is divided among its children, so the total outgoing mass equals
+    the number of seeds that have at least one matching out-edge."""
+    from pyspark.sql import functions as F
+
+    seeds = g.V().has_label("nation")   # 25 nations, each -> 1 region
+    dist = (seeds.with_sack(1.0).split_sack("out", "part_of")
+            .out("part_of").merge_sacks("sum").sack())
+    total = dist.agg(F.sum("sack")).collect()[0][0]
+    assert total == pytest.approx(25.0)
+    # 25 nations over 5 regions, 5 each: every region's mass is 5 x 1/1
+    assert sorted(r["sack"] for r in dist.collect()) == pytest.approx([5.0] * 5)
+
+    # two-step: customer -> nation -> region, mass splits by degree at
+    # each step and still sums to the number of seeds
+    seeds2 = g.V().has_label("customer").has("mktsegment", "MACHINERY")
+    n_seeds = seeds2.count().collect()[0]["n"]
+    dist2 = (seeds2.with_sack(1.0)
+             .split_sack("out", "located_in").out("located_in")
+             .split_sack("out", "part_of").out("part_of")
+             .merge_sacks("sum").sack())
+    total2 = dist2.agg(F.sum("sack")).collect()[0][0]
+    assert total2 == pytest.approx(float(n_seeds))
+
+
+def test_merge_sacks_min_and_validation(g):
+    rows = (
+        g.V(vid("customer", 1)).with_sack(0.0)
+        .out("placed").out_e("contains").sack_by("quantity")
+        .in_v().merge_sacks("min").sack().collect()
+    )
+    assert rows and all(r["sack"] >= 1.0 for r in rows)
+    with pytest.raises(ValueError, match="with_sack"):
+        g.V(vid("customer", 1)).merge_sacks()
+    with pytest.raises(ValueError, match="one of"):
+        g.V(vid("customer", 1)).with_sack(1.0).merge_sacks("mult")
+    with pytest.raises(ValueError, match="direction"):
+        g.V(vid("customer", 1)).with_sack(1.0).split_sack("sideways")
