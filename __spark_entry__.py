@@ -1160,6 +1160,46 @@ _register(
     """,
 )
 
+_register(
+    "text_repetition",
+    # Gopher-style within-document repetition filters (functions/text.py
+    # repetition_signals): distinct-token fraction, top-token share,
+    # duplicate-bigram fraction — all single divisions of exact integer
+    # counts, so the doubles agree bit-for-bit across engines
+    lambda spark, sf: text.repetition_signals(load_table(spark, sf, "documents")),
+    f"""
+    WITH base AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS ord
+      FROM base
+    ),
+    bg AS (
+      SELECT x.doc_id, count(DISTINCT x.tok || ' ' || y.tok) AS ndb
+      FROM tokpos x JOIN tokpos y
+        ON y.doc_id = x.doc_id AND y.ord = x.ord + 1
+      GROUP BY x.doc_id
+    ),
+    topt AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, tok, count(*) AS c FROM tokpos GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+      CAST(len(t) AS BIGINT) AS n_tokens,
+      CASE WHEN len(t) = 0 THEN 0.0
+           ELSE len(list_distinct(t)) / len(t) END AS frac_distinct,
+      CASE WHEN len(t) = 0 THEN 0.0
+           ELSE COALESCE(topt.topc, 0) / len(t) END AS top_token_frac,
+      CASE WHEN len(t) < 2 THEN 0.0
+           ELSE 1.0 - COALESCE(bg.ndb, 0) / (len(t) - 1) END AS dup_bigram_frac
+    FROM base b
+    LEFT JOIN bg ON b.doc_id = bg.doc_id
+    LEFT JOIN topt ON b.doc_id = topt.doc_id
+    """,
+)
+
 # -- dedup ladder -----------------------------------------------------------
 
 def _docs_with_copies(spark: SparkSession, sf: str) -> DataFrame:
@@ -4015,6 +4055,15 @@ _compose("text_quality_suite", [
      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "
      "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"),
+    # repetition signals mapped onto the suite's projection: mean/punct/
+    # stopword carry frac_distinct / top_token_frac / dup_bigram_frac
+    ("text_repetition",
+     ["'repetition' AS tag", "doc_id", "CAST(n_tokens AS DOUBLE) AS n_tokens",
+      "frac_distinct AS mean_token_len", "top_token_frac AS punct_ratio",
+      "dup_bigram_frac AS stopword_ratio"],
+     "'repetition' AS tag, doc_id, CAST(n_tokens AS DOUBLE) AS n_tokens, "
+     "frac_distinct AS mean_token_len, top_token_frac AS punct_ratio, "
+     "dup_bigram_frac AS stopword_ratio"),
 ])
 
 _compose("dedup_exact_canonical", [

@@ -307,6 +307,47 @@ def main() -> None:
         except Exception as ex:
             layout_metrics["probe_error"] = str(ex)[:200]
 
+        # vertex-layout probe: property expansion (hops ⋈ vertices ON
+        # dst = id) on the by-id bucketed vertex copy (exchange-free both
+        # sides) vs the same join on the pre-materialized plain parquet
+        # vertices — like the edge probes, both sides pay read+join only
+        vtmp = tempfile.mkdtemp(prefix="bench_vertices_")
+        vlayout = None
+        try:
+            from hugegraph_on_tikv_spark.sources.edge_layout import VertexLayout
+
+            store_plain.vertices().write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            vlayout = VertexLayout.materialize(
+                store_layout._build_vertices(), "bench_vertices", vtmp, 32)
+            layout_metrics["materialize_vertex_copy"] = round(
+                time.perf_counter() - t0, 3)
+
+            def _expand(edges_df, verts_df):
+                e = edges_df.select("src", "dst")
+                v = verts_df.select("id", "name", "acctbal")
+                return (e.hint("merge")
+                        .join(v, F.col("dst") == F.col("id"))
+                        .select("src", "dst", "name", "acctbal"))
+
+            plain_exp = _expand(store_plain.edges("dst"), store_plain.vertices())
+            buck_exp = _expand(layout.edges("dst"), vlayout.vertices())
+            layout_metrics["prop_expand_plain"] = run_isolated(
+                lambda s, sf: plain_exp)
+            layout_metrics["prop_expand_bucketed"] = run_isolated(
+                lambda s, sf: buck_exp)
+            for k in ("prop_expand_plain", "prop_expand_bucketed"):
+                print(f"# layout {k}: {layout_metrics[k]}s", file=sys.stderr)
+        except Exception as ex:
+            layout_metrics["vertex_probe_error"] = str(ex)[:200]
+        finally:
+            if vlayout is not None:
+                try:
+                    vlayout.drop()
+                except Exception:
+                    pass
+            shutil.rmtree(vtmp, ignore_errors=True)
+
     # round-4+ operators, measured OUTSIDE the comparable series (new keys
     # never change "value"/"shared_cache_total" semantics): the Arrow-vs-JVM
     # simhash twins and the as-of join.
@@ -320,7 +361,8 @@ def main() -> None:
             lambda s, sf: simhash_signatures(docs))
         extras["simhash_jvm"] = run_isolated(
             lambda s, sf: simhash_signatures(docs, use_arrow=False))
-        for name in ("asof_last_view", "contamination", "g_walks", "cm_sketch"):
+        for name in ("asof_last_view", "contamination", "g_walks", "cm_sketch",
+                     "g_kcore", "g_clustering"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():

@@ -101,3 +101,54 @@ def bpe_token_estimate(col: Column) -> Column:
     return F.aggregate(
         pieces, F.lit(0), lambda acc, p: acc + F.ceil(F.length(p) / 4).cast("int")
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition filters — the Gopher/RefinedWeb quality
+    rules that catch boilerplate and degenerate generations: a document
+    whose tokens are mostly repeats of a few types (low distinct fraction,
+    high top-token share) or whose bigrams loop (high duplicate-bigram
+    fraction) is dropped before training.
+
+    Returns (id, n_tokens, frac_distinct, top_token_frac, dup_bigram_frac).
+    All three fractions are single divisions of exact integer counts, so
+    the doubles are bit-identical across engines.
+
+    Shape: the distinct/bigram counts are per-row ARRAY expressions (whole-
+    stage codegen, no shuffle); only the top-token mode needs an explode +
+    two-level aggregation — one shuffle keyed by doc id, map-side combined.
+    At 100 TB every stage scales with the corpus and nothing is all-pairs."""
+    t = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("id"), t.alias("_t"))
+        .withColumn("_n", F.size("_t"))
+        .withColumn("_nd", F.size(F.array_distinct("_t")))
+        .withColumn(
+            "_ndb",
+            F.when(F.col("_n") < 2, F.lit(0)).otherwise(F.size(F.array_distinct(
+                F.expr("transform(slice(_t, 1, size(_t) - 1), "
+                       "(x, i) -> concat(x, ' ', element_at(_t, i + 2)))")))),
+        )
+    )
+    top = (
+        base.select("id", F.explode("_t").alias("_tok"))
+        .groupBy("id", "_tok").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("id").agg(F.max("_c").alias("_topc"))
+    )
+    zero = F.lit(0.0)
+    return (
+        base.join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.when(F.col("_n") == 0, zero)
+            .otherwise(F.col("_nd") / F.col("_n")).alias("frac_distinct"),
+            F.when(F.col("_n") == 0, zero)
+            .otherwise(F.coalesce("_topc", F.lit(0)) / F.col("_n"))
+            .alias("top_token_frac"),
+            F.when(F.col("_n") < 2, zero)
+            .otherwise(1.0 - F.col("_ndb") / (F.col("_n") - 1))
+            .alias("dup_bigram_frac"),
+        )
+    )

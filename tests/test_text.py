@@ -1,0 +1,46 @@
+"""Text-pipeline functions: known-value semantics (the corpus-scale
+behavior is oracle-checked through the driver rows)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hugegraph_on_tikv_spark.functions import text
+
+
+def test_repetition_signals_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # 5 tokens, 2 distinct; bigrams all repeats
+            (2, "w x y z"),          # fully distinct
+            (3, "q"),                # single token: bigram frac 0 by rule
+            (4, ""),                 # empty: all zero
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_signals(docs).collect()}
+
+    r1 = got[1]
+    assert r1["n_tokens"] == 5
+    assert r1["frac_distinct"] == pytest.approx(2 / 5)
+    assert r1["top_token_frac"] == pytest.approx(3 / 5)      # 'a' appears 3×
+    # bigrams: ab, ba, ab, ba -> 2 distinct of 4 -> dup fraction 1 - 2/4
+    assert r1["dup_bigram_frac"] == pytest.approx(0.5)
+
+    r2 = got[2]
+    assert r2["frac_distinct"] == 1.0
+    assert r2["top_token_frac"] == pytest.approx(1 / 4)
+    assert r2["dup_bigram_frac"] == 0.0                      # all bigrams unique
+
+    assert got[3]["n_tokens"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+    r4 = got[4]
+    assert (r4["n_tokens"], r4["frac_distinct"],
+            r4["top_token_frac"], r4["dup_bigram_frac"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_repetition_signals_tokenization_contract(spark):
+    # same token rule as text.tokens: lower-cased alphanumeric runs
+    docs = spark.createDataFrame([(1, "Foo, FOO! bar")], "doc_id long, text string")
+    r = text.repetition_signals(docs).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["top_token_frac"] == pytest.approx(2 / 3)       # foo twice
