@@ -1200,6 +1200,47 @@ _register(
     """,
 )
 
+def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.packing import pack_sequences
+
+    return pack_sequences(load_table(spark, sf, "documents"),
+                          seq_len=2048, shards=8)
+
+
+_register(
+    "text_packing",
+    # sequence packing placements (functions/packing.py): shard-local
+    # cumulative token sums -> (start_seq, end_seq, offset).  Exact integer
+    # arithmetic end to end; the H48 shard assignment and BPE estimator
+    # follow the established hash/token contracts
+    _text_packing,
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+        {H48_SQL.format(x="doc_id")} % 8 AS shard,
+        CAST(COALESCE(list_sum(list_transform(
+              regexp_extract_all(lower(text), '[a-z]+|[0-9]+'),
+              p -> CAST(ceil(length(p) / 4.0) AS INTEGER))), 0) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS c
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+      (c - n_tokens) // 2048 AS start_seq,
+      CASE WHEN n_tokens = 0 THEN (c - n_tokens) // 2048
+           ELSE (c - 1) // 2048 END AS end_seq,
+      (c - n_tokens) % 2048 AS offset_in_seq
+    FROM cum
+    """,
+)
+
+
 # -- dedup ladder -----------------------------------------------------------
 
 def _docs_with_copies(spark: SparkSession, sf: str) -> DataFrame:
@@ -4064,6 +4105,18 @@ _compose("text_quality_suite", [
      "'repetition' AS tag, doc_id, CAST(n_tokens AS DOUBLE) AS n_tokens, "
      "frac_distinct AS mean_token_len, top_token_frac AS punct_ratio, "
      "dup_bigram_frac AS stopword_ratio"),
+    # packing placements: mean/punct/stopword carry start_seq / end_seq /
+    # offset_in_seq (shard is implicit — any shard-assignment divergence
+    # breaks the per-doc cumulative sums these derive from)
+    ("text_packing",
+     ["'packing' AS tag", "doc_id", "CAST(n_tokens AS DOUBLE) AS n_tokens",
+      "CAST(start_seq AS DOUBLE) AS mean_token_len",
+      "CAST(end_seq AS DOUBLE) AS punct_ratio",
+      "CAST(offset_in_seq AS DOUBLE) AS stopword_ratio"],
+     "'packing' AS tag, doc_id, CAST(n_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(start_seq AS DOUBLE) AS mean_token_len, "
+     "CAST(end_seq AS DOUBLE) AS punct_ratio, "
+     "CAST(offset_in_seq AS DOUBLE) AS stopword_ratio"),
 ])
 
 _compose("dedup_exact_canonical", [

@@ -44,3 +44,30 @@ def test_repetition_signals_tokenization_contract(spark):
     r = text.repetition_signals(docs).collect()[0]
     assert r["n_tokens"] == 3
     assert r["top_token_frac"] == pytest.approx(2 / 3)       # foo twice
+
+
+def test_pack_sequences_places_contiguously(spark):
+    from hugegraph_on_tikv_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i % 7 * 3))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, seq_len=10, shards=4).collect()
+    assert len(rows) == 40
+    byshard: dict = {}
+    for r in rows:
+        byshard.setdefault(r["shard"], []).append(r)
+    assert set(byshard) <= {0, 1, 2, 3}
+    for shard, rs in byshard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rs:
+            # contiguous concatenation: each doc starts where the previous ended
+            assert r["start_seq"] * 10 + r["offset_in_seq"] == pos
+            assert 0 <= r["offset_in_seq"] < 10
+            end_pos = pos + r["n_tokens"]
+            expected_end_seq = (end_pos - 1) // 10 if r["n_tokens"] else pos // 10
+            assert r["end_seq"] == expected_end_seq
+            assert r["end_seq"] >= r["start_seq"]
+            pos = end_pos
