@@ -996,6 +996,69 @@ _register(
     """,
 )
 
+
+# -- k-truss (operators/analytics.py k_truss): edge-level cohesion peeling
+#    over the same support>=2 co-purchase graph as g_kcore.  The oracle
+#    unrolls the peel to a fixed round count (measured fixpoint: 2-3 rounds
+#    at sf0.01; unrolled 6) with the padding-is-a-no-op argument as k-core;
+#    the final round's support IS the in-truss support because the edge set
+#    has stopped changing by then ------------------------------------------
+
+def _g_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    support2 = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return analytics.k_truss(support2, k=3, max_iterations=20)
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 6) -> str:
+    def tri(src: str, name: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED ("
+            f"SELECT w.a, w.b, w.c FROM "
+            f"(SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM {src} e1 JOIN {src} e2 ON e1.v = e2.u "
+            f"WHERE e1.u < e2.v) w "
+            f"JOIN {src} e3 ON e3.u = w.a AND e3.v = w.c)")
+
+    def sup(tname: str, name: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED ("
+            f"SELECT u, v, CAST(count(*) AS BIGINT) AS s FROM ("
+            f"SELECT a AS u, b AS v FROM {tname} "
+            f"UNION ALL SELECT b AS u, c AS v FROM {tname} "
+            f"UNION ALL SELECT a AS u, c AS v FROM {tname}) GROUP BY u, v)")
+
+    ctes = [
+        """sup2 AS MATERIALIZED (
+      SELECT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2
+    )""",
+        "e0 AS MATERIALIZED (SELECT u, v FROM sup2)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(tri(f"e{t-1}", f"t{t}"))
+        ctes.append(sup(f"t{t}", f"s{t}"))
+        ctes.append(
+            f"e{t} AS MATERIALIZED (SELECT e.u, e.v FROM e{t-1} e "
+            f"JOIN s{t} s ON e.u = s.u AND e.v = s.v WHERE s.s >= {k - 2})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT e.u, e.v, s.s AS support FROM e{rounds} e "
+          f"JOIN s{rounds} s ON e.u = s.u AND e.v = s.v"
+    )
+
+
+_register("g_ktruss", _g_ktruss, _ktruss_sql())
+
 # -- extended aggregates (beyond reference's COUNT-only pushdown) -----------
 
 # -- count-min sketch (functions/sketches.py): the transparent counter
@@ -3985,6 +4048,12 @@ _compose("g_paths", [
       "CAST(n_triangles AS DOUBLE) AS landmark", "coeff AS distance"],
      "'clustering' AS tag, CAST(id AS BIGINT) AS id, "
      "CAST(n_triangles AS DOUBLE) AS landmark, coeff AS distance"),
+    # k-truss edges ride (id=u, landmark=v, distance=in-truss support)
+    ("g_ktruss",
+     ["'ktruss3' AS tag", "CAST(u AS BIGINT) AS id",
+      "CAST(v AS DOUBLE) AS landmark", "CAST(support AS DOUBLE) AS distance"],
+     "'ktruss3' AS tag, CAST(u AS BIGINT) AS id, CAST(v AS DOUBLE) AS landmark, "
+     "CAST(support AS DOUBLE) AS distance"),
 ])
 
 _compose("g_components", [

@@ -282,6 +282,51 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("degree")))
 
 
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Triangle count per canonical edge (u < v): ordered-wedge triangles,
+    each attributed to its three edges."""
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
+    tri = wedges.join(
+        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
+    )
+    return (
+        tri.select(F.explode(F.array(
+            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+            F.struct(F.col("a").alias("u"), F.col("c").alias("v")))).alias("e"))
+        .select("e.u", "e.v")
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def k_truss(edges: DataFrame, k: int, max_iterations: int = 20) -> DataFrame:
+    """k-truss of the undirected simple graph: the maximal subgraph in
+    which every EDGE participates in at least k−2 triangles — the
+    edge-level cohesion ladder above vertex k-core (every k-truss edge set
+    is inside the (k−1)-core, but prunes far more aggressively).
+
+    Distributed peeling like k_core, one level up: each round recounts
+    per-edge triangle support (wedge join + corner attribution, the
+    triangle_count machinery) and drops under-supported edges; support can
+    only fall as edges leave, so the fixpoint is unique and the early exit
+    safe.  Rounds are bounded by peeling depth; each is O(wedges) shuffled.
+    Returns the surviving canonical edges as (u, v, support) with support
+    measured INSIDE the truss."""
+    cur = _undirected_simple(edges).localCheckpoint(eager=True)
+    n_prev = cur.count()
+    for _ in range(max_iterations):
+        keep = (_edge_support(cur)
+                .filter(F.col("support") >= k - 2).select("u", "v"))
+        cur = cur.join(keep, ["u", "v"]).localCheckpoint(eager=True)
+        n_now = cur.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return cur.join(_edge_support(cur), ["u", "v"])
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Per-vertex local clustering coefficient over the undirected simple
     graph: coeff(v) = 2·T(v) / (d(v)·(d(v)−1)), where T(v) is the number of

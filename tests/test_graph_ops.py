@@ -198,3 +198,25 @@ def test_clustering_coefficient_known_values(spark):
     got2 = {r["id"]: r["coeff"]
             for r in analytics.clustering_coefficient(edges2).collect()}
     assert got2 == {7: 0.0, 8: 0.0}
+
+
+def test_k_truss_peels_edges(spark):
+    # two triangles sharing edge (1,2) + a pendant triangle chain:
+    # K4 on {1,2,3,4}: every edge in >= 2 triangles -> 4-truss
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # triangle {5,6,7} attached via edge (4,5): its edges have support 1
+    extra = [(5, 6), (6, 7), (5, 7), (4, 5)]
+    edges = spark.createDataFrame(k4 + extra, "src long, dst long")
+
+    t4 = {(r["u"], r["v"]): r["support"]
+          for r in analytics.k_truss(edges, k=4).collect()}
+    assert set(t4) == set(k4)                 # pendant triangle peeled
+    assert all(s == 2 for s in t4.values())   # K4: each edge in 2 triangles
+
+    t3 = {(r["u"], r["v"]): r["support"]
+          for r in analytics.k_truss(edges, k=3).collect()}
+    assert set(t3) == set(k4) | {(5, 6), (6, 7), (5, 7)}  # (4,5) has no triangle
+    assert t3[(5, 6)] == 1
+
+    # k=5 dissolves everything (need every edge in 3 triangles)
+    assert analytics.k_truss(edges, k=5).count() == 0
