@@ -92,6 +92,30 @@ class TableCatalog:
         df = self.spark.read.parquet(os.path.join(self.root, name, meta["data"]))
         return TableState(df, key=meta["key"])
 
+    def versions(self, name: str) -> list[int]:
+        """Version numbers still on disk, oldest first (current + the
+        retained previous one under the default retention)."""
+        base = os.path.join(self.root, name)
+        return sorted(int(d[1:]) for d in os.listdir(base)
+                      if d.startswith("v") and d[1:].isdigit())
+
+    def table_at(self, name: str, version: int) -> TableState:
+        """Time-travel read: the table AS OF `version`, served straight
+        from that version's immutable directory — the natural dividend of
+        the versioned-pointer layout (every commit is a full immutable
+        snapshot; the pointer swap just changes which one is current).
+        Only versions the retention policy still holds are readable
+        (current + previous by default; more until purge_versions runs).
+        Lets a pipeline pin its inputs: run N reads version V while
+        writers advance to V+1, and a re-run of N reproduces exactly."""
+        d = os.path.join(self.root, name, f"v{version}")
+        if not os.path.isdir(d):
+            raise ValueError(
+                f"version {version} of {name} is not retained "
+                f"(available: {self.versions(name)})")
+        return TableState(self.spark.read.parquet(d),
+                          key=self._meta(name)["key"])
+
     def table_key(self, name: str) -> list[str]:
         """The registered key, always as a list (composite-friendly)."""
         key = self._meta(name)["key"]

@@ -134,3 +134,29 @@ def test_write_version_retains_only_previous(spark, catalog):
     dirs = sorted(d for d in os.listdir(os.path.join(catalog.root, "t"))
                   if d.startswith("v"))
     assert dirs == ["v3", "v4"]
+
+
+def test_time_travel_read(spark, catalog):
+    """table_at pins an immutable snapshot: reads of version N reproduce
+    exactly while writers advance, unretained versions refuse clearly."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    catalog.create_table("tt", df)          # v1
+    catalog.upsert("tt", spark.createDataFrame([(2, "B"), (3, "c")],
+                                               "id long, v string"))  # v2
+    assert catalog.versions("tt") == [1, 2]
+
+    v1 = {r["id"]: r["v"] for r in catalog.table_at("tt", 1).df.collect()}
+    v2 = {r["id"]: r["v"] for r in catalog.table_at("tt", 2).df.collect()}
+    assert v1 == {1: "a", 2: "b"}
+    assert v2 == {1: "a", 2: "B", 3: "c"}
+    # current == latest version
+    assert {r["id"]: r["v"] for r in catalog.table("tt").df.collect()} == v2
+
+    # a third commit retires v1 under the keep-previous retention
+    catalog.upsert("tt", spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert catalog.versions("tt") == [2, 3]
+    with pytest.raises(ValueError, match="not retained"):
+        catalog.table_at("tt", 1)
+    # the pinned v2 snapshot still reproduces after the v3 commit
+    assert {r["id"]: r["v"]
+            for r in catalog.table_at("tt", 2).df.collect()} == v2
