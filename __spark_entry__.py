@@ -1569,6 +1569,48 @@ _register(
     """,
 )
 
+def _sim_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    # int8 scalar quantization (functions/similarity.py quantize_embeddings):
+    # the full code array is checked through an md5-48 fingerprint of its
+    # comma-joined form (same repr both engines); scale rides as a double
+    from hugegraph_on_tikv_spark.functions.hashing import md5_long48
+
+    q = similarity.quantize_embeddings(load_table(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id",
+        md5_long48(F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string")))
+        ).alias("codes_fp"),
+        "scale",
+    )
+
+
+_register(
+    "sim_quantize",
+    _sim_quantize,
+    f"""
+    WITH am AS (
+      SELECT vec_id,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id,
+        am.m / 127 AS scale,
+        CASE WHEN am.m = 0
+          THEN list_transform(e.embedding, x -> 0)
+          ELSE list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127 / am.m + 0.5) AS INTEGER))
+        END AS codes
+      FROM embeddings e JOIN am USING (vec_id)
+    )
+    SELECT vec_id,
+      {H48_SQL.format(x="array_to_string(codes, ',')")} AS codes_fp,
+      scale
+    FROM q
+    """,
+)
+
+
 _register(
     "sim_embedding_neardup",
     lambda spark, sf: similarity.embedding_near_duplicates(
@@ -4235,6 +4277,12 @@ _compose("sim_ann_neardup", [
      ["'neardup' AS tag", "vec_a AS a", "vec_b AS b", "cos_sim",
       "CAST(NULL AS DOUBLE) AS rank"],
      "'neardup' AS tag, vec_a AS a, vec_b AS b, cos_sim, CAST(NULL AS DOUBLE) AS rank"),
+    # int8 quantization rides (b = md5-48 code fingerprint, cos_sim = scale)
+    ("sim_quantize",
+     ["'quantized' AS tag", "vec_id AS a", "codes_fp AS b", "scale AS cos_sim",
+      "CAST(NULL AS DOUBLE) AS rank"],
+     "'quantized' AS tag, vec_id AS a, codes_fp AS b, scale AS cos_sim, "
+     "CAST(NULL AS DOUBLE) AS rank"),
 ])
 
 _publish("sim_ivf_topk")

@@ -470,3 +470,42 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 1
         return out.localCheckpoint(eager=True)
     finally:
         cents.unpersist()
+
+
+# -- scalar quantization ----------------------------------------------------
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", bits: int = 8) -> DataFrame:
+    """Symmetric per-vector scalar quantization: codes[i] =
+    round(v[i] · qmax / max|v|) with qmax = 2^(bits−1) − 1 (int8 ⇒ ±127),
+    plus the per-vector `scale` = max|v| / qmax that dequantizes them.
+
+    This is the embedding-store compression a 100 TB corpus actually
+    ships — float32 → int8 is 4× less scan I/O for ~1% cosine-recall loss,
+    and the ANN rerank reads codes, not floats.  Pure column arithmetic
+    (whole-stage codegen, zero shuffle); rounding is the explicit
+    floor(x + 0.5) so every engine lands on identical codes, and an
+    all-zero vector quantizes to zero codes with scale 0.
+
+    Returns (id, scale, codes array<int>)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = _as_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(v, F.abs))
+    codes = F.when(absmax == 0, F.transform(v, lambda x: F.lit(0))) \
+        .otherwise(F.transform(
+            v, lambda x: F.floor(x * qmax / absmax + F.lit(0.5)).cast("int")))
+    return df.select(
+        F.col(id_col),
+        (absmax / qmax).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_embeddings(df: DataFrame, codes_col: str = "codes",
+                          scale_col: str = "scale") -> Column | DataFrame:
+    """Reconstruct approximate float vectors: v̂[i] = codes[i] · scale."""
+    return df.withColumn(
+        "vec",
+        F.transform(F.col(codes_col),
+                    lambda c: c.cast("double") * F.col(scale_col)),
+    )

@@ -264,3 +264,26 @@ def test_ivf_maybe_compact_refits_drifted_index(spark, tmp_path):
 
     # exactly-once watermark rode through the compact
     assert similarity.ivf_append_index(spark, path, hot, batch_id=1) == 0
+
+
+def test_quantize_embeddings_roundtrip_and_fidelity(spark):
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    q = sim.quantize_embeddings(emb)
+    rows = q.collect()
+    assert all(-127 <= c <= 127 for r in rows for c in r["codes"])
+    assert all(r["scale"] >= 0 for r in rows)
+
+    # reconstruction cosine vs the original: int8 keeps >= 0.999
+    d = sim.dequantize_embeddings(q).join(emb, "vec_id")
+    fid = d.select(
+        sim.cosine(F.col("vec"), F.col("embedding")).alias("c")).collect()
+    assert all(r["c"] > 0.999 for r in fid)
+
+    # all-zero vector: zero codes, zero scale, zero reconstruction
+    z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
+    zr = sim.dequantize_embeddings(sim.quantize_embeddings(z)).collect()[0]
+    assert zr["scale"] == 0.0 and set(zr["codes"]) == {0} and set(zr["vec"]) == {0.0}
