@@ -1612,6 +1612,51 @@ _register(
 
 
 _register(
+    "sim_quantized_topk",
+    # the quantized store's scan path: top-k by int8-code cosine — every
+    # intermediate an exact integer, so even the approximate score is
+    # oracle-checkable (similarity.quantized_cosine_topk)
+    lambda spark, sf: similarity.quantized_cosine_topk(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"), k=5),
+    """
+    WITH am AS (
+      SELECT vec_id,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+      FROM embeddings
+    ), q AS (
+      SELECT e.vec_id,
+        CASE WHEN am.m = 0
+          THEN list_transform(e.embedding, x -> 0)
+          ELSE list_transform(e.embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 127 / am.m + 0.5) AS INTEGER))
+        END AS codes
+      FROM embeddings e JOIN am USING (vec_id)
+    ), scored AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id,
+        list_sum(list_transform(list_zip(qa.codes, qb.codes),
+                                p -> CAST(p[1] AS BIGINT) * p[2])) AS d,
+        list_sum(list_transform(qa.codes, x -> CAST(x AS BIGINT) * x)) AS nq,
+        list_sum(list_transform(qb.codes, x -> CAST(x AS BIGINT) * x)) AS nc
+      FROM q qa JOIN q qb ON qa.vec_id <> qb.vec_id
+      WHERE qa.vec_id % 50 = 0
+    ), qcos AS (
+      SELECT query_id, neighbor_id,
+        round(CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+              ELSE d / (sqrt(nq) * sqrt(nc)) END, 6) AS qcos_sim
+      FROM scored
+    ), ranked AS (
+      SELECT query_id, neighbor_id, qcos_sim,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY qcos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM qcos
+    )
+    SELECT query_id, neighbor_id, qcos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+
+
+_register(
     "sim_embedding_neardup",
     lambda spark, sf: similarity.embedding_near_duplicates(
         load_table(spark, sf, "embeddings"), threshold=0.4, n_bits=6
@@ -4283,6 +4328,12 @@ _compose("sim_ann_neardup", [
       "CAST(NULL AS DOUBLE) AS rank"],
      "'quantized' AS tag, vec_id AS a, codes_fp AS b, scale AS cos_sim, "
      "CAST(NULL AS DOUBLE) AS rank"),
+    # quantized-scan top-k rides with its exact-integer cosine scores
+    ("sim_quantized_topk",
+     ["'q_topk' AS tag", "query_id AS a", "neighbor_id AS b",
+      "qcos_sim AS cos_sim", "CAST(rank AS DOUBLE) AS rank"],
+     "'q_topk' AS tag, query_id AS a, neighbor_id AS b, qcos_sim AS cos_sim, "
+     "CAST(rank AS DOUBLE) AS rank"),
 ])
 
 _publish("sim_ivf_topk")

@@ -287,3 +287,34 @@ def test_quantize_embeddings_roundtrip_and_fidelity(spark):
     z = spark.createDataFrame([(1, [0.0] * 8)], "vec_id long, embedding array<float>")
     zr = sim.dequantize_embeddings(sim.quantize_embeddings(z)).collect()[0]
     assert zr["scale"] == 0.0 and set(zr["codes"]) == {0} and set(zr["vec"]) == {0.0}
+
+
+def test_quantized_topk_tracks_exact_topk(spark):
+    """The quantized scan's top-k overlaps the exact float top-k heavily
+    (recall@5 >= 0.8 on fixture embeddings) and scores stay within the
+    int8 quantization error of the exact cosine."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = sim.cosine_topk(qs, emb, k=5).collect()
+    quant = sim.quantized_cosine_topk(qs, emb, k=5).collect()
+
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qt = {}
+    qscore = {}
+    for r in quant:
+        qt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        qscore[(r["query_id"], r["neighbor_id"])] = r["qcos_sim"]
+    assert set(ex) == set(qt)
+    hits = sum(len(ex[q] & qt[q]) for q in ex)
+    total = sum(len(ex[q]) for q in ex)
+    assert hits / total >= 0.8
+
+    escore = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for key in set(escore) & set(qscore):
+        assert abs(escore[key] - qscore[key]) < 0.02
