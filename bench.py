@@ -176,6 +176,7 @@ def main() -> None:
     plain_queries: dict[str, object] = {}
     tmp = tempfile.mkdtemp(prefix="bench_dual_edges_")
     layout = None
+    store_layout = None
     try:
         store_plain = GraphStore(spark, SF_DIR)       # /tmp parquet cache
         store_layout = GraphStore(spark, SF_DIR)
@@ -188,6 +189,14 @@ def main() -> None:
         layout = store_layout.materialize_dual_layout(
             tmp, buckets=32, name="bench_dual_edges")
         layout_metrics["materialize_both_copies"] = round(time.perf_counter() - t0, 3)
+        # vertex copy joins the layout-on configuration: property expansion
+        # in the series below then runs exchange-free on both sides
+        store_plain.vertices().write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        store_layout.materialize_vertex_layout(
+            os.path.join(tmp, "vertices"), buckets=32, name="bench_vertices")
+        layout_metrics["materialize_vertex_copy"] = round(
+            time.perf_counter() - t0, 3)
 
         from hugegraph_on_tikv_spark.operators.traversal import OUT, k_hop
 
@@ -208,6 +217,11 @@ def main() -> None:
                     store.edges("src").filter(lbl), **pr_cfg),
                 "dsl_in_hops2": lambda s, sf: Graph(s, sf, store=store)
                 .V().has_label("part").in_("contains").in_("placed").count(),
+                "g_prop_expand": lambda s, sf: store.edges("dst")
+                .select("src", "dst").hint("merge")
+                .join(store.vertices().select("id", "name", "acctbal"),
+                      F.col("dst") == F.col("id"))
+                .select("src", "dst", "name", "acctbal"),
             }
 
         layout_queries = _mk(store_layout)
@@ -307,46 +321,6 @@ def main() -> None:
         except Exception as ex:
             layout_metrics["probe_error"] = str(ex)[:200]
 
-        # vertex-layout probe: property expansion (hops ⋈ vertices ON
-        # dst = id) on the by-id bucketed vertex copy (exchange-free both
-        # sides) vs the same join on the pre-materialized plain parquet
-        # vertices — like the edge probes, both sides pay read+join only
-        vtmp = tempfile.mkdtemp(prefix="bench_vertices_")
-        vlayout = None
-        try:
-            from hugegraph_on_tikv_spark.sources.edge_layout import VertexLayout
-
-            store_plain.vertices().write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            vlayout = VertexLayout.materialize(
-                store_layout._build_vertices(), "bench_vertices", vtmp, 32)
-            layout_metrics["materialize_vertex_copy"] = round(
-                time.perf_counter() - t0, 3)
-
-            def _expand(edges_df, verts_df):
-                e = edges_df.select("src", "dst")
-                v = verts_df.select("id", "name", "acctbal")
-                return (e.hint("merge")
-                        .join(v, F.col("dst") == F.col("id"))
-                        .select("src", "dst", "name", "acctbal"))
-
-            plain_exp = _expand(store_plain.edges("dst"), store_plain.vertices())
-            buck_exp = _expand(layout.edges("dst"), vlayout.vertices())
-            layout_metrics["prop_expand_plain"] = run_isolated(
-                lambda s, sf: plain_exp)
-            layout_metrics["prop_expand_bucketed"] = run_isolated(
-                lambda s, sf: buck_exp)
-            for k in ("prop_expand_plain", "prop_expand_bucketed"):
-                print(f"# layout {k}: {layout_metrics[k]}s", file=sys.stderr)
-        except Exception as ex:
-            layout_metrics["vertex_probe_error"] = str(ex)[:200]
-        finally:
-            if vlayout is not None:
-                try:
-                    vlayout.drop()
-                except Exception:
-                    pass
-            shutil.rmtree(vtmp, ignore_errors=True)
 
     # round-4+ operators, measured OUTSIDE the comparable series (new keys
     # never change "value"/"shared_cache_total" semantics): the Arrow-vs-JVM
@@ -373,6 +347,11 @@ def main() -> None:
     if layout is not None:
         try:
             layout.drop()
+        except Exception:
+            pass
+    if store_layout is not None and store_layout.vertex_layout is not None:
+        try:
+            store_layout.vertex_layout.drop()
         except Exception:
             pass
     shutil.rmtree(tmp, ignore_errors=True)
