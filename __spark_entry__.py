@@ -1322,6 +1322,74 @@ docs2 AS (
 )
 """
 
+def _dedup_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus-dedup index (functions/dedup.py lsh_*_index):
+    resident corpus = the documents, incoming batch = their near-identical
+    copies — every copy must find its original through the PERSISTED band
+    index (scored by signature agreement, no resident text or signature
+    recomputed), and the replayed-batch path is exercised by the tests."""
+    import atexit
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    batch = docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"))
+    d = _dedup_index_probe.__dict__.setdefault(
+        "_dir", tempfile.mkdtemp(prefix="lsh_index_"))
+    if "_cleanup" not in _dedup_index_probe.__dict__:
+        _dedup_index_probe.__dict__["_cleanup"] = atexit.register(
+            shutil.rmtree, d, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+    dedup.lsh_write_index(docs, d, num_hashes=16, rows_per_band=4, k=3)
+    return dedup.lsh_append_index(spark, d, batch, batch_id=1, threshold=0.5)
+
+
+_register(
+    "dedup_index_probe",
+    _dedup_index_probe,
+    f"""
+    WITH {_DOCS_COPIES_SQL.strip().rstrip()},
+    t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM docs2
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct({word_shingles_sql("toks", 3)})) AS shingle FROM t
+    ), hashed AS (
+      SELECT doc_id, shingle,
+             {H60_SQL.format(x="shingle")} % {MINHASH_P_SQL} AS h FROM sh
+    ), mh AS MATERIALIZED (
+      SELECT doc_id, i, MIN((a * h + b) % {MINHASH_P_SQL}) AS minhash
+      FROM hashed CROSS JOIN {minhash_seeds_values()}
+      WHERE i < 16
+      GROUP BY doc_id, i
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, i // 4 AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY i)) AS band_sig
+      FROM mh GROUP BY doc_id, i // 4
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 'cross' AS scope
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id >= 10000000 AND b.doc_id < 10000000
+      UNION
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 'batch' AS scope
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id >= 10000000 AND b.doc_id >= 10000000
+        AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.doc_a, c.doc_b, c.scope,
+             round(SUM(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)
+                   / 16.0, 6) AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.doc_a
+      JOIN mh y ON y.doc_id = c.doc_b AND y.i = x.i
+      GROUP BY c.doc_a, c.doc_b, c.scope
+    )
+    SELECT doc_a, doc_b, scope, est_jaccard FROM est
+    WHERE est_jaccard >= 0.5
+    """,
+)
+
+
 _register(
     "dedup_exact",
     lambda spark, sf: dedup.exact_duplicate_groups(
@@ -4311,6 +4379,12 @@ _compose("dedup_pairs", [
     ("contamination",
      ["'contamination' AS tag", "train_id AS doc_a", "test_id AS doc_b", "jaccard"],
      "'contamination' AS tag, train_id AS doc_a, test_id AS doc_b, jaccard"),
+    # incremental index probe: tag carries the pair scope (cross|batch),
+    # jaccard carries the signature-agreement estimate
+    ("dedup_index_probe",
+     ["concat('idx_', scope) AS tag", "doc_a", "doc_b",
+      "est_jaccard AS jaccard"],
+     "'idx_' || scope AS tag, doc_a, doc_b, est_jaccard AS jaccard"),
 ])
 
 _compose("sim_ann_neardup", [

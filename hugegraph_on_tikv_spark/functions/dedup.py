@@ -452,3 +452,132 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# -- incremental corpus dedup index -----------------------------------------
+# The streaming-ingest story for text dedup (the ivf_append_index analog
+# for documents): resident corpus signatures persist once; each new batch
+# probes them by banded equi-join and appends its own — near-dup detection
+# against ALL prior data without recomputing a single resident signature.
+
+def _index_meta_path(path: str) -> str:
+    import os as _os
+
+    return _os.path.join(path, "index_meta.json")
+
+
+def _read_index_meta(path: str) -> dict:
+    import json as _json
+
+    with open(_index_meta_path(path)) as f:
+        return _json.load(f)
+
+
+def _write_index_meta(path: str, meta: dict) -> None:
+    import json as _json
+    import os as _os
+
+    tmp = _index_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, _index_meta_path(path))
+
+
+def lsh_write_index(docs: DataFrame, path: str, num_hashes: int = 32,
+                    rows_per_band: int = 4, k: int = 3,
+                    text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Persist the corpus's dedup state: wide minhash signatures plus the
+    banded projection hive-partitioned by `band` (a probe's equi-join then
+    reads band-aligned directories).  Texts are NOT stored — signature
+    agreement (matching minhashes / num_hashes, the standard unbiased
+    Jaccard estimator) scores candidates without touching resident bytes,
+    which is what makes the index small enough to keep hot at 100 TB."""
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col)
+    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+    sigs = docs.sparkSession.read.parquet(f"{path}/signatures")
+    (lsh_bands(sigs, rows_per_band).repartition("band")
+     .write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands"))
+    _write_index_meta(path, {"num_hashes": num_hashes,
+                             "rows_per_band": rows_per_band, "k": k,
+                             "last_batch_id": None})
+
+
+def _sig_agreement(left_prefix: str, right_prefix: str, num_hashes: int):
+    matches = None
+    for i in range(num_hashes):
+        m = F.when(F.col(f"{left_prefix}.mh_{i}") == F.col(f"{right_prefix}.mh_{i}"),
+                   F.lit(1)).otherwise(F.lit(0))
+        matches = m if matches is None else matches + m
+    return matches / F.lit(float(num_hashes))
+
+
+def lsh_probe_index(spark, path: str, new_docs: DataFrame,
+                    threshold: float = 0.5, max_bucket_size: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs of `new_docs` against the RESIDENT corpus AND within
+    the batch itself: (doc_a, doc_b, est_jaccard, scope) with doc_a the new
+    doc, doc_b resident ('cross') or the later of two new docs ('batch';
+    doc_a < doc_b there).  est_jaccard = fraction of agreeing minhashes —
+    deterministic integer comparisons, so the estimate itself is
+    oracle-checkable.  Pure read: nothing is appended."""
+    meta = _read_index_meta(path)
+    n, r = meta["num_hashes"], meta["rows_per_band"]
+    new_sigs = minhash_signatures(new_docs, n, meta["k"], text_col, id_col) \
+        .localCheckpoint(eager=True)
+    new_bands = lsh_bands(new_sigs, r)
+    res_bands = spark.read.parquet(f"{path}/bands")
+    if max_bucket_size is not None:
+        ok = (res_bands.groupBy("band", "band_sig")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .filter(F.col("__n") <= max_bucket_size)
+              .select("band", "band_sig"))
+        res_bands = res_bands.join(ok, ["band", "band_sig"], "leftsemi")
+    cross = (
+        new_bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+        .join(res_bands.select("band", "band_sig", F.col("doc_id").alias("doc_b")),
+              ["band", "band_sig"])
+        .select("doc_a", "doc_b").distinct()
+        .withColumn("scope", F.lit("cross"))
+    )
+    batch = (lsh_candidate_pairs(new_bands, max_bucket_size)
+             .withColumn("scope", F.lit("batch")))
+    cand = cross.unionByName(batch)
+    res_sigs = spark.read.parquet(f"{path}/signatures")
+    all_sigs = res_sigs.unionByName(new_sigs)  # doc_b may be new (batch scope)
+    est = _sig_agreement("na", "nb", n)
+    return (
+        cand.join(new_sigs.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(all_sigs.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", "scope",
+                F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def lsh_append_index(spark, path: str, new_docs: DataFrame,
+                     batch_id: int | None = None, threshold: float = 0.5,
+                     max_bucket_size: int | None = None,
+                     text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Probe-then-append: returns the batch's near-dup pairs (cross +
+    within-batch, see lsh_probe_index) and appends the batch's signatures
+    and bands so the NEXT batch sees this one as resident.  The pair result
+    is materialized before the append (it must not observe the files it is
+    about to add).  Exactly-once by monotonically increasing `batch_id`
+    (committed after the append lands; replay returns an empty frame and
+    appends nothing).  Append-only id contract as ivf_append_index."""
+    meta = _read_index_meta(path)
+    if batch_id is not None and meta.get("last_batch_id") is not None \
+            and batch_id <= meta["last_batch_id"]:
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, scope string, est_jaccard double")
+    pairs = lsh_probe_index(spark, path, new_docs, threshold, max_bucket_size,
+                            text_col, id_col).localCheckpoint(eager=True)
+    new_sigs = minhash_signatures(new_docs, meta["num_hashes"], meta["k"],
+                                  text_col, id_col).localCheckpoint(eager=True)
+    new_sigs.write.mode("append").parquet(f"{path}/signatures")
+    (lsh_bands(new_sigs, meta["rows_per_band"]).repartition("band")
+     .write.mode("append").partitionBy("band").parquet(f"{path}/bands"))
+    if batch_id is not None:
+        meta["last_batch_id"] = batch_id
+        _write_index_meta(path, meta)
+    return pairs

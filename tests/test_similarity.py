@@ -318,3 +318,59 @@ def test_quantized_topk_tracks_exact_topk(spark):
     escore = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
     for key in set(escore) & set(qscore):
         assert abs(escore[key] - qscore[key]) < 0.02
+
+
+def test_lsh_index_incremental_equals_oneshot(spark, tmp_path):
+    """Incremental corpus dedup: write(A) then append(B) finds exactly the
+    candidate pairs involving B that the one-shot pipeline over A∪B finds
+    — no resident signature is recomputed, and a replayed batch is a
+    no-op."""
+    from hugegraph_on_tikv_spark.functions import dedup
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    a = mk([(1, base), (2, base + " today"),
+            (3, "completely different text about spark physical plans")])
+    b = mk([(11, base), (12, "another unrelated document entirely about ducks"),
+            (13, base + " today")])
+
+    path = str(tmp_path / "lshidx")
+    dedup.lsh_write_index(a, path, num_hashes=16, rows_per_band=4, k=3)
+    got = dedup.lsh_append_index(spark, path, b, batch_id=1, threshold=0.0)
+    got_pairs = {(r["doc_a"], r["doc_b"], r["scope"]) for r in got.collect()}
+
+    # one-shot candidates over A∪B, restricted to pairs touching B
+    all_cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signatures(
+            a.unionByName(b), num_hashes=16), 4))
+    expected = set()
+    for r in all_cand.collect():
+        lo, hi = r["doc_a"], r["doc_b"]
+        new = {d for d in (lo, hi) if d >= 11}
+        if not new:
+            continue
+        if len(new) == 2:
+            expected.add((lo, hi, "batch"))
+        else:
+            nw = new.pop()
+            expected.add((nw, lo if hi == nw else hi, "cross"))
+    assert {(p[0], p[1], p[2]) for p in got_pairs} == expected
+
+    # est_jaccard is 1.0 for the identical pair (11 matches resident 1)
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in got.collect()}
+    assert est[(11, 1)] == 1.0
+
+    # replay: no-op, nothing double-appended
+    replay = dedup.lsh_append_index(spark, path, b, batch_id=1, threshold=0.0)
+    assert replay.count() == 0
+    n_sigs = spark.read.parquet(f"{path}/signatures").count()
+    assert n_sigs == 6
+
+    # a third batch sees B as resident
+    c = mk([(21, base + " today")])
+    got2 = dedup.lsh_append_index(spark, path, c, batch_id=2, threshold=0.9)
+    partners = {r["doc_b"] for r in got2.collect()}
+    assert {2, 13} <= partners          # near-identical "today" docs found
+    assert all(r["scope"] == "cross" for r in got2.collect())
