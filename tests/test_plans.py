@@ -394,6 +394,11 @@ def test_whole_roster_lints_clean(spark):
     # salt-range replication, and the exact-baseline contract):
     ALLOW = {
         "sim_cosine_topk": {"cartesian"},       # exact baseline BY CONTRACT
+        # same query-broadcast scan contract as the exact baseline: the
+        # quantized path changes WHAT is scanned (int8 codes, 4x fewer
+        # bytes), not the pairing; bucketed variants (LSH/IVF) remain the
+        # candidate-pruning path at scale
+        "sim_quantized_topk": {"cartesian"},
         "j_salted_hub_revenue": {"cartesian"},  # salt-range × small side
         "q11_important_stock": {"cartesian"},   # 1-row scalar subquery
         "q22_global_sales_opportunity": {"cartesian"},  # 1-row avg
