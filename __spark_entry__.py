@@ -1263,6 +1263,30 @@ _register(
     """,
 )
 
+_register(
+    "text_df_stats",
+    # corpus document-frequency scoring (text.corpus_df_stats): the
+    # engine-portable stand-in for float-log perplexity — integer df sums,
+    # one final division
+    lambda spark, sf: text.corpus_df_stats(load_table(spark, sf, "documents")),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TOKENS_SQL.format(col="text")})) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+             CAST(SUM(df) AS BIGINT) AS sum_df
+      FROM toks JOIN freq USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, n_distinct_tokens, sum_df,
+           sum_df / n_distinct_tokens AS mean_df
+    FROM per_doc
+    """,
+)
+
+
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.packing import pack_sequences
 
@@ -4341,6 +4365,15 @@ _compose("text_quality_suite", [
      "CAST(start_seq AS DOUBLE) AS mean_token_len, "
      "CAST(end_seq AS DOUBLE) AS punct_ratio, "
      "CAST(offset_in_seq AS DOUBLE) AS stopword_ratio"),
+    # corpus df scoring: mean/punct carry sum_df / mean_df
+    ("text_df_stats",
+     ["'df_stats' AS tag", "doc_id",
+      "CAST(n_distinct_tokens AS DOUBLE) AS n_tokens",
+      "CAST(sum_df AS DOUBLE) AS mean_token_len", "mean_df AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'df_stats' AS tag, doc_id, CAST(n_distinct_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(sum_df AS DOUBLE) AS mean_token_len, mean_df AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
 ])
 
 _compose("dedup_exact_canonical", [

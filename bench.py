@@ -336,7 +336,7 @@ def main() -> None:
         extras["simhash_jvm"] = run_isolated(
             lambda s, sf: simhash_signatures(docs, use_arrow=False))
         for name in ("asof_last_view", "contamination", "g_walks", "cm_sketch",
-                     "g_kcore", "g_clustering"):
+                     "g_kcore", "g_clustering", "sim_quantized_topk"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():

@@ -152,3 +152,36 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             .alias("dup_bigram_frac"),
         )
     )
+
+
+def corpus_df_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style frequency scoring, exactified: per document, the mean
+    corpus document-frequency of its DISTINCT tokens — high values mean
+    the doc is built from corpus-ubiquitous vocabulary (boilerplate),
+    low values mean rare/noisy vocabulary.  The float-log perplexity this
+    stands in for is engine-UNportable (libm ln differs in the last ulp);
+    summing integer document frequencies and dividing once keeps the
+    score bit-identical everywhere, which is what lets the driver check
+    it.
+
+    Two aggregations: df(token) over (doc, token) distincts, then a
+    per-doc integer sum — both map-side combinable, nothing all-pairs.
+    Returns (id, n_distinct_tokens, sum_df, mean_df)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_distinct_tokens"),
+             F.sum("df").alias("sum_df"))
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_distinct_tokens",
+        "sum_df",
+        (F.col("sum_df") / F.col("n_distinct_tokens")).alias("mean_df"),
+    )

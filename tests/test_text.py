@@ -71,3 +71,16 @@ def test_pack_sequences_places_contiguously(spark):
             assert r["end_seq"] == expected_end_seq
             assert r["end_seq"] >= r["start_seq"]
             pos = end_pos
+
+
+def test_corpus_df_stats_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "common common rare1"), (2, "common rare2"), (3, "common")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_distinct_tokens"], r["sum_df"], r["mean_df"])
+           for r in text.corpus_df_stats(docs).collect()}
+    # df: common=3, rare1=1, rare2=1 (distinct per doc — repeats don't count)
+    assert got[1] == (2, 4, 2.0)
+    assert got[2] == (2, 4, 2.0)
+    assert got[3] == (1, 3, 3.0)
