@@ -182,6 +182,37 @@ class TableCatalog:
         )
         self._write_version(name, merged, meta["version"] + 1, meta["key"])
 
+    def add_column(self, name: str, col_name: str, col_type: str,
+                   default=None) -> None:
+        """Schema evolution as an ordinary versioned commit: the next
+        version carries the new column (backfilled with `default`, NULL by
+        default), the pointer swaps atomically, and readers pinned to the
+        pre-evolution version — including `table_at` time-travel reads —
+        keep the old schema untouched.  No in-place file mutation: parquet
+        versions are immutable, so evolution is just another write."""
+        from pyspark.sql import functions as F
+
+        meta = self._meta(name)
+        state = self.table(name)
+        if col_name in state.df.columns:
+            raise ValueError(f"column {col_name!r} already exists on {name!r}")
+        evolved = state.df.withColumn(col_name, F.lit(default).cast(col_type))
+        self._write_version(name, evolved, meta["version"] + 1, meta["key"])
+
+    def drop_column(self, name: str, col_name: str) -> None:
+        """Inverse evolution: the next version omits the column.  Refuses
+        to drop a registered key column (key uniqueness is the table's
+        invariant, not a schema detail)."""
+        meta = self._meta(name)
+        reg = meta["key"] if isinstance(meta["key"], list) else [meta["key"]]
+        if col_name in reg:
+            raise ValueError(f"cannot drop key column {col_name!r} of {name!r}")
+        state = self.table(name)
+        if col_name not in state.df.columns:
+            raise ValueError(f"no column {col_name!r} on {name!r}")
+        self._write_version(name, state.df.drop(col_name),
+                            meta["version"] + 1, meta["key"])
+
     def truncate(self, name: str) -> None:
         """M7: clear one table."""
         meta = self._meta(name)

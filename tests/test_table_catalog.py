@@ -160,3 +160,31 @@ def test_time_travel_read(spark, catalog):
     # the pinned v2 snapshot still reproduces after the v3 commit
     assert {r["id"]: r["v"]
             for r in catalog.table_at("tt", 2).df.collect()} == v2
+
+
+def test_schema_evolution_versioned(spark, catalog):
+    """add_column/drop_column are ordinary versioned commits: new readers
+    see the evolved schema, pinned time-travel readers keep the old one,
+    key columns refuse to drop."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    catalog.create_table("ev", df)                            # v1
+    catalog.add_column("ev", "score", "double", default=0.5)  # v2
+    cur = catalog.table("ev").df
+    assert set(cur.columns) == {"id", "v", "score"}
+    assert {r["score"] for r in cur.collect()} == {0.5}
+    # pinned pre-evolution snapshot keeps the old schema
+    assert set(catalog.table_at("ev", 1).df.columns) == {"id", "v"}
+
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.add_column("ev", "score", "double")
+    with pytest.raises(ValueError, match="key column"):
+        catalog.drop_column("ev", "id")
+
+    # upserts after evolution carry the new column through the merge
+    catalog.upsert("ev", spark.createDataFrame(
+        [(2, "B", 0.9), (3, "c", 0.1)], "id long, v string, score double"))
+    rows = {r["id"]: (r["v"], r["score"]) for r in catalog.table("ev").df.collect()}
+    assert rows == {1: ("a", 0.5), 2: ("B", 0.9), 3: ("c", 0.1)}
+
+    catalog.drop_column("ev", "score")
+    assert set(catalog.table("ev").df.columns) == {"id", "v"}
