@@ -393,6 +393,64 @@ _register(
     """,
 )
 
+from hugegraph_on_tikv_spark.functions import events as _events_fns
+
+_register(
+    "win_cohort_retention",
+    # product-analytics retention triangle (functions/events.py
+    # cohort_retention): ISO-week cohorts, exact distinct-user counts
+    lambda spark, sf: _events_fns.cohort_retention(load_events(spark, sf), "week")
+    .select(_ts("cohort").alias("cohort"), "period_offset", "n_users"),
+    """
+    WITH firsts AS (
+      SELECT user_id AS u, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), acts AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS period
+      FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d %H:%M:%S') AS cohort,
+           CAST(date_diff('day', f.cohort, a.period) // 7 AS INTEGER) AS period_offset,
+           CAST(count(DISTINCT a.u) AS BIGINT) AS n_users
+    FROM acts a JOIN firsts f ON a.u = f.u
+    GROUP BY f.cohort, period_offset
+    """,
+)
+
+_register(
+    "win_funnel",
+    # first-touch funnel (functions/events.py funnel_counts): view ->
+    # click -> purchase, each step strictly after the previous step's
+    # earliest qualifying event, whole funnel within 7 days of step 0
+    lambda spark, sf: _events_fns.funnel_counts(
+        load_events(spark, sf), steps=("view", "click", "purchase"),
+        horizon_days=7),
+    """
+    WITH r0 AS (
+      SELECT user_id AS u, min(ts) AS t0,
+             min(ts) + INTERVAL 7 DAY AS deadline, min(ts) AS prev_t
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), r1 AS (
+      SELECT e.user_id AS u, r.t0, r.deadline, min(e.ts) AS prev_t
+      FROM events e JOIN r0 r ON e.user_id = r.u
+      WHERE e.event_type = 'click' AND e.ts > r.prev_t AND e.ts <= r.deadline
+      GROUP BY e.user_id, r.t0, r.deadline
+    ), r2 AS (
+      SELECT e.user_id AS u, r.t0, r.deadline, min(e.ts) AS prev_t
+      FROM events e JOIN r1 r ON e.user_id = r.u
+      WHERE e.event_type = 'purchase' AND e.ts > r.prev_t AND e.ts <= r.deadline
+      GROUP BY e.user_id, r.t0, r.deadline
+    )
+    SELECT 0 AS step_index, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM r0
+    UNION ALL
+    SELECT 1 AS step_index, 'click' AS step, CAST(count(*) AS BIGINT) AS n_users FROM r1
+    UNION ALL
+    SELECT 2 AS step_index, 'purchase' AS step, CAST(count(*) AS BIGINT) AS n_users FROM r2
+    """,
+)
+
+
+
 # ===========================================================================
 # wave 2: mutations, indexes, graph analytics, LLM-pipeline ops, windows
 # ===========================================================================
@@ -4492,6 +4550,23 @@ _compose("win_windows", [
      "CAST(NULL AS VARCHAR) AS t2, CAST(click_id AS VARCHAR) AS s, "
      "CAST(user_id AS DOUBLE) AS user_id, CAST(view_id AS DOUBLE) AS n_events, "
      "CAST(lag_us AS DOUBLE) AS sum_value"),
+    # cohort retention rides (t1=cohort week, sum_value=period offset)
+    ("win_cohort_retention",
+     ["'cohort' AS tag", "cohort AS t1", "CAST(NULL AS STRING) AS t2",
+      "CAST(NULL AS STRING) AS s", "CAST(NULL AS DOUBLE) AS user_id",
+      "n_users AS n_events", "CAST(period_offset AS DOUBLE) AS sum_value"],
+     "'cohort' AS tag, cohort AS t1, CAST(NULL AS VARCHAR) AS t2, "
+     "CAST(NULL AS VARCHAR) AS s, CAST(NULL AS DOUBLE) AS user_id, "
+     "n_users AS n_events, CAST(period_offset AS DOUBLE) AS sum_value"),
+    # funnel completion rides (s=step, sum_value=step index)
+    ("win_funnel",
+     ["'funnel' AS tag", "CAST(NULL AS STRING) AS t1",
+      "CAST(NULL AS STRING) AS t2", "step AS s",
+      "CAST(NULL AS DOUBLE) AS user_id", "n_users AS n_events",
+      "CAST(step_index AS DOUBLE) AS sum_value"],
+     "'funnel' AS tag, CAST(NULL AS VARCHAR) AS t1, "
+     "CAST(NULL AS VARCHAR) AS t2, step AS s, CAST(NULL AS DOUBLE) AS user_id, "
+     "n_users AS n_events, CAST(step_index AS DOUBLE) AS sum_value"),
 ])
 
 # -- 29-50: core scan/filter/agg/index/mutation surfaces --------------------

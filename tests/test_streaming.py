@@ -717,3 +717,49 @@ def test_stream_sessionize_env_gate(spark, tmp_path):
     ).write.parquet(events_dir)
     with _pytest.raises(NotImplementedError, match="protobuf"):
         stream_sessionize(spark, events_dir, str(tmp_path / "ck"))
+
+
+def test_funnel_counts_semantics(spark):
+    """Funnel ordering is strict: a click BEFORE the first view doesn't
+    count, steps chain off the earliest qualifying event, and the horizon
+    cuts late completions."""
+    import datetime as dt
+
+    from hugegraph_on_tikv_spark.functions.events import funnel_counts
+
+    t = dt.datetime(2024, 3, 1, 9, 0, 0)
+
+    def ev(uid, minute, typ):
+        return (uid, t + dt.timedelta(minutes=minute), typ)
+
+    rows = [
+        ev(1, 0, "view"), ev(1, 5, "click"), ev(1, 9, "purchase"),  # full
+        ev(2, 5, "click"), ev(2, 10, "view"),                       # click too early
+        ev(3, 0, "view"), ev(3, 1, "click"),                        # no purchase
+        ev(4, 0, "view"), ev(4, 2, "click"),
+        ev(4, 60 * 24 * 8, "purchase"),                             # past horizon
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string")
+    got = {r["step"]: r["n_users"]
+           for r in funnel_counts(events, ("view", "click", "purchase"),
+                                  horizon_days=7).collect()}
+    assert got == {"view": 4, "click": 3, "purchase": 1}
+
+
+def test_cohort_retention_semantics(spark):
+    import datetime as dt
+
+    from hugegraph_on_tikv_spark.functions.events import cohort_retention
+
+    mon = dt.datetime(2024, 3, 4, 12, 0, 0)      # a Monday
+    rows = [
+        (1, mon), (1, mon + dt.timedelta(days=7)),          # week 0 and 1
+        (2, mon + dt.timedelta(days=2)),                    # week 0 only
+        (3, mon + dt.timedelta(days=8)),                    # cohort week 1
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    got = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+           for r in cohort_retention(events, "week").collect()}
+    w0, w1 = "2024-03-04 00:00:00", "2024-03-11 00:00:00"
+    assert got == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1}
