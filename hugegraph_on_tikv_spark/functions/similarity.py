@@ -69,18 +69,32 @@ def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
 
 
 def ann_lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_bits: int = 8,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_probe: int = 1) -> DataFrame:
     """Approximate top-k: candidates = same sign-bucket, exact cosine rerank
     within the bucket.  The bucket equi-join replaces the cross join — at
     scale the corpus is pre-partitioned by bucket so the probe is
-    co-located."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-                       sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
+    co-located.
+
+    `n_probe` is the recall knob (multi-probe LSH): each query probes its
+    own bucket plus the `n_probe−1` buckets at Hamming distance 1 on the
+    lowest hyperplane bits — the most-likely-misassigned dimensions.
+    Only the (small, broadcast) query side fans out; the corpus is read
+    once, so cost grows with candidates touched, never with corpus
+    passes."""
+    if not 1 <= n_probe <= n_bits + 1:
+        raise ValueError("n_probe must be in [1, n_bits + 1]")
+    base = sign_bucket(F.col(vec_col), n_bits)
+    probes = [base] + [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_probe - 1)]
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"),
+                        F.explode(F.array(*probes)).alias("bucket")))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
                       sign_bucket(F.col(vec_col), n_bits).alias("bucket"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe overlaps
         .select("query_id", "neighbor_id",
                 F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"))
     )

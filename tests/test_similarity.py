@@ -374,3 +374,44 @@ def test_lsh_index_incremental_equals_oneshot(spark, tmp_path):
     partners = {r["doc_b"] for r in got2.collect()}
     assert {2, 13} <= partners          # near-identical "today" docs found
     assert all(r["scope"] == "cross" for r in got2.collect())
+
+
+def test_multi_probe_lsh_recall_knob(spark):
+    """n_probe probes Hamming-1 buckets: recall vs the exact top-k is
+    monotonically >= the single-probe recall, and n_probe=1 keeps the
+    original single-bucket behavior."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+
+    exact = {}
+    for r in sim.cosine_topk(qs, emb, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def run(n_probe, n_bits=4):
+        rows = sim.ann_lsh_topk(qs, emb, k=5, n_bits=n_bits,
+                                n_probe=n_probe).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values()), len(rows)
+
+    r1, n1 = run(1)
+    r3, n3 = run(3)
+    assert r3 >= r1          # probing more buckets never loses candidates
+    assert n3 >= n1
+    assert r3 > 0.3          # 16 buckets over 500 vectors: real recall
+
+    # n_probe=1 == the pre-knob single-bucket result
+    a = sorted(map(tuple, sim.ann_lsh_topk(qs, emb, k=5, n_probe=1).collect()))
+    base = sim.ann_lsh_topk(qs, emb, k=5)
+    b = sorted(map(tuple, base.collect()))
+    assert a == b
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_probe"):
+        sim.ann_lsh_topk(qs, emb, n_probe=0)
