@@ -359,6 +359,24 @@ _register(
     """,
 )
 
+_register(
+    "g_summary",
+    # one-row whole-graph stats (analytics.graph_summary): the numbers
+    # partitioning decisions start from; n_edges = sum(degree)/2, no
+    # scalar cross join
+    lambda spark, sf: analytics.graph_summary(GraphStore(spark, sf).edges()),
+    f"""
+    WITH {graph_ctes()},
+    ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY id)
+    SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(degree) // 2 AS BIGINT) AS n_edges,
+           CAST(MAX(degree) AS BIGINT) AS max_degree,
+           SUM(degree) / count(*) AS avg_degree
+    FROM deg
+    """,
+)
+
 _KHOP_START = _vid("customer", 42)
 
 _register(
@@ -2380,6 +2398,23 @@ _register(
 )
 
 
+_register(
+    "g_eccentricity",
+    # landmark eccentricity (analytics.landmark_eccentricity): diameter
+    # lower bound as a by-product of the landmark BFS
+    lambda spark, sf: analytics.landmark_eccentricity(
+        GraphStore(spark, sf).edges(), _LANDMARKS, iterations=10),
+    _shortest_paths_sql().replace(
+        "\nSELECT id, landmark, distance FROM d10",
+        """
+    SELECT landmark, CAST(count(*) AS BIGINT) AS n_reaching,
+           CAST(MAX(distance) AS INTEGER) AS eccentricity
+    FROM d10 GROUP BY landmark
+    """),
+)
+
+
+
 def _label_propagation_sql(iterations: int = 5) -> str:
     ctes = [
         "adjlp AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges)",
@@ -4285,6 +4320,14 @@ _compose("g_paths", [
       "CAST(n_triangles AS DOUBLE) AS landmark", "coeff AS distance"],
      "'clustering' AS tag, CAST(id AS BIGINT) AS id, "
      "CAST(n_triangles AS DOUBLE) AS landmark, coeff AS distance"),
+    # landmark eccentricity rides (id=landmark, landmark=n_reaching)
+    ("g_eccentricity",
+     ["'ecc' AS tag", "CAST(landmark AS BIGINT) AS id",
+      "CAST(n_reaching AS DOUBLE) AS landmark",
+      "CAST(eccentricity AS DOUBLE) AS distance"],
+     "'ecc' AS tag, CAST(landmark AS BIGINT) AS id, "
+     "CAST(n_reaching AS DOUBLE) AS landmark, "
+     "CAST(eccentricity AS DOUBLE) AS distance"),
     # k-truss edges ride (id=u, landmark=v, distance=in-truss support)
     ("g_ktruss",
      ["'ktruss3' AS tag", "CAST(u AS BIGINT) AS id",
@@ -4331,6 +4374,15 @@ _compose("g_neighborhood", [
       "CAST(NULL AS DOUBLE) AS agg_msg"],
      "'triangles' AS tag, CAST(NULL AS DOUBLE) AS id, CAST(NULL AS DOUBLE) AS out_degree, "
      "CAST(NULL AS DOUBLE) AS in_degree, CAST(n_triangles AS DOUBLE) AS metric, "
+     "CAST(NULL AS DOUBLE) AS agg_msg"),
+    ("g_summary",
+     ["'summary' AS tag", "CAST(n_vertices AS DOUBLE) AS id",
+      "CAST(n_edges AS DOUBLE) AS out_degree",
+      "CAST(max_degree AS DOUBLE) AS in_degree", "avg_degree AS metric",
+      "CAST(NULL AS DOUBLE) AS agg_msg"],
+     "'summary' AS tag, CAST(n_vertices AS DOUBLE) AS id, "
+     "CAST(n_edges AS DOUBLE) AS out_degree, "
+     "CAST(max_degree AS DOUBLE) AS in_degree, avg_degree AS metric, "
      "CAST(NULL AS DOUBLE) AS agg_msg"),
     ("g_aggregate_messages",
      ["'agg_messages' AS tag", "CAST(id AS DOUBLE) AS id", "CAST(NULL AS DOUBLE) AS out_degree",

@@ -282,6 +282,38 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("degree")))
 
 
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """One-row whole-graph statistics: (n_vertices, n_edges, max_degree,
+    avg_degree) — the numbers every capacity-planning and
+    partitioning-strategy decision starts from.  One endpoint-explode +
+    one aggregation (map-side combinable); n_edges falls out of
+    sum(degree)/2, so there is no separate edge count pass and no scalar
+    cross join.  All inputs exact integers; avg_degree is the single
+    final division."""
+    ends = (edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id"))))
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        (F.sum("degree") / F.lit(2)).cast("long").alias("n_edges"),
+        F.max("degree").alias("max_degree"),
+        (F.sum("degree") / F.count(F.lit(1))).alias("avg_degree"),
+    )
+
+
+def landmark_eccentricity(edges: DataFrame, landmarks: list[int],
+                          iterations: int = 10) -> DataFrame:
+    """Per-landmark eccentricity estimate: the max hop distance (and the
+    count of vertices reaching the landmark) over the landmark-BFS state —
+    a free by-product of shortest_paths, and the standard lower-bound
+    estimator for graph diameter (diameter >= max eccentricity seen).
+    Returns (landmark, n_reaching, eccentricity)."""
+    d = shortest_paths(edges, landmarks, iterations)
+    return (d.groupBy("landmark")
+            .agg(F.count(F.lit(1)).alias("n_reaching"),
+                 F.max("distance").alias("eccentricity")))
+
+
 def _edge_support(und: DataFrame) -> DataFrame:
     """Triangle count per canonical edge (u < v): ordered-wedge triangles,
     each attributed to its three edges."""

@@ -220,3 +220,18 @@ def test_k_truss_peels_edges(spark):
 
     # k=5 dissolves everything (need every edge in 3 triangles)
     assert analytics.k_truss(edges, k=5).count() == 0
+
+
+def test_graph_summary_and_eccentricity(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long")
+    s = analytics.graph_summary(edges).collect()[0]
+    assert (s["n_vertices"], s["n_edges"], s["max_degree"]) == (4, 4, 3)
+    assert s["avg_degree"] == pytest.approx(2.0)
+
+    ecc = {r["landmark"]: (r["n_reaching"], r["eccentricity"])
+           for r in analytics.landmark_eccentricity(edges, [4, 2]).collect()}
+    # distances TO landmark 4 along edge direction: 4:0, 3:1, 2:2, 1:2
+    assert ecc[4] == (4, 2)
+    # to landmark 2: 2:0, 1:1 (3,4 cannot reach 2)
+    assert ecc[2] == (2, 1)
