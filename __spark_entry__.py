@@ -848,6 +848,45 @@ _register(
     _pagerank_sql(),
 )
 
+def _pagerank_weighted_sql() -> str:
+    iters = 10
+    ctes = [
+        "de AS MATERIALIZED (SELECT src, dst, COALESCE(quantity, 1.0) AS w "
+        "FROM edges WHERE label IN ('placed', 'contains'))",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM de UNION ALL SELECT dst FROM de))",
+        "od AS MATERIALIZED (SELECT src AS id, SUM(w) AS outw FROM de GROUP BY src)",
+    ]
+    for t in range(1, iters + 1):
+        prev = "(SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts)" \
+            if t == 1 else f"r{t-1}"
+        ctes.append(
+            f"r{t} AS MATERIALIZED (SELECT v.id, 0.15 + 0.85 * COALESCE(s.c, 0) AS rank "
+            f"FROM verts v LEFT JOIN (SELECT de.dst AS id, "
+            f"SUM(r.rank * de.w / od.outw) AS c "
+            f"FROM de JOIN {prev} r ON de.src = r.id JOIN od ON de.src = od.id "
+            f"GROUP BY de.dst) s ON v.id = s.id)"
+        )
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+_register(
+    "g_pagerank_weighted",
+    # weighted PageRank (analytics.pagerank weight_col): contributions
+    # rank*w/sum_out(w); quantity weights the `contains` edges, placed
+    # edges default to 1.0 (NULL-as-1 contract)
+    lambda spark, sf: analytics.pagerank(
+        GraphStore(spark, sf).edges().filter(F.col("label").isin(["placed", "contains"])),
+        iterations=10, checkpoint_every=2, state_partitions=8,
+        weight_col="quantity",
+    ).select("id", F.round("rank", 6).alias("rank")),
+    _pagerank_weighted_sql(),
+)
+
+
 # -- deterministic random walks (node2vec/DeepWalk input): neighbor choice
 #    = min_by over the FULL md5 hex of (wid:step:neighbor) — the same
 #    32-char string comparison in both engines, so whole walk corpora are
@@ -4816,6 +4855,8 @@ _compose("g_pagerank", [
     ("g_pagerank", ["'global' AS tag", "id", "rank"], "'global' AS tag, id, rank"),
     ("g_ppr", ["'personalized' AS tag", "id", "rank"],
      "'personalized' AS tag, id, rank"),
+    ("g_pagerank_weighted", ["'weighted' AS tag", "id", "rank"],
+     "'weighted' AS tag, id, rank"),
 ])
 _publish("sim_cosine_topk")
 

@@ -73,7 +73,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
              checkpoint_every: int = 3, broadcast_ranks: bool | None = None,
              state_partitions: int | None = None,
              broadcast_max_vertices: int = 2_000_000,
-             teleport_ids=None) -> DataFrame:
+             teleport_ids=None, weight_col: str | None = None) -> DataFrame:
     """Standard damped PageRank over the directed edge list; dangling mass is
     NOT redistributed (matches GraphX's default behavior).  Returns
     (id, rank).  Ranks start at 1.0 per vertex.
@@ -85,6 +85,12 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
     Same iteration plan, one extra literal isin column; the seed list is a
     query parameter, not data (point-lookup scale, like the multi-id
     lookups).
+
+    `weight_col` switches to WEIGHTED PageRank: contributions ship
+    rank·w/Σ_out w instead of rank/out_degree (NULL weights count as 1.0,
+    so partially-weighted edge views behave sensibly).  Identical plan
+    shape — the normalization aggregate sums weights instead of counting
+    rows; the unweighted path keeps its exact count-based arithmetic.
 
     Each iteration: contributions = rank/out_degree shipped along edges,
     grouped by dst (one shuffle per iteration on the same key → a cluster
@@ -119,9 +125,17 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
     if state_partitions:
         verts = verts.repartition(state_partitions, "id")
     verts = verts.persist()
-    out_deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    if weight_col is None:
+        out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_degree"))
+        e_sel = edges.select("src", "dst")
+    else:
+        w = F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+        out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.sum(w).alias("out_degree"))
+        e_sel = edges.select("src", "dst", w.alias("_w"))
     norm_edges = (
-        edges.select("src", "dst")
+        e_sel
         .join(out_deg.withColumnRenamed("id", "src"), "src")
     )
     if state_partitions:
@@ -146,9 +160,12 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
                 rank_side = F.broadcast(rank_side)
             elif state_partitions:
                 rank_side = rank_side.repartition(state_partitions, "src")
+            contrib_expr = (F.col("rank") / F.col("out_degree")
+                            if weight_col is None else
+                            F.col("rank") * F.col("_w") / F.col("out_degree"))
             contribs = (
                 norm_edges.join(rank_side, "src")
-                .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_degree")).alias("contrib"))
+                .select(F.col("dst").alias("id"), contrib_expr.alias("contrib"))
             )
             if state_partitions:
                 contribs = contribs.repartition(state_partitions, "id")

@@ -235,3 +235,28 @@ def test_graph_summary_and_eccentricity(spark):
     assert ecc[4] == (4, 2)
     # to landmark 2: 2:0, 1:1 (3,4 cannot reach 2)
     assert ecc[2] == (2, 1)
+
+
+def test_weighted_pagerank_shifts_rank_toward_heavy_edges(spark):
+    # 1 -> 2 (weight 9), 1 -> 3 (weight 1): weighted rank favors 2;
+    # unweighted splits evenly
+    edges = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0)], "src long, dst long, w double")
+    rw = {r["id"]: r["rank"]
+          for r in analytics.pagerank(edges, iterations=5,
+                                      weight_col="w").collect()}
+    ru = {r["id"]: r["rank"]
+          for r in analytics.pagerank(edges, iterations=5).collect()}
+    assert ru[2] == pytest.approx(ru[3])
+    assert rw[2] > rw[3]
+    # weights on 1's out-edges sum to 10: the CONTRIBUTION ratio (rank
+    # net of the 0.15 reset base) is exactly 9
+    assert (rw[2] - 0.15) / (rw[3] - 0.15) == pytest.approx(9.0)
+
+    # NULL weight counts as 1.0 (partially-weighted views)
+    edges_null = spark.createDataFrame(
+        [(1, 2, None), (1, 3, 1.0)], "src long, dst long, w double")
+    rn = {r["id"]: r["rank"]
+          for r in analytics.pagerank(edges_null, iterations=5,
+                                      weight_col="w").collect()}
+    assert rn[2] == pytest.approx(rn[3])
