@@ -4065,6 +4065,106 @@ _register(
     """,
 )
 
+# -- scored retrieval: exactified BM25 + RRF hybrid (functions/ranking.py).
+#    The score expression string is generated ONCE (ranking.bm25_score_expr /
+#    ranking.rrf_expr) and embedded verbatim in both the Spark plan and the
+#    DuckDB oracle, so the IEEE-754 expression trees are textually identical
+#    and the unrounded doubles hash-match. --------------------------------
+
+from hugegraph_on_tikv_spark.functions import ranking as _ranking
+
+_BM25_TERMS = ["spark", "vector", "scan"]
+
+
+def _bm25_ranked_sql(terms: list[str], k: int) -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms)))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="coalesce(text, '')")} AS t
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, len(t) AS dl, {tf_cols} FROM toks
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS N, CAST(SUM(dl) AS BIGINT) AS sumdl,
+             {df_cols}
+      FROM per_doc
+    ), scored AS (
+      SELECT doc_id, dl, {_ranking.bm25_score_expr(terms)} AS score
+      FROM per_doc, stats
+    ), ranked AS (
+      SELECT doc_id, dl, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS INTEGER) AS rank
+      FROM scored WHERE score > 0.0
+    )
+    SELECT doc_id, dl, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+_register(
+    "bm25_ranked",
+    lambda spark, sf: _ranking.bm25_topk(
+        load_table(spark, sf, "documents"), _BM25_TERMS, k=10),
+    _bm25_ranked_sql(_BM25_TERMS, 10),
+)
+
+
+def _sim_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    out = _ranking.hybrid_search(
+        load_table(spark, sf, "documents"), emb, _BM25_TERMS,
+        emb.filter(F.col("vec_id") == 100), k=10, per_list_k=20)
+    # nullable rank columns travel as DOUBLE (oracle NULL-int rule)
+    return out.select(
+        "doc_id",
+        F.col("rank_0").cast("double").alias("rank_kw"),
+        F.col("rank_1").cast("double").alias("rank_vec"),
+        "rrf_score",
+        "rank",
+    )
+
+
+_register(
+    "sim_hybrid_rrf",
+    _sim_hybrid_rrf,
+    f"""
+    WITH kw AS (
+    {_bm25_ranked_sql(_BM25_TERMS, 20)}
+    ), vscored AS (
+      SELECT c.vec_id AS doc_id, {_COS_SQL} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id = 100
+    ), vranked AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id ASC)
+                          AS INTEGER) AS rank
+      FROM vscored
+    ), v AS (
+      SELECT doc_id, rank FROM vranked WHERE rank <= 20
+    ), fused AS (
+      SELECT COALESCE(kw.doc_id, v.doc_id) AS doc_id,
+             kw.rank AS rank_0, v.rank AS rank_1
+      FROM kw FULL OUTER JOIN v ON kw.doc_id = v.doc_id
+    ), rs AS (
+      SELECT doc_id, rank_0, rank_1,
+             {_ranking.rrf_expr(["rank_0", "rank_1"])} AS rrf_score
+      FROM fused
+    ), rr AS (
+      SELECT doc_id, CAST(rank_0 AS DOUBLE) AS rank_kw,
+             CAST(rank_1 AS DOUBLE) AS rank_vec, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                  AS INTEGER) AS rank
+      FROM rs
+    )
+    SELECT doc_id, rank_kw, rank_vec, rrf_score, rank FROM rr WHERE rank <= 10
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -4820,7 +4920,29 @@ _compose("idx_equality", [
      "CAST(NULL AS VARCHAR) AS s2, CAST(n_elements AS DOUBLE) AS n"),
 ])
 
-_publish("idx_search")
+# text-retrieval family: token search index + scored retrieval (BM25 and
+# the BM25+cosine RRF hybrid) in one row
+_compose("idx_search", [
+    ("idx_search",
+     ["'tok' AS tag", "CAST(element_id AS DOUBLE) AS id",
+      "CAST(matched_tokens AS DOUBLE) AS v1", "CAST(NULL AS DOUBLE) AS v2",
+      "CAST(NULL AS DOUBLE) AS v3", "CAST(NULL AS DOUBLE) AS v4"],
+     "'tok' AS tag, CAST(element_id AS DOUBLE) AS id, "
+     "CAST(matched_tokens AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2, "
+     "CAST(NULL AS DOUBLE) AS v3, CAST(NULL AS DOUBLE) AS v4"),
+    ("bm25_ranked",
+     ["'bm25' AS tag", "CAST(doc_id AS DOUBLE) AS id", "score AS v1",
+      "CAST(rank AS DOUBLE) AS v2", "CAST(dl AS DOUBLE) AS v3",
+      "CAST(NULL AS DOUBLE) AS v4"],
+     "'bm25' AS tag, CAST(doc_id AS DOUBLE) AS id, score AS v1, "
+     "CAST(rank AS DOUBLE) AS v2, CAST(dl AS DOUBLE) AS v3, "
+     "CAST(NULL AS DOUBLE) AS v4"),
+    ("sim_hybrid_rrf",
+     ["'rrf' AS tag", "CAST(doc_id AS DOUBLE) AS id", "rrf_score AS v1",
+      "CAST(rank AS DOUBLE) AS v2", "rank_kw AS v3", "rank_vec AS v4"],
+     "'rrf' AS tag, CAST(doc_id AS DOUBLE) AS id, rrf_score AS v1, "
+     "CAST(rank AS DOUBLE) AS v2, rank_kw AS v3, rank_vec AS v4"),
+])
 
 _compose("idx_unique_shard", [
     ("idx_unique",

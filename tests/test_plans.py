@@ -404,6 +404,10 @@ def test_whole_roster_lints_clean(spark):
         "q22_global_sales_opportunity": {"cartesian"},  # 1-row avg
         "pipe_curate_corpus": {"cartesian"},    # 1-row stat totals
         "pipe_curate_v2": {"cartesian"},        # 1-row stat totals
+        # BM25's corpus stats (N, Σdl, per-term df) come back as a 1-row
+        # broadcast join — the same scalar pattern as q11/q22
+        "bm25_ranked": {"cartesian"},
+        "sim_hybrid_rrf": {"cartesian"},
         # non-pushable BY DESIGN: a deterministic hash split (md5 % N) can
         # never reach a parquet scan — it must read every row to decide
         "contamination": {"unfiltered-scan"},
