@@ -4165,6 +4165,92 @@ _register(
 )
 
 
+# -- one-pass column profiling (functions/profiling.py) --------------------
+
+from hugegraph_on_tikv_spark.functions.profiling import profile_table as _profile_table
+
+_register(
+    "profile_orders",
+    # exact mode (driver-checkable); approx=True is the no-Expand scale
+    # path — the dichotomy test_profile_approx_single_pass pins
+    lambda spark, sf: _profile_table(
+        load_table(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice"]),
+    """
+    SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_value,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT), CAST(count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT), CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+
+# -- versioned-catalog CDC (TableCatalog.table_changes) --------------------
+#    v1 = the nation fixture; v2 = ONE commit carrying updates (%5),
+#    a no-op replay row (key 1 — must NOT appear), inserts (+100 for %7)
+#    and a delete (key 3).  The diff of the two immutable snapshots is
+#    oracle-reconstructed straight from the fixture.
+
+def _cdc_table_changes(spark: SparkSession, sf: str) -> DataFrame:
+    import atexit
+    import shutil
+    import tempfile
+
+    from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
+
+    d = _cdc_table_changes.__dict__.setdefault(
+        "_dir", tempfile.mkdtemp(prefix="cdc_changes_"))
+    if "_cleanup" not in _cdc_table_changes.__dict__:
+        _cdc_table_changes.__dict__["_cleanup"] = atexit.register(
+            shutil.rmtree, d, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+
+    nation = load_table(spark, sf, "nation")
+    cat = TableCatalog(spark, d)
+    cat.create_table("nation", nation, key="n_nationkey")
+    updated = nation.filter(F.col("n_nationkey") % 5 == 0).withColumn(
+        "n_name", F.concat(F.lit("RENAMED_"), F.col("n_name")))
+    noop = nation.filter(F.col("n_nationkey") == 1)
+    inserted = nation.filter(F.col("n_nationkey") % 7 == 0).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"),
+        F.concat(F.lit("NewNation#"), F.col("n_nationkey")).alias("n_name"),
+        "n_regionkey",
+    )
+    batch = MutationBatch()
+    batch.upsert_df("nation", updated.unionByName(noop).unionByName(inserted))
+    batch.delete("nation", 3)
+    cat.commit(batch)
+    return cat.table_changes("nation", 1, 2)
+
+_register(
+    "cdc_table_changes",
+    _cdc_table_changes,
+    """
+    SELECT n_nationkey, 'update' AS _change_type,
+           'RENAMED_' || n_name AS n_name, n_regionkey
+    FROM nation WHERE n_nationkey % 5 = 0
+    UNION ALL
+    SELECT n_nationkey + 100, 'insert',
+           'NewNation#' || CAST(n_nationkey AS VARCHAR), n_regionkey
+    FROM nation WHERE n_nationkey % 7 = 0
+    UNION ALL
+    SELECT n_nationkey, 'delete', n_name, n_regionkey
+    FROM nation WHERE n_nationkey = 3
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -4267,6 +4353,12 @@ _compose("m_bulk_upsert", [
       "CAST(NULL AS STRING) AS s2", "sum_value AS v"],
      "'ivm_by_type' AS tag, CAST(n_rows AS DOUBLE) AS k, event_type AS s1, "
      "CAST(NULL AS VARCHAR) AS s2, sum_value AS v"),
+    # versioned-catalog CDC: the snapshot diff as (op, key, after/before)
+    ("cdc_table_changes",
+     ["'cdc' AS tag", "CAST(n_nationkey AS DOUBLE) AS k", "_change_type AS s1",
+      "n_name AS s2", "CAST(n_regionkey AS DOUBLE) AS v"],
+     "'cdc' AS tag, CAST(n_nationkey AS DOUBLE) AS k, _change_type AS s1, "
+     "n_name AS s2, CAST(n_regionkey AS DOUBLE) AS v"),
 ])
 _publish("sim_cosine_topk_vectorized")
 
@@ -4865,6 +4957,15 @@ _compose("a1_agg_counts", [
      "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
      "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
      "CAST(n_occurrences AS DOUBLE) AS n"),
+    # one-pass column profile (k = column name; v_sum/v_avg carry
+    # n_distinct / n_nonnull)
+    ("profile_orders",
+     ["'profile' AS tag", "column AS k", "min_value AS v_min",
+      "max_value AS v_max", "CAST(n_distinct AS DOUBLE) AS v_sum",
+      "CAST(n_nonnull AS DOUBLE) AS v_avg", "CAST(n_rows AS DOUBLE) AS n"],
+     "'profile' AS tag, \"column\" AS k, min_value AS v_min, "
+     "max_value AS v_max, CAST(n_distinct AS DOUBLE) AS v_sum, "
+     "CAST(n_nonnull AS DOUBLE) AS v_avg, CAST(n_rows AS DOUBLE) AS n"),
 ])
 
 # the partsupp-derived TPC-H tail + skew-join toolkit (wave 8): six raw

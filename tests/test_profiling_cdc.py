@@ -1,0 +1,120 @@
+"""Column profiling (functions/profiling.py) and versioned-catalog CDC
+(TableCatalog.table_changes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.functions.profiling import profile_table
+from hugegraph_on_tikv_spark.operators.mutations import MutationBatch
+from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, "y"), (3, 1.0, "y"), (3, 4.0, None)],
+        "a long, b double, c string",
+    )
+
+
+def test_profile_numeric_exact(df):
+    got = {r["column"]: r for r in profile_table(df, ["a", "b"]).collect()}
+    assert set(got) == {"a", "b"}
+    ra = got["a"]
+    assert (ra["n_rows"], ra["n_nonnull"], ra["n_distinct"]) == (4, 4, 3)
+    assert (ra["min_value"], ra["max_value"]) == (1.0, 3.0)
+    rb = got["b"]
+    assert (rb["n_nonnull"], rb["n_distinct"]) == (3, 3)
+    assert (rb["min_value"], rb["max_value"]) == (1.0, 4.0)
+
+
+def test_profile_mixed_types_degrade_to_string(df):
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert got["c"]["min_value"] == "x" and got["c"]["max_value"] == "y"
+    assert got["a"]["min_value"] == "1"  # whole call shares one schema
+    assert got["c"]["n_nonnull"] == 3 and got["c"]["n_distinct"] == 2
+
+
+def test_profile_approx_single_pass(df):
+    exact = {r["column"]: r["n_distinct"]
+             for r in profile_table(df, ["a"]).collect()}
+    approx = {r["column"]: r["n_distinct"]
+              for r in profile_table(df, ["a"], approx=True).collect()}
+    # tiny input: HLL is exact here; at scale it is the no-expand path
+    assert approx == exact
+    plan = profile_table(df, ["a", "b"], approx=True)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = profile_table(df, ["a", "b"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # documents WHY approx is the scale path
+
+
+def test_profile_bad_columns(df):
+    with pytest.raises(ValueError):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_table(df, [])
+
+
+def _mk_catalog(spark, tmp_path):
+    return TableCatalog(spark, str(tmp_path / "cat"))
+
+
+def test_table_changes_insert_update_delete_noop(spark, tmp_path):
+    cat = _mk_catalog(spark, tmp_path)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "id long, name string, v long")
+    cat.create_table("t", base, key="id")          # v1
+    batch = MutationBatch()
+    batch.upsert_df("t", spark.createDataFrame(
+        [(2, "B", 20),      # update (name changed)
+         (3, "c", 30),      # no-op replay: identical row, must not appear
+         (5, "e", 50)],     # insert
+        "id long, name string, v long"))
+    batch.delete("t", 4)                            # delete
+    cat.commit(batch)                               # v2
+
+    rows = {(r["id"], r["_change_type"]): r
+            for r in cat.table_changes("t", 1, 2).collect()}
+    assert set(rows) == {(2, "update"), (5, "insert"), (4, "delete")}
+    assert rows[(2, "update")]["name"] == "B"       # after-image
+    assert rows[(4, "delete")]["name"] == "d"       # before-image
+    assert rows[(5, "insert")]["v"] == 50
+
+
+def test_table_changes_idempotent_replay_is_empty(spark, tmp_path):
+    cat = _mk_catalog(spark, tmp_path)
+    base = spark.createDataFrame([(1, "a")], "id long, name string")
+    cat.create_table("t", base, key="id")
+    cat.upsert("t", base)                           # replay of same rows
+    assert cat.table_changes("t", 1, 2).count() == 0
+
+
+def test_table_changes_across_schema_evolution(spark, tmp_path):
+    cat = _mk_catalog(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"), key="id")
+    cat.add_column("t", "score", "double", default=0.0)   # v2: every row
+    diff = cat.table_changes("t", 1, 2).collect()
+    # added-column backfill alone is not an update (column not common);
+    # nothing else changed
+    assert diff == []
+    cat.upsert("t", spark.createDataFrame(
+        [(2, "b2", 1.5)], "id long, name string, score double"))  # v3
+    rows = {r["id"]: r for r in cat.table_changes("t", 2, 3).collect()}
+    assert set(rows) == {2} and rows[2]["score"] == 1.5
+
+
+def test_table_changes_unretained_version_refuses(spark, tmp_path):
+    cat = _mk_catalog(spark, tmp_path)
+    cat.create_table("t", spark.createDataFrame([(1, "a")],
+                                                "id long, name string"),
+                     key="id")
+    cat.upsert("t", spark.createDataFrame([(1, "x")], "id long, name string"))
+    cat.upsert("t", spark.createDataFrame([(1, "y")], "id long, name string"))
+    with pytest.raises(ValueError, match="not retained"):
+        cat.table_changes("t", 1, 3)
