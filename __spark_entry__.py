@@ -490,6 +490,7 @@ from hugegraph_on_tikv_spark.oracles import (
     H48_SQL,
     H60_SQL,
     MINHASH_P_SQL,
+    NORM_SQL,
     TOKENS_SQL,
     minhash_seeds_values,
     word_shingles_sql,
@@ -4251,6 +4252,89 @@ _register(
 )
 
 
+# -- PII scrubbing, phrase search, leakage-safe splits ---------------------
+
+def _pii_inject_spark(docs: DataFrame) -> DataFrame:
+    # fixtures are clean alnum text; inject deterministic PII on every
+    # 10th doc so the counts/redaction actually exercise the patterns
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")))
+
+_PII_SUFFIX = (" contact bob@example.com or +1 (555) 123-4567"
+               " ssn 123-45-6789")
+
+
+def _pii_counts_sql() -> str:
+    from hugegraph_on_tikv_spark.functions.text import PII_PATTERNS
+
+    injected = ("CASE WHEN doc_id % 10 = 0 THEN text || '" + _PII_SUFFIX
+                + "' ELSE text END")
+    cur = f"coalesce({injected}, '')"
+    sels = []
+    for name, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        sels.append(f"len(regexp_extract_all({cur}, '{p}')) AS n_{name}")
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {', '.join(sels)}, md5({cur}) AS redacted_fp "
+            "FROM documents")
+
+
+_register(
+    "text_pii",
+    # counts are taken in replacement order (email → ssn → phone) on the
+    # text as it stands at that step — the shared contract in
+    # text.PII_PATTERNS; oracle regexes are the same strings
+    lambda spark, sf: text.pii_counts(
+        _pii_inject_spark(load_table(spark, sf, "documents"))),
+    _pii_counts_sql(),
+)
+
+_register(
+    "text_phrase",
+    # exact token-sequence search: space-padded substring containment on
+    # the normalized form — no token explode, one Contains per row
+    lambda spark, sf: load_table(spark, sf, "documents")
+    .filter(text.phrase_match(F.col("text"), "spark join"))
+    .select("doc_id", "n_chars"),
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE contains(' ' || {NORM_SQL.format(col="text")} || ' ', ' spark join ')
+    """,
+)
+
+
+def _cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.sampling import cluster_safe_split
+
+    docs = load_table(spark, sf, "documents")
+    clusters = dedup.near_duplicate_clusters(
+        docs, num_hashes=32, rows_per_band=4, k=3, threshold=0.3)
+    return cluster_safe_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters)
+
+
+from hugegraph_on_tikv_spark.functions.sampling import split_sql as _split_sql_oracle
+
+_register(
+    "cluster_safe_split",
+    _cluster_safe_split,
+    f"""
+    WITH nc AS MATERIALIZED (
+      SELECT * FROM (
+      {_near_clusters_sql()}
+      ) q
+    )
+    SELECT d.doc_id, nc.cluster_id,
+           {_split_sql_oracle({"train": 0.8, "val": 0.1, "test": 0.1},
+                              id_col="COALESCE(nc.cluster_id, d.doc_id)")} AS split
+    FROM documents d LEFT JOIN nc ON d.doc_id = nc.doc_id
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -4715,6 +4799,26 @@ _compose("text_quality_suite", [
      "'df_stats' AS tag, doc_id, CAST(n_distinct_tokens AS DOUBLE) AS n_tokens, "
      "CAST(sum_df AS DOUBLE) AS mean_token_len, mean_df AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # PII scrubbing: counts ride the doubles, the redacted-text fingerprint
+    # rides inside the tag (the value-hash then pins the full redaction)
+    ("text_pii",
+     ["concat('pii_', redacted_fp) AS tag", "doc_id",
+      "CAST(n_email AS DOUBLE) AS n_tokens",
+      "CAST(n_ssn AS DOUBLE) AS mean_token_len",
+      "CAST(n_phone AS DOUBLE) AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'pii_' || redacted_fp AS tag, doc_id, CAST(n_email AS DOUBLE) AS n_tokens, "
+     "CAST(n_ssn AS DOUBLE) AS mean_token_len, CAST(n_phone AS DOUBLE) AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # exact phrase search: the hit set, n_chars along for the ride
+    ("text_phrase",
+     ["'phrase' AS tag", "doc_id", "CAST(n_chars AS DOUBLE) AS n_tokens",
+      "CAST(NULL AS DOUBLE) AS mean_token_len",
+      "CAST(NULL AS DOUBLE) AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'phrase' AS tag, doc_id, CAST(n_chars AS DOUBLE) AS n_tokens, "
+     "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS DOUBLE) AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
 ])
 
 _compose("dedup_exact_canonical", [
@@ -4742,6 +4846,12 @@ _compose("dedup_exact_canonical", [
       "CAST(NULL AS DOUBLE) AS n_docs", "doc_id AS id"],
      "'cap_kept' AS tag, CAST(NULL AS VARCHAR) AS fp, "
      "CAST(NULL AS DOUBLE) AS n_docs, doc_id AS id"),
+    # leakage-safe split: fp carries the split name, n_docs the cluster id
+    ("cluster_safe_split",
+     ["'cluster_split' AS tag", "split AS fp",
+      "CAST(cluster_id AS DOUBLE) AS n_docs", "doc_id AS id"],
+     "'cluster_split' AS tag, split AS fp, "
+     "CAST(cluster_id AS DOUBLE) AS n_docs, doc_id AS id"),
 ])
 
 _compose("dedup_pairs", [

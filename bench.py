@@ -336,7 +336,9 @@ def main() -> None:
         extras["simhash_jvm"] = run_isolated(
             lambda s, sf: simhash_signatures(docs, use_arrow=False))
         for name in ("asof_last_view", "contamination", "g_walks", "cm_sketch",
-                     "g_kcore", "g_clustering", "sim_quantized_topk"):
+                     "g_kcore", "g_clustering", "sim_quantized_topk",
+                     "bm25_ranked", "sim_hybrid_rrf", "profile_orders",
+                     "cdc_table_changes"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():

@@ -72,6 +72,29 @@ def split_sql(weights: dict[str, float], id_col: str = "doc_id",
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
 
 
+def cluster_safe_split(docs: DataFrame, weights: dict[str, float],
+                       clusters: DataFrame, id_col: str = "doc_id",
+                       salt: str = "") -> DataFrame:
+    """Leakage-safe split: every member of a near-duplicate cluster lands
+    in the SAME split, so a train/test boundary can never cut through a
+    pair of near-identical documents (the contamination mode
+    cross_corpus_contamination detects — this op prevents it at split
+    time).  `clusters` is (doc_id, cluster_id) from
+    dedup.near_duplicate_clusters; unclustered docs are their own
+    singleton group (group key = own id), keeping split_assign's
+    append-stability for everything outside a cluster.
+
+    Scale: the clusters table holds only near-dup members — a small
+    fraction of any curated corpus — so the join broadcasts; the split
+    itself stays a pure hash-column expression (no shuffle)."""
+    joined = docs.select(F.col(id_col)).join(
+        F.broadcast(clusters), id_col, "left_outer")
+    grouped = joined.withColumn(
+        "_group", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return (split_assign(grouped, weights, id_col="_group", salt=salt)
+            .select(id_col, "cluster_id", "split"))
+
+
 def stratified_sample(df: DataFrame, fraction: float,
                       id_col: str = "doc_id", salt: str = "") -> DataFrame:
     """Deterministic Bernoulli-by-hash sample: keep rows whose bucket falls

@@ -88,6 +88,56 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def phrase_match(col: Column, phrase: str) -> Column:
+    """Exact token-sequence containment: the phrase (normalized at
+    plan-build time) appears as consecutive tokens of the document.
+    Space-padding both sides turns token-sequence containment into plain
+    substring search on the normalized form — one JVM Contains over one
+    scan, no token explode."""
+    norm_phrase = " ".join(p for p in
+                           __import__("re").split("[^a-z0-9]+", phrase.lower())
+                           if p)
+    if not norm_phrase:
+        raise ValueError(f"phrase has no tokens: {phrase!r}")
+    padded = F.concat(F.lit(" "), normalized(col), F.lit(" "))
+    return padded.contains(f" {norm_phrase} ")
+
+
+# PII redaction: the pattern set is deliberately closed-form (same RE2/Java
+# common-subset regex both engines compile identically) and applied in a
+# FIXED order — email, then SSN, then phone — because the phone pattern
+# would otherwise swallow SSNs; counts are taken on the text as it stands
+# at that step, mirroring the replacement order.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """The text with every PII match replaced by its placeholder."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII hit counts plus the md5 fingerprint of the
+    redacted text (the column a scrubbed corpus would key dedup on).
+    Pure column expressions — scales like a filter."""
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), *counts,
+                     F.md5(redact_pii(F.coalesce(F.col(text_col), F.lit("")))
+                           ).alias("redacted_fp"))
+
+
 def bpe_token_estimate(col: Column) -> Column:
     """BPE-ish token-count estimator without a vocabulary: whitespace words
     are split at letter/digit boundaries, and each piece contributes

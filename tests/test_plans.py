@@ -411,6 +411,11 @@ def test_whole_roster_lints_clean(spark):
         # non-pushable BY DESIGN: a deterministic hash split (md5 % N) can
         # never reach a parquet scan — it must read every row to decide
         "contamination": {"unfiltered-scan"},
+        # substring predicate over the case-normalized DERIVED text can
+        # never reach a parquet scan (and min/max row-group stats are
+        # useless for substring containment anyway); at scale the token
+        # index (idx_search) is the candidate pruner, this is the verify
+        "text_phrase": {"unfiltered-scan"},
         # the demo derives expire_at inline (ts + interval) so the oracle
         # can see it; the STORED-column TTL read path pushes — proven by
         # test_ttl_stored_column_read_pushes_down

@@ -127,3 +127,30 @@ def test_weighted_sample_rate_tracks_weight(spark):
     bumped_ids = {r["doc_id"] for r in
                   sampling.weighted_sample(bumped, "w").collect()}
     assert kept_ids <= bumped_ids
+
+
+def test_cluster_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.sampling import (cluster_safe_split,
+                                                            split_assign)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string")
+    # two clusters: {0,1,2} and {10,11}; the rest singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long")
+    out = cluster_safe_split(
+        docs, {"train": 0.6, "val": 0.2, "test": 0.2}, clusters)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    # all members of a cluster share the split
+    assert len({rows[i]["split"] for i in (0, 1, 2)}) == 1
+    assert len({rows[i]["split"] for i in (10, 11)}) == 1
+    # singletons match plain split_assign (append-stability preserved)
+    plain = {r["doc_id"]: r["split"] for r in split_assign(
+        docs, {"train": 0.6, "val": 0.2, "test": 0.2}).collect()}
+    for i in range(12, 40):
+        assert rows[i]["split"] == plain[i]
+        assert rows[i]["cluster_id"] is None

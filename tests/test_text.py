@@ -84,3 +84,46 @@ def test_corpus_df_stats_known_values(spark):
     assert got[1] == (2, 4, 2.0)
     assert got[2] == (2, 4, 2.0)
     assert got[3] == (1, 3, 3.0)
+
+
+def test_phrase_match_semantics(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the Spark—JOIN path"),     # punctuation/case-insensitive hit
+            (2, "spark slow join"),          # not consecutive
+            (3, "sparkjoin"),                # not token-bounded
+            (4, "x spark join"),             # hit at end
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["m"] for r in docs.select(
+        "doc_id", text.phrase_match(F.col("text"), "Spark  join!").alias("m")
+    ).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+    with pytest.raises(ValueError):
+        text.phrase_match(F.col("text"), "!!!")
+
+
+def test_pii_counts_and_redaction_order(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c@d.org; ssn 123-45-6789; tel +1 (555) 123-4567"),
+            (2, "no pii here"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.pii_counts(docs).collect()}
+    r1 = got[1]
+    # ssn counted as SSN, not as phone (replacement order shields it)
+    assert (r1["n_email"], r1["n_ssn"], r1["n_phone"]) == (2, 1, 1)
+    assert (got[2]["n_email"], got[2]["n_phone"]) == (0, 0)
+    assert got[3]["n_email"] == 0  # NULL text counts as empty
+    red = docs.filter(F.col("doc_id") == 1).select(
+        text.redact_pii(F.col("text")).alias("t")).first()["t"]
+    assert "[EMAIL]" in red and "[SSN]" in red and "[PHONE]" in red
+    assert "a@b.co" not in red and "123-45-6789" not in red
