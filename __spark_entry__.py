@@ -4335,6 +4335,60 @@ _register(
 )
 
 
+# -- strongly connected components (operators/analytics.py) ----------------
+#    Directed test graph with real cycles: customer → supplier for every
+#    ordered item; supplier → customer when the item came back returned.
+#    Oracle: recursive reachability closure + mutual-reachability min.
+
+def _g_scc(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") % 10 == 0)
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    fwd = j.select(F.col("o_custkey").cast("long").alias("src"),
+                   (F.col("l_suppkey") + 1_000_000).cast("long").alias("dst"))
+    bwd = j.filter(F.col("l_returnflag") == "R").select(
+        (F.col("l_suppkey") + 1_000_000).cast("long").alias("src"),
+        F.col("o_custkey").cast("long").alias("dst"))
+    edges = fwd.unionByName(bwd).distinct()
+    return analytics.strongly_connected_components(
+        edges, max_rounds=6, prop_iterations=20)
+
+
+_register(
+    "g_scc",
+    _g_scc,
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+             CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey % 10 = 0
+      UNION
+      SELECT DISTINCT CAST(l_suppkey + 1000000 AS BIGINT),
+             CAST(o_custkey AS BIGINT)
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey % 10 = 0 AND l_returnflag = 'R'
+    ), v AS MATERIALIZED (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ), r AS MATERIALIZED (
+      SELECT * FROM (
+        WITH RECURSIVE rr(a, b) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT rr.a, e.dst FROM rr JOIN e ON rr.b = e.src
+        ) SELECT a, b FROM rr
+      ) t
+    ), mutual AS MATERIALIZED (
+      SELECT r1.a AS vv, MIN(r1.b) AS mn
+      FROM r r1 JOIN r r2 ON r1.b = r2.a AND r2.b = r1.a
+      GROUP BY r1.a
+    )
+    SELECT v.id, least(v.id, COALESCE(m.mn, v.id)) AS scc
+    FROM v LEFT JOIN mutual m ON m.vv = v.id
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -4662,6 +4716,10 @@ _compose("g_components", [
      ["'kcore3' AS tag", "CAST(id AS BIGINT) AS id",
       "CAST(degree AS BIGINT) AS component"],
      "'kcore3' AS tag, CAST(id AS BIGINT) AS id, degree AS component"),
+    # directed SCCs over the customer<->supplier return-loop graph
+    ("g_scc",
+     ["'scc' AS tag", "id", "scc AS component"],
+     "'scc' AS tag, id, scc AS component"),
 ])
 
 _compose("g_khop2", [

@@ -235,6 +235,121 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
+def strongly_connected_components(edges: DataFrame, max_rounds: int = 4,
+                                  prop_iterations: int = 12,
+                                  trim_iterations: int = 10) -> DataFrame:
+    """Directed strongly connected components: (id, scc), scc = min vertex
+    id of the component.  Completes the directed-graph algebra next to the
+    undirected HashMin in connected_components (the reference exposes no
+    graph algorithms at all; this is north-star surface).
+
+    Algorithm — the standard distributed trim + FW-BW coloring:
+
+    1. **Trim**: a vertex with in-degree 0 or out-degree 0 in the remaining
+       graph cannot sit on a cycle — assign it its own singleton SCC and
+       peel it.  Iterated, this alone consumes every DAG-shaped region (the
+       bulk of real graphs), leaving only the cyclic core for phase 2.
+    2. **Color**: forward min-label propagation to fixpoint — color(v) =
+       min id over {v} ∪ ancestors(v).  The pivot of color c is vertex c
+       itself (c reaches every v colored c).
+    3. **Backward membership**: within color c, mark v when an edge v→u has
+       u already marked (seeded at the pivot) — marked vertices reach the
+       pivot forward, so pivot→v ∧ v→pivot ⇒ SCC(pivot).  Assign, peel,
+       back to 1.
+
+    Every step is a join+groupBy on (src|dst) — the aggregate-messages
+    shuffle shape — with localCheckpoint lineage cuts per round, so the
+    plan never grows with the iteration count.  Vertices still unresolved
+    after max_rounds come back with scc NULL (bounded-rounds contract,
+    like connected_components' bounded iterations — never a wrong merge).
+    Self-loops are SCC-neutral and dropped up front; vertices appearing
+    only in self-loops are singletons."""
+    v0 = (edges.select(F.col("src").alias("id"))
+          .unionByName(edges.select(F.col("dst").alias("id"))).distinct())
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select("src", "dst").distinct().localCheckpoint(eager=True))
+
+    assigned = []  # list of (id, scc) DataFrames
+
+    # vertices with no non-self edge at all: singletons immediately
+    ev = (e.select(F.col("src").alias("id"))
+          .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+    lonely = v0.join(ev, "id", "left_anti")
+    assigned.append(lonely.withColumn("scc", F.col("id")))
+
+    def _trim(e):
+        for _ in range(trim_iterations):
+            has_in = e.select(F.col("dst").alias("id")).distinct()
+            has_out = e.select(F.col("src").alias("id")).distinct()
+            verts = has_in.unionByName(has_out).distinct()
+            core = has_in.join(has_out, "id")  # in ≥ 1 AND out ≥ 1
+            trivial = verts.join(core, "id", "left_anti") \
+                .localCheckpoint(eager=True)
+            if trivial.limit(1).count() == 0:
+                return e
+            assigned.append(trivial.withColumn("scc", F.col("id")))
+            e = (e.join(trivial.select(F.col("id").alias("src")), "src", "left_anti")
+                 .join(trivial.select(F.col("id").alias("dst")), "dst", "left_anti")
+                 .localCheckpoint(eager=True))
+        return e
+
+    for _ in range(max_rounds):
+        e = _trim(e)
+        if e.limit(1).count() == 0:
+            break
+        verts = (e.select(F.col("src").alias("id"))
+                 .unionByName(e.select(F.col("dst").alias("id"))).distinct())
+        colors = verts.withColumn("color", F.col("id"))
+        for i in range(prop_iterations):
+            msgs = (e.join(colors.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("color").alias("in_min")))
+            nxt = (colors.join(msgs, "id", "left")
+                   .select("id", F.least(F.col("color"),
+                                         F.coalesce("in_min", F.col("color"))
+                                         ).alias("color")))
+            if (i + 1) % 3 == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+                changed = (nxt.alias("n").join(colors.alias("o"), "id")
+                           .filter(F.col("n.color") != F.col("o.color"))
+                           .limit(1).count())
+                colors = nxt
+                if changed == 0:
+                    break
+            else:
+                colors = nxt
+        colors = colors.localCheckpoint(eager=True)
+        # backward membership from each pivot within its color class
+        marked = colors.filter(F.col("id") == F.col("color"))
+        ce = (e.join(colors.withColumnRenamed("id", "src")
+                     .withColumnRenamed("color", "c_src"), "src")
+              .join(colors.withColumnRenamed("id", "dst")
+                    .withColumnRenamed("color", "c_dst"), "dst")
+              .filter(F.col("c_src") == F.col("c_dst"))
+              .select("src", "dst", F.col("c_src").alias("color"))
+              .localCheckpoint(eager=True))
+        for i in range(prop_iterations):
+            newly = (ce.join(marked.select(F.col("id").alias("dst"),
+                                           F.col("color").alias("m_color")),
+                             "dst")
+                     .filter(F.col("color") == F.col("m_color"))
+                     .select(F.col("src").alias("id"), "color").distinct()
+                     .join(marked.select("id"), "id", "left_anti"))
+            newly = newly.localCheckpoint(eager=True)
+            if newly.limit(1).count() == 0:
+                break
+            marked = marked.unionByName(newly).localCheckpoint(eager=True)
+        assigned.append(marked.select("id", F.col("color").alias("scc")))
+        e = (e.join(marked.select(F.col("id").alias("src")), "src", "left_anti")
+             .join(marked.select(F.col("id").alias("dst")), "dst", "left_anti")
+             .localCheckpoint(eager=True))
+
+    out = assigned[0]
+    for a in assigned[1:]:
+        out = out.unionByName(a)
+    return v0.join(out, "id", "left").select("id", "scc")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over the undirected simple graph.  Classic
     ordered-wedge join: canonical edges (u<v), wedge join on the middle

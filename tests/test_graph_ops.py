@@ -260,3 +260,46 @@ def test_weighted_pagerank_shifts_rank_toward_heavy_edges(spark):
           for r in analytics.pagerank(edges_null, iterations=5,
                                       weight_col="w").collect()}
     assert rn[2] == pytest.approx(rn[3])
+
+
+def test_scc_known_components(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        strongly_connected_components)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1),          # 3-cycle
+         (10, 11), (11, 10),              # 2-cycle, reachable from the first
+         (3, 10),
+         (3, 20),                         # out-degree-0 tail: singleton
+         (30, 30),                        # self-loop only: singleton
+         (2, 1)],                         # extra intra-SCC edge
+        "src long, dst long")
+    got = sorted((r["id"], r["scc"])
+                 for r in strongly_connected_components(edges).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (30, 30)]
+
+
+def test_scc_dag_is_all_singletons_via_trim(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        strongly_connected_components)
+
+    # pure DAG: trim alone must resolve everything (no coloring rounds)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "src long, dst long")
+    got = {r["id"]: r["scc"]
+           for r in strongly_connected_components(edges, max_rounds=1).collect()}
+    assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_scc_long_cycle_converges(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        strongly_connected_components)
+
+    n = 9
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    got = {r["id"]: r["scc"] for r in
+           strongly_connected_components(
+               spark.createDataFrame(ring, "src long, dst long"),
+               prop_iterations=n + 1).collect()}
+    assert got == {i: 0 for i in range(n)}
