@@ -4389,6 +4389,103 @@ _register(
 )
 
 
+# -- exact-integer Pearson correlation (functions/profiling.py) ------------
+
+def _stats_corr(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.profiling import corr_pairs
+
+    return corr_pairs(load_table(spark, sf, "lineitem"),
+                      ["l_quantity", "l_extendedprice", "l_discount"],
+                      scale=100)
+
+
+def _stats_corr_sql() -> str:
+    from hugegraph_on_tikv_spark.functions.profiling import corr_expr
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    qs = {c: f"CAST(round({c} * 100) AS DECIMAL(18,0))" for c in cols}
+    aggs = ["CAST(count(*) AS BIGINT) AS n_pairs"]
+    for i, c in enumerate(cols):
+        aggs.append(f"SUM({qs[c]}) AS s_{i}")
+        aggs.append(f"SUM({qs[c]} * {qs[c]}) AS ss_{i}")
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(f"SUM({qs[cols[i]]} * {qs[cols[j]]}) AS sp_{i}_{j}")
+    where = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    sels = " UNION ALL ".join(
+        f"SELECT '{cols[i]}' AS col_a, '{cols[j]}' AS col_b, "
+        f"{corr_expr(i, j)} AS corr FROM s"
+        for i in range(len(cols)) for j in range(i + 1, len(cols)))
+    return (f"WITH s AS (SELECT {', '.join(aggs)} FROM lineitem "
+            f"WHERE {where})\n{sels}")
+
+
+_register(
+    "stats_corr",
+    # exact Pearson r of the 100x-quantized values: integer DECIMAL sums
+    # (order-independent), one double conversion per sum, IEEE formula —
+    # bit-identical across engines by construction (corr_expr shared)
+    _stats_corr,
+    _stats_corr_sql(),
+)
+
+# -- SCD2 dimension history from a change log (mutations.scd2_from_changes)
+
+def _scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.operators.mutations import scd2_from_changes
+
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    b1 = cust.withColumn("batch_id", F.lit(1)) \
+        .withColumn("_change_type", F.lit("insert"))
+    b2 = cust.filter(F.col("c_custkey") % 7 == 0) \
+        .withColumn("c_mktsegment", F.lit("UPG1")) \
+        .withColumn("batch_id", F.lit(2)) \
+        .withColumn("_change_type", F.lit("update"))
+    b3 = cust.filter(F.col("c_custkey") % 14 == 0) \
+        .withColumn("c_mktsegment", F.lit("UPG2")) \
+        .withColumn("batch_id", F.lit(3)) \
+        .withColumn("_change_type", F.lit("update"))
+    b4 = cust.filter(F.col("c_custkey") % 21 == 0) \
+        .withColumn("c_mktsegment", F.lit(None).cast("string")) \
+        .withColumn("batch_id", F.lit(4)) \
+        .withColumn("_change_type", F.lit("delete"))
+    changes = b1.unionByName(b2).unionByName(b3).unionByName(b4)
+    out = scd2_from_changes(changes, ["c_custkey"])
+    return out.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_mktsegment",
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.col("valid_to").cast("double").alias("valid_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_register(
+    "scd2_history",
+    _scd2_history,
+    """
+    WITH ch AS (
+      SELECT c_custkey, c_mktsegment, 1 AS batch_id, 'insert' AS op FROM customer
+      UNION ALL
+      SELECT c_custkey, 'UPG1', 2, 'update' FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'UPG2', 3, 'update' FROM customer WHERE c_custkey % 14 = 0
+      UNION ALL
+      SELECT c_custkey, CAST(NULL AS VARCHAR), 4, 'delete' FROM customer
+      WHERE c_custkey % 21 = 0
+    ), seg AS (
+      SELECT c_custkey, c_mktsegment, batch_id,
+             lead(batch_id) OVER (PARTITION BY c_custkey ORDER BY batch_id)
+                 AS valid_to, op
+      FROM ch
+    )
+    SELECT c_custkey, c_mktsegment, CAST(batch_id AS INTEGER) AS valid_from,
+           CAST(valid_to AS DOUBLE) AS valid_to,
+           CAST(valid_to IS NULL AS INTEGER) AS is_current
+    FROM seg WHERE op <> 'delete' AND c_custkey % 7 = 0
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -4497,6 +4594,14 @@ _compose("m_bulk_upsert", [
       "n_name AS s2", "CAST(n_regionkey AS DOUBLE) AS v"],
      "'cdc' AS tag, CAST(n_nationkey AS DOUBLE) AS k, _change_type AS s1, "
      "n_name AS s2, CAST(n_regionkey AS DOUBLE) AS v"),
+    # SCD2 segments: s2 = "valid_from:is_current", v = valid_to (NULL open)
+    ("scd2_history",
+     ["'scd2' AS tag", "CAST(c_custkey AS DOUBLE) AS k", "c_mktsegment AS s1",
+      "concat(CAST(valid_from AS STRING), ':', CAST(is_current AS STRING)) AS s2",
+      "valid_to AS v"],
+     "'scd2' AS tag, CAST(c_custkey AS DOUBLE) AS k, c_mktsegment AS s1, "
+     "CAST(valid_from AS VARCHAR) || ':' || CAST(is_current AS VARCHAR) AS s2, "
+     "valid_to AS v"),
 ])
 _publish("sim_cosine_topk_vectorized")
 
@@ -5125,6 +5230,15 @@ _compose("a1_agg_counts", [
      "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
      "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
      "CAST(n_occurrences AS DOUBLE) AS n"),
+    # exact-integer Pearson pairs (k = "col_a:col_b", v_avg = corr)
+    ("stats_corr",
+     ["'corr' AS tag", "concat(col_a, ':', col_b) AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(NULL AS DOUBLE) AS v_sum", "corr AS v_avg",
+      "CAST(NULL AS DOUBLE) AS n"],
+     "'corr' AS tag, col_a || ':' || col_b AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(NULL AS DOUBLE) AS v_sum, corr AS v_avg, CAST(NULL AS DOUBLE) AS n"),
     # one-pass column profile (k = column name; v_sum/v_avg carry
     # n_distinct / n_nonnull)
     ("profile_orders",

@@ -65,3 +65,61 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
         "(column, n_nonnull, n_distinct, min_value, max_value)",
     ).select("column", "n_rows", "n_nonnull", "n_distinct",
              "min_value", "max_value")
+
+
+def corr_expr(i: int, j: int) -> str:
+    """Pearson r from the exact integer sums, as one SQL string valid —
+    and textually identical — in Spark SQL and DuckDB.  Every sum is
+    CAST to DOUBLE first (exact integer → nearest double is IEEE-defined),
+    then the formula runs in doubles (+,-,*,/ and the correctly-rounded
+    sqrt are all IEEE-specified), so both engines produce the identical
+    bits with zero rounding slack."""
+    n = "CAST(n_pairs AS DOUBLE)"
+    sx, sy = f"CAST(s_{i} AS DOUBLE)", f"CAST(s_{j} AS DOUBLE)"
+    sxx, syy = f"CAST(ss_{i} AS DOUBLE)", f"CAST(ss_{j} AS DOUBLE)"
+    sxy = f"CAST(sp_{i}_{j} AS DOUBLE)"
+    num = f"(({n} * {sxy}) - ({sx} * {sy}))"
+    dx = f"sqrt(({n} * {sxx}) - ({sx} * {sx}))"
+    dy = f"sqrt(({n} * {syy}) - ({sy} * {sy}))"
+    return f"({num} / ({dx} * {dy}))"
+
+
+def corr_pairs(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
+    """Exact-arithmetic Pearson correlation for every column pair, in ONE
+    aggregate pass.
+
+    Values are quantized to integers (round(x·scale)) and summed as
+    DECIMAL — addition is associative over exact integers, so the
+    distributed sums are order-independent, unlike a float Σxy (the same
+    trick as corpus_df_stats/harmonic_closeness).  The quantized products
+    are built as DECIMAL(18,0)×DECIMAL(18,0) → DECIMAL(37,0) BEFORE
+    summation, so nothing ever rides an overflowing BIGINT; the final
+    formula converts each exact sum to double once (corr_expr).  The
+    result is the exact Pearson r of the QUANTIZED values — a documented
+    contract (scale picks the precision), engine-portable to the last bit.
+
+    One scan, one map-side-combinable aggregate row, stack() to the pair
+    list — scales like count(*)."""
+    if len(cols) < 2:
+        raise ValueError("corr_pairs needs at least two columns")
+    # complete-case rows so n matches every sum.  An explicit isNotNull
+    # conjunction, NOT na.drop: the latter compiles to AtLeastNNonNulls,
+    # which cannot push to the parquet scan; IsNotNull conjuncts can.
+    for c in cols:
+        df = df.filter(F.col(c).isNotNull())
+    q = {c: F.expr(f"CAST(round({c} * {scale}) AS DECIMAL(18,0))")
+         for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(q[c]).alias(f"s_{i}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"ss_{i}"))
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(F.sum(q[cols[i]] * q[cols[j]]).alias(f"sp_{i}_{j}"))
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{cols[i]}', '{cols[j]}', {corr_expr(i, j)}"
+        for i in range(len(cols)) for j in range(i + 1, len(cols)))
+    n_p = sum(1 for i in range(len(cols)) for _ in range(i + 1, len(cols)))
+    return one.selectExpr(
+        f"stack({n_p}, {pairs}) AS (col_a, col_b, corr)")

@@ -223,3 +223,30 @@ class TableState:
     def truncate(self) -> "TableState":
         """M7/M8: table clear (TikvTable.java:87-90, TikvStore.java:246-259)."""
         return TableState(self.df.limit(0), self.key)
+
+
+def scd2_from_changes(changes: DataFrame, keys: list[str],
+                      batch_col: str = "batch_id",
+                      op_col: str = "_change_type") -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change log — the
+    natural consumer of TableCatalog.table_changes streams: each
+    insert/update row becomes a versioned segment
+    (valid_from = its batch, valid_to = the key's NEXT change of any kind,
+    is_current = no later change); a delete closes the previous segment
+    without opening one.
+
+    One window shuffle on the key — the lead() must be computed BEFORE
+    deletes are dropped, or a deleted key's last segment would stay open
+    forever.  Scale: exactly the partitioning any per-key history already
+    needs; no self-join, no state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(batch_col).asc())
+    return (
+        changes
+        .withColumn("valid_to", F.lead(F.col(batch_col)).over(w))
+        .filter(F.col(op_col) != "delete")
+        .withColumn("valid_from", F.col(batch_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(batch_col, op_col)
+    )

@@ -118,3 +118,47 @@ def test_table_changes_unretained_version_refuses(spark, tmp_path):
     cat.upsert("t", spark.createDataFrame([(1, "y")], "id long, name string"))
     with pytest.raises(ValueError, match="not retained"):
         cat.table_changes("t", 1, 3)
+
+
+def test_corr_pairs_known_values(spark):
+    import math
+
+    from hugegraph_on_tikv_spark.functions.profiling import corr_pairs
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+         (4.0, 8.5, -4.0)],
+        "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_pairs(df, ["x", "y", "z"], scale=100).collect()}
+    # x,z perfectly anti-correlated; x,y nearly perfectly correlated
+    assert got[("x", "z")] == pytest.approx(-1.0)
+    assert got[("x", "y")] == pytest.approx(0.9993, abs=1e-3)
+    assert math.isfinite(got[("y", "z")])
+
+
+def test_corr_pairs_null_rows_dropped(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import corr_pairs
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (None, 9.0), (4.0, None)],
+        "x double, y double")
+    got = corr_pairs(df, ["x", "y"]).collect()[0]["corr"]
+    assert got == pytest.approx(1.0)
+
+
+def test_scd2_from_changes_semantics(spark):
+    from hugegraph_on_tikv_spark.operators.mutations import scd2_from_changes
+
+    changes = spark.createDataFrame(
+        [(1, "a", 1, "insert"), (1, "b", 3, "update"), (1, None, 5, "delete"),
+         (2, "x", 2, "insert")],
+        "id long, val string, batch_id long, _change_type string")
+    rows = {(r["id"], r["valid_from"]): r
+            for r in scd2_from_changes(changes, ["id"]).collect()}
+    # key 1: [1,3) closed by update; [3,5) closed by the DELETE; nothing open
+    assert rows[(1, 1)]["valid_to"] == 3 and not rows[(1, 1)]["is_current"]
+    assert rows[(1, 3)]["valid_to"] == 5 and not rows[(1, 3)]["is_current"]
+    assert (1, 5) not in rows                      # delete opens no segment
+    # key 2: one open segment
+    assert rows[(2, 2)]["valid_to"] is None and rows[(2, 2)]["is_current"]
