@@ -4486,6 +4486,42 @@ _register(
 )
 
 
+# -- anti-entropy table checksums (functions/profiling.py) -----------------
+
+def _integrity_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.profiling import table_checksum
+
+    return table_checksum(
+        load_table(spark, sf, "customer"),
+        cols=["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        buckets=16, id_col="c_custkey")
+
+
+_register(
+    "integrity_checksum",
+    # per-bucket BIT_XOR of 60-bit row hashes: order/partitioning
+    # independent, mergeable — the cheap-compare primitive for replicas
+    _integrity_checksum,
+    f"""
+    WITH enc AS (
+      SELECT concat_ws('|',
+               COALESCE(CAST(c_custkey AS VARCHAR), chr(0)),
+               COALESCE(CAST(c_name AS VARCHAR), chr(0)),
+               COALESCE(CAST(c_nationkey AS VARCHAR), chr(0)),
+               COALESCE(CAST(c_mktsegment AS VARCHAR), chr(0))) AS e,
+             c_custkey
+      FROM customer
+    ), hashed AS (
+      SELECT {H60_SQL.format(x="e")} AS h,
+             {H48_SQL.format(x="c_custkey")} % 16 AS bucket
+      FROM enc
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(h) AS checksum
+    FROM hashed GROUP BY bucket
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -5230,6 +5266,18 @@ _compose("a1_agg_counts", [
      "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
      "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
      "CAST(n_occurrences AS DOUBLE) AS n"),
+    # anti-entropy checksums: the 60-bit XOR rides the k string so no
+    # double rounding can soften the check
+    ("integrity_checksum",
+     ["'cksum' AS tag",
+      "concat(CAST(bucket AS STRING), ':', CAST(checksum AS STRING)) AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(n_rows AS DOUBLE) AS n"],
+     "'cksum' AS tag, CAST(bucket AS VARCHAR) || ':' || CAST(checksum AS VARCHAR) AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(n_rows AS DOUBLE) AS n"),
     # exact-integer Pearson pairs (k = "col_a:col_b", v_avg = corr)
     ("stats_corr",
      ["'corr' AS tag", "concat(col_a, ':', col_b) AS k",

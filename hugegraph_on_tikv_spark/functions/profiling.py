@@ -67,6 +67,55 @@ def profile_table(df: DataFrame, columns: list[str] | None = None,
              "min_value", "max_value")
 
 
+NULL_SENTINEL = "\x00"
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None,
+                   buckets: int = 16, id_col: str | None = None) -> DataFrame:
+    """Order-independent per-bucket checksums for cheap table comparison —
+    the anti-entropy primitive (pt-table-checksum-style): two replicas /
+    two clusters / a table before and after a migration compare `buckets`
+    rows instead of the table, and a mismatched bucket narrows the diff to
+    1/buckets of the data.
+
+    Per row: md5 over the canonical encoding (columns joined by '|' with a
+    NUL sentinel for NULL — concat_ws would silently SKIP nulls and make
+    ('a', NULL) collide with (NULL, 'a')), folded to 60 bits.  Per bucket
+    (md5 of the id/whole row, mod buckets): n_rows and the BIT_XOR of the
+    row hashes — XOR is commutative/associative, so the aggregate is
+    order- and partitioning-independent, map-side combinable, and two
+    checksum tables merge with another XOR.
+
+    Float columns should be quantized/rounded to strings by the caller
+    first: float→string formatting is not engine-portable, integers and
+    strings are."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    enc = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
+               for c in cols])
+    row_h = F.conv(F.substring(F.md5(enc), 1, 15), 16, 10).cast("long")
+    bucket_src = F.col(id_col).cast("string") if id_col else enc
+    bucket = (F.conv(F.substring(F.md5(bucket_src), 1, 12), 16, 10)
+              .cast("long") % buckets)
+    return (df.select(bucket.alias("bucket"), row_h.alias("_h"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(_h)").alias("checksum")))
+
+
+def checksum_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Buckets where two checksum tables disagree (full-outer on bucket):
+    the scope an anti-entropy repair has to rescan."""
+    an = a.select("bucket", F.col("n_rows").alias("n_a"),
+                  F.col("checksum").alias("ck_a"))
+    bn = b.select("bucket", F.col("n_rows").alias("n_b"),
+                  F.col("checksum").alias("ck_b"))
+    j = an.join(bn, "bucket", "full_outer")
+    return j.filter(
+        ~(F.col("n_a").eqNullSafe(F.col("n_b"))
+          & F.col("ck_a").eqNullSafe(F.col("ck_b"))))
+
+
 def corr_expr(i: int, j: int) -> str:
     """Pearson r from the exact integer sums, as one SQL string valid —
     and textually identical — in Spark SQL and DuckDB.  Every sum is

@@ -162,3 +162,43 @@ def test_scd2_from_changes_semantics(spark):
     assert (1, 5) not in rows                      # delete opens no segment
     # key 2: one open segment
     assert rows[(2, 2)]["valid_to"] is None and rows[(2, 2)]["is_current"]
+
+
+def test_table_checksum_order_and_partitioning_invariant(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import table_checksum
+
+    rows = [(i, f"name{i}", i % 3) for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, name string, g int")
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "id long, name string, g int").repartition(7)
+    ca = {r["bucket"]: (r["n_rows"], r["checksum"])
+          for r in table_checksum(a, buckets=8, id_col="id").collect()}
+    cb = {r["bucket"]: (r["n_rows"], r["checksum"])
+          for r in table_checksum(b, buckets=8, id_col="id").collect()}
+    assert ca == cb and sum(v[0] for v in ca.values()) == 100
+
+
+def test_checksum_diff_localizes_change(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import (checksum_diff,
+                                                             table_checksum)
+
+    rows = [(i, f"name{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "id long, name string")
+    mutated = [(i, "CHANGED" if i == 42 else f"name{i}") for i in range(100)]
+    b = spark.createDataFrame(mutated, "id long, name string")
+    ca = table_checksum(a, buckets=8, id_col="id")
+    cb = table_checksum(b, buckets=8, id_col="id")
+    diff = checksum_diff(ca, cb).collect()
+    assert len(diff) == 1            # exactly the bucket holding id 42
+    assert diff[0]["n_a"] == diff[0]["n_b"]   # same cardinality, new bytes
+    assert checksum_diff(ca, ca).count() == 0
+
+
+def test_table_checksum_null_vs_empty_distinct(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import table_checksum
+
+    a = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    b = spark.createDataFrame([(1, "x", None)], "id long, a string, b string")
+    ha = table_checksum(a, id_col="id").collect()[0]["checksum"]
+    hb = table_checksum(b, id_col="id").collect()[0]["checksum"]
+    assert ha != hb                  # the NUL sentinel keeps fields aligned
