@@ -4522,6 +4522,35 @@ _register(
 )
 
 
+_register(
+    "profile_histogram",
+    # equi-width bins over o_totalprice: exact min/max selections feed
+    # IEEE-double bin arithmetic mirrored textually in the oracle
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.profiling",
+        fromlist=["histogram"]).histogram(
+        load_table(spark, sf, "orders"), "o_totalprice", nbins=8),
+    """
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), mm AS (
+      SELECT min(x) AS mn, max(x) AS mx FROM base
+    ), binned AS (
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE CAST(least(floor((x - mn) / ((mx - mn) / 8.0)), 7)
+                       AS INTEGER) END AS bin,
+             mn, mx
+      FROM base, mm
+    )
+    SELECT bin, mn + bin * ((mx - mn) / 8.0) AS bin_lo,
+           mn + (bin + 1) * ((mx - mn) / 8.0) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, mn, mx
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -5278,6 +5307,14 @@ _compose("a1_agg_counts", [
      "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
      "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
      "CAST(n_rows AS DOUBLE) AS n"),
+    # equi-width histogram (k = bin, v_min/v_max = edges, n = count)
+    ("profile_histogram",
+     ["'hist' AS tag", "CAST(bin AS STRING) AS k", "bin_lo AS v_min",
+      "bin_hi AS v_max", "CAST(NULL AS DOUBLE) AS v_sum",
+      "CAST(NULL AS DOUBLE) AS v_avg", "CAST(n AS DOUBLE) AS n"],
+     "'hist' AS tag, CAST(bin AS VARCHAR) AS k, bin_lo AS v_min, "
+     "bin_hi AS v_max, CAST(NULL AS DOUBLE) AS v_sum, "
+     "CAST(NULL AS DOUBLE) AS v_avg, CAST(n AS DOUBLE) AS n"),
     # exact-integer Pearson pairs (k = "col_a:col_b", v_avg = corr)
     ("stats_corr",
      ["'corr' AS tag", "concat(col_a, ':', col_b) AS k",

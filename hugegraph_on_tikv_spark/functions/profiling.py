@@ -103,6 +103,35 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None,
                  F.expr("bit_xor(_h)").alias("checksum")))
 
 
+def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
+    """Equi-width histogram: (bin, bin_lo, bin_hi, n) for `nbins` bins over
+    [min, max].  Two passes over the column — a min/max scalar aggregate
+    broadcast back (1-row crossJoin), then one groupBy on the computed bin
+    index — both map-side combinable.  The top edge closes into the last
+    bin (least(floor(...), nbins-1)); a constant column collapses to bin 0.
+    All bin arithmetic is IEEE doubles from exact min/max selections, so
+    the DuckDB mirror reproduces the exact same bin boundaries."""
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    base = df.filter(F.col(col).isNotNull()) \
+        .select(F.col(col).cast("double").alias("x"))
+    mm = base.agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    w = (F.col("mx") - F.col("mn")) / F.lit(float(nbins))
+    binned = base.join(F.broadcast(mm)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(F.least(
+            F.floor((F.col("x") - F.col("mn")) / w).cast("int"),
+            F.lit(nbins - 1))).alias("bin"),
+        F.col("mn"), F.col("mx"))
+    return (binned.groupBy("bin", "mn", "mx")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "bin",
+                (F.col("mn") + F.col("bin") * w).alias("bin_lo"),
+                (F.col("mn") + (F.col("bin") + 1) * w).alias("bin_hi"),
+                "n"))
+
+
 def checksum_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """Buckets where two checksum tables disagree (full-outer on bucket):
     the scope an anti-entropy repair has to rescan."""

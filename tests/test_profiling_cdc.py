@@ -202,3 +202,23 @@ def test_table_checksum_null_vs_empty_distinct(spark):
     ha = table_checksum(a, id_col="id").collect()[0]["checksum"]
     hb = table_checksum(b, id_col="id").collect()[0]["checksum"]
     assert ha != hb                  # the NUL sentinel keeps fields aligned
+
+
+def test_histogram_bins_and_edges(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)] + [(None,)],
+                               "x double")
+    rows = {r["bin"]: r for r in histogram(df, "x", nbins=3).collect()}
+    # range [0,9], width 3: bins [0,3) [3,6) [6,9] — max closes into last
+    assert {b: rows[b]["n"] for b in rows} == {0: 3, 1: 3, 2: 4}
+    assert rows[0]["bin_lo"] == 0.0 and rows[2]["bin_hi"] == 9.0
+    assert sum(r["n"] for r in rows.values()) == 10   # NULL dropped
+
+
+def test_histogram_constant_column(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import histogram
+
+    df = spark.createDataFrame([(5.0,)] * 4, "x double")
+    rows = histogram(df, "x", nbins=4).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 4
