@@ -4551,6 +4551,56 @@ _register(
 )
 
 
+# -- HITS hubs & authorities (analytics.hits) ------------------------------
+
+def _hits_sql(iters: int = 8) -> str:
+    ctes = [
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges "
+        "WHERE label IN ('placed', 'contains'))",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM de UNION ALL SELECT dst FROM de))",
+        "h0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t}r AS MATERIALIZED (SELECT v.id, COALESCE(s.c, 0.0) AS auth "
+            f"FROM verts v LEFT JOIN (SELECT de.dst AS id, SUM(h.hub) AS c "
+            f"FROM de JOIN h{t-1} h ON de.src = h.id GROUP BY de.dst) s "
+            f"ON v.id = s.id)")
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT id, CASE WHEN m.mx > 0 "
+            f"THEN auth / m.mx ELSE 0.0 END AS auth FROM a{t}r, "
+            f"(SELECT MAX(auth) AS mx FROM a{t}r) m)")
+        ctes.append(
+            f"h{t}r AS MATERIALIZED (SELECT v.id, COALESCE(s.c, 0.0) AS hub "
+            f"FROM verts v LEFT JOIN (SELECT de.src AS id, SUM(a.auth) AS c "
+            f"FROM de JOIN a{t} a ON de.dst = a.id GROUP BY de.src) s "
+            f"ON v.id = s.id)")
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT id, CASE WHEN m.mx > 0 "
+            f"THEN hub / m.mx ELSE 0.0 END AS hub FROM h{t}r, "
+            f"(SELECT MAX(hub) AS mx FROM h{t}r) m)")
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT aa.id, round(aa.auth, 6) AS auth, round(hh.hub, 6) AS hub"
+        f"\nFROM a{iters} aa JOIN h{iters} hh ON aa.id = hh.id"
+    )
+
+
+_register(
+    "g_hits",
+    # same damped-iteration posture as pagerank; max-normalization keeps
+    # every engine inside [0,1] with an exact (order-independent) scalar
+    lambda spark, sf: analytics.hits(
+        GraphStore(spark, sf).edges()
+        .filter(F.col("label").isin(["placed", "contains"])),
+        iterations=8,
+    ).select("id", F.round("auth", 6).alias("auth"),
+             F.round("hub", 6).alias("hub")),
+    _hits_sql(),
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -5442,11 +5492,19 @@ _compose("m2_m7_delete_truncate", [
 _publish("m3_append_eliminate")
 _publish("m4_ttl_expiry")
 _compose("g_pagerank", [
-    ("g_pagerank", ["'global' AS tag", "id", "rank"], "'global' AS tag, id, rank"),
-    ("g_ppr", ["'personalized' AS tag", "id", "rank"],
-     "'personalized' AS tag, id, rank"),
-    ("g_pagerank_weighted", ["'weighted' AS tag", "id", "rank"],
-     "'weighted' AS tag, id, rank"),
+    ("g_pagerank",
+     ["'global' AS tag", "id", "rank", "CAST(NULL AS DOUBLE) AS rank2"],
+     "'global' AS tag, id, rank, CAST(NULL AS DOUBLE) AS rank2"),
+    ("g_ppr",
+     ["'personalized' AS tag", "id", "rank", "CAST(NULL AS DOUBLE) AS rank2"],
+     "'personalized' AS tag, id, rank, CAST(NULL AS DOUBLE) AS rank2"),
+    ("g_pagerank_weighted",
+     ["'weighted' AS tag", "id", "rank", "CAST(NULL AS DOUBLE) AS rank2"],
+     "'weighted' AS tag, id, rank, CAST(NULL AS DOUBLE) AS rank2"),
+    # HITS: one raw run carries both vectors (rank = authority, rank2 = hub)
+    ("g_hits",
+     ["'hits' AS tag", "id", "auth AS rank", "hub AS rank2"],
+     "'hits' AS tag, id, auth AS rank, hub AS rank2"),
 ])
 _publish("sim_cosine_topk")
 

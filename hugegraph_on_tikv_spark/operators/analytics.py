@@ -193,6 +193,62 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         norm_edges.unpersist()
 
 
+def hits(edges: DataFrame, iterations: int = 8,
+         state_partitions: int | None = None) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg): per iteration the authority
+    score is the sum of in-neighbor hub scores, then the hub score is the
+    sum of out-neighbor NEW authority scores; each vector is normalized by
+    its MAX — max is an exact order-independent selection (unlike an L2
+    norm's float sum-of-squares), so normalization adds no cross-engine
+    wobble beyond the group sums pagerank already lives with (absorbed by
+    the caller's final rounding).  Returns (id, authority, hub) scaled to
+    [0, 1].
+
+    Plan shape per iteration: two aggregate-messages shuffles + two scalar
+    max aggregates broadcast back; iteration-invariant edge list persisted
+    once; localCheckpoint every 2 rounds cuts lineage — the same posture
+    as pagerank, and the same bucketed-by-key co-location note applies at
+    cluster scale."""
+    e = edges.select("src", "dst").distinct()
+    if state_partitions:
+        e = e.repartition(state_partitions, "src")
+    e = e.persist()
+    verts = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id"))).distinct()
+             .persist())
+    try:
+        h = verts.withColumn("hub", F.lit(1.0))
+        a = verts.withColumn("auth", F.lit(0.0))
+        for i in range(iterations):
+            a = (e.join(h.withColumnRenamed("id", "src"), "src")
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.sum("hub").alias("auth")))
+            a = verts.join(a, "id", "left").select(
+                "id", F.coalesce("auth", F.lit(0.0)).alias("auth"))
+            amax = a.agg(F.max("auth").alias("amax"))
+            a = a.join(F.broadcast(amax)).select(
+                "id", F.when(F.col("amax") > 0,
+                             F.col("auth") / F.col("amax"))
+                .otherwise(F.lit(0.0)).alias("auth"))
+            h = (e.join(a.withColumnRenamed("id", "dst"), "dst")
+                 .groupBy(F.col("src").alias("id"))
+                 .agg(F.sum("auth").alias("hub")))
+            h = verts.join(h, "id", "left").select(
+                "id", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+            hmax = h.agg(F.max("hub").alias("hmax"))
+            h = h.join(F.broadcast(hmax)).select(
+                "id", F.when(F.col("hmax") > 0,
+                             F.col("hub") / F.col("hmax"))
+                .otherwise(F.lit(0.0)).alias("hub"))
+            if (i + 1) % 2 == 0:
+                a = a.localCheckpoint(eager=True)
+                h = h.localCheckpoint(eager=True)
+        return a.join(h, "id").select("id", "auth", "hub")
+    finally:
+        e.unpersist()
+        verts.unpersist()
+
+
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     """Undirected connected components by iterative min-id label propagation
     (HashMin).  Returns (id, component) where component = min vertex id in

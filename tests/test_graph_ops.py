@@ -303,3 +303,21 @@ def test_scc_long_cycle_converges(spark):
                spark.createDataFrame(ring, "src long, dst long"),
                prop_iterations=n + 1).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_hits_known_values(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import hits
+
+    # star: 1,2,3 all point at 4; 4 points at 5.
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (4, 5)], "src long, dst long")
+    got = {r["id"]: r for r in hits(edges, iterations=6).collect()}
+    # 4 is the dominant authority; 1-3 are the dominant hubs
+    assert got[4]["auth"] == 1.0
+    assert got[1]["hub"] == got[2]["hub"] == got[3]["hub"] == 1.0
+    # 5's only in-link is from a weak hub; 4's hub score comes from a weak
+    # authority — both strictly inside (0, 1)
+    assert 0.0 <= got[5]["auth"] < 1.0
+    assert 0.0 <= got[4]["hub"] < 1.0
+    # sources have no in-links: zero authority
+    assert got[1]["auth"] == 0.0 and got[5]["hub"] == 0.0
