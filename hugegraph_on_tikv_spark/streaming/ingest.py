@@ -64,3 +64,34 @@ def stream_dedup(stream_df: DataFrame, key_cols: list[str],
     for NTZ sources)."""
     return (stream_df.withWatermark(event_time_col, watermark)
             .dropDuplicatesWithinWatermark(key_cols))
+
+
+def stream_windowed_counts(stream_df: DataFrame, value_col: str,
+                           event_time_col: str, window: str = "1 hour",
+                           watermark: str = "30 minutes",
+                           min_count: int | None = None) -> DataFrame:
+    """Streaming per-window value counts — the streaming face of the batch
+    heavy-hitters operator: a watermarked tumbling-window groupBy whose
+    state is bounded by (windows in flight) × (distinct values per
+    window), evicted as the watermark passes each window end.
+
+    `min_count` filters to the frequent values (threshold form of heavy
+    hitters).  Unlike the batch Misra-Gries pass there is no candidate
+    stage: streaming state is already per-group incremental, so the
+    windowed count IS the exact answer for every window the watermark has
+    closed; the cost model to watch is distinct-value cardinality per
+    window, which `min_count` does NOT reduce (filtering happens on
+    output, state holds every value) — cap upstream (hash-bucket the
+    value space) when values are unbounded."""
+    out = (
+        stream_df.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(F.col(event_time_col), window).alias("w"),
+                 F.col(value_col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "value", "n_occurrences")
+    )
+    if min_count is not None:
+        out = out.filter(F.col("n_occurrences") >= min_count)
+    return out

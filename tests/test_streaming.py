@@ -763,3 +763,77 @@ def test_cohort_retention_semantics(spark):
            for r in cohort_retention(events, "week").collect()}
     w0, w1 = "2024-03-04 00:00:00", "2024-03-11 00:00:00"
     assert got == {(w0, 0): 2, (w0, 1): 1, (w1, 0): 1}
+
+
+def test_stream_windowed_counts_equals_batch(spark, tmp_path):
+    """stream_windowed_counts (watermarked tumbling-window value counts —
+    the streaming heavy-hitters face) equals the batch windowed count for
+    every closed window.  Both files land in ONE trigger: the halves are
+    id-interleaved in event time, so feeding them as separate batches
+    would legitimately drop half-b rows older than half-a's watermark —
+    that's the documented late-data contract, not what this test pins."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.sources.catalog import load_events
+    from hugegraph_on_tikv_spark.streaming.ingest import stream_windowed_counts
+    from hugegraph_on_tikv_spark.streaming.stream_joins import ntz_as_utc_instant
+
+    events = load_events(spark, "/root/testdata/sf0.001") \
+        .select("event_id", "ts", "event_type")
+    src = str(tmp_path / "src")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    half_a.write.mode("append").parquet(src)
+    half_b.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out_dir = str(tmp_path / "out")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 2).parquet(src)
+              .withColumn("wts", ntz_as_utc_instant(F.col("ts"))))
+    q = (stream_windowed_counts(stream, "event_type", "wts",
+                                window="1 hour", watermark="30 minutes")
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir) \
+        .withColumn("ws", F.col("window_start").cast("long"))
+    batch = (events.withColumn("wts", ntz_as_utc_instant(F.col("ts")))
+             .groupBy(F.window("wts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("ws", F.col("w.start").cast("long")))
+    got_set = {(r["ws"], r["value"], r["n_occurrences"])
+               for r in got.collect()}
+    want_set = {(r["ws"], r["event_type"], r["n"]) for r in batch.collect()}
+    # availableNow flushes every window at end-of-stream: exact equality
+    assert got_set == want_set and got_set
+
+
+def test_stream_windowed_counts_min_count_filter(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.sources.catalog import load_events
+    from hugegraph_on_tikv_spark.streaming.ingest import stream_windowed_counts
+    from hugegraph_on_tikv_spark.streaming.stream_joins import ntz_as_utc_instant
+
+    events = load_events(spark, "/root/testdata/sf0.001") \
+        .select("event_id", "ts", "event_type")
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withColumn("wts", ntz_as_utc_instant(F.col("ts"))))
+    out_dir = str(tmp_path / "out")
+    q = (stream_windowed_counts(stream, "event_type", "wts",
+                                window="6 hours", watermark="30 minutes",
+                                min_count=5)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    assert got.agg(F.min("n_occurrences")).first()[0] >= 5
