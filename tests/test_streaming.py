@@ -768,10 +768,11 @@ def test_cohort_retention_semantics(spark):
 def test_stream_windowed_counts_equals_batch(spark, tmp_path):
     """stream_windowed_counts (watermarked tumbling-window value counts —
     the streaming heavy-hitters face) equals the batch windowed count for
-    every closed window.  Both files land in ONE trigger: the halves are
-    id-interleaved in event time, so feeding them as separate batches
-    would legitimately drop half-b rows older than half-a's watermark —
-    that's the documented late-data contract, not what this test pins."""
+    every window.  Both files land in ONE trigger (id-interleaved halves
+    fed as separate batches would legitimately drop half-b rows older
+    than half-a's watermark — the documented late-data contract), and the
+    sink runs complete-mode to memory so the comparison includes the tail
+    windows append mode would hold back behind the final watermark."""
     from pyspark.sql import functions as F
 
     from hugegraph_on_tikv_spark.sources.catalog import load_events
@@ -787,19 +788,18 @@ def test_stream_windowed_counts_equals_batch(spark, tmp_path):
     half_b.write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
-    out_dir = str(tmp_path / "out")
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 2).parquet(src)
               .withColumn("wts", ntz_as_utc_instant(F.col("ts"))))
     q = (stream_windowed_counts(stream, "event_type", "wts",
                                 window="1 hour", watermark="30 minutes")
-         .writeStream.format("parquet")
-         .option("path", out_dir)
+         .writeStream.format("memory").queryName("win_counts_stream")
+         .outputMode("complete")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
 
-    got = spark.read.parquet(out_dir) \
+    got = spark.table("win_counts_stream") \
         .withColumn("ws", F.col("window_start").cast("long"))
     batch = (events.withColumn("wts", ntz_as_utc_instant(F.col("ts")))
              .groupBy(F.window("wts", "1 hour").alias("w"), "event_type")
