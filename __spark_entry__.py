@@ -4267,17 +4267,23 @@ _PII_SUFFIX = (" contact bob@example.com or +1 (555) 123-4567"
                " ssn 123-45-6789")
 
 
-def _pii_counts_sql() -> str:
+def _pii_chain_sql(cur: str) -> tuple[list[str], str]:
+    """(per-pattern count selects, fully-redacted expr) for a text expr —
+    the DuckDB twin of text.pii_counts' fixed-order chain."""
     from hugegraph_on_tikv_spark.functions.text import PII_PATTERNS
 
-    injected = ("CASE WHEN doc_id % 10 = 0 THEN text || '" + _PII_SUFFIX
-                + "' ELSE text END")
-    cur = f"coalesce({injected}, '')"
     sels = []
     for name, pat, repl in PII_PATTERNS:
         p = pat.replace("'", "''")
         sels.append(f"len(regexp_extract_all({cur}, '{p}')) AS n_{name}")
         cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    return sels, cur
+
+
+def _pii_counts_sql() -> str:
+    injected = ("CASE WHEN doc_id % 10 = 0 THEN text || '" + _PII_SUFFIX
+                + "' ELSE text END")
+    sels, cur = _pii_chain_sql(f"coalesce({injected}, '')")
     return (f"SELECT doc_id, {', '.join(sels)}, md5({cur}) AS redacted_fp "
             "FROM documents")
 
@@ -4599,6 +4605,131 @@ _register(
              F.round("hub", 6).alias("hub")),
     _hits_sql(),
 )
+
+
+# -- pipe_curate_v3: the complete corpus-assembly program ------------------
+#    near-dedup → quality filter → per-source cap → PII scrub (injected
+#    deterministically, counts + redacted-BPE budget) → leakage-safe
+#    cluster split.  Every stage's drop/assignment count is value-checked;
+#    one tagged-union row carries the whole program.
+
+def _pipe_curate_v3(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+
+    docs = load_table(spark, sf, "documents")
+    clusters = dedup.near_duplicate_clusters(
+        docs, num_hashes=32, rows_per_band=4, k=3, threshold=0.3)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    qm = text.quality_metrics(survivors)
+    kept_ids = qm.filter(
+        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.30)
+        & (F.col("mean_token_len") >= 3.0)).select("doc_id")
+    kept = survivors.join(kept_ids, "doc_id")
+    capped = sampling.cap_per_group(kept, "source", _CURATE_CAP)
+
+    injected = capped.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")))
+    pii = text.pii_counts(injected)
+    redacted = injected.withColumn("text", text.redact_pii(F.col("text")))
+    split = sampling.cluster_safe_split(
+        capped, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters)
+
+    stats = redacted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.bpe_token_estimate(F.col("text")).cast("long"))
+        .alias("total_bpe_tokens"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    surv_n = survivors.agg(F.count(F.lit(1)).alias("n_surv"))
+    kept_n = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    pii_n = pii.agg(F.sum(F.col("n_email") + F.col("n_ssn")
+                          + F.col("n_phone")).alias("n_pii"))
+    split_n = split.agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"))
+    return (
+        stats.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(surv_n))
+        .crossJoin(F.broadcast(kept_n)).crossJoin(F.broadcast(pii_n))
+        .crossJoin(F.broadcast(split_n))
+        .select(
+            "n_docs",
+            (F.col("n_total") - F.col("n_surv")).alias("n_dropped_neardup"),
+            (F.col("n_surv") - F.col("n_kept")).alias("n_dropped_quality"),
+            (F.col("n_kept") - F.col("n_docs")).alias("n_dropped_cap"),
+            "total_bpe_tokens", "n_pii", "n_train", "n_val", "n_test",
+        )
+    )
+
+
+def _pipe_curate_v3_sql() -> str:
+    pii_sels, pii_red = _pii_chain_sql("inj.text")
+    split_case = _split_sql_oracle(
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="COALESCE(cl.cluster_id, c.doc_id)")
+    return f"""
+    WITH clusters AS MATERIALIZED (
+      {_near_clusters_sql()}
+    ), survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / greatest(len(toks), 1), 4) AS mean_token_len,
+        round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+              * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+      FROM (SELECT doc_id, text, {TOKENS_SQL.format(col="text")} AS toks FROM survivors)
+    ), kept AS MATERIALIZED (
+      SELECT s.doc_id, s.text, s.source FROM survivors s JOIN m USING (doc_id)
+      WHERE n_tokens >= 20 AND stopword_ratio <= 0.30 AND mean_token_len >= 3.0
+    ), capped AS MATERIALIZED (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ''), 1, 12)) AS UBIGINT) AS BIGINT) % 10000,
+                          doc_id) AS rn
+        FROM kept) WHERE rn <= {_CURATE_CAP}
+    ), inj AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || '{_PII_SUFFIX}'
+                          ELSE text END AS text
+      FROM capped
+    ), pii AS MATERIALIZED (
+      SELECT doc_id, {', '.join(pii_sels)}, {pii_red} AS rtext FROM inj
+    ), sp AS MATERIALIZED (
+      SELECT c.doc_id, {split_case} AS split
+      FROM capped c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM capped) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM survivors)
+                AS BIGINT) AS n_dropped_neardup,
+           CAST((SELECT count(*) FROM survivors) - (SELECT count(*) FROM kept)
+                AS BIGINT) AS n_dropped_quality,
+           CAST((SELECT count(*) FROM kept) - (SELECT count(*) FROM capped)
+                AS BIGINT) AS n_dropped_cap,
+           CAST((SELECT SUM(list_sum(list_transform(
+                    regexp_extract_all(lower(rtext), '[a-z]+|[0-9]+'),
+                    p -> CAST(ceil(length(p) / 4.0) AS INTEGER)))) FROM pii)
+                AS BIGINT) AS total_bpe_tokens,
+           CAST((SELECT SUM(n_email + n_ssn + n_phone) FROM pii) AS BIGINT)
+                AS n_pii,
+           CAST((SELECT count(*) FROM sp WHERE split = 'train') AS BIGINT)
+                AS n_train,
+           CAST((SELECT count(*) FROM sp WHERE split = 'val') AS BIGINT)
+                AS n_val,
+           CAST((SELECT count(*) FROM sp WHERE split = 'test') AS BIGINT)
+                AS n_test
+    """
+
+
+_register("pipe_curate_v3", _pipe_curate_v3, _pipe_curate_v3_sql())
 
 
 # ===========================================================================
@@ -5077,6 +5208,24 @@ _compose("text_quality_suite", [
      "'df_stats' AS tag, doc_id, CAST(n_distinct_tokens AS DOUBLE) AS n_tokens, "
      "CAST(sum_df AS DOUBLE) AS mean_token_len, mean_df AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # v3 = the complete program; the split/PII counts ride the tag string,
+    # the doubles carry the same stage-drop layout as v2 (BPE budget is
+    # post-redaction)
+    ("pipe_curate_v3",
+     ["concat('curated_v3_', CAST(n_train AS STRING), '_', "
+      "CAST(n_val AS STRING), '_', CAST(n_test AS STRING), '_', "
+      "CAST(n_pii AS STRING)) AS tag",
+      "n_docs AS doc_id", "CAST(total_bpe_tokens AS DOUBLE) AS n_tokens",
+      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len",
+      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio",
+      "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"],
+     "'curated_v3_' || CAST(n_train AS VARCHAR) || '_' || "
+     "CAST(n_val AS VARCHAR) || '_' || CAST(n_test AS VARCHAR) || '_' || "
+     "CAST(n_pii AS VARCHAR) AS tag, "
+     "n_docs AS doc_id, CAST(total_bpe_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
+     "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "
+     "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"),
     # PII scrubbing: counts ride the doubles, the redacted-text fingerprint
     # rides inside the tag (the value-hash then pins the full redaction)
     ("text_pii",
