@@ -4607,6 +4607,47 @@ _register(
 )
 
 
+# -- link prediction (analytics.link_prediction) ---------------------------
+
+_register(
+    "g_link_prediction",
+    # top-1000 co-purchase candidates on the order-part graph; hub pivot
+    # cap 50 bounds the wedge join (the LSH-bucket-cap posture)
+    lambda spark, sf: analytics.link_prediction(
+        GraphStore(spark, sf).edges().filter(F.col("label") == "contains"),
+        max_neighbor_degree=50)
+    .orderBy(F.col("ra_score").desc(), F.col("a").asc(), F.col("b").asc())
+    .limit(1000),
+    f"""
+    WITH {graph_ctes()},
+    canon AS MATERIALIZED (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM edges WHERE label = 'contains' AND src <> dst GROUP BY 1, 2
+    ), adj AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM canon UNION ALL SELECT v, u FROM canon
+    ), deg AS MATERIALIZED (
+      SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a
+    ), wd AS MATERIALIZED (
+      SELECT adj.a, adj.b, deg.deg FROM adj JOIN deg ON adj.b = deg.id
+      WHERE deg.deg <= 50
+    ), pairs AS MATERIALIZED (
+      SELECT l.a AS u, r.a AS v, CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(CAST(round(1000000.0 / l.deg) AS BIGINT)) AS BIGINT) AS ra_q
+      FROM wd l JOIN wd r ON l.b = r.b AND l.a < r.a
+      GROUP BY l.a, r.a
+    ), pp AS MATERIALIZED (
+      SELECT p.* FROM pairs p LEFT JOIN canon c ON p.u = c.u AND p.v = c.v
+      WHERE c.u IS NULL
+    )
+    SELECT pp.u AS a, pp.v AS b, common_neighbors,
+           common_neighbors / (du.deg + dv.deg - common_neighbors) AS jaccard,
+           ra_q / 1000000.0 AS ra_score
+    FROM pp JOIN deg du ON pp.u = du.id JOIN deg dv ON pp.v = dv.id
+    ORDER BY ra_score DESC, a ASC, b ASC LIMIT 1000
+    """,
+)
+
+
 # -- pipe_curate_v3: the complete corpus-assembly program ------------------
 #    near-dedup → quality filter → per-source cap → PII scrub (injected
 #    deterministically, counts + redacted-BPE budget) → leakage-safe
@@ -5099,6 +5140,16 @@ _compose("g_neighborhood", [
      "'triangles' AS tag, CAST(NULL AS DOUBLE) AS id, CAST(NULL AS DOUBLE) AS out_degree, "
      "CAST(NULL AS DOUBLE) AS in_degree, CAST(n_triangles AS DOUBLE) AS metric, "
      "CAST(NULL AS DOUBLE) AS agg_msg"),
+    # link-prediction pairs: id/out_degree carry (a, b); in_degree the
+    # common-neighbor count; metric jaccard; agg_msg the quantized RA score
+    ("g_link_prediction",
+     ["'linkpred' AS tag", "CAST(a AS DOUBLE) AS id",
+      "CAST(b AS DOUBLE) AS out_degree",
+      "CAST(common_neighbors AS DOUBLE) AS in_degree", "jaccard AS metric",
+      "ra_score AS agg_msg"],
+     "'linkpred' AS tag, CAST(a AS DOUBLE) AS id, CAST(b AS DOUBLE) AS out_degree, "
+     "CAST(common_neighbors AS DOUBLE) AS in_degree, jaccard AS metric, "
+     "ra_score AS agg_msg"),
     ("g_summary",
      ["'summary' AS tag", "CAST(n_vertices AS DOUBLE) AS id",
       "CAST(n_edges AS DOUBLE) AS out_degree",

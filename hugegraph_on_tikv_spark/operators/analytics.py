@@ -291,6 +291,63 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
+def link_prediction(edges: DataFrame, max_neighbor_degree: int | None = None,
+                    exclude_existing: bool = True,
+                    ra_scale: int = 1_000_000) -> DataFrame:
+    """Neighborhood-overlap link-prediction scores for every candidate
+    pair sharing ≥1 neighbor in the undirected simple graph:
+    (a, b [a < b], common_neighbors, jaccard, ra_score).
+
+    * common_neighbors — |N(a) ∩ N(b)| (exact count)
+    * jaccard — cn / (deg(a) + deg(b) - cn): ONE integer division, so the
+      double is engine-identical
+    * ra_score — resource-allocation index Σ_{w∈N(a)∩N(b)} 1/deg(w),
+      QUANTIZED: each term is round(ra_scale/deg(w)) summed as integers
+      (order-independent) and divided once at the end — the same
+      exactification trick as harmonic closeness.  (Adamic-Adar's 1/log
+      deg is libm-unportable; RA is its rational sibling.)
+
+    Scale: the candidate pairs come from the wedge self-join on the shared
+    neighbor — a vertex of degree d contributes d·(d-1)/2 pairs, so one
+    hub makes the join quadratic.  `max_neighbor_degree` drops wedges
+    through hubs above the cap BEFORE the join (mirrored in any oracle):
+    hubs contribute near-zero RA weight (1/deg) and inflate Jaccard
+    denominators anyway, so the cap trades negligible signal for the
+    quadratic term — the same bounded-bucket posture as LSH's
+    max_bucket_size."""
+    canon = _undirected_simple(edges)                 # (u < v), each once
+    adj = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(canon.select(F.col("v").alias("a"),
+                                     F.col("u").alias("b"))))
+    deg = adj.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    wd = adj.join(deg.withColumnRenamed("id", "b"), "b")
+    if max_neighbor_degree is not None:
+        wd = wd.filter(F.col("deg") <= max_neighbor_degree)
+    left = wd.select(F.col("a").alias("u"), F.col("b").alias("w"),
+                     F.col("deg").alias("wdeg"))
+    right = wd.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    pairs = (left.join(right, "w")
+             .filter(F.col("u") < F.col("v"))
+             .groupBy("u", "v")
+             .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                  F.sum(F.round(F.lit(float(ra_scale)) / F.col("wdeg"))
+                        .cast("long")).alias("ra_q")))
+    if exclude_existing:
+        pairs = pairs.join(canon, ["u", "v"], "left_anti")
+    pairs = (pairs
+             .join(deg.select(F.col("id").alias("u"),
+                              F.col("deg").alias("deg_u")), "u")
+             .join(deg.select(F.col("id").alias("v"),
+                              F.col("deg").alias("deg_v")), "v"))
+    return pairs.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), "common_neighbors",
+        (F.col("common_neighbors")
+         / (F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors"))
+         ).alias("jaccard"),
+        (F.col("ra_q") / F.lit(float(ra_scale))).alias("ra_score"))
+
+
 def strongly_connected_components(edges: DataFrame, max_rounds: int = 4,
                                   prop_iterations: int = 12,
                                   trim_iterations: int = 10) -> DataFrame:

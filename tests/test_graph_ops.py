@@ -321,3 +321,49 @@ def test_hits_known_values(spark):
     assert 0.0 <= got[4]["hub"] < 1.0
     # sources have no in-links: zero authority
     assert got[1]["auth"] == 0.0 and got[5]["hub"] == 0.0
+
+
+def test_link_prediction_known_values(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import link_prediction
+
+    # path graph 1-2-3 plus 1-4, 3-4: candidates (1,3) share {2,4}; (2,4)
+    # share {1,3}; existing edges excluded
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (3, 4)], "src long, dst long")
+    got = {(r["a"], r["b"]): r for r in link_prediction(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    r13 = got[(1, 3)]
+    assert r13["common_neighbors"] == 2
+    # deg(1)=deg(3)=2 -> jaccard = 2/(2+2-2) = 1.0
+    assert r13["jaccard"] == 1.0
+    # RA = 1/deg(2) + 1/deg(4) = 0.5 + 0.5
+    assert r13["ra_score"] == 1.0
+
+
+def test_link_prediction_hub_cap_drops_wedges(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import link_prediction
+
+    # hub 100 connects 1..5 (deg 5); 1-2 also share low-degree 7
+    edges = spark.createDataFrame(
+        [(100, i) for i in range(1, 6)] + [(1, 7), (2, 7)],
+        "src long, dst long")
+    capped = {(r["a"], r["b"]) for r in
+              link_prediction(edges, max_neighbor_degree=3).collect()}
+    # wedges through the hub (deg 5) are gone: no (3,4)-style pairs; what
+    # survives pivots through the low-degree vertices (7, and 1/2 for the
+    # (7,100) pair)
+    assert capped == {(1, 2), (7, 100)}
+    full = {(r["a"], r["b"]) for r in link_prediction(edges).collect()}
+    assert (3, 4) in full and len(full) > len(capped)
+
+
+def test_link_prediction_keep_existing_edges_option(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import link_prediction
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long")  # triangle
+    none = link_prediction(edges).count()
+    assert none == 0                       # every pair already linked
+    kept = {(r["a"], r["b"]) for r in
+            link_prediction(edges, exclude_existing=False).collect()}
+    assert kept == {(1, 2), (1, 3), (2, 3)}
