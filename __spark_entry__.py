@@ -923,6 +923,28 @@ def _walks_sql() -> str:
 
 _register("g_walks", _g_walks, _walks_sql())
 
+
+def _g_skipgram(spark: SparkSession, sf: str) -> DataFrame:
+    return analytics.skipgram_pairs(_g_walks(spark, sf), window=2)
+
+
+_register(
+    "g_skipgram_pairs",
+    # walks → word2vec training pairs: the node2vec data path end to end
+    _g_skipgram,
+    f"""
+    WITH walks AS MATERIALIZED (
+      SELECT * FROM (
+      {_walks_sql()}
+      ) q
+    )
+    SELECT l.vertex AS center, r.vertex AS context,
+           CAST(r.step - l.step AS INTEGER) AS step_offset
+    FROM walks l JOIN walks r ON l.wid = r.wid
+    WHERE r.step <> l.step AND abs(r.step - l.step) <= 2
+    """,
+)
+
 # -- personalized PageRank: reset mass lands only on a seed set, ranks
 #    measure proximity to the seeds (same iteration plan, teleport vector
 #    as one literal isin column) ------------------------------------------
@@ -5123,6 +5145,13 @@ _compose("g_khop2", [
     ("g_walks",
      ["'walk' AS tag", "vertex AS id", "CAST(wid * 100 + step AS INT) AS hops"],
      "'walk' AS tag, vertex AS id, CAST(wid * 100 + step AS INTEGER) AS hops"),
+    # skip-gram pairs: hops packs (context, step_offset) losslessly — it is
+    # in [-2,2] so context*10 + (offset+2) stays inside int64
+    ("g_skipgram_pairs",
+     ["'skipgram' AS tag", "center AS id",
+      "CAST(context * 10 + (step_offset + 2) AS BIGINT) AS hops"],
+     "'skipgram' AS tag, center AS id, "
+     "CAST(context * 10 + (step_offset + 2) AS BIGINT) AS hops"),
 ])
 
 _compose("g_neighborhood", [

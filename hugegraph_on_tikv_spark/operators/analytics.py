@@ -291,6 +291,30 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context) training pairs from random_walks output — the
+    step between walks and word2vec-style embedding training: within each
+    walk, every ordered pair of vertices at distance 1..window co-occurs.
+    Returns (center, context, step_offset) with multiplicity (a pair
+    co-occurring at several positions yields several rows, exactly the
+    corpus a skip-gram sampler wants).
+
+    One self-join per walk id with a bounded step-distance predicate —
+    walks are short (length L), so each walk contributes ≤ 2·L·window
+    rows; the join key is wid, pre-partitioned by the walk generator."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    l = walks.select(F.col("wid"), F.col("step").alias("s_c"),
+                     F.col("vertex").alias("center"))
+    r = walks.select(F.col("wid"), F.col("step").alias("s_x"),
+                     F.col("vertex").alias("context"))
+    return (l.join(r, "wid")
+            .filter((F.col("s_x") != F.col("s_c"))
+                    & (F.abs(F.col("s_x") - F.col("s_c")) <= window))
+            .select("center", "context",
+                    (F.col("s_x") - F.col("s_c")).alias("step_offset")))
+
+
 def link_prediction(edges: DataFrame, max_neighbor_degree: int | None = None,
                     exclude_existing: bool = True,
                     ra_scale: int = 1_000_000) -> DataFrame:

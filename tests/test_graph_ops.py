@@ -367,3 +367,25 @@ def test_link_prediction_keep_existing_edges_option(spark):
     kept = {(r["a"], r["b"]) for r in
             link_prediction(edges, exclude_existing=False).collect()}
     assert kept == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_skipgram_pairs_window(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [(0, 0, 10), (0, 1, 20), (0, 2, 30), (0, 3, 40),
+         (1, 0, 10), (1, 1, 50)],
+        "wid int, step int, vertex long")
+    got = {(r["center"], r["context"], r["step_offset"])
+           for r in skipgram_pairs(walks, window=2).collect()}
+    # walk 0: 10's contexts are 20 (+1) and 30 (+2) but NOT 40 (+3)
+    assert (10, 20, 1) in got and (10, 30, 2) in got
+    assert not any(c == 10 and x == 40 for c, x, _ in got)
+    # symmetric negative offsets exist
+    assert (30, 10, -2) in got
+    # walks never mix: walk 1's 50 only pairs with its own 10
+    assert (50, 10, -1) in got and (50, 20, -1) not in got
+    # total: walk0 has 4 vertices -> 2*(3+2) = 10 pairs; walk1 -> 2
+    assert len(got) == 12
+    with pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)
