@@ -338,7 +338,8 @@ def main() -> None:
         for name in ("asof_last_view", "contamination", "g_walks", "cm_sketch",
                      "g_kcore", "g_clustering", "sim_quantized_topk",
                      "bm25_ranked", "sim_hybrid_rrf", "profile_orders",
-                     "cdc_table_changes"):
+                     "cdc_table_changes", "stats_corr", "integrity_checksum",
+                     "scd2_history", "g_link_prediction"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():
