@@ -4795,6 +4795,66 @@ def _pipe_curate_v3_sql() -> str:
 _register("pipe_curate_v3", _pipe_curate_v3, _pipe_curate_v3_sql())
 
 
+# -- equi-depth histogram + corpus top n-grams -----------------------------
+
+def _equidepth_sql(nbins: int = 8) -> str:
+    edges = ", ".join(
+        f"percentile_disc({i / nbins}) WITHIN GROUP (ORDER BY x) AS q{i}"
+        for i in range(1, nbins + 1))
+    bin_case = ("CASE " + " ".join(
+        f"WHEN x <= q{i} THEN {i - 1}" for i in range(1, nbins))
+        + f" ELSE {nbins - 1} END")
+    hi_case = ("CASE " + " ".join(
+        f"WHEN bin = {i - 1} THEN q{i}" for i in range(1, nbins + 1))
+        + " END")
+    qcols = ", ".join(f"q{i}" for i in range(1, nbins + 1))
+    return f"""
+    WITH base AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ), e AS (
+      SELECT {edges} FROM base
+    ), binned AS (
+      SELECT {bin_case} AS bin, {qcols} FROM base, e
+    )
+    SELECT bin, {hi_case} AS bin_hi, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, {qcols}
+    """
+
+
+_register(
+    "profile_equidepth",
+    # exact percentile_disc edges -> engine-reproducible equi-depth bins
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.profiling",
+        fromlist=["histogram_equidepth"]).histogram_equidepth(
+        load_table(spark, sf, "orders"), "o_totalprice", nbins=8),
+    _equidepth_sql(8),
+)
+
+_register(
+    "text_top_ngrams",
+    # corpus catchphrase detector: top-20 bigrams, multiset counts
+    lambda spark, sf: text.corpus_top_ngrams(
+        load_table(spark, sf, "documents"), n=2, k=20),
+    f"""
+    WITH grams AS (
+      SELECT unnest({word_shingles_sql(TOKENS_SQL.format(col="coalesce(text, '')"), 2)}) AS ngram
+      FROM documents
+    ), counts AS (
+      SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM grams GROUP BY ngram
+    ), ranked AS (
+      SELECT ngram, n_occurrences,
+             CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC)
+                  AS INTEGER) AS rank
+      FROM counts
+    )
+    SELECT ngram, n_occurrences, rank FROM ranked WHERE rank <= 20
+    """,
+)
+
+
 # ===========================================================================
 # FINAL ROSTER — driver-visible queries()/oracle_sql()
 #
@@ -5594,6 +5654,24 @@ _compose("a1_agg_counts", [
      "'hist' AS tag, CAST(bin AS VARCHAR) AS k, bin_lo AS v_min, "
      "bin_hi AS v_max, CAST(NULL AS DOUBLE) AS v_sum, "
      "CAST(NULL AS DOUBLE) AS v_avg, CAST(n AS DOUBLE) AS n"),
+    # equi-depth histogram (k = bin, v_max = exact percentile edge)
+    ("profile_equidepth",
+     ["'eqdepth' AS tag", "CAST(bin AS STRING) AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "bin_hi AS v_max",
+      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(n AS DOUBLE) AS n"],
+     "'eqdepth' AS tag, CAST(bin AS VARCHAR) AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, bin_hi AS v_max, "
+     "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(n AS DOUBLE) AS n"),
+    # corpus top bigrams (k = ngram, v_avg = rank, n = count)
+    ("text_top_ngrams",
+     ["'ngrams' AS tag", "ngram AS k", "CAST(NULL AS DOUBLE) AS v_min",
+      "CAST(NULL AS DOUBLE) AS v_max", "CAST(NULL AS DOUBLE) AS v_sum",
+      "CAST(rank AS DOUBLE) AS v_avg", "CAST(n_occurrences AS DOUBLE) AS n"],
+     "'ngrams' AS tag, ngram AS k, CAST(NULL AS DOUBLE) AS v_min, "
+     "CAST(NULL AS DOUBLE) AS v_max, CAST(NULL AS DOUBLE) AS v_sum, "
+     "CAST(rank AS DOUBLE) AS v_avg, CAST(n_occurrences AS DOUBLE) AS n"),
     # exact-integer Pearson pairs (k = "col_a:col_b", v_avg = corr)
     ("stats_corr",
      ["'corr' AS tag", "concat(col_a, ':', col_b) AS k",

@@ -132,6 +132,43 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
                 "n"))
 
 
+def histogram_equidepth(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
+    """Equi-depth histogram: (bin, bin_hi, n) where bin_hi is the EXACT
+    percentile_disc(i/nbins) edge — an actual data value, so any ANSI
+    engine reproduces the identical boundaries (the property splits() uses
+    for shard metadata; approx sketches trade that away).  Bin of x = the
+    first edge ≥ x; duplicate-heavy columns legitimately yield empty bins
+    between repeated edges rather than misassigned rows.
+
+    One exact-percentile aggregate (state bounded by the column's distinct
+    count on one reducer — same caveat as splits(exact=True)), broadcast
+    back as a scalar row, then one groupBy."""
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    base = df.filter(F.col(col).isNotNull()) \
+        .select(F.col(col).cast("double").alias("x"))
+    edges = base.agg(*[
+        F.expr(f"percentile_disc({i / nbins}) WITHIN GROUP (ORDER BY x)")
+        .alias(f"q{i}") for i in range(1, nbins + 1)])
+    binned = base.join(F.broadcast(edges))
+    bin_expr = None
+    for i in range(1, nbins):
+        cond = F.col("x") <= F.col(f"q{i}")
+        bin_expr = (F.when(cond, i - 1) if bin_expr is None
+                    else bin_expr.when(cond, i - 1))
+    bin_expr = (F.lit(0) if bin_expr is None
+                else bin_expr.otherwise(nbins - 1))
+    binned = binned.select(bin_expr.alias("bin"),
+                           *[F.col(f"q{i}") for i in range(1, nbins + 1)])
+    hi = None
+    for i in range(1, nbins + 1):
+        cond = F.col("bin") == i - 1
+        hi = F.when(cond, F.col(f"q{i}")) if hi is None else hi.when(cond, F.col(f"q{i}"))
+    return (binned.groupBy("bin", *[f"q{i}" for i in range(1, nbins + 1)])
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin", hi.alias("bin_hi"), "n"))
+
+
 def checksum_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """Buckets where two checksum tables disagree (full-outer on bucket):
     the scope an anti-entropy repair has to rescan."""

@@ -138,6 +138,28 @@ def pii_counts(df: DataFrame, text_col: str = "text",
                            ).alias("redacted_fp"))
 
 
+def corpus_top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+                      text_col: str = "text") -> DataFrame:
+    """Top-k most frequent word n-grams across the corpus — the quick
+    boilerplate/catchphrase detector: (ngram, n_occurrences, rank) ranked
+    by (count DESC, ngram ASC).  Explode + one map-side-combinable groupBy
+    + a TakeOrderedAndProject cut; reuses dedup.word_shingles (multiset
+    form — every occurrence counts)."""
+    from .dedup import word_shingles
+
+    grams = df.select(
+        F.explode(word_shingles(F.coalesce(F.col(text_col), F.lit("")), n))
+        .alias("ngram"))
+    counts = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    top = (counts.orderBy(F.col("n_occurrences").desc(),
+                          F.col("ngram").asc()).limit(k))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def bpe_token_estimate(col: Column) -> Column:
     """BPE-ish token-count estimator without a vocabulary: whitespace words
     are split at letter/digit boundaries, and each piece contributes

@@ -409,8 +409,10 @@ def test_whole_roster_lints_clean(spark):
         # broadcast join — the same scalar pattern as q11/q22
         "bm25_ranked": {"cartesian"},
         "sim_hybrid_rrf": {"cartesian"},
-        # histogram's min/max scalar row broadcasts back the same way
+        # histograms' min/max / percentile-edge scalar rows broadcast back
+        # the same way
         "profile_histogram": {"cartesian"},
+        "profile_equidepth": {"cartesian"},
         # non-pushable BY DESIGN: a deterministic hash split (md5 % N) can
         # never reach a parquet scan — it must read every row to decide
         "contamination": {"unfiltered-scan"},

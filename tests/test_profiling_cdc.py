@@ -222,3 +222,37 @@ def test_histogram_constant_column(spark):
     df = spark.createDataFrame([(5.0,)] * 4, "x double")
     rows = histogram(df, "x", nbins=4).collect()
     assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 4
+
+
+def test_histogram_equidepth_bins(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import histogram_equidepth
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 13)], "x double")
+    rows = {r["bin"]: r for r in histogram_equidepth(df, "x", nbins=4).collect()}
+    # 12 values into 4 bins of 3; edges are actual data values
+    assert {b: rows[b]["n"] for b in rows} == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert rows[0]["bin_hi"] == 3.0 and rows[3]["bin_hi"] == 12.0
+
+
+def test_histogram_equidepth_duplicate_heavy(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import histogram_equidepth
+
+    df = spark.createDataFrame([(1.0,)] * 9 + [(5.0,)], "x double")
+    rows = {r["bin"]: r["n"] for r in
+            histogram_equidepth(df, "x", nbins=4).collect()}
+    # repeated edges: all the 1.0s land in bin 0, the 5.0 in the last bin
+    assert rows[0] == 9 and rows[3] == 1 and 1 not in rows
+
+
+def test_corpus_top_ngrams(spark):
+    from hugegraph_on_tikv_spark.functions.text import corpus_top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, None)],
+        "doc_id long, text string")
+    got = [(r["ngram"], r["n_occurrences"], r["rank"])
+           for r in corpus_top_ngrams(docs, n=2, k=3).orderBy("rank").collect()]
+    # 'a b' occurs 3x (twice in doc 1, once in doc 2)
+    assert got[0] == ("a b", 3, 1)
+    assert {g[0] for g in got} <= {"a b", "b a", "b c", "b x"}
+    assert len(got) == 3
