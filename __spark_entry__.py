@@ -4516,6 +4516,15 @@ _register(
 
 # -- anti-entropy table checksums (functions/profiling.py) -----------------
 
+def _checksum_canon_sql(col: str) -> str:
+    """DuckDB mirror of table_checksum's injective value encoding:
+    escape backslash, the '|' separator, and the NUL sentinel, then
+    COALESCE NULL to bare NUL (profiling.py _canon)."""
+    return ("COALESCE(replace(replace(replace(CAST(" + col +
+            " AS VARCHAR), '\\', '\\\\'), '|', '\\|'), chr(0), '\\0'), "
+            "chr(0))")
+
+
 def _integrity_checksum(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.profiling import table_checksum
 
@@ -4533,10 +4542,10 @@ _register(
     f"""
     WITH enc AS (
       SELECT concat_ws('|',
-               COALESCE(CAST(c_custkey AS VARCHAR), chr(0)),
-               COALESCE(CAST(c_name AS VARCHAR), chr(0)),
-               COALESCE(CAST(c_nationkey AS VARCHAR), chr(0)),
-               COALESCE(CAST(c_mktsegment AS VARCHAR), chr(0))) AS e,
+               {_checksum_canon_sql('c_custkey')},
+               {_checksum_canon_sql('c_name')},
+               {_checksum_canon_sql('c_nationkey')},
+               {_checksum_canon_sql('c_mktsegment')}) AS e,
              c_custkey
       FROM customer
     ), hashed AS (

@@ -80,7 +80,10 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None,
 
     Per row: md5 over the canonical encoding (columns joined by '|' with a
     NUL sentinel for NULL — concat_ws would silently SKIP nulls and make
-    ('a', NULL) collide with (NULL, 'a')), folded to 60 bits.  Per bucket
+    ('a', NULL) collide with (NULL, 'a'); values are escaped ``\\``→``\\\\``,
+    ``|``→``\\|``, NUL→``\\0`` so the encoding is INJECTIVE — without it
+    ('a|b','c') and ('a','b|c') would checksum identically), folded to 60
+    bits.  Per bucket
     (md5 of the id/whole row, mod buckets): n_rows and the BIT_XOR of the
     row hashes — XOR is commutative/associative, so the aggregate is
     order- and partitioning-independent, map-side combinable, and two
@@ -90,9 +93,15 @@ def table_checksum(df: DataFrame, cols: list[str] | None = None,
     first: float→string formatting is not engine-portable, integers and
     strings are."""
     cols = list(cols) if cols is not None else list(df.columns)
-    enc = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL))
-               for c in cols])
+
+    def _canon(c: str):
+        v = F.col(c).cast("string")
+        v = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+        v = F.replace(v, F.lit("|"), F.lit("\\|"))
+        v = F.replace(v, F.lit(NULL_SENTINEL), F.lit("\\0"))
+        return F.coalesce(v, F.lit(NULL_SENTINEL))
+
+    enc = F.concat_ws("|", *[_canon(c) for c in cols])
     row_h = F.conv(F.substring(F.md5(enc), 1, 15), 16, 10).cast("long")
     bucket_src = F.col(id_col).cast("string") if id_col else enc
     bucket = (F.conv(F.substring(F.md5(bucket_src), 1, 12), 16, 10)
@@ -222,8 +231,18 @@ def corr_pairs(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
     # which cannot push to the parquet scan; IsNotNull conjuncts can.
     for c in cols:
         df = df.filter(F.col(c).isNotNull())
-    q = {c: F.expr(f"CAST(round({c} * {scale}) AS DECIMAL(18,0))")
-         for c in cols}
+    # Overflow must fail LOUDLY: under non-ANSI mode a bare CAST of an
+    # overflowing round(x*scale) yields NULL, which SUM silently skips
+    # while n_pairs still counts the row — a quietly wrong r.  Guard each
+    # value at 9e17 (conservatively under DECIMAL(18,0)'s 1e18-1, beyond
+    # double ulp) and raise_error past it.
+    q = {c: F.expr(
+        f"CASE WHEN abs(round({c} * {scale})) < 9e17 "
+        f"THEN CAST(round({c} * {scale}) AS DECIMAL(18,0)) "
+        f"ELSE CAST(raise_error('corr_pairs: {c} * {scale} overflows "
+        f"the exact-integer quantization; lower scale') "
+        f"AS DECIMAL(18,0)) END")
+        for c in cols}
     aggs = [F.count(F.lit(1)).alias("n_pairs")]
     for i, c in enumerate(cols):
         aggs.append(F.sum(q[c]).alias(f"s_{i}"))

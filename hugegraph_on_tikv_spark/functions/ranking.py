@@ -172,6 +172,7 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, terms: list[str],
 
     kw = bm25_topk(docs, terms, k=per_list_k, id_col=id_col) \
         .select(F.col(id_col), "rank")
-    vec = cosine_topk(query_vec, embeddings, k=per_list_k) \
+    vec = cosine_topk(query_vec, embeddings, k=per_list_k,
+                      id_col=vec_id_col) \
         .select(F.col("neighbor_id").alias(id_col), "rank")
     return rrf_fuse([kw, vec], id_col=id_col, k_rrf=k_rrf, k=k)

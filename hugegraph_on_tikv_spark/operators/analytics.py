@@ -437,6 +437,7 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 4,
         verts = (e.select(F.col("src").alias("id"))
                  .unionByName(e.select(F.col("dst").alias("id"))).distinct())
         colors = verts.withColumn("color", F.col("id"))
+        colors_converged = False
         for i in range(prop_iterations):
             msgs = (e.join(colors.withColumnRenamed("id", "src"), "src")
                     .groupBy(F.col("dst").alias("id"))
@@ -445,16 +446,23 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 4,
                    .select("id", F.least(F.col("color"),
                                          F.coalesce("in_min", F.col("color"))
                                          ).alias("color")))
-            if (i + 1) % 3 == 0:
+            if (i + 1) % 3 == 0 or i == prop_iterations - 1:
                 nxt = nxt.localCheckpoint(eager=True)
                 changed = (nxt.alias("n").join(colors.alias("o"), "id")
                            .filter(F.col("n.color") != F.col("o.color"))
                            .limit(1).count())
                 colors = nxt
                 if changed == 0:
+                    colors_converged = True
                     break
             else:
                 colors = nxt
+        if not colors_converged:
+            # Coloring did not reach fixpoint within the bound: colors are
+            # mixed inside at least one SCC, so any assignment this round
+            # could split a component.  Honor the documented contract —
+            # remaining vertices come back NULL — instead of a wrong merge.
+            break
         colors = colors.localCheckpoint(eager=True)
         # backward membership from each pivot within its color class
         marked = colors.filter(F.col("id") == F.col("color"))
@@ -465,6 +473,7 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 4,
               .filter(F.col("c_src") == F.col("c_dst"))
               .select("src", "dst", F.col("c_src").alias("color"))
               .localCheckpoint(eager=True))
+        marking_converged = False
         for i in range(prop_iterations):
             newly = (ce.join(marked.select(F.col("id").alias("dst"),
                                            F.col("color").alias("m_color")),
@@ -474,8 +483,16 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 4,
                      .join(marked.select("id"), "id", "left_anti"))
             newly = newly.localCheckpoint(eager=True)
             if newly.limit(1).count() == 0:
+                marking_converged = True
                 break
             marked = marked.unionByName(newly).localCheckpoint(eager=True)
+        if not marking_converged:
+            # Backward marking stopped early: `marked` holds only a subset
+            # of each pivot's SCC.  Assigning and peeling the subset would
+            # leave the rest to be trimmed as fake singletons next round —
+            # the wrong-split the contract forbids.  Bail; rest come back
+            # NULL.
+            break
         assigned.append(marked.select("id", F.col("color").alias("scc")))
         e = (e.join(marked.select(F.col("id").alias("src")), "src", "left_anti")
              .join(marked.select(F.col("id").alias("dst")), "dst", "left_anti")

@@ -238,10 +238,17 @@ def scd2_from_changes(changes: DataFrame, keys: list[str],
     One window shuffle on the key — the lead() must be computed BEFORE
     deletes are dropped, or a deleted key's last segment would stay open
     forever.  Scale: exactly the partitioning any per-key history already
-    needs; no self-join, no state."""
+    needs; no self-join, no state.
+
+    Change logs are expected to carry at most one row per (key, batch) —
+    TableCatalog.table_changes guarantees it.  If a producer ever emits
+    two ops for one key in one batch, the window orders them
+    deterministically by (batch, op) so reruns agree; 'delete' sorts
+    first, closing any same-batch segment at zero length."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.col(batch_col).asc())
+    w = Window.partitionBy(*keys).orderBy(F.col(batch_col).asc(),
+                                          F.col(op_col).asc())
     return (
         changes
         .withColumn("valid_to", F.lead(F.col(batch_col)).over(w))

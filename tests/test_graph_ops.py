@@ -305,6 +305,43 @@ def test_scc_long_cycle_converges(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_scc_unconverged_returns_null_not_split(spark):
+    """ADVICE r5 (high): a directed cycle longer than the propagation bound
+    must come back with scc NULL per the documented contract — never split
+    into multiple wrong labels by an unconverged coloring/marking pass."""
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        strongly_connected_components)
+
+    n = 20  # cycle length > default prop_iterations=12
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    got = {r["id"]: r["scc"] for r in
+           strongly_connected_components(
+               spark.createDataFrame(ring, "src long, dst long")).collect()}
+    assert set(got) == set(range(n))
+    assert all(v is None for v in got.values()), got
+
+
+def test_scc_unconverged_marking_returns_null(spark):
+    """Coloring can converge while backward marking still exceeds its bound
+    (marking needs ~cycle-length rounds too).  A long cycle plus a shortcut
+    edge colors fast but must still refuse a partial assignment."""
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        strongly_connected_components)
+
+    n = 20
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    # shortcuts from 0 to every vertex: coloring converges in ~2 rounds
+    # (everyone sees color 0 directly), but marking must still walk the
+    # ring backwards ~n steps to certify membership.
+    shortcuts = [(0, i) for i in range(2, n)]
+    got = {r["id"]: r["scc"] for r in
+           strongly_connected_components(
+               spark.createDataFrame(ring + shortcuts,
+                                     "src long, dst long"),
+               prop_iterations=6).collect()}
+    assert all(v is None for v in got.values()), got
+
+
 def test_hits_known_values(spark):
     from hugegraph_on_tikv_spark.operators.analytics import hits
 

@@ -204,6 +204,56 @@ def test_table_checksum_null_vs_empty_distinct(spark):
     assert ha != hb                  # the NUL sentinel keeps fields aligned
 
 
+def test_table_checksum_separator_injective(spark):
+    """ADVICE r5: values containing the '|' separator must not shift column
+    boundaries — ('a|b','c') and ('a','b|c') checksum differently."""
+    from hugegraph_on_tikv_spark.functions.profiling import table_checksum
+
+    a = spark.createDataFrame([(1, "a|b", "c")], "id long, x string, y string")
+    b = spark.createDataFrame([(1, "a", "b|c")], "id long, x string, y string")
+    ha = table_checksum(a, cols=["x", "y"], id_col="id").collect()[0]["checksum"]
+    hb = table_checksum(b, cols=["x", "y"], id_col="id").collect()[0]["checksum"]
+    assert ha != hb
+    # escape char itself round-trips injectively too
+    c = spark.createDataFrame([(1, "a\\", "|b")], "id long, x string, y string")
+    d = spark.createDataFrame([(1, "a\\|b", None)], "id long, x string, y string")
+    hc = table_checksum(c, cols=["x", "y"], id_col="id").collect()[0]["checksum"]
+    hd = table_checksum(d, cols=["x", "y"], id_col="id").collect()[0]["checksum"]
+    assert hc != hd
+
+
+def test_corr_pairs_overflow_raises(spark):
+    """ADVICE r5: quantization overflow must fail loudly, not NULL-skip."""
+    import pytest as _pytest
+    from hugegraph_on_tikv_spark.functions.profiling import corr_pairs
+
+    df = spark.createDataFrame([(1e18, 1.0), (2.0, 2.0)], "a double, b double")
+    with _pytest.raises(Exception, match="corr_pairs"):
+        corr_pairs(df, ["a", "b"], scale=100).collect()
+    # in-range values still work
+    ok = spark.createDataFrame([(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)],
+                               "a double, b double")
+    r = corr_pairs(ok, ["a", "b"], scale=100).collect()[0]["corr"]
+    assert abs(r - 1.0) < 1e-9
+
+
+def test_hybrid_search_custom_vec_id_col(spark):
+    """ADVICE r5: vec_id_col must reach cosine_topk."""
+    from hugegraph_on_tikv_spark.functions.ranking import hybrid_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "pandas arrow batch"),
+         (3, "spark broadcast join")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "emb_id long, embedding array<double>")
+    qv = spark.createDataFrame([(99, [1.0, 0.0])],
+                               "emb_id long, embedding array<double>")
+    out = hybrid_search(docs, emb, ["spark", "join"], qv, k=3,
+                        vec_id_col="emb_id").collect()
+    assert len(out) > 0 and out[0]["rank"] == 1
+
+
 def test_histogram_bins_and_edges(spark):
     from hugegraph_on_tikv_spark.functions.profiling import histogram
 
