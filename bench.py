@@ -29,6 +29,22 @@ single-pass protocol cannot distinguish that from a plan regression.  Fixes:
 The two legacy series are preserved for cross-round comparability:
 "queries_shared_cache" (round-1 protocol, first after warm-up) and
 "queries"/"value" (round-2 isolated protocol, now median-of-3).
+
+Round-6 artifact split: stdout prints ONE COMPACT JSON line (per-query
+medians, drift flag, twin ratios, series totals) guaranteed under the
+driver's capture limit; the full document — per-run samples, dispersion
+min/max, twin calibration details, layout micro-probes — is written to the
+committed BENCH_FULL.json.  Series semantics (what the full doc's keys
+mean): queries_shared_cache runs FIRST after warm-up (round-1-comparable
+single pass); queries/value is cold-cache isolated (clearCache+GC per
+query), the MEDIAN of 3 series interleaved T S T S T S T with the pinned
+twin; dispersion is the per-query min/max across the 3 runs; pinned_twin
+probes measure THE MACHINE — reference_drift=true means a probe median
+moved >30% from BENCH_TWIN.json calibration and cross-round query deltas
+are suspect; queries_layout / queries_layout_plain run the same graph
+shapes on the dual bucketed layout vs a pre-materialized plain copy (both
+pay read+join only); steady_state is min-of-2 warm repeats of the
+iterative flagship.
 """
 
 from __future__ import annotations
@@ -364,7 +380,14 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    result = {
+    # Round-6 artifact protocol (VERDICT r5 #1): BENCH_r05.json arrived
+    # `parsed: null` because the single JSON line outgrew the driver's
+    # ~2000-char capture.  Now: the FULL document (samples, dispersion,
+    # twin runs, protocol prose — see the module docstring) goes to the
+    # committed BENCH_FULL.json; stdout gets ONE COMPACT line with the
+    # per-query medians and summary flags, hard-capped below the capture
+    # limit by dropping detail sections (never `queries`/`value`).
+    result_full = {
         "metric": "headline_query_total_time",
         "value": round(sum(isolated.values()), 3),
         "unit": "sec",
@@ -379,22 +402,41 @@ def main() -> None:
         "steady_state": steady,
         "dual_edge_layout": layout_metrics,
         "extras": extras,
-        "protocols": "queries_shared_cache runs FIRST after warm-up "
-                     "(round-1-comparable single pass). queries/value: "
-                     "cold-cache isolated (clearCache+GC per query), now the "
-                     "MEDIAN of 3 series interleaved T S T S T S T with the "
-                     "pinned twin; dispersion = per-query min/max. "
-                     "pinned_twin: frozen pyspark-builtin probes measuring "
-                     "the machine — reference_drift=true means a probe "
-                     "median moved >30% from BENCH_TWIN.json calibration and "
-                     "cross-round query deltas are suspect. queries_layout / "
-                     "queries_layout_plain: the same graph shapes on the "
-                     "dual bucketed layout vs a pre-materialized plain copy "
-                     "(both pay read+join only). steady_state: min-of-2 warm "
-                     "repeats of the iterative flagship",
         "sf": sf_val,
     }
-    print(json.dumps(result))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(result_full, f, indent=1)
+        f.write("\n")
+
+    compact = {
+        "metric": "headline_query_total_time",
+        "value": result_full["value"],
+        "unit": "sec",
+        "queries": isolated,
+        "sf": sf_val,
+        "reference_drift": drift_flag,
+        "twin_ratios": {p: e.get("ratio_vs_calibration")
+                        for p, e in twin_out.items()},
+        "shared_cache_total": result_full["shared_cache_total"],
+        "queries_layout": result_full["queries_layout"],
+        "queries_layout_plain": result_full["queries_layout_plain"],
+        "steady_state": steady,
+        "extras": extras,
+        "full_json": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # capture-limit guard: shed detail (kept in BENCH_FULL.json) until the
+    # line fits; queries/value are never shed.
+    for shed in ("extras", "queries_layout_plain", "queries_layout",
+                 "steady_state", "twin_ratios"):
+        if len(line) <= 1800:
+            break
+        compact.pop(shed, None)
+        compact["shed"] = compact.get("shed", []) + [shed]
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
