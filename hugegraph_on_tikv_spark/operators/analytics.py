@@ -504,25 +504,70 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 4,
     return v0.join(out, "id", "left").select("id", "scc")
 
 
+def _degree_oriented(und: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of the canonical undirected edge set:
+    each edge points from its LOWER-degree endpoint to the higher (ties by
+    id).  Returns (x, y, dx, dy) with (dx, x) < (dy, y) lexicographically.
+
+    Why: the oriented out-degree of every vertex is bounded by O(√m)
+    (arboricity bound), so wedge enumeration at the orientation apex is
+    hub-proof — a degree-d celebrity vertex contributes O(√m·d) wedge rows
+    instead of the O(d²) an id-ordered enumeration pays, with EXACTLY the
+    same triangles found.  One degree aggregation + two key joins, all
+    shuffle-partitioned on the vertex id."""
+    deg = (und.select(F.col("u").alias("id"))
+           .unionByName(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("_deg")))
+    e = (und
+         .join(deg.select(F.col("id").alias("u"), F.col("_deg").alias("du")),
+               "u")
+         .join(deg.select(F.col("id").alias("v"), F.col("_deg").alias("dv")),
+               "v"))
+    fwd = (F.col("du") < F.col("dv")) | \
+          ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    return e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("dx"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+
+
+def _oriented_triangles(und: DataFrame) -> DataFrame:
+    """Every triangle of the undirected simple graph, exactly once, as
+    (a, b, c) ranked by the (degree, id) total order (a = apex = minimum).
+
+    Wedges are enumerated at the orientation apex — both wedge arms are
+    OUT-edges of x, so the fan-out is the O(√m)-bounded oriented
+    out-degree — then closed against the oriented edge set: the third edge
+    b—c is oriented b→c precisely because order(b) < order(c), so one
+    equi-join finds it and no triangle is double-counted.
+
+    The oriented edge set is localCheckpoint'ed: it is referenced three
+    times (two wedge arms + the closure), and its lineage may carry an
+    arbitrarily expensive edge-view derivation — materialize once, join
+    three times (the same reuse rule the pagerank state follows)."""
+    o = _degree_oriented(und).localCheckpoint(eager=True)
+    e1 = o.select("x", F.col("y").alias("b"), F.col("dy").alias("db"))
+    e2 = o.select("x", F.col("y").alias("c"), F.col("dy").alias("dc"))
+    wedges = (e1.join(e2, "x")
+              .filter((F.col("db") < F.col("dc")) |
+                      ((F.col("db") == F.col("dc")) &
+                       (F.col("b") < F.col("c")))))
+    return (wedges
+            .join(o.select(F.col("x").alias("b"), F.col("y").alias("c")),
+                  ["b", "c"])
+            .select(F.col("x").alias("a"), "b", "c"))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count over the undirected simple graph.  Classic
-    ordered-wedge join: canonical edges (u<v), wedge join on the middle
-    vertex, then existence join against the edge set — two shuffles total,
-    and the ordering (u<v<w) counts each triangle exactly once.
+    """Global triangle count over the undirected simple graph via the
+    degree-oriented wedge join (_oriented_triangles): two shuffles, each
+    triangle counted exactly once, per-vertex wedge fan-out bounded O(√m)
+    so one hub vertex can no longer make the join quadratic.
     Returns a 1-row DataFrame (n_triangles)."""
-    und = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
-        .distinct()
-    )
-    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
-    tri = wedges.join(
-        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
-    )
-    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    return _oriented_triangles(und).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 def _undirected_simple(edges: DataFrame) -> DataFrame:
@@ -601,19 +646,19 @@ def landmark_eccentricity(edges: DataFrame, landmarks: list[int],
 
 
 def _edge_support(und: DataFrame) -> DataFrame:
-    """Triangle count per canonical edge (u < v): ordered-wedge triangles,
-    each attributed to its three edges."""
-    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
-    tri = wedges.join(
-        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
-    )
+    """Triangle count per canonical edge (u < v): degree-oriented triangle
+    enumeration (_oriented_triangles — hub-proof), each triangle attributed
+    to its three edges re-canonicalized to id order (the a/b/c ranking is
+    by (degree, id), not id)."""
+    tri = _oriented_triangles(und)
     return (
         tri.select(F.explode(F.array(
-            F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-            F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
-            F.struct(F.col("a").alias("u"), F.col("c").alias("v")))).alias("e"))
+            F.struct(F.least("a", "b").alias("u"),
+                     F.greatest("a", "b").alias("v")),
+            F.struct(F.least("b", "c").alias("u"),
+                     F.greatest("b", "c").alias("v")),
+            F.struct(F.least("a", "c").alias("u"),
+                     F.greatest("a", "c").alias("v")))).alias("e"))
         .select("e.u", "e.v")
         .groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
     )
@@ -648,21 +693,19 @@ def k_truss(edges: DataFrame, k: int, max_iterations: int = 20) -> DataFrame:
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Per-vertex local clustering coefficient over the undirected simple
     graph: coeff(v) = 2·T(v) / (d(v)·(d(v)−1)), where T(v) is the number of
-    triangles through v (0 when d < 2).  Rides the same ordered-wedge join
-    as triangle_count, then attributes each triangle to its three corners
-    (posexplode — three rows per triangle, no re-join) and divides by the
-    degree pair count.  All inputs to the division are exact integers, so
+    triangles through v (0 when d < 2).  Rides the same degree-oriented
+    wedge join as triangle_count (hub-proof O(√m) fan-out), then attributes
+    each triangle to its three corners (explode — three rows per triangle,
+    no re-join) and divides by the degree pair count.  All inputs to the division are exact integers, so
     the double result is bit-identical across engines.
     Returns (id, n_triangles, coeff) for every vertex of the graph."""
-    und = _undirected_simple(edges)
-    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b").filter(F.col("a") < F.col("c"))
-    tri = wedges.join(
-        und.select(F.col("u").alias("a"), F.col("v").alias("c")), ["a", "c"]
-    )
+    # materialize the canonical edge set once: it feeds both the triangle
+    # enumeration (degree + orientation + closure) and the final degree
+    # join, and its lineage may carry an expensive derivation
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
     per_vertex = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        _oriented_triangles(und)
+        .select(F.explode(F.array("a", "b", "c")).alias("id"))
         .groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     deg = (und.select(F.col("u").alias("id"))
