@@ -1,0 +1,161 @@
+"""Pure-Python media codecs (VERDICT r5 #3): BMP / P6 PPM / PCM16 WAV
+decode for real in-sandbox — round-trip byte-for-byte — and the decode
+seams (_decode_pixels, _decode_stub) route real payloads through them
+while codec formats keep the deterministic fallback."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hugegraph_on_tikv_spark.functions.multimodal import (
+    _decode_pixels,
+    _decode_stub,
+    _rgb_to_gray,
+    _sniff_real,
+    decode_bmp,
+    decode_media,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+
+def _rgb_fixture(h: int, w: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 test image."""
+    i = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
+    return ((i * 37 + 11) % 256).astype(np.uint8)
+
+
+def test_bmp_round_trip_exact():
+    for h, w in ((5, 7), (4, 4), (1, 3)):   # 7 exercises row padding
+        rgb = _rgb_fixture(h, w)
+        back = decode_bmp(encode_bmp(rgb))
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, rgb)
+
+
+def test_bmp_top_down_variant():
+    rgb = _rgb_fixture(3, 5)
+    raw = bytearray(encode_bmp(rgb))
+    # flip to top-down: negate height, reorder rows
+    import struct
+
+    h, w = 3, 5
+    struct.pack_into("<i", raw, 22, -h)
+    row_bytes = (3 * w + 3) & ~3
+    body = bytes(raw[54:])
+    rows = [body[i * row_bytes:(i + 1) * row_bytes] for i in range(h)]
+    raw[54:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(raw)), rgb)
+
+
+def test_bmp_rejects_unsupported():
+    rgb = _rgb_fixture(2, 2)
+    raw = bytearray(encode_bmp(rgb))
+    import struct
+
+    struct.pack_into("<H", raw, 28, 8)      # 8-bit palette
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(raw))
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + bytes(raw[2:]))
+
+
+def test_ppm_round_trip_and_comments():
+    rgb = _rgb_fixture(6, 2)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    # header comments are legal PPM
+    with_comment = b"P6\n# a comment\n2 6\n255\n" + rgb.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), rgb)
+
+
+def test_wav_round_trip_mono_and_stereo():
+    mono = (np.arange(100, dtype=np.int64) * 321 - 16000).astype(np.int16)
+    s, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and s.shape == (100, 1)
+    assert np.array_equal(s[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    s2, rate2 = decode_wav(encode_wav(stereo, 44100))
+    assert rate2 == 44100 and s2.shape == (100, 2)
+    assert np.array_equal(s2, stereo)
+
+
+def test_wav_skips_unknown_chunks():
+    import struct
+
+    mono = np.array([1, -2, 3], dtype=np.int16)
+    raw = encode_wav(mono, 16000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # padded
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    s, rate = decode_wav(spliced)
+    assert np.array_equal(s[:, 0], mono)
+
+
+def test_sniff_rejects_lookalikes():
+    # starts with 'BM' but the size field doesn't match -> stub path
+    assert not _sniff_real(b"BM" + b"\x01" * 60)
+    # 'P6' without whitespace
+    assert not _sniff_real(b"P6x123")
+    assert not _sniff_real(b"\x00" * 64)
+    rgb = _rgb_fixture(2, 2)
+    assert _sniff_real(encode_bmp(rgb))
+    assert _sniff_real(encode_ppm(rgb))
+    assert _sniff_real(encode_wav(np.array([0], dtype=np.int16)))
+
+
+def test_decode_media_dispatch_and_codec_gate():
+    rgb = _rgb_fixture(3, 3)
+    kind, arr = decode_media(encode_ppm(rgb))
+    assert kind == "image" and np.array_equal(arr, rgb)
+    kind, arr = decode_media(encode_wav(np.array([5, 6], dtype=np.int16)))
+    assert kind == "audio" and arr.shape == (2, 1)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+
+
+def test_decode_pixels_seam_real_vs_stub():
+    rgb = _rgb_fixture(4, 6)
+    # real BMP: header dims win, luma is the exact integer formula
+    got = _decode_pixels(encode_bmp(rgb), 999, 999)
+    assert np.array_equal(got, _rgb_to_gray(rgb))
+    # non-media bytes: the tile stub, honoring the metadata dims
+    stub = _decode_pixels(b"\x01\x02\x03\x04", 3, 2)
+    assert stub.shape == (2, 3)
+
+
+def test_feature_seam_real_decode():
+    rgb = _rgb_fixture(5, 5)
+    f_real = _decode_stub(encode_bmp(rgb))
+    gray = _rgb_to_gray(rgb).ravel()
+    want = np.bincount(gray % 16, minlength=16).astype(np.float32)
+    want = want / want.sum()
+    assert np.allclose(f_real, want)
+    # raw bytes keep the legacy byte-histogram fallback
+    f_stub = _decode_stub(b"\x00\x01\x02\x03" * 8)
+    assert abs(float(f_stub.sum()) - 1.0) < 1e-6
+
+
+def test_resize_images_on_real_bmp(spark):
+    """End-to-end: a DataFrame carrying a genuine BMP payload flows through
+    resize_images' mapInPandas and comes out with real decoded luma."""
+    from hugegraph_on_tikv_spark.functions.multimodal import resize_images
+
+    rgb = _rgb_fixture(8, 8)
+    rows = [(1, "image", "image/bmp", bytearray(encode_bmp(rgb)), None, None),
+            (2, "image", "application/x-fake", bytearray(b"\x07" * 64), 8, 8)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary, "
+              "width int, height int")
+    out = {r["media_id"]: r for r in resize_images(df, 4, 4).collect()}
+    assert set(out) == {1, 2}
+    gray = _rgb_to_gray(rgb)
+    idx = (np.arange(4) * 2).astype(np.int64)
+    want = gray[idx][:, idx].tobytes()
+    assert bytes(out[1]["payload"]) == want
+    assert out[1]["width"] == 4 and out[1]["height"] == 4
