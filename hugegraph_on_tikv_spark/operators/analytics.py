@@ -73,7 +73,9 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
              checkpoint_every: int = 3, broadcast_ranks: bool | None = None,
              state_partitions: int | None = None,
              broadcast_max_vertices: int = 2_000_000,
-             teleport_ids=None, weight_col: str | None = None) -> DataFrame:
+             teleport_ids=None, weight_col: str | None = None,
+             tol: float | None = None,
+             _iters_out: list | None = None) -> DataFrame:
     """Standard damped PageRank over the directed edge list; dangling mass is
     NOT redistributed (matches GraphX's default behavior).  Returns
     (id, rank).  Ranks start at 1.0 per vertex.
@@ -95,6 +97,15 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
     Each iteration: contributions = rank/out_degree shipped along edges,
     grouped by dst (one shuffle per iteration on the same key → a cluster
     run pre-buckets edges by src to make the contribution join co-located).
+
+    `tol` (opt-in) adds convergence early-exit: on the checkpoint cadence
+    the max |Δrank| since the previous checkpoint is probed (one max-abs
+    aggregate over the already-checkpointed state — the same probe shape as
+    connected_components' change check), and iteration stops once it falls
+    under tol.  The default (None) keeps the exact fixed-iteration plan for
+    oracle determinism; at 100× scale a fixed count either wastes rounds or
+    under-converges, so production runs pass tol.  `_iters_out`, when a
+    list, receives the executed iteration count (test/telemetry hook).
 
     broadcast_ranks=None (the default) auto-decides from the vertex count:
     under broadcast_max_vertices the rank vector ships to every task so the
@@ -154,7 +165,10 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         tele = (F.when(F.col("id").isin([int(v) for v in teleport_ids]), F.lit(1.0))
                 .otherwise(F.lit(0.0)) if teleport_ids is not None else F.lit(1.0))
         ranks = verts.withColumn("rank", tele)
+        prev_ck = None
+        iters_done = 0
         for i in range(iterations):
+            iters_done = i + 1
             rank_side = ranks.withColumnRenamed("id", "src")
             if broadcast_ranks:
                 rank_side = F.broadcast(rank_side)
@@ -183,6 +197,18 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
             )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
+                if tol is not None:
+                    if prev_ck is not None:
+                        delta = (ranks.alias("n")
+                                 .join(prev_ck.alias("o"), "id")
+                                 .agg(F.max(F.abs(
+                                     F.col("n.rank") - F.col("o.rank")))
+                                     .alias("d")).collect()[0]["d"])
+                        if delta is not None and delta < tol:
+                            break
+                    prev_ck = ranks
+        if _iters_out is not None:
+            _iters_out.append(iters_done)
         # force the remaining (post-checkpoint) iterations to execute while
         # the persisted state (verts/norm_edges) is still alive; the
         # checkpointed result no longer references it after unpersist
@@ -194,7 +220,9 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
 
 
 def hits(edges: DataFrame, iterations: int = 8,
-         state_partitions: int | None = None) -> DataFrame:
+         state_partitions: int | None = None,
+         tol: float | None = None,
+         _iters_out: list | None = None) -> DataFrame:
     """HITS hubs & authorities (Kleinberg): per iteration the authority
     score is the sum of in-neighbor hub scores, then the hub score is the
     sum of out-neighbor NEW authority scores; each vector is normalized by
@@ -208,7 +236,9 @@ def hits(edges: DataFrame, iterations: int = 8,
     max aggregates broadcast back; iteration-invariant edge list persisted
     once; localCheckpoint every 2 rounds cuts lineage — the same posture
     as pagerank, and the same bucketed-by-key co-location note applies at
-    cluster scale."""
+    cluster scale.  `tol` (opt-in, like pagerank's) early-exits when the
+    max |Δauth| AND max |Δhub| since the previous checkpoint both fall
+    under tol; default None keeps the fixed-iteration oracle plan."""
     e = edges.select("src", "dst").distinct()
     if state_partitions:
         e = e.repartition(state_partitions, "src")
@@ -219,7 +249,10 @@ def hits(edges: DataFrame, iterations: int = 8,
     try:
         h = verts.withColumn("hub", F.lit(1.0))
         a = verts.withColumn("auth", F.lit(0.0))
+        prev_a, prev_h = None, None
+        iters_done = 0
         for i in range(iterations):
+            iters_done = i + 1
             a = (e.join(h.withColumnRenamed("id", "src"), "src")
                  .groupBy(F.col("dst").alias("id"))
                  .agg(F.sum("hub").alias("auth")))
@@ -243,6 +276,22 @@ def hits(edges: DataFrame, iterations: int = 8,
             if (i + 1) % 2 == 0:
                 a = a.localCheckpoint(eager=True)
                 h = h.localCheckpoint(eager=True)
+                if tol is not None:
+                    if prev_a is not None:
+                        da = (a.alias("n").join(prev_a.alias("o"), "id")
+                              .agg(F.max(F.abs(
+                                  F.col("n.auth") - F.col("o.auth")))
+                                  .alias("d")).collect()[0]["d"])
+                        dh = (h.alias("n").join(prev_h.alias("o"), "id")
+                              .agg(F.max(F.abs(
+                                  F.col("n.hub") - F.col("o.hub")))
+                                  .alias("d")).collect()[0]["d"])
+                        if (da is not None and dh is not None
+                                and da < tol and dh < tol):
+                            break
+                    prev_a, prev_h = a, h
+        if _iters_out is not None:
+            _iters_out.append(iters_done)
         return a.join(h, "id").select("id", "auth", "hub")
     finally:
         e.unpersist()
@@ -289,6 +338,85 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         else:
             labels = new_labels
     return labels
+
+
+def connected_components_star(edges: DataFrame, max_iterations: int = 25,
+                              _rounds_out: list | None = None) -> DataFrame:
+    """Undirected connected components by alternating large-star /
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the opt-in scale path next to HashMin
+    (connected_components): HashMin needs O(diameter) rounds, which stalls
+    on 100×-scale high-diameter graphs (chains, road networks); star
+    contraction converges in O(log² n) rounds regardless of diameter,
+    each round two groupBy-join shuffles over the shrinking edge list.
+
+    * large-star: per vertex u with m = min(Γ(u) ∪ {u}), rewire every
+      LARGER neighbor v > u to m.
+    * small-star: orient edges toward the smaller endpoint; per vertex u
+      rewire u and all its smaller neighbors to their minimum.
+
+    Both steps preserve connectivity (paper lemma); the fixed point is a
+    forest of stars rooted at each component's MINIMUM id, so the labels
+    are identical to HashMin's (component = min vertex id) — equality-
+    tested.  Convergence is detected by edge-set fixpoint; unconverged
+    after max_iterations raises (never wrong labels).  `_rounds_out`, when
+    a list, receives the number of rounds used (test/telemetry hook).
+
+    Returns (id, component) for every vertex of the input (isolated
+    self-loop-only vertices are their own components)."""
+    v0 = (edges.select(F.col("src").alias("id"))
+          .unionByName(edges.select(F.col("dst").alias("id"))).distinct()
+          .localCheckpoint(eager=True))
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select(F.least("src", "dst").alias("u"),
+                 F.greatest("src", "dst").alias("v"))
+         .distinct().localCheckpoint(eager=True))
+    n_prev = e.count()
+    rounds = 0
+    converged = n_prev == 0
+    for _ in range(max_iterations):
+        if converged:
+            break
+        rounds += 1
+        # ---- large-star ----
+        nbrs = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+                .unionByName(
+                    e.select(F.col("v").alias("a"), F.col("u").alias("b"))))
+        mins = (nbrs.groupBy("a")
+                .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+        large = (nbrs.join(mins, "a")
+                 .filter(F.col("b") > F.col("a"))
+                 .select(F.least("b", "m").alias("u"),
+                         F.greatest("b", "m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .distinct().localCheckpoint(eager=True))
+        # ---- small-star (edges already canonical u < v: group at v) ----
+        mins2 = (large.groupBy(F.col("v").alias("a"))
+                 .agg(F.min("u").alias("m")))
+        joined = large.join(mins2, large.v == mins2.a)
+        small = (joined.select(F.col("a").alias("x"), F.col("m"))
+                 .unionByName(joined.select(F.col("u").alias("x"), F.col("m")))
+                 .filter(F.col("x") != F.col("m"))
+                 .select(F.col("m").alias("u"), F.col("x").alias("v"))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        n_now = small.count()
+        # fixpoint: same canonical edge set (count match + containment)
+        converged = (n_now == n_prev and
+                     small.exceptAll(e).limit(1).count() == 0)
+        e, n_prev = small, n_now
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds — raise max_iterations")
+    # stars: every non-root is (root=u, child=v); roots + isolated map to
+    # themselves
+    labels = e.select(F.col("v").alias("id"), F.col("u").alias("component"))
+    return (v0.join(labels, "id", "left")
+            .select("id", F.coalesce("component", F.col("id"))
+                    .alias("component")))
 
 
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
