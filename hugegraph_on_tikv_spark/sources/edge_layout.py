@@ -206,7 +206,13 @@ class BucketedLayout:
             raise AssertionError(
                 f"staged buckets {unexpected} outside the touched set "
                 f"{touched} — bucket-hash mismatch, refusing to merge")
-        os.makedirs(nxt, exist_ok=True)
+        if os.path.exists(nxt):
+            # orphan from a crashed earlier attempt: meta still points at
+            # `version`, so nothing ever committed v+1 — clear and rebuild
+            # (the documented heal-by-retry path; without this the hard
+            # links below raise FileExistsError and the retry deadlocks)
+            shutil.rmtree(nxt)
+        os.makedirs(nxt)
         for bid, fname in files.items():          # untouched: hard links,
             if bid not in touched:                # zero data movement
                 os.link(os.path.join(cur, fname), os.path.join(nxt, fname))
