@@ -3115,6 +3115,54 @@ _register(
     """,
 )
 
+# -- DSL projection sugar: valueMap(), project(), choose() ------------------
+
+_register(
+    "dsl_value_map",
+    # valueMap('name','acctbal') over suppliers: per-traverser property
+    # projection (traversal_api.value_map)
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("supplier").value_map("name", "acctbal"),
+    f"""
+    WITH {graph_ctes()}
+    SELECT id, name, acctbal FROM vertices WHERE label = 'supplier'
+    """,
+)
+
+_register(
+    "dsl_project",
+    # project('cust','nm','n_orders').by(id).by('name').by(out('placed')
+    # .count()): the per-traverser sub-step count idiom
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer").has("mktsegment", "MACHINERY")
+    .project_(cust="id", nm="name",
+              n_orders=lambda t: t.out("placed")),
+    f"""
+    SELECT (1 * {ID_BASE} + c_custkey) AS id,
+           (1 * {ID_BASE} + c_custkey) AS cust, c_name AS nm,
+           CAST((SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+                AS BIGINT) AS n_orders
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+
+_register(
+    "dsl_choose_count",
+    # choose(mktsegment = BUILDING, out('placed'), identity): per-traverser
+    # branch routing — BUILDING customers become their orders, the rest
+    # stay put
+    lambda spark, sf: _GremlinGraph(spark, sf)
+    .V().has_label("customer")
+    .choose_(("mktsegment", "BUILDING"), lambda t: t.out("placed")).count(),
+    """
+    SELECT CAST((SELECT count(*) FROM customer JOIN orders
+                 ON o_custkey = c_custkey
+                 WHERE c_mktsegment = 'BUILDING')
+              + (SELECT count(*) FROM customer
+                 WHERE c_mktsegment <> 'BUILDING') AS BIGINT) AS n
+    """,
+)
+
 # -- DSL long-tail: repeat().emit() and match()-lite ------------------------
 
 _register(
@@ -5108,9 +5156,24 @@ _compose("dsl_counts", [
     ("dsl_local_limit", ["'local_limit' AS tag", "n"], "'local_limit' AS tag, n"),
     ("dsl_simple_path_count",
      ["'simple_path' AS tag", "n"], "'simple_path' AS tag, n"),
+    ("dsl_choose_count", ["'choose' AS tag", "n"], "'choose' AS tag, n"),
 ])
 
 _compose("dsl_rows", [
+    ("dsl_value_map",
+     ["'value_map' AS tag", "name AS k", "CAST(id AS DOUBLE) AS id",
+      "CAST(NULL AS STRING) AS brand", "acctbal AS size",
+      "CAST(NULL AS DOUBLE) AS n"],
+     "'value_map' AS tag, name AS k, CAST(id AS DOUBLE) AS id, "
+     "CAST(NULL AS VARCHAR) AS brand, acctbal AS size, "
+     "CAST(NULL AS DOUBLE) AS n"),
+    ("dsl_project",
+     ["'project' AS tag", "nm AS k", "CAST(cust AS DOUBLE) AS id",
+      "CAST(NULL AS STRING) AS brand", "CAST(NULL AS DOUBLE) AS size",
+      "CAST(n_orders AS DOUBLE) AS n"],
+     "'project' AS tag, nm AS k, CAST(cust AS DOUBLE) AS id, "
+     "CAST(NULL AS VARCHAR) AS brand, CAST(NULL AS DOUBLE) AS size, "
+     "CAST(n_orders AS DOUBLE) AS n"),
     ("dsl_group_count",
      ["'group_count' AS tag", "status AS k", "CAST(NULL AS DOUBLE) AS id",
       "CAST(NULL AS STRING) AS brand", "CAST(NULL AS DOUBLE) AS size",

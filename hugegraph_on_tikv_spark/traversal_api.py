@@ -274,6 +274,109 @@ class Traversal:
             raise ValueError(f"unknown as_() labels: {missing}")
         return self._df.select(*[F.col(f"_as_{n}").alias(n) for n in names])
 
+    def value_map(self, *props: str) -> DataFrame:
+        """Gremlin valueMap(): one row per surviving traverser, one column
+        per requested property (ALL element properties when none are
+        named), plus the id at vertex positions.  Relational translation of
+        Gremlin's per-element map: a property the element lacks comes back
+        NULL (Gremlin omits the key; a column can't vanish per-row).
+        Multiplicity preserved — the property join is on the already-
+        filtered traverser set, so property columns never scan wider than
+        the traversal."""
+        if self._pos == "V":
+            vs = self._g.vertices
+            cols = list(props) or [c for c in vs.columns if c != "id"]
+            missing = [p for p in cols if p not in vs.columns]
+            if missing:
+                raise ValueError(f"unknown vertex properties: {missing}")
+            return self._df.select("id").join(
+                vs.select("id", *cols), "id", "left")
+        data_cols = [c for c in self._df.columns
+                     if not c.startswith("_as_")
+                     and c not in ("_path", "_sack")]
+        cols = list(props) or data_cols
+        missing = [p for p in cols if p not in self._df.columns]
+        if missing:
+            raise ValueError(f"unknown edge properties: {missing}")
+        return self._df.select(*cols)
+
+    def project_(self, **selectors) -> DataFrame:
+        """Gremlin project('a','b').by(...).by(...): one output column per
+        keyword, one row per traverser.  Selector forms:
+
+        * ``"id"`` — the current vertex id;
+        * a property name — joined from the vertex table;
+        * a 1-arg callable (sub-traversal step) — the per-traverser RESULT
+          COUNT of running it from this position (the ``by(out().count())``
+          idiom; counts are the one fold every Gremlin projection uses that
+          needs real per-traverser grouping).
+
+        The traverser set is checkpointed and keyed once
+        (monotonically_increasing_id is only stable on a materialized
+        frame); each callable selector runs as its own branch carrying the
+        row key, grouped and joined back — N sub-traversals = N branch
+        plans, never a per-row loop."""
+        if self._pos != "V":
+            raise ValueError("project_() is supported at vertex positions")
+        base = (self._df.localCheckpoint(eager=True)
+                .withColumn("_proj_row", F.monotonically_increasing_id())
+                .localCheckpoint(eager=True))
+        vs = self._g.vertices
+        out = base
+        for name, sel in selectors.items():
+            if callable(sel):
+                seed = Traversal(
+                    self._g,
+                    base.select("id",
+                                F.col("_proj_row").alias("_as__proj")),
+                    "V")
+                res = sel(seed)._df
+                counts = (res.groupBy(F.col("_as__proj").alias("_proj_row"))
+                          .agg(F.count(F.lit(1)).alias(name)))
+                out = out.join(counts, "_proj_row", "left") \
+                    .withColumn(name, F.coalesce(name, F.lit(0)))
+            elif sel == "id":
+                out = out.withColumn(name, F.col("id"))
+            elif isinstance(sel, str):
+                if sel not in vs.columns:
+                    raise ValueError(f"unknown vertex property: {sel}")
+                out = out.join(
+                    vs.select("id", F.col(sel).alias(name)), "id", "left")
+            else:
+                raise ValueError(
+                    f"selector for {name!r} must be 'id', a property name "
+                    f"or a callable step")
+        return out.select("id", *selectors.keys())
+
+    def choose_(self, condition, true_step, false_step=None) -> "Traversal":
+        """Gremlin choose(pred, a, b): route every traverser through
+        exactly one branch.  `condition` is (prop, value) or
+        (prop, op, value) evaluated on the CURRENT vertex (same operator
+        grammar as has()); the steps are 1-arg callables
+        Traversal → Traversal; false_step None means identity.  The two
+        branch frames are unioned by name (a carried column only one
+        branch added comes back NULL on the other — same convention as
+        optional()); both branches must land on the same position."""
+        if self._pos != "V":
+            raise ValueError("choose_() is supported at vertex positions")
+        if len(condition) == 2:
+            prop, op, value = condition[0], "=", condition[1]
+        else:
+            prop, op, value = condition
+        pred = _OPS[op](F.col(prop), value)
+        keep = self._g.vertices.filter(pred).select("id")
+        t_true = true_step(Traversal(self._g, self._df.join(keep, "id"), "V"))
+        f_seed = Traversal(self._g,
+                           self._df.join(keep, "id", "left_anti"), "V")
+        t_false = false_step(f_seed) if false_step is not None else f_seed
+        if t_true._pos != t_false._pos:
+            raise ValueError("choose_() branches must end on the same "
+                             "position (both V or both E)")
+        return Traversal(
+            self._g,
+            t_true._df.unionByName(t_false._df, allowMissingColumns=True),
+            t_true._pos)
+
     def with_path(self) -> "Traversal":
         """Enable Gremlin path() tracking from this position on: each hop
         appends the new vertex id to a per-traverser history array.  Opt-in

@@ -646,3 +646,79 @@ def test_merge_sacks_min_and_validation(g):
         g.V(vid("customer", 1)).with_sack(1.0).merge_sacks("mult")
     with pytest.raises(ValueError, match="direction"):
         g.V(vid("customer", 1)).with_sack(1.0).split_sack("sideways")
+
+
+def test_value_map_vertex_and_edge(g, spark):
+    """valueMap(): per-traverser property projection; NULL for properties
+    the element lacks (the relational translation of map-key omission)."""
+    rows = (g.V(vid("customer", 1), vid("customer", 2))
+            .value_map("name", "mktsegment").collect())
+    assert len(rows) == 2
+    assert all(r["name"].startswith("Customer#") for r in rows)
+    # nation vertices have no mktsegment: NULL, never dropped rows
+    nm = g.V(vid("nation", 1)).value_map("name", "mktsegment").collect()
+    assert len(nm) == 1 and nm[0]["mktsegment"] is None
+    with pytest.raises(ValueError, match="unknown vertex"):
+        g.V().value_map("no_such_prop")
+    # edge position: project edge columns
+    er = (g.V(vid("customer", 1)).out_e("placed")
+          .value_map("src", "dst", "label").collect())
+    assert er and all(r["label"] == "placed" for r in er)
+
+
+def test_project_properties_and_substep_counts(g, spark):
+    """project(): one column per selector; callable selectors fold to
+    per-traverser result counts (the by(out().count()) idiom)."""
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    out = {r["cust"]: r for r in
+           (g.V(vid("customer", 1), vid("customer", 2), vid("customer", 4))
+            .project_(cust="id", seg="mktsegment",
+                      n_orders=lambda t: t.out("placed"))
+            .collect())}
+    orders = load_table(spark, SF_DIR, "orders")
+    for k in (1, 2, 4):
+        want = orders.filter(f"o_custkey = {k}").count()
+        assert out[vid("customer", k)]["n_orders"] == want
+        assert out[vid("customer", k)]["seg"] is not None
+    with pytest.raises(ValueError, match="unknown vertex property"):
+        g.V().project_(x="nope")
+
+
+def test_project_zero_count_branch(g):
+    # a vertex with no out-edges of the label: count must be 0, row kept
+    rows = (g.V(vid("region", 1))
+            .project_(rid="id", n_placed=lambda t: t.out("placed"))
+            .collect())
+    assert len(rows) == 1 and rows[0]["n_placed"] == 0
+
+
+def test_choose_routes_each_traverser_once(g, spark):
+    """choose(pred, a, b): BUILDING customers hop to their orders, others
+    stay put — total traverser count = orders-of-building + non-building."""
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    seeds = g.V().has_label("customer")
+    routed = seeds.choose_(("mktsegment", "BUILDING"),
+                           lambda t: t.out("placed"))
+    n = routed.count().collect()[0]["n"]
+    c = load_table(spark, SF_DIR, "customer")
+    o = load_table(spark, SF_DIR, "orders")
+    building = c.filter("c_mktsegment = 'BUILDING'")
+    want = (building.join(o, building.c_custkey == o.o_custkey).count()
+            + c.filter("c_mktsegment <> 'BUILDING'").count())
+    assert n == want
+
+
+def test_choose_three_arg_and_position_check(g):
+    # explicit false branch; both branches one hop -> same position
+    n = (g.V().has_label("nation")
+         .choose_(("name", "prefix", "A"),
+                  lambda t: t.out("part_of"),
+                  lambda t: t.out("part_of"))
+         .count().collect()[0]["n"])
+    assert n == 25                      # every nation hops either way
+    with pytest.raises(ValueError, match="same position"):
+        g.V().has_label("nation").choose_(
+            ("name", "prefix", "A"),
+            lambda t: t.out_e("part_of"))
