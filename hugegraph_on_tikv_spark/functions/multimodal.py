@@ -408,6 +408,106 @@ def decode_real(payload: bytes):
     return decode_media(payload)
 
 
+# -- real-decode consumers: per-media stats for corpus filtering -------------
+#
+# The standard multimodal curation filters — resolution gates, brightness
+# outliers, silent/clipped audio — need only cheap per-element statistics
+# over DECODED content.  These run on the real pure-Python decoders above
+# (BMP/PPM/WAV); codec-format payloads are skipped (absent from output),
+# exactly how a corpus pass treats undecodable rows.  All statistics are
+# exact integers (sums/counts/maxima), so results are bit-stable across
+# runs, partitionings and engines.
+
+IMAGE_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("n_pixels", LongType(), False),
+    StructField("sum_luma", LongType(), False),     # exact: mean = sum/n
+    StructField("min_luma", IntegerType(), False),
+    StructField("max_luma", IntegerType(), False),
+])
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Per-image statistics over REAL decoded pixels (BMP/P6 payloads):
+    dimensions from the header, exact integer luma sum/min/max — the
+    inputs to resolution and brightness corpus filters.  Arrow-batched
+    mapInPandas; undecodable payloads are skipped."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in IMAGE_STATS_SCHEMA}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or not _sniff_real(p):
+                    continue
+                kind, arr = decode_media(p)
+                if kind != "image":
+                    continue
+                gray = _rgb_to_gray(arr).astype(np.int64)
+                out["media_id"].append(mid)
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["n_pixels"].append(int(gray.size))
+                out["sum_luma"].append(int(gray.sum()))
+                out["min_luma"].append(int(gray.min()))
+                out["max_luma"].append(int(gray.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame", IntegerType(), False),
+    StructField("n_samples", IntegerType(), False),
+    StructField("sum_abs", LongType(), False),      # exact: mean |x|
+    StructField("max_abs", IntegerType(), False),   # clipping detector
+    StructField("zero_crossings", IntegerType(), False),
+])
+
+
+def audio_frames(media: DataFrame, frame_len: int = 1024) -> DataFrame:
+    """Fixed-length frame statistics over REAL decoded PCM16 WAV payloads:
+    per frame the exact |sample| sum (silence/loudness), max |sample|
+    (clipping) and zero-crossing count (crude pitch/noisiness) — the
+    standard silent-tail / clipped-take corpus filters.  Multi-channel
+    audio is averaged to one channel FIRST via exact integer floor-mean
+    (deterministic).  One output row per (media, frame); the trailing
+    partial frame is kept with its true n_samples."""
+    if frame_len < 1:
+        raise ValueError("frame_len must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in AUDIO_FRAMES_SCHEMA}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or not _sniff_real(p):
+                    continue
+                try:
+                    kind, arr = decode_media(p)
+                except NotImplementedError:
+                    continue
+                if kind != "audio":
+                    continue
+                mono = arr.astype(np.int64).sum(axis=1) // arr.shape[1]
+                for f0 in range(0, len(mono), frame_len):
+                    fr = mono[f0:f0 + frame_len]
+                    out["media_id"].append(mid)
+                    out["frame"].append(f0 // frame_len)
+                    out["n_samples"].append(int(fr.size))
+                    out["sum_abs"].append(int(np.abs(fr).sum()))
+                    out["max_abs"].append(int(np.abs(fr).max()))
+                    out["zero_crossings"].append(
+                        int(np.count_nonzero(np.signbit(fr[1:])
+                                             != np.signbit(fr[:-1]))))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, AUDIO_FRAMES_SCHEMA)
+
+
 # -- byte-level media dedup (codec-free) -------------------------------------
 #
 # Deduplicating image/audio/video columns does NOT need a decoder: exact

@@ -159,3 +159,50 @@ def test_resize_images_on_real_bmp(spark):
     want = gray[idx][:, idx].tobytes()
     assert bytes(out[1]["payload"]) == want
     assert out[1]["width"] == 4 and out[1]["height"] == 4
+
+
+def test_image_stats_real_decode(spark):
+    from hugegraph_on_tikv_spark.functions.multimodal import image_stats
+
+    rgb = _rgb_fixture(6, 4)
+    gray = _rgb_to_gray(rgb).astype(np.int64)
+    rows = [(1, bytearray(encode_bmp(rgb))),
+            (2, bytearray(encode_ppm(rgb))),
+            (3, bytearray(b"\x00" * 100)),        # undecodable: skipped
+            (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in image_stats(df).collect()}
+    assert set(out) == {1, 2}
+    for mid in (1, 2):
+        r = out[mid]
+        assert (r["width"], r["height"], r["n_pixels"]) == (4, 6, 24)
+        assert r["sum_luma"] == int(gray.sum())
+        assert r["min_luma"] == int(gray.min())
+        assert r["max_luma"] == int(gray.max())
+
+
+def test_audio_frames_real_decode(spark):
+    from hugegraph_on_tikv_spark.functions.multimodal import audio_frames
+
+    n = 2500                                     # 2 full + 1 partial frame
+    mono = ((np.arange(n) % 7) * 100 - 300).astype(np.int16)
+    stereo = np.stack([mono, mono], axis=1)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(mono))),
+         (2, bytearray(encode_wav(stereo))),     # averages back to mono
+         (3, bytearray(b"RIFFxxxxJUNK"))],       # not WAVE: skipped
+        "media_id long, payload binary")
+    out = audio_frames(df, frame_len=1024).collect()
+    by_key = {(r["media_id"], r["frame"]): r for r in out}
+    assert {(m, f) for m, f in by_key} == {(1, 0), (1, 1), (1, 2),
+                                           (2, 0), (2, 1), (2, 2)}
+    assert by_key[(1, 2)]["n_samples"] == 2500 - 2048
+    for f in range(3):
+        lo, hi = f * 1024, min((f + 1) * 1024, n)
+        seg = mono[lo:hi].astype(np.int64)
+        want_sum = int(np.abs(seg).sum())
+        assert by_key[(1, f)]["sum_abs"] == want_sum
+        assert by_key[(2, f)]["sum_abs"] == want_sum  # stereo mean == mono
+        assert by_key[(1, f)]["max_abs"] == int(np.abs(seg).max())
+        zc = int(np.count_nonzero(np.signbit(seg[1:]) != np.signbit(seg[:-1])))
+        assert by_key[(1, f)]["zero_crossings"] == zc
