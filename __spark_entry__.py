@@ -1006,6 +1006,16 @@ _register(
     _cc_sql(),
 )
 
+_register(
+    "g_cc_star",
+    # the diameter-independent scale path: large-star/small-star
+    # contraction must reproduce HashMin's min-id labels exactly, so it
+    # shares the oracle
+    lambda spark, sf: analytics.connected_components_star(
+        GraphStore(spark, sf).edges()),
+    _cc_sql(),
+)
+
 
 def _g_triangles(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
@@ -2023,6 +2033,100 @@ _register(
     UNION ALL
     SELECT 'pair', CAST(pa AS DOUBLE), CAST(pb AS DOUBLE), CAST(hamming AS DOUBLE),
            CAST(NULL AS VARCHAR) FROM pairs WHERE hamming <= 8
+    """,
+)
+
+# -- REAL codec round-trip stats (functions/multimodal.py image_stats /
+#    audio_frames over the pure-Python BMP/WAV codecs).  Payloads are
+#    synthesized from integer FORMULAS; the oracle recomputes every frame
+#    statistic directly from the same formulas in SQL — so a hash match
+#    certifies the entire encode → decode → stats path reproduces the
+#    formula bit-exactly (byte layout, row padding, channel fold, frame
+#    split), with no decoder on the oracle side at all.
+
+def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        audio_frames, encode_bmp, encode_wav, image_stats)
+
+    rows = []
+    for i, n in ((0, 1500), (1, 2200)):
+        j = np.arange(n, dtype=np.int64)
+        s = ((j * (3 + 2 * i) + i) % 19) * 50 - 450
+        rows.append((100 + i, bytearray(encode_wav(s.astype(np.int16)))))
+    for i, (h, w) in ((0, (5, 7)), (1, (6, 6))):
+        t = np.arange(h * w * 3, dtype=np.int64)
+        rgb = ((t * 37 + 11 + i) % 256).astype(np.uint8).reshape(h, w, 3)
+        rows.append((200 + i, bytearray(encode_bmp(rgb))))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    af = audio_frames(media, frame_len=1024).select(
+        F.lit("audio").alias("kind"), "media_id", "frame",
+        F.col("sum_abs").alias("v1"),
+        F.col("max_abs").cast("long").alias("v2"),
+        F.col("zero_crossings").cast("long").alias("v3"))
+    ist = image_stats(media)
+    im = ist.select(
+        F.lit("image").alias("kind"), "media_id",
+        F.lit(-1).alias("frame"), F.col("sum_luma").alias("v1"),
+        F.col("min_luma").cast("long").alias("v2"),
+        F.col("max_luma").cast("long").alias("v3"))
+    dim = ist.select(
+        F.lit("imagedim").alias("kind"), "media_id",
+        F.lit(-1).alias("frame"), F.col("width").cast("long").alias("v1"),
+        F.col("height").cast("long").alias("v2"), F.col("n_pixels").alias("v3"))
+    return af.unionByName(im).unionByName(dim)
+
+_register(
+    "mm_real_codec_stats",
+    _mm_real_codec_stats,
+    """
+    WITH am(i, n) AS (VALUES (0, 1500), (1, 2200)),
+    asamp AS (
+      SELECT am.i, t.range AS j,
+             ((t.range * (3 + 2 * am.i) + am.i) % 19) * 50 - 450 AS s
+      FROM am, range(2200) t WHERE t.range < am.n
+    ),
+    af AS (
+      SELECT i, CAST(j // 1024 AS INTEGER) AS frame, s,
+             lag(s) OVER (PARTITION BY i, j // 1024 ORDER BY j) AS ps
+      FROM asamp
+    ),
+    audio_rows AS (
+      SELECT 'audio' AS kind, CAST(100 + i AS BIGINT) AS media_id, frame,
+             CAST(SUM(abs(s)) AS BIGINT) AS v1,
+             CAST(MAX(abs(s)) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN ps IS NOT NULL AND ((s < 0) <> (ps < 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM af GROUP BY i, frame
+    ),
+    im(i, h, w) AS (VALUES (0, 5, 7), (1, 6, 6)),
+    pix AS (
+      SELECT im.i,
+             (299 * (((t.range * 3 + 0) * 37 + 11 + im.i) % 256)
+            + 587 * (((t.range * 3 + 1) * 37 + 11 + im.i) % 256)
+            + 114 * (((t.range * 3 + 2) * 37 + 11 + im.i) % 256)) // 1000
+             AS luma
+      FROM im, range(42) t WHERE t.range < im.h * im.w
+    ),
+    image_rows AS (
+      SELECT 'image' AS kind, CAST(200 + i AS BIGINT) AS media_id,
+             CAST(-1 AS INTEGER) AS frame,
+             CAST(SUM(luma) AS BIGINT) AS v1,
+             CAST(MIN(luma) AS BIGINT) AS v2,
+             CAST(MAX(luma) AS BIGINT) AS v3
+      FROM pix GROUP BY i
+    ),
+    dim_rows AS (
+      SELECT 'imagedim' AS kind, CAST(200 + i AS BIGINT) AS media_id,
+             CAST(-1 AS INTEGER) AS frame,
+             CAST(w AS BIGINT) AS v1, CAST(h AS BIGINT) AS v2,
+             CAST(h * w AS BIGINT) AS v3
+      FROM im
+    )
+    SELECT * FROM audio_rows
+    UNION ALL SELECT * FROM image_rows
+    UNION ALL SELECT * FROM dim_rows
     """,
 )
 
@@ -4984,6 +5088,16 @@ _compose("mm_extract_features", [
     ("mm_media_dedup",
      ["tag", "a", "b", "v", "s"] + _F_NULLS,
      "tag, a, b, v, s, " + ", ".join(_F_NULLS)),
+    # real-codec round-trip stats: v1..v3 ride f0..f2
+    ("mm_real_codec_stats",
+     ["concat('codec_', kind) AS tag", "CAST(media_id AS DOUBLE) AS a",
+      "CAST(frame AS DOUBLE) AS b", "CAST(NULL AS DOUBLE) AS v", "kind AS s",
+      "CAST(v1 AS DOUBLE) AS f0", "CAST(v2 AS DOUBLE) AS f1",
+      "CAST(v3 AS DOUBLE) AS f2"] + _F_NULLS[3:],
+     "'codec_' || kind AS tag, CAST(media_id AS DOUBLE) AS a, "
+     "CAST(frame AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS v, kind AS s, "
+     "CAST(v1 AS DOUBLE) AS f0, CAST(v2 AS DOUBLE) AS f1, "
+     "CAST(v3 AS DOUBLE) AS f2, " + ", ".join(_F_NULLS[3:])),
 ])
 
 _compose("idx_range_typed", [
@@ -5266,6 +5380,10 @@ _compose("g_components", [
     ("g_scc",
      ["'scc' AS tag", "id", "scc AS component"],
      "'scc' AS tag, id, scc AS component"),
+    # star contraction: same labels as hashmin by construction
+    ("g_cc_star",
+     ["'ccstar' AS tag", "id", "component"],
+     "'ccstar' AS tag, id, component"),
 ])
 
 _compose("g_khop2", [
