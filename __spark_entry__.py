@@ -1607,6 +1607,29 @@ _register(
 )
 
 
+# -- fuzzy (Levenshtein-bounded) pair matching: SymSpell deletion-
+#    neighborhood blocking + JVM levenshtein verify (functions/dedup.py
+#    fuzzy_pairs).  The oracle is the BRUTE-FORCE cross join — a hash match
+#    therefore certifies the blocking scheme is complete on this corpus.
+
+_register(
+    "dedup_fuzzy_names",
+    lambda spark, sf: dedup.fuzzy_pairs(
+        load_table(spark, sf, "customer").select(
+            F.col("c_custkey").cast("long").alias("doc_id"),
+            F.col("c_name").alias("text")),
+        max_distance=1),
+    """
+    WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS s
+               FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS distance
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 1
+    """,
+)
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, r: int = 4, k: int = 3, thr: float = 0.3,
                      max_bucket: int = 1000,
                      source_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -5626,6 +5649,12 @@ _compose("dedup_pairs", [
      ["concat('idx_', scope) AS tag", "doc_a", "doc_b",
       "est_jaccard AS jaccard"],
      "'idx_' || scope AS tag, doc_a, doc_b, est_jaccard AS jaccard"),
+    # fuzzy entity-resolution pairs: jaccard carries the edit distance
+    ("dedup_fuzzy_names",
+     ["'fuzzy' AS tag", "id_a AS doc_a", "id_b AS doc_b",
+      "CAST(distance AS DOUBLE) AS jaccard"],
+     "'fuzzy' AS tag, id_a AS doc_a, id_b AS doc_b, "
+     "CAST(distance AS DOUBLE) AS jaccard"),
 ])
 
 _compose("sim_ann_neardup", [

@@ -581,3 +581,94 @@ def lsh_append_index(spark, path: str, new_docs: DataFrame,
         meta["last_batch_id"] = batch_id
         _write_index_meta(path, meta)
     return pairs
+
+
+# -- fuzzy (edit-distance) matching: the entity-resolution face ------------
+
+def _single_deletions_sql(e: str) -> str:
+    """SQL array<string> of every single-character deletion of `e`
+    (empty array for the empty string — branch typed via array_remove)."""
+    return (
+        f"CASE WHEN length({e}) = 0 THEN array_remove(array(''), '') "
+        f"ELSE transform(sequence(1, length({e})), i -> "
+        f"concat(substring({e}, 1, i - 1), "
+        f"substring({e}, i + 1, length({e})))) END"
+    )
+
+
+def deletion_neighborhood_sql(e: str, max_distance: int = 1) -> str:
+    """SQL array<string>: `e` plus every variant reachable by up to
+    `max_distance` character deletions (the SymSpell neighborhood).
+
+    Guarantee (SymSpell): edit_distance(a, b) <= d implies the d-deletion
+    neighborhoods of a and b intersect — so joining on neighborhood
+    members is a COMPLETE blocking scheme for a Levenshtein-bounded join;
+    no true pair is lost, unlike prefix/length banding."""
+    if max_distance not in (1, 2):
+        raise ValueError("max_distance must be 1 or 2")
+    v1 = f"array_distinct(concat(array({e}), {_single_deletions_sql(e)}))"
+    if max_distance == 1:
+        return v1
+    inner = _single_deletions_sql("v")
+    return (f"array_distinct(flatten(transform({v1}, "
+            f"v -> concat(array(v), {inner}))))"
+            )
+
+
+def fuzzy_pairs(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", max_distance: int = 1) -> DataFrame:
+    """All pairs (id_a < id_b) whose `text_col` values are within
+    Levenshtein distance `max_distance` — EXACT, without a cross join:
+    SymSpell deletion-neighborhood blocking (complete by the deletion
+    lemma) generates candidates through one equi-join on the variant
+    string, then the JVM-side levenshtein() verifies.
+
+    Scale: a length-L string emits L+1 variants at d=1 (O(L²) at d=2 —
+    keep d=2 for short keys like names/titles/SKUs).  Block sizes track
+    near-duplicate density, the same O(cluster²) any pair enumerator
+    pays; the candidate join shuffles on the variant string and the
+    verify is codegen'd, no Python boundary anywhere.  Ordering of
+    (id_a, id_b) follows the id column's own type comparison — pass
+    string ids for engine-portable ordering."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_s"),
+        F.explode(F.expr(deletion_neighborhood_sql(text_col, max_distance))
+                  ).alias("_blk"))
+    a = base.select(F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
+                    "_blk")
+    b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),
+                    "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b").distinct()
+        .withColumn("distance", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str,
+               left_id: str = "id_a", right_id: str = "id_b",
+               max_distance: int = 1) -> DataFrame:
+    """Cross-table Levenshtein-bounded join (left.text_col ~ right.
+    text_col within max_distance): same deletion-neighborhood blocking as
+    fuzzy_pairs, keyed across the two tables.  Returns (left_id,
+    right_id, distance)."""
+    def side(d, idc, out_id, out_s):
+        return d.select(
+            F.col(idc).alias(out_id), F.col(text_col).alias(out_s),
+            F.explode(F.expr(deletion_neighborhood_sql(text_col,
+                                                       max_distance))
+                      ).alias("_blk"))
+
+    a = side(left, left_id, "_ida", "_sa")
+    b = side(right, right_id, "_idb", "_sb")
+    return (
+        a.join(b, "_blk")
+        .select("_ida", "_idb", "_sa", "_sb").distinct()
+        .withColumn("distance", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("distance") <= max_distance)
+        .select(F.col("_ida").alias(left_id),
+                F.col("_idb").alias(right_id), "distance")
+    )

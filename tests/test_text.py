@@ -127,3 +127,48 @@ def test_pii_counts_and_redaction_order(spark):
         text.redact_pii(F.col("text")).alias("t")).first()["t"]
     assert "[EMAIL]" in red and "[SSN]" in red and "[PHONE]" in red
     assert "a@b.co" not in red and "123-45-6789" not in red
+
+
+def test_fuzzy_pairs_matches_bruteforce(spark):
+    """SymSpell deletion-neighborhood blocking is COMPLETE: blocked+verify
+    equals the brute-force cross-join result at d=1 and d=2."""
+    import itertools
+
+    from hugegraph_on_tikv_spark.functions.dedup import fuzzy_pairs
+
+    words = ["spark", "spake", "sparks", "park", "spoon", "spurn",
+             "shark", "sharp", "apark", "spark", "stark", "karps",
+             "", "a", "b", "ab"]
+    rows = [(f"{i:02d}", w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    for d in (1, 2):
+        want = {(a[0], b[0], lev(a[1], b[1]))
+                for a, b in itertools.combinations(rows, 2)
+                if lev(a[1], b[1]) <= d}
+        got = {(r["id_a"], r["id_b"], r["distance"])
+               for r in fuzzy_pairs(df, max_distance=d).collect()}
+        assert got == want, f"d={d}"
+
+
+def test_fuzzy_join_cross_table(spark):
+    from hugegraph_on_tikv_spark.functions.dedup import fuzzy_join
+
+    l = spark.createDataFrame([("l1", "kitten"), ("l2", "flour")],
+                              "lid string, text string")
+    r = spark.createDataFrame([("r1", "mitten"), ("r2", "floor"),
+                               ("r3", "banana")],
+                              "rid string, text string")
+    got = {(x["lid"], x["rid"], x["distance"])
+           for x in fuzzy_join(l, r, "text", "lid", "rid",
+                               max_distance=1).collect()}
+    assert got == {("l1", "r1", 1), ("l2", "r2", 1)}
