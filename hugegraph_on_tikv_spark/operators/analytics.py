@@ -973,6 +973,91 @@ def harmonic_closeness(edges: DataFrame, landmarks: list[int],
     )
 
 
+def betweenness_centrality(edges: DataFrame, sources: list[int],
+                           max_depth: int = 10,
+                           directed: bool = False) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes): for each source s
+    in `sources`, a level-synchronous BFS counts shortest paths (σ), then
+    the dependency accumulation δ(v) = Σ_{w∈succ(v)} σ_v/σ_w · (1+δ_w)
+    runs the levels backward; betweenness(v) = Σ_s δ_s(v) over the sampled
+    sources (v ≠ s).  With sources = every vertex this is exact Brandes
+    (undirected graphs count each pair in both directions — halve
+    externally for the classic normalization); with a sample it is the
+    standard scalable estimator (scale by n/|S| for an unbiased estimate).
+
+    Plan shape: the per-level state is keyed (source, vertex) like
+    shortest_paths — state size |V|×|sources|, so keep the source sample
+    small (that is the estimator's contract anyway).  Each forward level
+    is one join+groupBy shuffle; each backward level joins the level's
+    vertices to their predecessors and aggregates — O(depth) rounds total,
+    every frame localCheckpoint'ed so lineage stays flat.  δ sums are
+    float; the output is rounded to 6dp (σ ratios are exact small
+    rationals, so 6dp is stable in practice, unlike raw last-bit floats).
+
+    Returns (id, betweenness) for every vertex reached by any BFS."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    try:
+        levels: list[DataFrame] = []
+        frontier = spark.createDataFrame(
+            [(int(s), int(s), 1.0) for s in sources],
+            "s long, v long, sigma double").localCheckpoint(eager=True)
+        seen = frontier.select("s", "v")
+        levels.append(frontier)
+        for _ in range(max_depth):
+            msgs = (frontier.join(e, frontier.v == e.src)
+                    .select("s", F.col("dst").alias("v"), "sigma"))
+            nxt = (msgs.groupBy("s", "v")
+                   .agg(F.sum("sigma").alias("sigma"))
+                   .join(seen, ["s", "v"], "left_anti")
+                   .localCheckpoint(eager=True))
+            if nxt.limit(1).count() == 0:
+                break
+            levels.append(nxt)
+            seen = (seen.unionByName(nxt.select("s", "v"))
+                    .localCheckpoint(eager=True))
+            frontier = nxt
+        # backward dependency accumulation, deepest level first
+        deltas: list[DataFrame] = [None] * len(levels)
+        deltas[-1] = levels[-1].select(
+            "s", "v", F.lit(0.0).alias("delta"))
+        for l in range(len(levels) - 1, 0, -1):
+            v_lvl = (levels[l].join(deltas[l], ["s", "v"])
+                     .select("s", F.col("v"),
+                             F.col("sigma").alias("sigma_v"), "delta"))
+            # predecessors: u -> v edge with u one level up
+            contrib = (v_lvl.join(e, v_lvl.v == e.dst)
+                       .select("s", F.col("src").alias("u"),
+                               "sigma_v", "delta"))
+            up = levels[l - 1].select(
+                "s", F.col("v").alias("u"), F.col("sigma").alias("sigma_u"))
+            dep = (contrib.join(up, ["s", "u"])
+                   .groupBy("s", "u")
+                   .agg(F.sum(F.col("sigma_u") / F.col("sigma_v")
+                              * (F.lit(1.0) + F.col("delta")))
+                        .alias("delta")))
+            deltas[l - 1] = (up.select("s", F.col("u").alias("v"))
+                             .join(dep.select("s", F.col("u").alias("v"),
+                                              "delta"),
+                                   ["s", "v"], "left")
+                             .select("s", "v",
+                                     F.coalesce("delta", F.lit(0.0))
+                                     .alias("delta"))
+                             .localCheckpoint(eager=True))
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        return (out.filter(F.col("s") != F.col("v"))
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.round(F.sum("delta"), 6).alias("betweenness")))
+    finally:
+        e.unpersist()
+
+
 def random_walks(edges: DataFrame, start_ids: list[int], length: int,
                  walks_per_node: int = 1, salt: str = "") -> DataFrame:
     """Deterministic 'random' walks — the node2vec/DeepWalk input stage.

@@ -597,3 +597,88 @@ def test_skipgram_pairs_window(spark):
     assert len(got) == 12
     with pytest.raises(ValueError):
         skipgram_pairs(walks, window=0)
+
+
+def _brandes_reference(adj, sources):
+    """Pure-Python Brandes dependency accumulation (per-source BFS),
+    returning raw summed deltas — the same convention as
+    betweenness_centrality."""
+    from collections import deque
+
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        sigma = {v: 0.0 for v in adj}
+        dist = {v: -1 for v in adj}
+        preds = {v: [] for v in adj}
+        sigma[s], dist[s] = 1.0, 0
+        order, q = [], deque([s])
+        while q:
+            u = q.popleft()
+            order.append(u)
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+                    preds[w].append(u)
+        delta = {v: 0.0 for v in adj}
+        for w in reversed(order):
+            for u in preds[w]:
+                delta[u] += sigma[u] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_exact_on_small_graphs(spark):
+    import pytest as _pytest
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        betweenness_centrality)
+
+    cases = [
+        # path: middle vertices carry all pair paths
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        # diamond: two equal shortest paths split sigma
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)],
+        # barbell: bridge vertex dominates
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)],
+    ]
+    for pairs in cases:
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = _brandes_reference(adj, sorted(adj))
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        got = {r["id"]: r["betweenness"]
+               for r in betweenness_centrality(
+                   edges, sorted(adj)).collect()}
+        for v, x in want.items():
+            assert got.get(v, 0.0) == _pytest.approx(x, abs=1e-5), (pairs, v)
+
+
+def test_betweenness_sampled_subset_and_directed(spark):
+    import pytest as _pytest
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        betweenness_centrality)
+
+    pairs = [(1, 2), (2, 3), (3, 4), (2, 4)]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = _brandes_reference(adj, [1, 3])
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_centrality(edges, [1, 3]).collect()}
+    for v, x in want.items():
+        assert got.get(v, 0.0) == _pytest.approx(x, abs=1e-5)
+
+    # directed chain 1->2->3: only vertex 2 mediates, from source 1 only
+    dedges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    dgot = {r["id"]: r["betweenness"]
+            for r in betweenness_centrality(
+                dedges, [1, 2, 3], directed=True).collect()}
+    assert dgot[2] == _pytest.approx(1.0)
+    assert dgot.get(3, 0.0) == 0.0
