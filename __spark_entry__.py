@@ -1372,6 +1372,34 @@ _register(
 )
 
 _register(
+    "text_chunks",
+    # overlapping token-window chunking (functions/text.py
+    # chunk_documents): chunk boundaries and assembled chunk text are
+    # value-checked — the oracle recomputes the identical slices with
+    # DuckDB list algebra (chunk_tokens=24, overlap=8 → stride 16)
+    lambda spark, sf: text.chunk_documents(
+        load_table(spark, sf, "documents"), chunk_tokens=24, overlap=8),
+    f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    ), nz AS (
+      SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), st AS (
+      SELECT doc_id, toks,
+             unnest(range(0, (n - 1) // 16 * 16 + 1, 16)) AS s
+      FROM nz
+    ), ch AS (
+      SELECT doc_id, CAST(s // 16 AS INTEGER) AS chunk_id,
+             toks[s + 1: s + 24] AS c
+      FROM st
+    )
+    SELECT doc_id, chunk_id, CAST(len(c) AS INTEGER) AS n_tokens,
+           array_to_string(c, ' ') AS chunk_text
+    FROM ch
+    """,
+)
+
+_register(
     "text_repetition",
     # Gopher-style within-document repetition filters (functions/text.py
     # repetition_signals): distinct-token fraction, top-token share,
@@ -5501,6 +5529,19 @@ _compose("text_quality_suite", [
       "mean_token_len", "punct_ratio", "stopword_ratio"],
      "'metrics' AS tag, doc_id, CAST(n_tokens AS DOUBLE) AS n_tokens, "
      "mean_token_len, punct_ratio, stopword_ratio"),
+    # chunking: the chunk TEXT is value-checked via its md5 riding the
+    # tag (the pii-part pattern); chunk_id rides mean_token_len
+    ("text_chunks",
+     ["concat('chunk_', md5(chunk_text)) AS tag", "doc_id",
+      "CAST(n_tokens AS DOUBLE) AS n_tokens",
+      "CAST(chunk_id AS DOUBLE) AS mean_token_len",
+      "CAST(NULL AS DOUBLE) AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'chunk_' || md5(chunk_text) AS tag, doc_id, "
+     "CAST(n_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(chunk_id AS DOUBLE) AS mean_token_len, "
+     "CAST(NULL AS DOUBLE) AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
     ("text_quality_filter",
      ["'kept' AS tag", "doc_id", "CAST(NULL AS DOUBLE) AS n_tokens",
       "CAST(NULL AS DOUBLE) AS mean_token_len", "CAST(NULL AS DOUBLE) AS punct_ratio",

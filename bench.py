@@ -355,7 +355,9 @@ def main() -> None:
                      "g_kcore", "g_clustering", "sim_quantized_topk",
                      "bm25_ranked", "sim_hybrid_rrf", "profile_orders",
                      "cdc_table_changes", "stats_corr", "integrity_checksum",
-                     "scd2_history", "g_link_prediction"):
+                     "scd2_history", "g_link_prediction",
+                     # round 6
+                     "dedup_fuzzy_names", "g_cc_star", "text_chunks"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():

@@ -257,3 +257,45 @@ def corpus_df_stats(df: DataFrame, text_col: str = "text",
         "sum_df",
         (F.col("sum_df") / F.col("n_distinct_tokens")).alias("mean_df"),
     )
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-length normalization step of pretraining / RAG pipelines:
+    chunk i covers tokens [i·stride, i·stride + chunk_tokens) of the
+    normalized token stream, stride = chunk_tokens − overlap, and the last
+    chunk starts at the final stride boundary that still begins inside the
+    document (so short tails are kept, whole-doc when under one chunk).
+
+    Pure JVM column algebra: tokenize once, `sequence` over chunk starts,
+    explode, `slice` + `array_join` — no UDF, fully codegen'd, and every
+    expression has an exact DuckDB mirror (list slicing), so chunk
+    boundaries are engine-portable.  One row per (doc, chunk):
+    (id_col, chunk_id, n_tokens, chunk_text).  Empty documents produce no
+    rows.  At scale the explode multiplies rows by ~n_tokens/stride; chunk
+    assembly stays within the row, so nothing shuffles until the caller
+    aggregates."""
+    if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
+        raise ValueError("need chunk_tokens >= 1 and 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    n = F.size(F.col("_toks"))
+    # chunk starts: 0, stride, 2·stride, …, last multiple of stride < n
+    starts = F.sequence(
+        F.lit(0),
+        F.floor((n - F.lit(1)) / F.lit(stride)).cast("int") * F.lit(stride),
+        F.lit(stride))
+    return (df
+            .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+            .filter(F.size("_toks") > 0)
+            .select(id_col,
+                    F.posexplode(starts).alias("chunk_id", "_start"),
+                    F.col("_toks"))
+            .select(
+                id_col, "chunk_id",
+                F.slice(F.col("_toks"), F.col("_start") + 1,
+                        F.lit(chunk_tokens)).alias("_chunk"))
+            .select(
+                id_col, "chunk_id", F.size("_chunk").alias("n_tokens"),
+                F.array_join("_chunk", " ").alias("chunk_text")))

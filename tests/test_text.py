@@ -172,3 +172,30 @@ def test_fuzzy_join_cross_table(spark):
            for x in fuzzy_join(l, r, "text", "lid", "rid",
                                max_distance=1).collect()}
     assert got == {("l1", "r1", 1), ("l2", "r2", 1)}
+
+
+def test_chunk_documents_boundaries(spark):
+    from hugegraph_on_tikv_spark.functions.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words),            # 10 tokens: chunks at 0,4,8 (stride 4)
+         (2, "a b c"),          # under one chunk: single whole-doc chunk
+         (3, ""),               # empty: no rows
+         (4, "!!! ...")],       # tokenizes to nothing: no rows
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["chunk_id"]): r
+           for r in chunk_documents(df, chunk_tokens=6, overlap=2).collect()}
+    assert set(out) == {(1, 0), (1, 1), (1, 2), (2, 0)}
+    assert out[(1, 0)]["chunk_text"] == "w0 w1 w2 w3 w4 w5"
+    assert out[(1, 1)]["chunk_text"] == "w4 w5 w6 w7 w8 w9"
+    assert out[(1, 2)]["chunk_text"] == "w8 w9"       # tail kept
+    assert out[(1, 2)]["n_tokens"] == 2
+    assert out[(2, 0)]["chunk_text"] == "a b c"
+    # overlap invariant: consecutive chunks share `overlap` tokens
+    assert out[(1, 0)]["chunk_text"].split()[-2:] == \
+        out[(1, 1)]["chunk_text"].split()[:2]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
