@@ -95,3 +95,27 @@ def stream_windowed_counts(stream_df: DataFrame, value_col: str,
     if min_count is not None:
         out = out.filter(F.col("n_occurrences") >= min_count)
     return out
+
+
+def stream_enrich(stream_df: DataFrame, dim_df: DataFrame,
+                  on: str | list[str], how: str = "left",
+                  broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static dimension enrichment — the standard fact-stream ×
+    dimension join.  Stream-static joins are STATELESS in Structured
+    Streaming: no watermark, no state store, and the static side is
+    re-planned at every micro-batch, so a dimension served from a
+    TableCatalog view picks up version swaps between batches without
+    restarting the query.
+
+    broadcast_dim=True hints the broadcast — a stateless map-side hash
+    join per batch, the plan every enrichment wants while the dimension
+    fits an executor.  For a dimension too large to broadcast, pass
+    False and pre-bucket BOTH sides on the join key so the per-batch
+    shuffle is co-located.  `how` supports inner/left (stream side must
+    stay the left side — Structured Streaming forbids right/full outer
+    against a stream)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("stream-static joins support inner/left only "
+                         "(the static side cannot drive outer rows)")
+    d = F.broadcast(dim_df) if broadcast_dim else dim_df
+    return stream_df.join(d, on, how)

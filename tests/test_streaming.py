@@ -837,3 +837,37 @@ def test_stream_windowed_counts_min_count_filter(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() > 0
     assert got.agg(F.min("n_occurrences")).first()[0] >= 5
+
+
+def test_stream_enrich_matches_batch(spark, tmp_path):
+    """Stream-static enrichment: the streamed join over micro-batches
+    equals the batch join, stateless (no watermark needed), and the left
+    form keeps unmatched stream rows."""
+    from hugegraph_on_tikv_spark.streaming.ingest import stream_enrich
+
+    events_dir = str(tmp_path / "events")
+    schema = "event_id long, user_id long, value double"
+    spark.createDataFrame(
+        [(1, 10, 1.0), (2, 11, 2.0), (3, 99, 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(events_dir)
+    dim = spark.createDataFrame(
+        [(10, "gold"), (11, "silver")], "user_id long, tier string")
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    enriched = stream_enrich(stream, dim, "user_id")
+    got: list = []
+    q = (enriched.writeStream.foreachBatch(
+            lambda df, bid: got.extend(df.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    want = {(r["event_id"], r["tier"]) for r in
+            spark.read.parquet(events_dir).join(dim, "user_id", "left")
+            .collect()}
+    assert {(r["event_id"], r["tier"]) for r in got} == want
+    assert (3, None) in want                 # left keeps unmatched rows
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        stream_enrich(stream, dim, "user_id", how="full_outer")
