@@ -168,3 +168,81 @@ def test_heavy_hitters_matches_exact_model(spark, values, threshold, n_parts):
     support = math.ceil(threshold * len(values))
     want = {(str(v), c) for v, c in Counter(values).items() if c >= support}
     assert got == want
+
+
+# -- media codec round-trips on arbitrary arrays (pure python, fast) --------
+
+@settings(deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_ppm_round_trip_property(h, w, seed):
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm)
+
+    rng = np.random.RandomState(seed)
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(rgb)), rgb)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+
+
+@settings(deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    channels=st.integers(min_value=1, max_value=3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_round_trip_property(n, channels, rate, seed):
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_wav, encode_wav)
+
+    rng = np.random.RandomState(seed)
+    s = rng.randint(-32768, 32768, size=(n, channels)).astype(np.int16)
+    if channels == 1:
+        s = s[:, 0]
+    back, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate
+    want = s.reshape(-1, 1) if channels == 1 else s
+    assert np.array_equal(back, want)
+
+
+# -- chunking reconstruction property (small Spark frames) ------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_reconstructs_stream(spark, n_tokens, chunk, overlap):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0) and
+    concatenating in chunk order reproduces the token stream exactly —
+    no token lost, none duplicated, for every (chunk, overlap) geometry."""
+    from hypothesis import assume
+
+    from hugegraph_on_tikv_spark.functions.text import chunk_documents
+
+    assume(overlap < chunk)
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_tokens=chunk,
+                                  overlap=overlap).collect(),
+                  key=lambda r: r["chunk_id"])
+    if n_tokens == 0:
+        assert rows == []
+        return
+    rebuilt: list[str] = []
+    for r in rows:
+        toks = r["chunk_text"].split()
+        assert len(toks) == r["n_tokens"] <= chunk
+        rebuilt.extend(toks if r["chunk_id"] == 0 else toks[overlap:])
+    assert rebuilt == words
