@@ -252,16 +252,26 @@ def ivf_centroids(corpus: DataFrame, n_cells: int = 16, refine_iters: int = 1,
 
 def ivf_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
                     refine_iters: int = 1, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    quantize_bits: int | None = 8) -> None:
     """Persist an IVF index: the corpus parquet-partitioned BY CELL (hive
     layout) plus the centroid table.  This is the physical form behind the
     ivf_topk scale story — a probe then reads n_probe/n_cells of the data
-    via directory-level partition pruning, not a full scan."""
+    via directory-level partition pruning, not a full scan.
+
+    `quantize_bits` (default 8 — the IVF-SQ8 layout) additionally stores
+    per-vector int codes + scale next to the float column; parquet is
+    columnar, so the quantized search path scans ONLY the codes (4× less
+    probe I/O than float32) while the float column stays available for
+    exact re-ranking.  None writes the flat (float-only) index."""
     cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents = corpus.sparkSession.read.parquet(f"{path}/centroids")
     assigned = (assign_best_cell(corpus.select(id_col, vec_col), cents, id_col, vec_col)
                 .select(id_col, vec_col, "cell"))
+    if quantize_bits is not None:
+        codes = quantize_embeddings(corpus, vec_col, id_col, quantize_bits)
+        assigned = assigned.join(codes, id_col)
     (assigned.repartition("cell").write.mode("overwrite")
      .partitionBy("cell").parquet(f"{path}/corpus"))
 
@@ -302,6 +312,13 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
     assigned = (assign_best_cell(new_vectors.select(id_col, vec_col), cents,
                                  id_col, vec_col)
                 .select(id_col, vec_col, "cell"))
+    # schema consistency with the resident index: a quantized (SQ8) index
+    # quantizes its appends too, so every file carries the codes columns
+    resident = spark.read.parquet(f"{path}/corpus")
+    if "codes" in resident.columns:
+        bits = 8  # SQ layout default; scale column makes bits recoverable
+        assigned = assigned.join(
+            quantize_embeddings(new_vectors, vec_col, id_col, bits), id_col)
     n = assigned.count()
     (assigned.repartition("cell").write.mode("append")
      .partitionBy("cell").parquet(f"{path}/corpus"))
@@ -402,12 +419,26 @@ def ivf_stream_appender(spark, path: str, id_col: str = "vec_id",
 
 def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
                      n_probe: int = 4, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     quantized: bool = False,
+                     refine: int | None = None) -> DataFrame:
     """Search a persisted IVF index.  The probe cell set (at most n_cells
     values) is collected to the driver and pushed into the corpus scan as a
     literal IN-filter on the partition column — `.explain` shows it as a
     PartitionFilter, i.e. unprobed cell directories are never opened.
-    Same output contract as ivf_topk."""
+    Same output contract as ivf_topk.
+
+    `quantized=True` is the IVF-SQ8 scan (index written with
+    quantize_bits): the probed cells are scanned reading ONLY the int8
+    codes — parquet column pruning keeps the float column on disk, the
+    4× I/O cut on top of partition pruning — and ranked by quantized
+    cosine (per-vector scales cancel; exact-integer dots).  `refine=r`
+    adds the standard two-stage rerank: the top r·k quantized candidates
+    per query are re-scored with EXACT float cosine (one candidate-id
+    semi-joined scan of the probed cells' float column) and the final
+    top-k comes from exact scores — r ≈ 3 recovers exact-search results
+    in practice; candidates ⊇ cell membership makes it exactly the flat
+    search."""
     from pyspark.sql.window import Window
 
     cents = spark.read.parquet(f"{path}/centroids")
@@ -419,19 +450,62 @@ def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
                   .select(F.col(id_col).alias("query_id"),
                           F.col(vec_col).alias("q_vec2"), "cell"))
     probe_cells = [r["cell"] for r in q_assigned.select("cell").distinct().collect()]
-    corpus = (spark.read.parquet(f"{path}/corpus")
-              .filter(F.col("cell").isin(probe_cells))
-              .select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("c_vec2"), "cell"))
+    raw = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cell").isin(probe_cells))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    if not quantized:
+        corpus = raw.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("c_vec2"), "cell")
+        scored = (
+            corpus.join(F.broadcast(q_assigned), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id",
+                    F.round(cosine(F.col("q_vec2"), F.col("c_vec2")), 6).alias("cos_sim"))
+            .distinct()
+        )
+        return scored.withColumn("rank", F.row_number().over(w2)) \
+            .filter(F.col("rank") <= k)
+    if "codes" not in raw.columns:
+        raise ValueError("index was not written with quantize_bits — "
+                         "rebuild via ivf_write_index(quantize_bits=8)")
+    # codes-only scan: the float vec_col never leaves disk here
+    corpus_q = raw.select(F.col(id_col).alias("neighbor_id"),
+                          F.col("codes").alias("c_codes"), "cell")
+    q_distinct = (q_assigned.select("query_id", "q_vec2").distinct()
+                  .select(F.col("query_id").alias(id_col),
+                          F.col("q_vec2").alias(vec_col)))
+    qq = quantize_embeddings(q_distinct, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("codes").alias("q_codes"))
+    q_cells = q_assigned.select("query_id", "cell") \
+        .join(F.broadcast(qq), "query_id")
+    n_q = _int_dot(F.col("q_codes"), F.col("q_codes"))
+    n_c = _int_dot(F.col("c_codes"), F.col("c_codes"))
+    qscore = F.when((n_q == 0) | (n_c == 0), F.lit(0.0)).otherwise(
+        _int_dot(F.col("q_codes"), F.col("c_codes"))
+        / (F.sqrt(n_q) * F.sqrt(n_c)))
     scored = (
-        corpus.join(F.broadcast(q_assigned), "cell")
+        corpus_q.join(F.broadcast(q_cells), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("q_vec2"), F.col("c_vec2")), 6).alias("cos_sim"))
+                F.round(qscore, 6).alias("cos_sim"))
         .distinct()
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+    ranked = scored.withColumn("rank", F.row_number().over(w2))
+    if refine is None:
+        return ranked.filter(F.col("rank") <= k)
+    cands = ranked.filter(F.col("rank") <= refine * k) \
+        .select("query_id", "neighbor_id")
+    floats = raw.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("c_vec2")).distinct()
+    qv = q_assigned.select("query_id", "q_vec2").distinct()
+    exact = (cands.join(floats, "neighbor_id")
+             .join(F.broadcast(qv), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(cosine(F.col("q_vec2"), F.col("c_vec2")), 6)
+                     .alias("cos_sim")))
+    return exact.withColumn("rank", F.row_number().over(w2)) \
+        .filter(F.col("rank") <= k)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 16,

@@ -415,3 +415,89 @@ def test_multi_probe_lsh_recall_knob(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_probe"):
         sim.ann_lsh_topk(qs, emb, n_probe=0)
+
+
+def test_ivf_sq8_quantized_search_and_refine(spark, tmp_path):
+    """IVF-SQ8: the quantized scan ranks on int8 codes only (the float
+    column never enters the probe ReadSchema), and refine= recovers the
+    flat search's exact results once the candidate window covers the
+    probed cells."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "ivf_sq8")
+    similarity.ivf_write_index(emb, path, n_cells=8, refine_iters=1,
+                               quantize_bits=8)
+
+    flat = similarity.ivf_search_index(spark, path, queries, k=5, n_probe=4)
+    quant = similarity.ivf_search_index(spark, path, queries, k=5, n_probe=4,
+                                        quantized=True)
+    flat_rows = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                 for r in flat.collect()}
+    quant_rows = {(r["query_id"], r["rank"]): r["neighbor_id"]
+                  for r in quant.collect()}
+    assert len(quant_rows) == len(flat_rows) > 0
+    # int8 quantization recall: overwhelming top-k agreement
+    agree = sum(1 for kk, v in flat_rows.items() if quant_rows.get(kk) == v)
+    assert agree / len(flat_rows) >= 0.8, agree / len(flat_rows)
+
+    # refine window covering every probed cell ⇒ EXACTLY the flat result
+    refined = similarity.ivf_search_index(
+        spark, path, queries, k=5, n_probe=4, quantized=True,
+        refine=(n // 5) + 1)
+    refined_rows = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                           r["cos_sim"]) for r in refined.collect())
+    flat_full = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                        r["cos_sim"]) for r in flat.collect())
+    assert refined_rows == flat_full
+
+    # plan: the quantized scan reads codes, never the float embedding
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        quant.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    scan_part = plan.split("Location:")[-1]
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("codes" in s and "embedding" not in s for s in schemas), schemas
+
+    # flat-only index refuses the quantized path loudly
+    import pytest as _pytest
+    flat_path = str(tmp_path / "ivf_flat")
+    similarity.ivf_write_index(emb, flat_path, n_cells=8, quantize_bits=None)
+    with _pytest.raises(ValueError, match="quantize_bits"):
+        similarity.ivf_search_index(spark, flat_path, queries, quantized=True)
+
+
+def test_ivf_sq8_append_keeps_codes(spark, tmp_path):
+    """Appends into a quantized index quantize themselves — schema stays
+    uniform and appended vectors are findable via the codes-only scan."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    part_a = emb.filter(F.col("vec_id") % 5 != 0)
+    part_b = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_sq8_app")
+    similarity.ivf_write_index(part_a, path, n_cells=8, quantize_bits=8)
+    assert similarity.ivf_append_index(spark, path, part_b, batch_id=1) > 0
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert "codes" in corpus.columns
+    assert corpus.filter(F.col("codes").isNull()).count() == 0
+
+    queries = part_b.limit(3)
+    got = similarity.ivf_search_index(spark, path, queries, k=3, n_probe=8,
+                                      quantized=True, refine=3)
+    assert got.count() > 0
