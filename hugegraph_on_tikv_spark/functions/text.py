@@ -287,6 +287,9 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
         F.floor((n - F.lit(1)) / F.lit(stride)).cast("int") * F.lit(stride),
         F.lit(stride))
     return (df
+            # explicit IsNotNull pushes to the scan (the size() expression
+            # filter below never can); NULL text yields no chunks either way
+            .filter(F.col(text_col).isNotNull())
             .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
             .filter(F.size("_toks") > 0)
             .select(id_col,
