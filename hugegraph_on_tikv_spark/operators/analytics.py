@@ -384,12 +384,17 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
                     e.select(F.col("v").alias("a"), F.col("u").alias("b"))))
         mins = (nbrs.groupBy("a")
                 .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+        # NOTE: no distinct here — duplicate (u, v) rows cannot change the
+        # min aggregate below and the small-star output dedups anyway, so
+        # the extra exchange a distinct would cost per round buys nothing
+        # (sf0.1 timing is checkpoint-dominated and unchanged; at scale
+        # one fewer full shuffle per round is strictly better)
         large = (nbrs.join(mins, "a")
                  .filter(F.col("b") > F.col("a"))
                  .select(F.least("b", "m").alias("u"),
                          F.greatest("b", "m").alias("v"))
                  .filter(F.col("u") != F.col("v"))
-                 .distinct().localCheckpoint(eager=True))
+                 .localCheckpoint(eager=True))
         # ---- small-star (edges already canonical u < v: group at v) ----
         mins2 = (large.groupBy(F.col("v").alias("a"))
                  .agg(F.min("u").alias("m")))
