@@ -411,6 +411,38 @@ _register(
     """,
 )
 
+_register(
+    "win_gapfill",
+    # dense-grid resampling (streaming/windows.py resample_gapfill):
+    # every bucket×group present, empties n_events=0, forward-filled sum
+    lambda spark, sf: windows.resample_gapfill(
+        load_events(spark, sf), "1 hour", forward_fill=True)
+    .select(_ts("bucket_start").alias("bucket_start"), "event_type",
+            "n_events", "sum_value", "filled_value"),
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bs, event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n, round(SUM(value), 4) AS sv
+      FROM events GROUP BY 1, 2
+    ), mm AS (
+      SELECT min(bs) AS lo, max(bs) AS hi FROM b
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bs, grp
+      FROM mm, (SELECT DISTINCT grp FROM b) g
+    ), joined AS (
+      SELECT s.bs, s.grp, COALESCE(b.n, 0) AS n_events, b.sv AS sum_value
+      FROM spine s LEFT JOIN b ON s.bs = b.bs AND s.grp = b.grp
+    )
+    SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           grp AS event_type, n_events, sum_value,
+           last_value(sum_value IGNORE NULLS)
+             OVER (PARTITION BY grp ORDER BY bs
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM joined
+    """,
+)
+
 from hugegraph_on_tikv_spark.functions import events as _events_fns
 
 _register(
@@ -5730,6 +5762,15 @@ _compose("win_windows", [
       "event_type AS s", "CAST(NULL AS DOUBLE) AS user_id", "n_events", "sum_value"],
      "'tumbling' AS tag, window_start AS t1, CAST(NULL AS VARCHAR) AS t2, event_type AS s, "
      "CAST(NULL AS DOUBLE) AS user_id, n_events, sum_value"),
+    # gap-filled resampling: raw per-bucket sum rides the user_id double
+    # slot, forward-filled sum rides sum_value — both value-checked
+    ("win_gapfill",
+     ["'gapfill' AS tag", "bucket_start AS t1", "CAST(NULL AS STRING) AS t2",
+      "event_type AS s", "sum_value AS user_id", "n_events",
+      "filled_value AS sum_value"],
+     "'gapfill' AS tag, bucket_start AS t1, CAST(NULL AS VARCHAR) AS t2, "
+     "event_type AS s, sum_value AS user_id, n_events, "
+     "filled_value AS sum_value"),
     ("win_sliding",
      ["'sliding' AS tag", "window_start AS t1", "CAST(NULL AS STRING) AS t2",
       "CAST(NULL AS STRING) AS s", "CAST(NULL AS DOUBLE) AS user_id", "n_events",

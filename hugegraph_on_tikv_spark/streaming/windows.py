@@ -110,3 +110,50 @@ def stream_tumbling_append(spark, events_dir: str, checkpoint_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def resample_gapfill(events: DataFrame, interval: str = "1 hour",
+                     ts_col: str = "ts", value_col: str = "value",
+                     group_col: str = "event_type",
+                     forward_fill: bool = False) -> DataFrame:
+    """Regular-grid resampling with EXPLICIT empty buckets — the
+    timeseries densification step plain groupBy(window) skips: a bucket
+    with no events is absent from an aggregate but present on a chart /
+    model input grid.  The dense spine is the global [min, max] bucket
+    range crossed with the distinct group set; observed aggregates left-
+    join onto it, empty buckets land with n_events = 0 and NULL sum.
+
+    `forward_fill=True` adds `filled_value`: the last non-NULL sum at or
+    before each bucket per group (`last(ignorenulls) OVER (ORDER BY
+    bucket)` — the standard gap-carry for sensor/price series).
+
+    Scale: the spine is built from a 1-row min/max aggregate (broadcast)
+    exploded into n_buckets rows × distinct groups — the dense output's
+    own size, nothing larger; the only shuffles are the bucket aggregate
+    and (when forward-filling) one per-group window, both on the same
+    key.  Returns (bucket_start, group_col, n_events, sum_value
+    [, filled_value])."""
+    from pyspark.sql.window import Window
+
+    b = (events.groupBy(F.window(ts_col, interval).alias("w"),
+                        F.col(group_col).alias("_grp"))
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.round(F.sum(value_col), 4).alias("sum_value"))
+         .select(F.col("w.start").alias("bucket_start"), "_grp",
+                 "n_events", "sum_value"))
+    mm = b.agg(F.min("bucket_start").alias("lo"),
+               F.max("bucket_start").alias("hi"))
+    spine = (mm.select(F.explode(F.expr(
+        f"sequence(lo, hi, interval {interval})")).alias("bucket_start"))
+        .crossJoin(b.select("_grp").distinct()))
+    out = (spine.join(b, ["bucket_start", "_grp"], "left")
+           .select("bucket_start", F.col("_grp").alias(group_col),
+                   F.coalesce("n_events", F.lit(0).cast("long"))
+                   .alias("n_events"),
+                   "sum_value"))
+    if forward_fill:
+        w = (Window.partitionBy(group_col).orderBy("bucket_start")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        out = out.withColumn(
+            "filled_value", F.last("sum_value", ignorenulls=True).over(w))
+    return out

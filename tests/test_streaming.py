@@ -871,3 +871,38 @@ def test_stream_enrich_matches_batch(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="inner/left"):
         stream_enrich(stream, dim, "user_id", how="full_outer")
+
+
+def test_resample_gapfill_dense_grid_and_ffill(spark):
+    """Gap-filled resampling: every bucket of the [min, max] range appears
+    for every group, empties carry n_events=0, and forward-fill carries
+    the last observed sum across gaps."""
+    import datetime as dt
+
+    from hugegraph_on_tikv_spark.streaming.windows import resample_gapfill
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 10, "click", 2.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 10, "click", 3.0, "{}"),
+        # 11:00 empty for click
+        (3, t0 + dt.timedelta(hours=2), 10, "click", 7.0, "{}"),
+        (4, t0 + dt.timedelta(hours=1), 11, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    out = {(r["bucket_start"], r["event_type"]): r
+           for r in resample_gapfill(df, "1 hour",
+                                     forward_fill=True).collect()}
+    hours = [t0, t0 + dt.timedelta(hours=1), t0 + dt.timedelta(hours=2)]
+    # dense: 3 buckets x 2 groups
+    assert set(out) == {(h, g) for h in hours for g in ("click", "view")}
+    assert out[(hours[0], "click")]["n_events"] == 2
+    assert out[(hours[0], "click")]["sum_value"] == 5.0
+    gap = out[(hours[1], "click")]
+    assert gap["n_events"] == 0 and gap["sum_value"] is None
+    assert gap["filled_value"] == 5.0              # carried across the gap
+    assert out[(hours[2], "click")]["filled_value"] == 7.0
+    assert out[(hours[0], "view")]["n_events"] == 0
+    assert out[(hours[0], "view")]["filled_value"] is None  # nothing yet
