@@ -722,3 +722,27 @@ def test_choose_three_arg_and_position_check(g):
         g.V().has_label("nation").choose_(
             ("name", "prefix", "A"),
             lambda t: t.out_e("part_of"))
+
+
+def test_value_map_preserves_multiplicity(g):
+    # customer 1 out to its orders then back in_: multiple traversers can
+    # sit on one vertex — valueMap emits one row per traverser, not per id
+    t = g.V(vid("customer", 1)).out("placed").in_("placed")
+    n_traversers = t.count().collect()[0]["n"]
+    rows = t.value_map("name").collect()
+    assert len(rows) == n_traversers > 1
+
+
+def test_choose_carries_as_labels_across_branches(g, spark):
+    """A label bound before choose_ survives both branches; the branch
+    that unions in columns the other lacks yields NULLs, never an error."""
+    from pyspark.sql import functions as F
+
+    seeds = g.V().has_label("nation").as_("n")
+    routed = seeds.choose_(("name", "prefix", "A"),
+                           lambda t: t.out("part_of"),
+                           lambda t: t)
+    pairs = routed.select("n")
+    assert pairs.count() == 25          # every nation exactly once
+    # labeled origin still resolvable after the branch union
+    assert pairs.distinct().count() == 25
