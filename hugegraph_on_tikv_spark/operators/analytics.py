@@ -978,6 +978,40 @@ def harmonic_closeness(edges: DataFrame, landmarks: list[int],
     )
 
 
+def diameter_double_sweep(edges: DataFrame, start_id: int | None = None,
+                          iterations: int = 15) -> DataFrame:
+    """Double-sweep diameter estimation over the undirected graph: BFS
+    from a start vertex to its farthest reachable vertex u (ties by min
+    id), then BFS from u — the second sweep's eccentricity is the classic
+    tight LOWER bound on diameter (exact on trees; within a small factor
+    on real graphs), at the cost of TWO landmark-BFS runs instead of the
+    all-pairs computation exact diameter needs.  The two bridge scalars
+    (the farthest vertex, its distance) are driver-side single-row
+    lookups; everything else is the shortest_paths shuffle shape.
+    Returns one row (start_id, peripheral_id, diameter_lower_bound,
+    n_reached) — n_reached counts the second sweep's reach (diameter of
+    THAT component)."""
+    und = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))))
+    if start_id is None:
+        start_id = und.agg(F.min("src")).collect()[0][0]
+        if start_id is None:
+            raise ValueError("empty edge set")
+    d1 = shortest_paths(und, [int(start_id)], iterations)
+    far = (d1.agg(F.max_by(F.struct(F.col("id"), F.col("distance")),
+                           F.struct(F.col("distance").alias("d"),
+                                    (-F.col("id")).alias("neg")))
+                  .alias("f"))
+           .select("f.id", "f.distance").collect()[0])
+    d2 = shortest_paths(und, [int(far["id"])], iterations)
+    return (d2.agg(F.max("distance").alias("diameter_lower_bound"),
+                   F.count(F.lit(1)).alias("n_reached"))
+            .select(F.lit(int(start_id)).alias("start_id"),
+                    F.lit(int(far["id"])).alias("peripheral_id"),
+                    "diameter_lower_bound", "n_reached"))
+
+
 def betweenness_centrality(edges: DataFrame, sources: list[int],
                            max_depth: int = 10,
                            directed: bool = False) -> DataFrame:

@@ -157,3 +157,42 @@ def resample_gapfill(events: DataFrame, interval: str = "1 hour",
         out = out.withColumn(
             "filled_value", F.last("sum_value", ignorenulls=True).over(w))
     return out
+
+
+def resample_interpolate(events: DataFrame, interval: str = "1 hour",
+                         ts_col: str = "ts", value_col: str = "value",
+                         group_col: str = "event_type") -> DataFrame:
+    """Linear interpolation over the dense resample grid: gap buckets get
+    v0 + (v1−v0)·(p−p0)/(p1−p0) between the surrounding observed sums
+    (leading/trailing gaps carry the nearest observed value — the standard
+    sensor-series completion).  Built on resample_gapfill's spine; the
+    interpolation is ONE row-local expression over window-located
+    neighbors (last/first ignorenulls over the same per-group ordering the
+    fill uses — no extra shuffle beyond the fill's window), so the arith
+    is per-row deterministic and engine-portable.
+    Returns (bucket_start, group_col, n_events, sum_value, interp_value)."""
+    from pyspark.sql.window import Window
+
+    base = resample_gapfill(events, interval, ts_col, value_col, group_col)
+    wp = (Window.partitionBy(group_col).orderBy("bucket_start")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy(group_col).orderBy("bucket_start")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    pos = F.row_number().over(
+        Window.partitionBy(group_col).orderBy("bucket_start"))
+    obs_pos = F.when(F.col("sum_value").isNotNull(), F.col("_pos"))
+    out = (base.withColumn("_pos", pos)
+           .withColumn("_pv", F.last("sum_value", ignorenulls=True).over(wp))
+           .withColumn("_pp", F.last(obs_pos, ignorenulls=True).over(wp))
+           .withColumn("_nv", F.first("sum_value", ignorenulls=True).over(wn))
+           .withColumn("_np", F.first(obs_pos, ignorenulls=True).over(wn)))
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(F.col("_pv").isNull(), F.col("_nv"))
+        .when(F.col("_nv").isNull(), F.col("_pv"))
+        .otherwise(F.round(
+            F.col("_pv") + (F.col("_nv") - F.col("_pv"))
+            * (F.col("_pos") - F.col("_pp"))
+            / (F.col("_np") - F.col("_pp")), 4)))
+    return out.select("bucket_start", group_col, "n_events", "sum_value",
+                      interp.alias("interp_value"))

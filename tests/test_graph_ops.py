@@ -682,3 +682,24 @@ def test_betweenness_sampled_subset_and_directed(spark):
                 dedges, [1, 2, 3], directed=True).collect()}
     assert dgot[2] == _pytest.approx(1.0)
     assert dgot.get(3, 0.0) == 0.0
+
+
+def test_diameter_double_sweep(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        diameter_double_sweep)
+
+    # path graph 0-1-2-3-4-5: exact diameter 5; starting mid-path the
+    # first sweep finds an endpoint, the second measures the full path
+    path = [(i, i + 1) for i in range(5)]
+    r = diameter_double_sweep(
+        spark.createDataFrame(path, "src long, dst long"),
+        start_id=2).collect()[0]
+    assert r["diameter_lower_bound"] == 5
+    assert r["peripheral_id"] in (0, 5)
+    assert r["n_reached"] == 6
+
+    # star: diameter 2, exact via any start
+    star = [(0, i) for i in range(1, 8)]
+    r2 = diameter_double_sweep(
+        spark.createDataFrame(star, "src long, dst long")).collect()[0]
+    assert r2["diameter_lower_bound"] == 2

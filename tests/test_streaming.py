@@ -906,3 +906,23 @@ def test_resample_gapfill_dense_grid_and_ffill(spark):
     assert out[(hours[2], "click")]["filled_value"] == 7.0
     assert out[(hours[0], "view")]["n_events"] == 0
     assert out[(hours[0], "view")]["filled_value"] is None  # nothing yet
+
+
+def test_resample_interpolate_linear(spark):
+    import datetime as dt
+
+    from hugegraph_on_tikv_spark.streaming.windows import resample_interpolate
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 10, "m", 2.0, "{}"),
+        # 11:00, 12:00 empty; 13:00 observed -> linear 2,4,6,8
+        (2, t0 + dt.timedelta(hours=3), 10, "m", 8.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    out = {r["bucket_start"]: r["interp_value"]
+           for r in resample_interpolate(df, "1 hour").collect()}
+    hours = [t0 + dt.timedelta(hours=i) for i in range(4)]
+    assert [out[h] for h in hours] == [2.0, 4.0, 6.0, 8.0]
