@@ -4425,7 +4425,30 @@ _register(
 
 # -- one-pass column profiling (functions/profiling.py) --------------------
 
+from hugegraph_on_tikv_spark.functions.profiling import (
+    expectations_report as _expectations_report,
+)
 from hugegraph_on_tikv_spark.functions.profiling import profile_table as _profile_table
+
+_EXPECT_CHECKS = {
+    "totalprice_positive": "o_totalprice > 0",
+    "status_domain": "o_orderstatus IN ('O', 'F', 'P')",
+    "orderdate_nonnull": "o_orderdate IS NOT NULL",
+    "all_urgent": "o_orderpriority = '1-URGENT'",   # mostly violated
+}
+
+_register(
+    "quality_expectations",
+    # declarative CHECK-constraint audit: one aggregate pass, strict
+    # TRUE-only semantics (NULL counts as a violation)
+    lambda spark, sf: _expectations_report(
+        load_table(spark, sf, "orders"), _EXPECT_CHECKS),
+    "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS check_name, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CASE WHEN NOT COALESCE(({expr}), false) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_violations FROM orders"
+        for name, expr in _EXPECT_CHECKS.items()),
+)
 
 _register(
     "profile_orders",
@@ -5908,6 +5931,14 @@ _compose("a1_agg_counts", [
      "'count' AS tag, CAST(NULL AS VARCHAR) AS k, CAST(NULL AS DOUBLE) AS v_min, "
      "CAST(NULL AS DOUBLE) AS v_max, CAST(NULL AS DOUBLE) AS v_sum, "
      "CAST(NULL AS DOUBLE) AS v_avg, CAST(n AS DOUBLE) AS n"),
+    # expectation audit: n_rows rides v_sum, violations ride n
+    ("quality_expectations",
+     ["'expect' AS tag", "check_name AS k", "CAST(NULL AS DOUBLE) AS v_min",
+      "CAST(NULL AS DOUBLE) AS v_max", "CAST(n_rows AS DOUBLE) AS v_sum",
+      "CAST(NULL AS DOUBLE) AS v_avg", "CAST(n_violations AS DOUBLE) AS n"],
+     "'expect' AS tag, check_name AS k, CAST(NULL AS DOUBLE) AS v_min, "
+     "CAST(NULL AS DOUBLE) AS v_max, CAST(n_rows AS DOUBLE) AS v_sum, "
+     "CAST(NULL AS DOUBLE) AS v_avg, CAST(n_violations AS DOUBLE) AS n"),
     ("agg_extended",
      ["'agg' AS tag", "l_returnflag AS k", "CAST(min_qty AS DOUBLE) AS v_min",
       "CAST(max_qty AS DOUBLE) AS v_max", "CAST(sum_qty AS DOUBLE) AS v_sum",

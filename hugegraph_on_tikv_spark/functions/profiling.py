@@ -257,3 +257,43 @@ def corr_pairs(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
     n_p = sum(1 for i in range(len(cols)) for _ in range(i + 1, len(cols)))
     return one.selectExpr(
         f"stack({n_p}, {pairs}) AS (col_a, col_b, corr)")
+
+
+def expectations_report(df: DataFrame, checks: dict[str, str]) -> DataFrame:
+    """Declarative data-quality audit (the CHECK-constraint / expectation
+    suite face): each entry is name → boolean SQL expression; the report
+    is one row per check — (check_name, n_rows, n_violations).
+
+    Violation semantics are strict: a row violates unless the expression
+    is literally TRUE (false AND NULL both count — a NULL-lenient CHECK
+    silently passes exactly the rows dirty data produces, so expectations
+    invert that default; write `col IS NULL OR pred` to opt a column out).
+
+    ONE scan, one map-side-combinable aggregate row regardless of check
+    count, stack()ed to the report — scales like count(*)."""
+    if not checks:
+        raise ValueError("expectations_report needs at least one check")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (name, expr) in enumerate(checks.items()):
+        viol = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        aggs.append(F.sum(F.when(viol, 1).otherwise(0)).alias(f"_v{i}"))
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', CAST(_n AS BIGINT), CAST(_v{i} AS BIGINT)"
+        for i, name in enumerate(checks))
+    return one.selectExpr(
+        f"stack({len(checks)}, {pairs}) AS (check_name, n_rows, n_violations)")
+
+
+def enforce_expectations(df: DataFrame, checks: dict[str, str]) -> DataFrame:
+    """Gate a pipeline stage on its expectations: runs the report and
+    RAISES (listing every failing check with its violation count) if any
+    check has violations; returns the input unchanged otherwise — the
+    write-path guard in front of a TableCatalog commit."""
+    bad = [(r["check_name"], r["n_violations"], r["n_rows"])
+           for r in expectations_report(df, checks).collect()
+           if r["n_violations"] > 0]
+    if bad:
+        detail = ", ".join(f"{n}: {v}/{t} rows" for n, v, t in bad)
+        raise ValueError(f"expectations failed — {detail}")
+    return df

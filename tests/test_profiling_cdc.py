@@ -306,3 +306,28 @@ def test_corpus_top_ngrams(spark):
     assert got[0] == ("a b", 3, 1)
     assert {g[0] for g in got} <= {"a b", "b a", "b c", "b x"}
     assert len(got) == 3
+
+
+def test_expectations_report_and_enforce(spark):
+    import pytest as _pytest
+    from hugegraph_on_tikv_spark.functions.profiling import (
+        enforce_expectations, expectations_report)
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "F"), (3, None, "X")],
+        "id long, amount double, status string")
+    rep = {r["check_name"]: (r["n_rows"], r["n_violations"])
+           for r in expectations_report(df, {
+               "amount_positive": "amount > 0",
+               "status_domain": "status IN ('O', 'F')",
+               "id_nonnull": "id IS NOT NULL",
+           }).collect()}
+    # NULL amount counts as a violation (strict TRUE-only semantics)
+    assert rep == {"amount_positive": (3, 2),
+                   "status_domain": (3, 1),
+                   "id_nonnull": (3, 0)}
+
+    with _pytest.raises(ValueError, match="amount_positive: 2/3"):
+        enforce_expectations(df, {"amount_positive": "amount > 0"})
+    # clean check passes rows through unchanged
+    assert enforce_expectations(df, {"id_nonnull": "id IS NOT NULL"}) is df
