@@ -315,15 +315,37 @@ def near_duplicate_clusters(docs: DataFrame, num_hashes: int = 32, rows_per_band
 def near_dedup(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
                k: int = 3, threshold: float = 0.7,
                text_col: str = "text", id_col: str = "doc_id",
-               max_bucket_size: int | None = 1000) -> DataFrame:
-    """The end-to-end corpus operation: drop near-duplicates, keeping each
-    cluster's min-id representative — shingle → minhash → band → bucket-join
+               max_bucket_size: int | None = 1000,
+               score_col: str | None = None) -> DataFrame:
+    """The end-to-end corpus operation: drop near-duplicates, keeping one
+    representative per cluster — shingle → minhash → band → bucket-join
     → verify → cluster → anti-join, all as one DataFrame program.  Docs in
-    no cluster pass through untouched."""
+    no cluster pass through untouched.
+
+    Representative choice: min id by default (deterministic, the oracle
+    convention); with `score_col` the HIGHEST-scoring member wins (ties by
+    min id) — the curation-quality form: near-dup clusters usually hold
+    one clean original and several degraded copies, and a quality score
+    (functions/text.quality_metrics, df_stats, …) picks the clean one
+    where min-id picks arbitrarily.  One extra max_by aggregate per
+    cluster — same shuffle key the clustering already used."""
     clusters = near_duplicate_clusters(docs, num_hashes, rows_per_band, k,
                                        threshold, text_col, id_col, max_bucket_size)
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
-        .select(F.col("doc_id").alias(id_col))
+    if score_col is None:
+        losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+            .select(F.col("doc_id").alias(id_col))
+        return docs.join(losers, id_col, "left_anti")
+    scored = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(score_col)),
+        "doc_id")
+    keep = (scored.groupBy("cluster_id")
+            .agg(F.max_by(
+                F.col("doc_id"),
+                F.struct(F.col(score_col).alias("s"),
+                         (-F.col("doc_id")).alias("neg_id"))).alias("keep_id")))
+    losers = (clusters.join(keep, "cluster_id")
+              .filter(F.col("doc_id") != F.col("keep_id"))
+              .select(F.col("doc_id").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")
 
 

@@ -199,3 +199,30 @@ def test_chunk_documents_boundaries(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_near_dedup_score_keeps_best_not_min(spark):
+    """score_col picks each cluster's highest-quality member; min-id stays
+    the default."""
+    from hugegraph_on_tikv_spark.functions.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base, 0.2),                   # min id, LOW quality
+         (2, base + " extra", 0.9),        # near-dup, best quality
+         (10, "a totally different unrelated document about spark plans", 0.5)],
+        "doc_id long, text string, quality double")
+    kept_default = sorted(r["doc_id"] for r in
+                          near_dedup(docs, threshold=0.5).collect())
+    assert kept_default == [1, 10]
+    kept_scored = sorted(r["doc_id"] for r in
+                         near_dedup(docs, threshold=0.5,
+                                    score_col="quality").collect())
+    assert kept_scored == [2, 10]
+    # tie on score -> min id wins (deterministic)
+    from pyspark.sql import functions as F
+    tied = docs.withColumn("quality", F.lit(1.0))
+    kept_tied = sorted(r["doc_id"] for r in
+                       near_dedup(tied, threshold=0.5,
+                                  score_col="quality").collect())
+    assert kept_tied == [1, 10]
