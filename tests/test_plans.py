@@ -409,6 +409,10 @@ def test_whole_roster_lints_clean(spark):
         # broadcast join — the same scalar pattern as q11/q22
         "bm25_ranked": {"cartesian"},
         "sim_hybrid_rrf": {"cartesian"},
+        # the resample spine: a 1-row min/max aggregate exploded into the
+        # bucket sequence, crossed with the distinct group set — both
+        # sides bounded by the dense OUTPUT's own dimensions by contract
+        "win_gapfill": {"cartesian"},
         # histograms' min/max / percentile-edge scalar rows broadcast back
         # the same way
         "profile_histogram": {"cartesian"},
