@@ -273,6 +273,11 @@ def expectations_report(df: DataFrame, checks: dict[str, str]) -> DataFrame:
     count, stack()ed to the report — scales like count(*)."""
     if not checks:
         raise ValueError("expectations_report needs at least one check")
+    bad_names = [n for n in checks if "'" in n or "\\" in n]
+    if bad_names:
+        raise ValueError(
+            f"check names must not contain quotes/backslashes "
+            f"(they are embedded in the report literal): {bad_names}")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (name, expr) in enumerate(checks.items()):
         viol = ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))

@@ -331,3 +331,5 @@ def test_expectations_report_and_enforce(spark):
         enforce_expectations(df, {"amount_positive": "amount > 0"})
     # clean check passes rows through unchanged
     assert enforce_expectations(df, {"id_nonnull": "id IS NOT NULL"}) is df
+    with _pytest.raises(ValueError, match="quotes"):
+        expectations_report(df, {"bad'name": "id IS NOT NULL"})
