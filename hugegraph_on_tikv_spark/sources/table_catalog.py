@@ -218,7 +218,8 @@ class TableCatalog:
             meta = self._meta(n)
             self._write_version(n, new_states[n].df, meta["version"] + 1, meta["key"])
 
-    def upsert(self, name: str, df: DataFrame, keys: str | list[str] | None = None) -> None:
+    def upsert(self, name: str, df: DataFrame, keys: str | list[str] | None = None,
+               checks: dict[str, str] | None = None) -> None:
         """Public bulk upsert: replace same-key rows with `df`'s rows as ONE
         per-table-atomic commit (version pointer swap).  `keys` defaults to
         the table's registered key (which may itself be composite); a caller
@@ -226,7 +227,19 @@ class TableCatalog:
         any OTHER column set would let a batch smuggle duplicate
         registered-key rows past the anti-join and silently break the
         table's key-uniqueness invariant.  Intra-`df` duplicate keys are
-        collapsed (dropDuplicates) so idempotent streaming replays hold."""
+        collapsed (dropDuplicates) so idempotent streaming replays hold.
+
+        `checks` gates the commit on declarative expectations
+        (functions/profiling.enforce_expectations): the INCOMING batch is
+        audited before any version is written, so a violating batch leaves
+        the table untouched at its current version — CHECK constraints at
+        the write path."""
+        if checks:
+            from hugegraph_on_tikv_spark.functions.profiling import (
+                enforce_expectations,
+            )
+
+            enforce_expectations(df, checks)
         meta = self._meta(name)
         reg = meta["key"] if isinstance(meta["key"], list) else [meta["key"]]
         key_cols = [keys] if isinstance(keys, str) else (list(keys) if keys else reg)

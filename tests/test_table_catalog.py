@@ -188,3 +188,23 @@ def test_schema_evolution_versioned(spark, catalog):
 
     catalog.drop_column("ev", "score")
     assert set(catalog.table("ev").df.columns) == {"id", "v"}
+
+
+def test_upsert_checks_gate_commit(spark, tmp_path):
+    """A batch violating its expectations must leave the table at its
+    current version, untouched."""
+    import pytest as _pytest
+
+    from hugegraph_on_tikv_spark.sources.table_catalog import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "cat"))
+    cat.create_table("t", spark.createDataFrame(
+        [(1, 10.0)], "id long, amount double"), key="id")
+    bad = spark.createDataFrame([(2, -5.0)], "id long, amount double")
+    with _pytest.raises(ValueError, match="amount_positive"):
+        cat.upsert("t", bad, checks={"amount_positive": "amount > 0"})
+    assert cat.table("t").df.count() == 1          # untouched
+    assert cat._meta("t")["version"] == 1
+    good = spark.createDataFrame([(2, 5.0)], "id long, amount double")
+    cat.upsert("t", good, checks={"amount_positive": "amount > 0"})
+    assert cat.table("t").df.count() == 2
