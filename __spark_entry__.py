@@ -3651,6 +3651,28 @@ _SAMPLE_SPLIT_SQL, _SAMPLE_CAP_SQL = _sampling_oracles()
 _register("sample_split", _sample_split, _SAMPLE_SPLIT_SQL)
 _register("sample_cap", _sample_cap, _SAMPLE_CAP_SQL)
 
+
+def _sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    docs = load_table(spark, sf, "documents").withColumn(
+        "w", F.least(F.length("text") / F.lit(1000.0), F.lit(1.0)))
+    return sampling.weighted_sample(docs, "w").select("doc_id")
+
+
+def _sample_weighted_sql() -> str:
+    from hugegraph_on_tikv_spark.functions import sampling
+    h = ("CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, "
+         f"12)) AS UBIGINT) AS BIGINT) % {sampling.BUCKETS}")
+    # floor(), not CAST: Spark's cast truncates where DuckDB's rounds
+    return (f"SELECT doc_id FROM documents WHERE {h} < CAST(floor("
+            f"least(length(text) / 1000.0, 1.0) * {sampling.BUCKETS}) "
+            f"AS BIGINT)")
+
+
+# quality-weighted Bernoulli keep (functions/sampling.weighted_sample):
+# keep-probability = a per-doc weight, draw = the fixed id-hash bucket
+_register("sample_weighted", _sample_weighted, _sample_weighted_sql())
+
 _register(
     "text_quality_filter",
     lambda spark, sf: text.quality_metrics(load_table(spark, sf, "documents"))
@@ -5721,6 +5743,11 @@ _compose("dedup_exact_canonical", [
      ["'cap_kept' AS tag", "CAST(NULL AS STRING) AS fp",
       "CAST(NULL AS DOUBLE) AS n_docs", "doc_id AS id"],
      "'cap_kept' AS tag, CAST(NULL AS VARCHAR) AS fp, "
+     "CAST(NULL AS DOUBLE) AS n_docs, doc_id AS id"),
+    ("sample_weighted",
+     ["'weighted_kept' AS tag", "CAST(NULL AS STRING) AS fp",
+      "CAST(NULL AS DOUBLE) AS n_docs", "doc_id AS id"],
+     "'weighted_kept' AS tag, CAST(NULL AS VARCHAR) AS fp, "
      "CAST(NULL AS DOUBLE) AS n_docs, doc_id AS id"),
     # leakage-safe split: fp carries the split name, n_docs the cluster id
     ("cluster_safe_split",
