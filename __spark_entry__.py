@@ -443,6 +443,58 @@ _register(
     """,
 )
 
+_register(
+    "win_interpolate",
+    # linear interpolation over the dense grid: row-local blend of
+    # window-located neighbors — per-row deterministic, so the doubles
+    # hash-match across engines
+    lambda spark, sf: windows.resample_interpolate(
+        load_events(spark, sf), "1 hour")
+    .select(_ts("bucket_start").alias("bucket_start"), "event_type",
+            "n_events", "sum_value", "interp_value"),
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bs, event_type AS grp,
+             CAST(count(*) AS BIGINT) AS n, round(SUM(value), 4) AS sv
+      FROM events GROUP BY 1, 2
+    ), mm AS (
+      SELECT min(bs) AS lo, max(bs) AS hi FROM b
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bs, grp
+      FROM mm, (SELECT DISTINCT grp FROM b) g
+    ), joined AS (
+      SELECT s.bs, s.grp, COALESCE(b.n, 0) AS n_events, b.sv AS sum_value,
+             row_number() OVER (PARTITION BY s.grp ORDER BY s.bs) AS pos
+      FROM spine s LEFT JOIN b ON s.bs = b.bs AND s.grp = b.grp
+    ), located AS (
+      SELECT *,
+             last_value(sum_value IGNORE NULLS) OVER
+               (PARTITION BY grp ORDER BY bs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN sum_value IS NOT NULL THEN pos END
+                        IGNORE NULLS) OVER
+               (PARTITION BY grp ORDER BY bs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+             first_value(sum_value IGNORE NULLS) OVER
+               (PARTITION BY grp ORDER BY bs
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN sum_value IS NOT NULL THEN pos END
+                         IGNORE NULLS) OVER
+               (PARTITION BY grp ORDER BY bs
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+      FROM joined
+    )
+    SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           grp AS event_type, n_events, sum_value,
+           CASE WHEN sum_value IS NOT NULL THEN sum_value
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE round(pv + (nv - pv) * (pos - pp) / (np - pp), 4)
+           END AS interp_value
+    FROM located
+    """,
+)
+
 from hugegraph_on_tikv_spark.functions import events as _events_fns
 
 _register(
@@ -5821,6 +5873,13 @@ _compose("win_windows", [
      "'gapfill' AS tag, bucket_start AS t1, CAST(NULL AS VARCHAR) AS t2, "
      "event_type AS s, sum_value AS user_id, n_events, "
      "filled_value AS sum_value"),
+    ("win_interpolate",
+     ["'interp' AS tag", "bucket_start AS t1", "CAST(NULL AS STRING) AS t2",
+      "event_type AS s", "sum_value AS user_id", "n_events",
+      "interp_value AS sum_value"],
+     "'interp' AS tag, bucket_start AS t1, CAST(NULL AS VARCHAR) AS t2, "
+     "event_type AS s, sum_value AS user_id, n_events, "
+     "interp_value AS sum_value"),
     ("win_sliding",
      ["'sliding' AS tag", "window_start AS t1", "CAST(NULL AS STRING) AS t2",
       "CAST(NULL AS STRING) AS s", "CAST(NULL AS DOUBLE) AS user_id", "n_events",
