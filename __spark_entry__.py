@@ -2678,6 +2678,50 @@ _register(
 )
 
 
+def _diameter_sql(iters: int = 12) -> str:
+    """Double-sweep diameter oracle: two unrolled BFS passes over the
+    UNDIRECTED adjacency, the second seeded by a scalar subquery on the
+    first's argmax (distance DESC, id ASC — the max_by tiebreak)."""
+    ctes = [
+        "adj2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges))",
+        "b0 AS MATERIALIZED (SELECT (SELECT min(src) FROM adj2) AS id, "
+        "0 AS distance)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"b{t} AS MATERIALIZED (SELECT id, CAST(MIN(distance) AS INTEGER)"
+            f" AS distance FROM (SELECT id, distance FROM b{t-1} UNION ALL "
+            f"SELECT a.src, d.distance + 1 FROM adj2 a JOIN b{t-1} d "
+            f"ON a.dst = d.id) GROUP BY id)")
+    ctes.append(f"far AS MATERIALIZED (SELECT id FROM b{iters} "
+                f"ORDER BY distance DESC, id ASC LIMIT 1)")
+    ctes.append("c0 AS MATERIALIZED (SELECT id, 0 AS distance FROM far)")
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT id, CAST(MIN(distance) AS INTEGER)"
+            f" AS distance FROM (SELECT id, distance FROM c{t-1} UNION ALL "
+            f"SELECT a.src, d.distance + 1 FROM adj2 a JOIN c{t-1} d "
+            f"ON a.dst = d.id) GROUP BY id)")
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"""
+    SELECT (SELECT min(src) FROM adj2) AS start_id,
+           (SELECT id FROM far) AS peripheral_id,
+           CAST(MAX(distance) AS INTEGER) AS diameter_lower_bound,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM c{iters}
+    """)
+
+
+_register(
+    "g_diameter",
+    lambda spark, sf: analytics.diameter_double_sweep(
+        GraphStore(spark, sf).edges(), iterations=12),
+    _diameter_sql(12),
+)
+
+
 # landmark-approximated harmonic closeness: rides the same unrolled-BFS
 # oracle; the 1/d sum is integer-scaled by lcm(1..10)=2520 in BOTH engines
 # (order-independent — see analytics.harmonic_closeness determinism note)
@@ -5564,6 +5608,15 @@ _compose("g_components", [
     ("g_cc_star",
      ["'ccstar' AS tag", "id", "component"],
      "'ccstar' AS tag, id, component"),
+    # double-sweep diameter: one row; (diameter, n_reached) pack into
+    # component losslessly (diameter < 100000; precedent: wid*100+step)
+    ("g_diameter",
+     ["'diameter' AS tag", "peripheral_id AS id",
+      "CAST(diameter_lower_bound AS BIGINT) * 100000000 + n_reached"
+      " AS component"],
+     "'diameter' AS tag, peripheral_id AS id, "
+     "CAST(diameter_lower_bound AS BIGINT) * 100000000 + n_reached"
+     " AS component"),
 ])
 
 _compose("g_khop2", [

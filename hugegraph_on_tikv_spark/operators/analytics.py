@@ -1011,8 +1011,8 @@ def diameter_double_sweep(edges: DataFrame, start_id: int | None = None,
     d2 = shortest_paths(und, [int(far["id"])], iterations)
     return (d2.agg(F.max("distance").alias("diameter_lower_bound"),
                    F.count(F.lit(1)).alias("n_reached"))
-            .select(F.lit(int(start_id)).alias("start_id"),
-                    F.lit(int(far["id"])).alias("peripheral_id"),
+            .select(F.lit(int(start_id)).cast("long").alias("start_id"),
+                    F.lit(int(far["id"])).cast("long").alias("peripheral_id"),
                     "diameter_lower_bound", "n_reached"))
 
 
