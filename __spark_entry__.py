@@ -451,7 +451,7 @@ _register(
     lambda spark, sf: windows.resample_interpolate(
         load_events(spark, sf), "1 hour")
     .select(_ts("bucket_start").alias("bucket_start"), "event_type",
-            "n_events", "sum_value", "interp_value"),
+            "n_events", "sum_value", "interp_num", "interp_den"),
     """
     WITH b AS (
       SELECT time_bucket(INTERVAL '1 hour', ts) AS bs, event_type AS grp,
@@ -486,11 +486,16 @@ _register(
     )
     SELECT strftime(bs, '%Y-%m-%d %H:%M:%S') AS bucket_start,
            grp AS event_type, n_events, sum_value,
-           CASE WHEN sum_value IS NOT NULL THEN sum_value
-                WHEN pv IS NULL THEN nv
-                WHEN nv IS NULL THEN pv
-                ELSE round(pv + (nv - pv) * (pos - pp) / (np - pp), 4)
-           END AS interp_value
+           CASE WHEN sum_value IS NOT NULL
+                THEN CAST(round(sum_value * 10000) AS BIGINT)
+                WHEN pv IS NULL THEN CAST(round(nv * 10000) AS BIGINT)
+                WHEN nv IS NULL THEN CAST(round(pv * 10000) AS BIGINT)
+                ELSE CAST(round(pv * 10000) AS BIGINT) * (np - pos)
+                   + CAST(round(nv * 10000) AS BIGINT) * (pos - pp)
+           END AS interp_num,
+           CASE WHEN sum_value IS NOT NULL OR pv IS NULL OR nv IS NULL
+                THEN CAST(1 AS BIGINT) ELSE CAST(np - pp AS BIGINT)
+           END AS interp_den
     FROM located
     """,
 )
@@ -5926,13 +5931,15 @@ _compose("win_windows", [
      "'gapfill' AS tag, bucket_start AS t1, CAST(NULL AS VARCHAR) AS t2, "
      "event_type AS s, sum_value AS user_id, n_events, "
      "filled_value AS sum_value"),
+    # exact-rational interpolation: numerator rides sum_value, the
+    # denominator rides the user_id double slot — both exact integers
     ("win_interpolate",
      ["'interp' AS tag", "bucket_start AS t1", "CAST(NULL AS STRING) AS t2",
-      "event_type AS s", "sum_value AS user_id", "n_events",
-      "interp_value AS sum_value"],
+      "event_type AS s", "CAST(interp_den AS DOUBLE) AS user_id", "n_events",
+      "CAST(interp_num AS DOUBLE) AS sum_value"],
      "'interp' AS tag, bucket_start AS t1, CAST(NULL AS VARCHAR) AS t2, "
-     "event_type AS s, sum_value AS user_id, n_events, "
-     "interp_value AS sum_value"),
+     "event_type AS s, CAST(interp_den AS DOUBLE) AS user_id, n_events, "
+     "CAST(interp_num AS DOUBLE) AS sum_value"),
     ("win_sliding",
      ["'sliding' AS tag", "window_start AS t1", "CAST(NULL AS STRING) AS t2",
       "CAST(NULL AS STRING) AS s", "CAST(NULL AS DOUBLE) AS user_id", "n_events",

@@ -134,4 +134,8 @@ def weighted_sample(df: DataFrame, weight_col: str,
     sample.  Pure column arithmetic — zero shuffle."""
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
                 F.lit(1.0))
-    return df.filter(_bucket(F.col(id_col), salt) < (w * BUCKETS).cast("long"))
+    # explicit IsNotNull on the id pushes to the scan (the hash-threshold
+    # expression never can); a NULL id hashed to NULL was dropped by the
+    # comparison anyway, so semantics are unchanged
+    return (df.filter(F.col(id_col).isNotNull())
+            .filter(_bucket(F.col(id_col), salt) < (w * BUCKETS).cast("long")))

@@ -186,13 +186,26 @@ def resample_interpolate(events: DataFrame, interval: str = "1 hour",
            .withColumn("_pp", F.last(obs_pos, ignorenulls=True).over(wp))
            .withColumn("_nv", F.first("sum_value", ignorenulls=True).over(wn))
            .withColumn("_np", F.first(obs_pos, ignorenulls=True).over(wn)))
-    interp = (
-        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
-        .when(F.col("_pv").isNull(), F.col("_nv"))
-        .when(F.col("_nv").isNull(), F.col("_pv"))
-        .otherwise(F.round(
-            F.col("_pv") + (F.col("_nv") - F.col("_pv"))
-            * (F.col("_pos") - F.col("_pp"))
-            / (F.col("_np") - F.col("_pp")), 4)))
-    return out.select("bucket_start", group_col, "n_events", "sum_value",
-                      interp.alias("interp_value"))
+    # Exact-rational form: sums are round(·, 4) values, so scaled by 1e4
+    # they are integers; the blend numerator/denominator are then exact
+    # integer arithmetic — order- and engine-independent, which the float
+    # blend is NOT (a midpoint of two 4dp values lands exactly on the
+    # round-half boundary, where Spark and DuckDB round() disagree).
+    # interp_value = interp_num / (interp_den * 1e4).
+    pv_i = F.round(F.col("_pv") * 10000).cast("long")
+    nv_i = F.round(F.col("_nv") * 10000).cast("long")
+    sv_i = F.round(F.col("sum_value") * 10000).cast("long")
+    num = (
+        F.when(F.col("sum_value").isNotNull(), sv_i)
+        .when(F.col("_pv").isNull(), nv_i)
+        .when(F.col("_nv").isNull(), pv_i)
+        .otherwise(pv_i * (F.col("_np") - F.col("_pos"))
+                   + nv_i * (F.col("_pos") - F.col("_pp"))))
+    den = (
+        F.when(F.col("sum_value").isNotNull()
+               | F.col("_pv").isNull() | F.col("_nv").isNull(), F.lit(1))
+        .otherwise(F.col("_np") - F.col("_pp"))).cast("long")
+    return out.select(
+        "bucket_start", group_col, "n_events", "sum_value",
+        num.alias("interp_num"), den.alias("interp_den"),
+        (num / (den * F.lit(10000.0))).alias("interp_value"))
