@@ -1747,6 +1747,35 @@ _register(
 )
 
 
+# -- exact set-similarity join (prefix filtering; functions/dedup.py
+#    set_similarity_join).  Oracle = brute-force all-pairs jaccard — the
+#    hash match certifies prefix-filter completeness, like dedup_fuzzy.
+
+_register(
+    "dedup_setsim_names",
+    lambda spark, sf: dedup.set_similarity_join(
+        load_table(spark, sf, "part").filter(F.col("p_size") <= 5).select(
+            F.col("p_partkey").cast("long").alias("doc_id"),
+            F.split(F.col("p_name"), " ").alias("tokens")),
+        threshold=0.4),
+    """
+    WITH p AS (
+      SELECT CAST(p_partkey AS BIGINT) AS id,
+             list_distinct(string_split(p_name, ' ')) AS s
+      FROM part WHERE p_size <= 5
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+             AS jaccard
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+          >= 0.4
+    """,
+)
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, r: int = 4, k: int = 3, thr: float = 0.3,
                      max_bucket: int = 1000,
                      source_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -5888,6 +5917,10 @@ _compose("dedup_pairs", [
       "CAST(distance AS DOUBLE) AS jaccard"],
      "'fuzzy' AS tag, id_a AS doc_a, id_b AS doc_b, "
      "CAST(distance AS DOUBLE) AS jaccard"),
+    # exact set-similarity via prefix filtering vs brute-force oracle
+    ("dedup_setsim_names",
+     ["'setsim' AS tag", "id_a AS doc_a", "id_b AS doc_b", "jaccard"],
+     "'setsim' AS tag, id_a AS doc_a, id_b AS doc_b, jaccard"),
 ])
 
 _compose("sim_ann_neardup", [

