@@ -1181,6 +1181,57 @@ def _kcore_sql(k: int = 3, rounds: int = 14) -> str:
 _register("g_kcore", _g_kcore, _kcore_sql())
 
 
+def _g_core_numbers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    support2 = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return analytics.core_numbers(support2)
+
+
+def _core_numbers_sql(rounds: int = 16) -> str:
+    """Unrolled h-index iteration (analytics.core_numbers).  Converged
+    values are a fixpoint, so unrolling PAST convergence is a no-op —
+    same contract as the kcore peel unroll; the H-index window is
+    tie-insensitive (max of least(rn, value) over a desc sort does not
+    depend on tie order), so row_number's tie arbitrariness is safe."""
+    ctes = [
+        """sup AS MATERIALIZED (
+      SELECT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2
+    )""",
+        "adjc AS MATERIALIZED (SELECT u AS a, v AS b FROM sup "
+        "UNION ALL SELECT v AS a, u AS b FROM sup)",
+        "h0 AS MATERIALIZED (SELECT a AS id, CAST(count(*) AS BIGINT) AS c "
+        "FROM adjc GROUP BY a)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"h{t} AS MATERIALIZED (SELECT a AS id, "
+            f"CAST(max(least(rn, cb)) AS BIGINT) AS c FROM ("
+            f"SELECT adjc.a, hc.c AS cb, row_number() OVER ("
+            f"PARTITION BY adjc.a ORDER BY hc.c DESC) AS rn "
+            f"FROM adjc JOIN h{t-1} hc ON adjc.b = hc.id) GROUP BY a)")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, c AS core FROM h{rounds}")
+
+
+_register(
+    "g_core_numbers",
+    # full k-core decomposition by h-index iteration over the same
+    # co-purchase graph g_kcore peels one rung of
+    _g_core_numbers,
+    _core_numbers_sql(),
+)
+
+
 # -- per-vertex clustering coefficient (operators/analytics.py
 #    clustering_coefficient) over the co-purchase graph: same ordered-wedge
 #    triangle enumeration as g_triangle_count, attributed to corners; the
@@ -5642,6 +5693,12 @@ _compose("g_components", [
     ("g_cc_star",
      ["'ccstar' AS tag", "id", "component"],
      "'ccstar' AS tag, id, component"),
+    # full core decomposition: component carries the core number
+    ("g_core_numbers",
+     ["'corenum' AS tag", "CAST(id AS BIGINT) AS id",
+      "CAST(core AS BIGINT) AS component"],
+     "'corenum' AS tag, CAST(id AS BIGINT) AS id, "
+     "CAST(core AS BIGINT) AS component"),
     # double-sweep diameter: one row; (diameter, n_reached) pack into
     # component losslessly (diameter < 100000; precedent: wid*100+step)
     ("g_diameter",

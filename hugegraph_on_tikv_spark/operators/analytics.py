@@ -750,6 +750,57 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("degree")))
 
 
+def core_numbers(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """FULL k-core decomposition: (id, core) where core(v) is the largest
+    k such that v belongs to the k-core — the whole ladder k_core(k)
+    answers one rung of, in one computation.
+
+    Distributed h-index iteration (Lü et al., "The H-index of a network
+    node"): initialize c(v) = degree(v); each round set c(v) to the
+    H-index of its neighbors' current values (the largest h with ≥ h
+    neighbors at c ≥ h).  Values are non-increasing and converge exactly
+    to the core numbers — a LOCAL fixpoint iteration, unlike sequential
+    peeling, so every round is one aggregate-messages shuffle + one
+    per-vertex window (H-index = max over desc-ranked neighbor values of
+    min(rank, value)).  Rounds needed are typically far below diameter;
+    early exit on an unchanged round is safe (monotone convergence).
+    Raises if still changing after max_iterations (never wrong values)."""
+    und = _undirected_simple(edges)
+    adj = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+           .unionByName(und.select(F.col("v").alias("a"),
+                                   F.col("u").alias("b")))
+           .localCheckpoint(eager=True))
+    c = (adj.groupBy(F.col("a").alias("id"))
+         .agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True))
+    from pyspark.sql.window import Window
+
+    converged = False
+    for _ in range(max_iterations):
+        nbr = (adj.join(c.select(F.col("id").alias("b"),
+                                 F.col("c").alias("cb")), "b")
+               .select(F.col("a").alias("id"), "cb"))
+        w = Window.partitionBy("id").orderBy(F.col("cb").desc())
+        nxt = (nbr.withColumn("_rn", F.row_number().over(w))
+               .groupBy("id")
+               .agg(F.max(F.least(F.col("_rn"), F.col("cb"))).alias("c"))
+               .localCheckpoint(eager=True))
+        changed = (nxt.alias("n").join(c.alias("o"), "id")
+                   .filter(F.col("n.c") != F.col("o.c"))
+                   .limit(1).count())
+        c = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"core_numbers did not converge in {max_iterations} rounds")
+    # vertices only in self-loops / isolated: core 0
+    v0 = (edges.select(F.col("src").alias("id"))
+          .unionByName(edges.select(F.col("dst").alias("id"))).distinct())
+    return (v0.join(c.select("id", F.col("c").alias("core")), "id", "left")
+            .select("id", F.coalesce("core", F.lit(0)).alias("core")))
+
+
 def graph_summary(edges: DataFrame) -> DataFrame:
     """One-row whole-graph statistics: (n_vertices, n_edges, max_degree,
     avg_degree) — the numbers every capacity-planning and

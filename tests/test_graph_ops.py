@@ -703,3 +703,59 @@ def test_diameter_double_sweep(spark):
     r2 = diameter_double_sweep(
         spark.createDataFrame(star, "src long, dst long")).collect()[0]
     assert r2["diameter_lower_bound"] == 2
+
+
+def _core_numbers_reference(pairs):
+    """Sequential peeling reference: repeatedly remove the min-degree
+    vertex, its core number = max(k seen so far, its degree at removal)."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    k = 0
+    live = dict(adj)
+    while live:
+        v = min(live, key=lambda x: (len(live[x]), x))
+        k = max(k, len(live[v]))
+        core[v] = k
+        for u in live[v]:
+            live[u].discard(v)
+        del live[v]
+    return core
+
+
+def test_core_numbers_match_peeling_reference(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import core_numbers
+
+    cases = [
+        # K4 + tail + triangle
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7), (5, 7)],
+        # star + ring
+        [(0, i) for i in range(1, 8)] + [(10, 11), (11, 12), (12, 10)],
+        # pseudo-random
+        [(i % 23, (i * i * 5 + 1) % 23) for i in range(80)],
+    ]
+    for pairs in cases:
+        want = _core_numbers_reference(pairs)
+        edges = spark.createDataFrame(
+            [p for p in pairs], "src long, dst long")
+        got = {r["id"]: r["core"] for r in core_numbers(edges).collect()}
+        for v, k in want.items():
+            assert got[v] == k, (pairs, v, got[v], k)
+
+
+def test_core_numbers_consistent_with_k_core(spark):
+    """core(v) >= k exactly for the members of k_core(k)."""
+    from hugegraph_on_tikv_spark.operators.analytics import (core_numbers,
+                                                             k_core)
+
+    pairs = [(i % 17, (i * 7 + 3) % 17) for i in range(60)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    cores = {r["id"]: r["core"] for r in core_numbers(edges).collect()}
+    for k in (2, 3):
+        members = {r["id"] for r in k_core(edges, k=k).collect()}
+        assert members == {v for v, c in cores.items() if c >= k}, k
