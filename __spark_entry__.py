@@ -1181,6 +1181,63 @@ def _kcore_sql(k: int = 3, rounds: int = 14) -> str:
 _register("g_kcore", _g_kcore, _kcore_sql())
 
 
+def _g_structure(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    cop = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .distinct()
+    )
+    return analytics.graph_structure_stats(cop)
+
+
+_register(
+    "g_structure",
+    # global transitivity + degree assortativity: exact integer sums, one
+    # final double division each — engine-identical rounded values
+    _g_structure,
+    """
+    WITH cop AS MATERIALIZED (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    ), degs AS MATERIALIZED (
+      SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS id FROM cop UNION ALL SELECT v FROM cop) GROUP BY id
+    ), tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM cop e1 JOIN cop e2 ON e1.v = e2.u
+           JOIN cop e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), wed AS (
+      SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS two_wedges FROM degs
+    ), dp AS (
+      SELECT a.d AS du, b.d AS dv
+      FROM cop JOIN degs a ON cop.u = a.id JOIN degs b ON cop.v = b.id
+    ), st AS (
+      SELECT CAST(count(*) * 2 AS BIGINT) AS n,
+             CAST(SUM(du + dv) AS BIGINT) AS sx,
+             CAST(SUM(du * du + dv * dv) AS BIGINT) AS sxx,
+             CAST(SUM(2 * du * dv) AS BIGINT) AS sxy
+      FROM dp
+    )
+    SELECT n_triangles,
+           CAST(two_wedges / 2 AS BIGINT) AS n_wedges,
+           round(CASE WHEN two_wedges > 0
+                      THEN 6.0 * n_triangles / two_wedges ELSE 0.0 END, 6)
+             AS transitivity,
+           round(CASE WHEN CAST(n * sxx AS DOUBLE) - CAST(sx * sx AS DOUBLE)
+                           <> 0
+                      THEN (CAST(n * sxy AS DOUBLE)
+                            - CAST(sx * sx AS DOUBLE))
+                         / (CAST(n * sxx AS DOUBLE)
+                            - CAST(sx * sx AS DOUBLE))
+                      ELSE 0.0 END, 6) AS assortativity
+    FROM tri, wed, st
+    """,
+)
+
+
 def _g_core_numbers(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     support2 = (
@@ -5753,6 +5810,17 @@ _compose("g_neighborhood", [
      "'linkpred' AS tag, CAST(a AS DOUBLE) AS id, CAST(b AS DOUBLE) AS out_degree, "
      "CAST(common_neighbors AS DOUBLE) AS in_degree, jaccard AS metric, "
      "ra_score AS agg_msg"),
+    # global structure: wedges/triangles exact ints, transitivity and
+    # assortativity in metric/agg_msg
+    ("g_structure",
+     ["'structure' AS tag", "CAST(NULL AS DOUBLE) AS id",
+      "CAST(n_wedges AS DOUBLE) AS out_degree",
+      "CAST(n_triangles AS DOUBLE) AS in_degree",
+      "transitivity AS metric", "assortativity AS agg_msg"],
+     "'structure' AS tag, CAST(NULL AS DOUBLE) AS id, "
+     "CAST(n_wedges AS DOUBLE) AS out_degree, "
+     "CAST(n_triangles AS DOUBLE) AS in_degree, "
+     "transitivity AS metric, assortativity AS agg_msg"),
     ("g_summary",
      ["'summary' AS tag", "CAST(n_vertices AS DOUBLE) AS id",
       "CAST(n_edges AS DOUBLE) AS out_degree",

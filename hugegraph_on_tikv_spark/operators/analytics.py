@@ -820,6 +820,56 @@ def graph_summary(edges: DataFrame) -> DataFrame:
     )
 
 
+def graph_structure_stats(edges: DataFrame) -> DataFrame:
+    """One-row global structure metrics over the undirected simple graph:
+    (n_triangles, n_wedges, transitivity, assortativity).
+
+    * transitivity (global clustering) = 3·triangles / wedges, wedges =
+      Σ d(d−1)/2 — the closed-wedge fraction;
+    * degree assortativity = Pearson r of endpoint degrees over the
+      directed double cover.  Both marginals are identical there, so
+      r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — no square roots, and every
+      Σ is an EXACT integer sum of small ints (order-independent); the
+      single final division runs in doubles on exact inputs, so the
+      rounded result is engine-identical.
+
+    Cost: the degree aggregate, the oriented triangle count (hub-proof),
+    and one edge⋈degree join — all map-side-combinable aggregates; the
+    three 1-row results meet in broadcast cross joins."""
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    deg = (und.select(F.col("u").alias("id"))
+           .unionByName(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    tri = _oriented_triangles(und).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    wed = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("two_wedges"))
+    dp = (und.join(deg.select(F.col("id").alias("u"),
+                              F.col("d").alias("du")), "u")
+          .join(deg.select(F.col("id").alias("v"),
+                           F.col("d").alias("dv")), "v"))
+    both = (dp.select(F.col("du").alias("x"), F.col("dv").alias("y"))
+            .unionByName(dp.select(F.col("dv").alias("x"),
+                                   F.col("du").alias("y"))))
+    st = both.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("x").alias("sx"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    num = (F.col("n") * F.col("sxy")).cast("double") \
+        - (F.col("sx") * F.col("sx")).cast("double")
+    den = (F.col("n") * F.col("sxx")).cast("double") \
+        - (F.col("sx") * F.col("sx")).cast("double")
+    return (tri.join(F.broadcast(wed)).join(F.broadcast(st))
+            .select(
+                "n_triangles",
+                (F.col("two_wedges") / 2).cast("long").alias("n_wedges"),
+                F.round(F.when(F.col("two_wedges") > 0,
+                               6.0 * F.col("n_triangles")
+                               / F.col("two_wedges"))
+                        .otherwise(F.lit(0.0)), 6).alias("transitivity"),
+                F.round(F.when(den != 0, num / den).otherwise(F.lit(0.0)),
+                        6).alias("assortativity")))
+
+
 def landmark_eccentricity(edges: DataFrame, landmarks: list[int],
                           iterations: int = 10) -> DataFrame:
     """Per-landmark eccentricity estimate: the max hop distance (and the

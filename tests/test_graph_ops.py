@@ -759,3 +759,48 @@ def test_core_numbers_consistent_with_k_core(spark):
     for k in (2, 3):
         members = {r["id"] for r in k_core(edges, k=k).collect()}
         assert members == {v for v, c in cores.items() if c >= k}, k
+
+
+def test_graph_structure_stats_known(spark):
+    import pytest as _pytest
+
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        graph_structure_stats)
+
+    # triangle + pendant: 1 triangle; degrees 2,2,3,1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long")
+    r = graph_structure_stats(edges).collect()[0]
+    # wedges: d(d-1)/2 = 1+1+3+0 = 5; transitivity = 3*1/5
+    assert (r["n_triangles"], r["n_wedges"]) == (1, 5)
+    assert r["transitivity"] == _pytest.approx(0.6)
+    # star: 0 triangles, hub-degree pairs are maximally DISassortative
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    r2 = graph_structure_stats(star).collect()[0]
+    assert r2["n_triangles"] == 0 and r2["transitivity"] == 0.0
+    assert r2["assortativity"] == _pytest.approx(-1.0)
+    # complete graph K4: transitivity 1, assortativity denominator 0 -> 0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long")
+    r3 = graph_structure_stats(k4).collect()[0]
+    assert r3["transitivity"] == _pytest.approx(1.0)
+    assert r3["assortativity"] == 0.0
+
+    # reference check on a pseudo-random graph: numpy Pearson
+    import numpy as np
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in ((i % 13, (i * 5 + 2) % 13)
+                                 for i in range(40)) if a != b}
+                   | {(0, i) for i in range(1, 9)})   # hub: irregular degrees
+    g = spark.createDataFrame(pairs, "src long, dst long")
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in pairs] + [deg[b] for a, b in pairs]
+    ys = [deg[b] for a, b in pairs] + [deg[a] for a, b in pairs]
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    got = graph_structure_stats(g).collect()[0]["assortativity"]
+    assert got == _pytest.approx(want, abs=1e-6)
