@@ -413,6 +413,9 @@ def test_whole_roster_lints_clean(spark):
         # bucket sequence, crossed with the distinct group set — both
         # sides bounded by the dense OUTPUT's own dimensions by contract
         "win_gapfill": {"cartesian"},
+        # three 1-row aggregates (triangles / wedges / degree-moments)
+        # meeting in broadcast cross joins — the scalar pattern
+        "g_structure": {"cartesian"},
         "win_interpolate": {"cartesian"},   # same spine as win_gapfill
         # histograms' min/max / percentile-edge scalar rows broadcast back
         # the same way
