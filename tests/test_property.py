@@ -246,3 +246,39 @@ def test_chunk_documents_reconstructs_stream(spark, n_tokens, chunk, overlap):
         assert len(toks) == r["n_tokens"] <= chunk
         rebuilt.extend(toks if r["chunk_id"] == 0 else toks[overlap:])
     assert rebuilt == words
+
+
+# -- prefix-filter completeness on random set families ----------------------
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_docs=st.integers(min_value=2, max_value=12),
+    vocab=st.integers(min_value=2, max_value=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    threshold=st.sampled_from([0.34, 0.5, 0.75, 1.0]),
+)
+def test_set_similarity_join_complete_random(spark, n_docs, vocab, seed,
+                                             threshold):
+    import random
+
+    from hugegraph_on_tikv_spark.functions.dedup import set_similarity_join
+
+    rng = random.Random(seed)
+    rows = [(f"{i:02d}",
+             sorted({f"t{rng.randrange(vocab)}"
+                     for _ in range(rng.randrange(0, vocab + 1))}))
+            for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+
+    def jac(a, b):
+        a, b = set(a), set(b)
+        u = len(a | b)
+        return len(a & b) / u if u else 0.0
+
+    import itertools
+    want = {(x[0], y[0]) for x, y in itertools.combinations(rows, 2)
+            if round(jac(x[1], y[1]), 6) >= threshold}
+    got = {(r["id_a"], r["id_b"])
+           for r in set_similarity_join(df, threshold=threshold).collect()}
+    assert got == want, (rows, threshold)
