@@ -338,11 +338,16 @@ def near_dedup(docs: DataFrame, num_hashes: int = 32, rows_per_band: int = 4,
     scored = clusters.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(score_col)),
         "doc_id")
+    # NULL scores coalesce to -inf (an all-NULL cluster still dedups — its
+    # min-id member wins, matching the score_col=None convention) and the
+    # tie-break is the id's own ascending order inside the struct, which
+    # works for string ids too — negating the id only worked for numerics.
+    s = F.coalesce(F.col(score_col).cast("double"), F.lit(float("-inf")))
     keep = (scored.groupBy("cluster_id")
-            .agg(F.max_by(
+            .agg(F.min_by(
                 F.col("doc_id"),
-                F.struct(F.col(score_col).alias("s"),
-                         (-F.col("doc_id")).alias("neg_id"))).alias("keep_id")))
+                F.struct((-s).alias("neg_s"),
+                         F.col("doc_id").alias("id"))).alias("keep_id")))
     losers = (clusters.join(keep, "cluster_id")
               .filter(F.col("doc_id") != F.col("keep_id"))
               .select(F.col("doc_id").alias(id_col)))

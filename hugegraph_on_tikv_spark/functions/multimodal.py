@@ -279,6 +279,13 @@ def _sniff_real(payload: bytes) -> bool:
     return b[:4] == b"RIFF" and b[8:12] == b"WAVE"
 
 
+# A sniffed-real payload can still fail decode: unsupported codec variant
+# (NotImplementedError — e.g. 8-bit BMP, float64 WAV), corrupt structure
+# (ValueError), or a truncated header table (struct.error).  Every consumer
+# of decode_media must catch exactly this set and degrade per its contract.
+_DECODE_ERRORS = (NotImplementedError, ValueError, struct.error)
+
+
 def _decode_stub(payload: bytes) -> np.ndarray:
     """Feature decode seam.  Payloads in a header-simple format (BMP, P6
     PPM, PCM16 WAV — sniffed by magic bytes) are REALLY decoded and the
@@ -288,14 +295,22 @@ def _decode_stub(payload: bytes) -> np.ndarray:
     histogram — stable across runs/engines."""
     if payload is None:
         return np.zeros(FEATURE_DIM, dtype=np.float32)
+    vals = None
     if _sniff_real(payload):
-        kind, arr = decode_media(payload)
-        if kind == "image":
-            vals = _rgb_to_gray(arr).ravel()
-        else:
-            # int16 samples folded to uint8 magnitude buckets
-            vals = (np.abs(arr.astype(np.int64)) >> 7).clip(0, 255).ravel()
-    else:
+        # A payload can pass the magic sniff yet still be undecodable (a
+        # bpp!=24 BMP, a non-PCM16 WAV, a truncated chunk table): fall back
+        # to the byte histogram rather than failing the whole mapInPandas
+        # batch on one row.
+        try:
+            kind, arr = decode_media(payload)
+            if kind == "image":
+                vals = _rgb_to_gray(arr).ravel()
+            else:
+                # int16 samples folded to uint8 magnitude buckets
+                vals = (np.abs(arr.astype(np.int64)) >> 7).clip(0, 255).ravel()
+        except _DECODE_ERRORS:
+            vals = None
+    if vals is None:
         vals = np.frombuffer(bytes(payload), dtype=np.uint8)
     hist = np.bincount(vals % FEATURE_DIM, minlength=FEATURE_DIM).astype(np.float32)
     total = hist.sum() or 1.0
@@ -357,9 +372,12 @@ def _decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
     dimensions win over the metadata columns) and reduced to integer luma;
     codec formats fall back to the deterministic tile stub."""
     if _sniff_real(payload):
-        kind, arr = decode_media(payload)
-        if kind == "image":
-            return _rgb_to_gray(arr)
+        try:
+            kind, arr = decode_media(payload)
+            if kind == "image":
+                return _rgb_to_gray(arr)
+        except _DECODE_ERRORS:
+            pass  # sniffed-real but undecodable → tile stub below
     return _decode_pixels_stub(payload, width, height)
 
 
@@ -385,6 +403,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 if not _sniff_real(p) and (wi <= 0 or hi <= 0):
                     continue  # stub needs metadata dims; real headers don't
                 img = _decode_pixels(p, wi, hi)
+                if img.size == 0:
+                    # sniffed-real payload that fell back to the stub with
+                    # no usable metadata dims — nothing to resample
+                    continue
                 rows = (np.arange(out_h) * (img.shape[0] / out_h)).astype(np.int64)
                 cols = (np.arange(out_w) * (img.shape[1] / out_w)).astype(np.int64)
                 resized = img[rows][:, cols]
@@ -441,7 +463,10 @@ def image_stats(media: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 if p is None or not _sniff_real(p):
                     continue
-                kind, arr = decode_media(p)
+                try:
+                    kind, arr = decode_media(p)
+                except _DECODE_ERRORS:
+                    continue  # sniffed-real but undecodable → skip the row
                 if kind != "image":
                     continue
                 gray = _rgb_to_gray(arr).astype(np.int64)
@@ -487,7 +512,7 @@ def audio_frames(media: DataFrame, frame_len: int = 1024) -> DataFrame:
                     continue
                 try:
                     kind, arr = decode_media(p)
-                except NotImplementedError:
+                except _DECODE_ERRORS:
                     continue
                 if kind != "audio":
                     continue

@@ -274,6 +274,28 @@ def ivf_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
         assigned = assigned.join(codes, id_col)
     (assigned.repartition("cell").write.mode("overwrite")
      .partitionBy("cell").parquet(f"{path}/corpus"))
+    # Record the quantization precision in the index metadata so appends
+    # quantize at the SAME bits (mixed-precision codes in one index would
+    # silently degrade quantized cosine).  Merge-preserve existing keys —
+    # last_batch_id must survive a compact.
+    _merge_index_meta(path, {"quantize_bits": quantize_bits})
+
+
+def _merge_index_meta(path: str, updates: dict) -> None:
+    """Atomically merge keys into {path}/index_meta.json."""
+    import json as _json
+    import os as _os
+
+    meta_path = f"{path}/index_meta.json"
+    meta = {}
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    meta.update(updates)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, meta_path)
 
 
 def ivf_append_index(spark, path: str, new_vectors: DataFrame,
@@ -316,7 +338,10 @@ def ivf_append_index(spark, path: str, new_vectors: DataFrame,
     # quantizes its appends too, so every file carries the codes columns
     resident = spark.read.parquet(f"{path}/corpus")
     if "codes" in resident.columns:
-        bits = 8  # SQ layout default; scale column makes bits recoverable
+        # quantize at the precision the index was WRITTEN with (persisted
+        # in index_meta.json by ivf_write_index) — appending 8-bit codes
+        # into a 4-bit index would mix precisions within one scan
+        bits = meta.get("quantize_bits", 8)
         assigned = assigned.join(
             quantize_embeddings(new_vectors, vec_col, id_col, bits), id_col)
     n = assigned.count()
@@ -370,8 +395,15 @@ def ivf_compact(spark, path: str, n_cells: int | None = None,
         .localCheckpoint(eager=True)  # cut lineage before overwriting source
     if n_cells is None:
         n_cells = spark.read.parquet(f"{path}/centroids").count()
+    # preserve the index's recorded quantization precision across the
+    # recluster (a 4-bit or flat index must not come back 8-bit)
+    bits = 8
+    meta_path = f"{path}/index_meta.json"
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            bits = _json.load(f).get("quantize_bits", 8)
     ivf_write_index(corpus, path, n_cells=n_cells, refine_iters=refine_iters,
-                    id_col=id_col, vec_col=vec_col)
+                    id_col=id_col, vec_col=vec_col, quantize_bits=bits)
     # ivf_write_index does not touch index_meta.json, so last_batch_id
     # rides through; assert the invariant stays visible to readers
     meta_path = f"{path}/index_meta.json"

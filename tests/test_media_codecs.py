@@ -206,3 +206,80 @@ def test_audio_frames_real_decode(spark):
         assert by_key[(1, f)]["max_abs"] == int(np.abs(seg).max())
         zc = int(np.count_nonzero(np.signbit(seg[1:]) != np.signbit(seg[:-1])))
         assert by_key[(1, f)]["zero_crossings"] == zc
+
+
+def _sniff_pass_decode_fail_bmp() -> bytes:
+    """A payload that PASSES _sniff_real (size field matches) but FAILS
+    decode_media: a valid BMP header rewritten to 8 bits-per-pixel, which
+    decode_bmp rejects with NotImplementedError (ADVICE r6 medium)."""
+    import struct
+
+    raw = bytearray(encode_bmp(_rgb_fixture(2, 2)))
+    struct.pack_into("<H", raw, 28, 8)
+    assert _sniff_real(bytes(raw))
+    with pytest.raises(NotImplementedError):
+        decode_media(bytes(raw))
+    return bytes(raw)
+
+
+def _sniff_pass_decode_fail_wav() -> bytes:
+    """'RIFF..WAVE' prefix with a garbage chunk table — _sniff_real accepts
+    any such prefix, decode_wav raises on the broken structure."""
+    bad = b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"\x01"  # truncated chunk
+    assert _sniff_real(bad)
+    with pytest.raises((ValueError, NotImplementedError, Exception)):
+        decode_media(bad)
+    return bad
+
+
+def test_sniffed_but_undecodable_falls_back_not_crashes(spark):
+    """ADVICE r6 (medium): a payload that passes the magic sniff but fails
+    decode must degrade per each consumer's documented contract — byte-
+    histogram fallback in extract_features, tile stub in resize_images,
+    skipped row in image_stats/audio_frames — NEVER fail the whole job."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        audio_frames, extract_features, image_stats, resize_images)
+
+    bad_bmp = _sniff_pass_decode_fail_bmp()
+    bad_wav = _sniff_pass_decode_fail_wav()
+    good = encode_bmp(_rgb_fixture(4, 4))
+
+    # unit seams: fallback, not raise
+    f = _decode_stub(bad_bmp)
+    want = np.frombuffer(bad_bmp, dtype=np.uint8)
+    want_hist = np.bincount(want % 16, minlength=16).astype(np.float32)
+    assert np.allclose(f, want_hist / want_hist.sum())
+    assert _decode_pixels(bad_bmp, 3, 2).shape == (2, 3)   # tile stub dims
+
+    rows = [(1, "image", "image/bmp", bytearray(good), None, None),
+            (2, "image", "image/bmp", bytearray(bad_bmp), 4, 4),
+            (3, "audio", "audio/wav", bytearray(bad_wav), None, None)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, payload binary, "
+              "width int, height int")
+
+    feats = {r["media_id"] for r in extract_features(
+        df.select("media_id", "kind", "payload")).collect()}
+    assert feats == {1, 2, 3}                    # every row survives
+
+    resized = {r["media_id"] for r in resize_images(df, 2, 2).collect()}
+    assert resized == {1, 2}                     # bad_bmp uses metadata dims
+
+    stats = {r["media_id"] for r in image_stats(df).collect()}
+    assert stats == {1}                          # undecodables skipped
+
+    frames = {r["media_id"] for r in audio_frames(df).collect()}
+    assert frames == set()                       # bad wav skipped, no crash
+
+
+def test_resize_skips_sniffed_undecodable_without_dims(spark):
+    """A sniffed-real-but-undecodable payload with NO metadata dims can't
+    even tile — it is skipped, not crashed on."""
+    from hugegraph_on_tikv_spark.functions.multimodal import resize_images
+
+    bad_bmp = _sniff_pass_decode_fail_bmp()
+    df = spark.createDataFrame(
+        [(9, "image", "image/bmp", bytearray(bad_bmp), None, None)],
+        "media_id long, kind string, mime string, payload binary, "
+        "width int, height int")
+    assert resize_images(df, 2, 2).collect() == []

@@ -501,3 +501,43 @@ def test_ivf_sq8_append_keeps_codes(spark, tmp_path):
     got = similarity.ivf_search_index(spark, path, queries, k=3, n_probe=8,
                                       quantized=True, refine=3)
     assert got.count() > 0
+
+
+def test_ivf_append_preserves_quantize_bits(spark, tmp_path):
+    """ADVICE r6 (low): an index written with quantize_bits=4 must append
+    4-bit codes, not hardcoded 8-bit — the precision is persisted in
+    index_meta.json and read back on append (and survives a compact)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    part_a = emb.filter(F.col("vec_id") % 5 != 0)
+    part_b = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "ivf_sq4")
+    similarity.ivf_write_index(part_a, path, n_cells=4, quantize_bits=4)
+    with open(f"{path}/index_meta.json") as f:
+        assert json.load(f)["quantize_bits"] == 4
+
+    assert similarity.ivf_append_index(spark, path, part_b, batch_id=1) > 0
+    corpus = spark.read.parquet(f"{path}/corpus")
+    # 4-bit codes are bounded by ±(2^3 − 1): EVERY row, appended included
+    qmax = corpus.select(
+        F.max(F.aggregate("codes", F.lit(0),
+                          lambda acc, x: F.greatest(acc, F.abs(x))))
+        .alias("m")).collect()[0]["m"]
+    assert qmax <= 7, qmax
+
+    # compact preserves the recorded precision
+    similarity.ivf_compact(spark, path)
+    with open(f"{path}/index_meta.json") as f:
+        assert json.load(f)["quantize_bits"] == 4
+    corpus2 = spark.read.parquet(f"{path}/corpus")
+    qmax2 = corpus2.select(
+        F.max(F.aggregate("codes", F.lit(0),
+                          lambda acc, x: F.greatest(acc, F.abs(x))))
+        .alias("m")).collect()[0]["m"]
+    assert qmax2 <= 7, qmax2

@@ -259,3 +259,41 @@ def test_set_similarity_join_matches_bruteforce(spark):
         got = {(r["id_a"], r["id_b"], r["jaccard"])
                for r in set_similarity_join(df, threshold=t).collect()}
         assert got == want, t
+
+
+def test_near_dedup_score_string_ids_and_null_scores(spark):
+    """ADVICE r6 (low): score_col must work with STRING doc ids (the old
+    tie-break negated the id — numeric-only) and a cluster whose members
+    all have NULL score must still dedup (min-id representative), not pass
+    through untouched."""
+    from hugegraph_on_tikv_spark.functions.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [("a1", base, 0.2),
+         ("a2", base + " extra", 0.9),       # best quality in the cluster
+         ("zz", "a totally different unrelated document about spark plans", None)],
+        "doc_id string, text string, quality double")
+    kept = sorted(r["doc_id"] for r in
+                  near_dedup(docs, threshold=0.5, score_col="quality").collect())
+    assert kept == ["a2", "zz"]
+
+    # all-NULL-score cluster: falls back to the min-id representative
+    nulls = spark.createDataFrame(
+        [(1, base, None), (2, base + " extra", None),
+         (10, "a totally different unrelated document about spark plans", None)],
+        "doc_id long, text string, quality double")
+    kept_null = sorted(r["doc_id"] for r in
+                       near_dedup(nulls, threshold=0.5,
+                                  score_col="quality").collect())
+    assert kept_null == [1, 10]
+
+    # NULL loses to any real score, even a negative one
+    neg = spark.createDataFrame(
+        [(1, base, None), (2, base + " extra", -5.0),
+         (10, "a totally different unrelated document about spark plans", 0.0)],
+        "doc_id long, text string, quality double")
+    kept_neg = sorted(r["doc_id"] for r in
+                      near_dedup(neg, threshold=0.5,
+                                 score_col="quality").collect())
+    assert kept_neg == [2, 10]
