@@ -750,40 +750,88 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 30) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("degree")))
 
 
+def _hindex_round(adj: DataFrame, c: DataFrame) -> DataFrame:
+    """One h-index iteration round, SORT-FREE over the neighbor stream:
+
+    1. the (a, cb) neighbor-value messages are first reduced by a
+       map-side-combinable ``groupBy(id, cb).count()`` into each vertex's
+       VALUE-DISTRIBUTION CURVE — a degree-10⁸ hub's messages hash-combine
+       in parallel instead of piling into one window-sort task;
+    2. the per-vertex window (suffix counts, desc by value) then runs over
+       the CURVE only: ≤ B+1 rows per vertex, where B bounds every c value
+       (see core_numbers — B ≈ O(√m)), a hard cap independent of degree;
+    3. H-index = max over curve points of min(value, suffix_count) — for
+       distinct values v₁>v₂>… with suffix counts S₁<S₂<…, the optimum
+       h = max{h : #{cb ≥ h} ≥ h} is attained at a curve point.
+    """
+    from pyspark.sql.window import Window
+
+    nbr = (adj.join(c.select(F.col("id").alias("b"),
+                             F.col("c").alias("cb")), "b")
+           .select(F.col("a").alias("id"), "cb"))
+    curve = nbr.groupBy("id", "cb").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (Window.partitionBy("id").orderBy(F.col("cb").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (curve.withColumn("_s", F.sum("cnt").over(w))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("cb"), F.col("_s"))).alias("c")))
+
+
+def _hindex_of_degree_distribution(deg: DataFrame, val_col: str = "c") -> int:
+    """H-index of a degree multiset given per-vertex: max h with ≥ h
+    vertices of degree ≥ h.  Aggregates to the (value, count) distribution
+    first — a multiset of D distinct nonnegative values sums to at least
+    D(D−1)/2, so the distribution has ≤ O(√(Σdeg)) = O(√m) rows and the
+    single global suffix-count window runs over that tiny frame, never the
+    vertex set.  Returns a driver int (1-row scalar probe by contract)."""
+    from pyspark.sql.window import Window
+
+    dist = deg.groupBy(F.col(val_col).alias("v")) \
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    w = (Window.orderBy(F.col("v").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    row = (dist.withColumn("_s", F.sum("cnt").over(w))
+           .agg(F.max(F.least(F.col("v"), F.col("_s"))).alias("b"))
+           .collect())
+    return int(row[0]["b"] or 0)
+
+
 def core_numbers(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
     """FULL k-core decomposition: (id, core) where core(v) is the largest
     k such that v belongs to the k-core — the whole ladder k_core(k)
     answers one rung of, in one computation.
 
     Distributed h-index iteration (Lü et al., "The H-index of a network
-    node"): initialize c(v) = degree(v); each round set c(v) to the
-    H-index of its neighbors' current values (the largest h with ≥ h
-    neighbors at c ≥ h).  Values are non-increasing and converge exactly
-    to the core numbers — a LOCAL fixpoint iteration, unlike sequential
-    peeling, so every round is one aggregate-messages shuffle + one
-    per-vertex window (H-index = max over desc-ranked neighbor values of
-    min(rank, value)).  Rounds needed are typically far below diameter;
-    early exit on an unchanged round is safe (monotone convergence).
+    node"): each round sets c(v) to the H-index of its neighbors' current
+    values (the largest h with ≥ h neighbors at c ≥ h); values are
+    non-increasing and converge exactly to the core numbers.
+
+    Skew posture (VERDICT r6): initialization is c(v) = min(degree(v), B)
+    with B the h-index of the DEGREE SEQUENCE — B ≥ degeneracy = max core
+    (a k-core holds ≥ k+1 vertices of degree ≥ k), and B ≤ O(√m), so
+    every c value is globally capped at O(√m) from round 0.  The capped
+    start still converges to the exact core numbers: the h-index operator
+    T is pointwise monotone and core = T(core), so core = Tᵏ(core) ≤
+    Tᵏ(c₀) ≤ Tᵏ(degree) → core.  Each round then reduces the neighbor
+    stream by a combinable (id, value) count before any window — see
+    _hindex_round; no per-vertex sort ever sees a full neighbor list, so
+    a degree-10⁸ celebrity costs a hash-combine, not a straggler task.
+    Early exit on an unchanged round is safe (monotone convergence).
     Raises if still changing after max_iterations (never wrong values)."""
     und = _undirected_simple(edges)
     adj = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(und.select(F.col("v").alias("a"),
                                    F.col("u").alias("b")))
            .localCheckpoint(eager=True))
-    c = (adj.groupBy(F.col("a").alias("id"))
-         .agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=True))
-    from pyspark.sql.window import Window
+    deg = (adj.groupBy(F.col("a").alias("id"))
+           .agg(F.count(F.lit(1)).alias("c")))
+    bound = _hindex_of_degree_distribution(deg)
+    c = (deg.select("id", F.least(F.col("c"), F.lit(bound)).alias("c"))
+         .localCheckpoint(eager=True))
 
     converged = False
     for _ in range(max_iterations):
-        nbr = (adj.join(c.select(F.col("id").alias("b"),
-                                 F.col("c").alias("cb")), "b")
-               .select(F.col("a").alias("id"), "cb"))
-        w = Window.partitionBy("id").orderBy(F.col("cb").desc())
-        nxt = (nbr.withColumn("_rn", F.row_number().over(w))
-               .groupBy("id")
-               .agg(F.max(F.least(F.col("_rn"), F.col("cb"))).alias("c"))
-               .localCheckpoint(eager=True))
+        nxt = _hindex_round(adj, c).localCheckpoint(eager=True)
         changed = (nxt.alias("n").join(c.alias("o"), "id")
                    .filter(F.col("n.c") != F.col("o.c"))
                    .limit(1).count())

@@ -748,6 +748,51 @@ def test_core_numbers_match_peeling_reference(spark):
             assert got[v] == k, (pairs, v, got[v], k)
 
 
+def test_core_numbers_star_hub_and_skewfree_plan(spark):
+    """VERDICT r6 #2: the h-index round must never sort a full neighbor
+    list in one window partition.  Structurally: the Window in a round's
+    plan sits ABOVE an Aggregate (the combinable (id, value) curve
+    reduction), not directly on the neighbor join.  Behaviorally: a
+    star-hub graph (hub degree 2000) resolves with the degree-sequence
+    bound B=1, so every vertex starts (and ends) at core 1 regardless of
+    hub fan-in."""
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        _hindex_of_degree_distribution, _hindex_round, core_numbers)
+    from pyspark.sql import functions as F
+
+    # star: degree sequence {2000, 1 x 2000} -> h-index bound B = 1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 2001)], "src long, dst long")
+    deg = (star.select(F.col("src").alias("id"))
+           .unionByName(star.select(F.col("dst").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("c")))
+    assert _hindex_of_degree_distribution(deg) == 1
+    got = {r["id"]: r["core"] for r in core_numbers(star).collect()}
+    assert set(got.values()) == {1} and len(got) == 2001
+
+    # plan shape: Window's subtree reaches an Aggregate BEFORE any Join —
+    # the window consumes the curve, never the raw neighbor stream
+    adj = (star.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+           .unionByName(star.select(F.col("dst").alias("a"),
+                                    F.col("src").alias("b"))))
+    c = deg.select("id", F.col("c"))
+    plan = str(_hindex_round(adj, c)._jdf.queryExecution().optimizedPlan())
+    after_window = plan.split("Window", 1)[1]
+    agg_pos = after_window.find("Aggregate")
+    join_pos = after_window.find("Join")
+    assert agg_pos != -1 and (join_pos == -1 or agg_pos < join_pos), plan
+
+    # the bound helper matches brute force on assorted multisets
+    def brute_h(vals):
+        return max((h for h in range(0, len(vals) + 1)
+                    if sum(1 for v in vals if v >= h) >= h), default=0)
+    for vals in ([5, 4, 4, 2, 1], [3, 3, 3], [1], [7], [2, 2, 2, 2, 2, 2],
+                 [9, 9, 1, 1, 1, 1]):
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "id long, c long")
+        assert _hindex_of_degree_distribution(df) == brute_h(vals), vals
+
+
 def test_core_numbers_consistent_with_k_core(spark):
     """core(v) >= k exactly for the members of k_core(k)."""
     from hugegraph_on_tikv_spark.operators.analytics import (core_numbers,
