@@ -1884,6 +1884,47 @@ _register(
 )
 
 
+# -- cross-document exact substring dedup (functions/dedup.duplicated_spans):
+#    positioned n-gram fingerprint join + gaps-and-islands maximal-span
+#    merge — the Lee et al. substring-dedup family.  The oracle replays the
+#    same pipeline (positions via generate_subscripts, md5 gram
+#    fingerprints, the 2..max_docs hot-gram cap, the diagonal-island merge)
+#    so every (doc_a, doc_b, start_a, start_b, span_len) value is checked.
+
+_register(
+    "dedup_spans",
+    lambda spark, sf: dedup.duplicated_spans(
+        load_table(spark, sf, "documents"), n=8, max_docs_per_gram=20),
+    f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    ), g AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(gr, 1) - 1 AS pos,
+             md5(unnest(gr)) AS fp
+      FROM (SELECT doc_id, {word_shingles_sql("toks", 8)} AS gr FROM t)
+    ), ok AS (
+      SELECT fp FROM g GROUP BY fp
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
+    ), f AS MATERIALIZED (
+      SELECT g.* FROM g JOIN ok USING (fp)
+    ), hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT *, pos_a - row_number()
+        OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      FROM hits
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS INTEGER) AS start_a,
+           CAST(min(pos_b) AS INTEGER) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + 8 AS INTEGER) AS span_len
+    FROM isl GROUP BY doc_a, doc_b, diag, grp
+    """,
+)
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, r: int = 4, k: int = 3, thr: float = 0.3,
                      max_bucket: int = 1000,
                      source_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -6023,29 +6064,47 @@ _compose("dedup_exact_canonical", [
 
 _compose("dedup_pairs", [
     ("dedup_ngram_jaccard",
-     ["'ngram' AS tag", "doc_a", "doc_b", "jaccard"], "'ngram' AS tag, doc_a, doc_b, jaccard"),
+     ["'ngram' AS tag", "doc_a", "doc_b", "jaccard",
+      "CAST(NULL AS STRING) AS detail"],
+     "'ngram' AS tag, doc_a, doc_b, jaccard, CAST(NULL AS VARCHAR) AS detail"),
     ("dedup_minhash_lsh",
-     ["'minhash_lsh' AS tag", "doc_a", "doc_b", "jaccard"],
-     "'minhash_lsh' AS tag, doc_a, doc_b, jaccard"),
+     ["'minhash_lsh' AS tag", "doc_a", "doc_b", "jaccard",
+      "CAST(NULL AS STRING) AS detail"],
+     "'minhash_lsh' AS tag, doc_a, doc_b, jaccard, "
+     "CAST(NULL AS VARCHAR) AS detail"),
     ("contamination",
-     ["'contamination' AS tag", "train_id AS doc_a", "test_id AS doc_b", "jaccard"],
-     "'contamination' AS tag, train_id AS doc_a, test_id AS doc_b, jaccard"),
+     ["'contamination' AS tag", "train_id AS doc_a", "test_id AS doc_b",
+      "jaccard", "CAST(NULL AS STRING) AS detail"],
+     "'contamination' AS tag, train_id AS doc_a, test_id AS doc_b, jaccard, "
+     "CAST(NULL AS VARCHAR) AS detail"),
     # incremental index probe: tag carries the pair scope (cross|batch),
     # jaccard carries the signature-agreement estimate
     ("dedup_index_probe",
      ["concat('idx_', scope) AS tag", "doc_a", "doc_b",
-      "est_jaccard AS jaccard"],
-     "'idx_' || scope AS tag, doc_a, doc_b, est_jaccard AS jaccard"),
+      "est_jaccard AS jaccard", "CAST(NULL AS STRING) AS detail"],
+     "'idx_' || scope AS tag, doc_a, doc_b, est_jaccard AS jaccard, "
+     "CAST(NULL AS VARCHAR) AS detail"),
     # fuzzy entity-resolution pairs: jaccard carries the edit distance
     ("dedup_fuzzy_names",
      ["'fuzzy' AS tag", "id_a AS doc_a", "id_b AS doc_b",
-      "CAST(distance AS DOUBLE) AS jaccard"],
+      "CAST(distance AS DOUBLE) AS jaccard", "CAST(NULL AS STRING) AS detail"],
      "'fuzzy' AS tag, id_a AS doc_a, id_b AS doc_b, "
-     "CAST(distance AS DOUBLE) AS jaccard"),
+     "CAST(distance AS DOUBLE) AS jaccard, CAST(NULL AS VARCHAR) AS detail"),
     # exact set-similarity via prefix filtering vs brute-force oracle
     ("dedup_setsim_names",
-     ["'setsim' AS tag", "id_a AS doc_a", "id_b AS doc_b", "jaccard"],
-     "'setsim' AS tag, id_a AS doc_a, id_b AS doc_b, jaccard"),
+     ["'setsim' AS tag", "id_a AS doc_a", "id_b AS doc_b", "jaccard",
+      "CAST(NULL AS STRING) AS detail"],
+     "'setsim' AS tag, id_a AS doc_a, id_b AS doc_b, jaccard, "
+     "CAST(NULL AS VARCHAR) AS detail"),
+    # cross-document exact substring spans: jaccard carries span_len,
+    # detail value-checks the positions as 'start_a:start_b:span_len'
+    ("dedup_spans",
+     ["'spans' AS tag", "doc_a", "doc_b", "CAST(span_len AS DOUBLE) AS jaccard",
+      "concat(CAST(start_a AS STRING), ':', CAST(start_b AS STRING), ':', "
+      "CAST(span_len AS STRING)) AS detail"],
+     "'spans' AS tag, doc_a, doc_b, CAST(span_len AS DOUBLE) AS jaccard, "
+     "CAST(start_a AS VARCHAR) || ':' || CAST(start_b AS VARCHAR) || ':' || "
+     "CAST(span_len AS VARCHAR) AS detail"),
 ])
 
 _compose("sim_ann_neardup", [

@@ -282,3 +282,53 @@ def test_set_similarity_join_complete_random(spark, n_docs, vocab, seed,
     got = {(r["id_a"], r["id_b"])
            for r in set_similarity_join(df, threshold=threshold).collect()}
     assert got == want, (rows, threshold)
+
+
+# -- substring-span dedup vs brute force on random planted copies ------------
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1),
+       n=st.sampled_from([3, 4, 5]))
+def test_duplicated_spans_match_bruteforce_random(spark, seed, n):
+    """duplicated_spans == a brute-force per-pair maximal-common-span scan
+    on random small-vocab corpora (accidental repeats guaranteed), with
+    planted copies.  Brute force: for every doc pair and every diagonal,
+    merge runs of positions whose n-token windows match."""
+    import random
+
+    from hugegraph_on_tikv_spark.functions.dedup import duplicated_spans
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(6)]
+    toks = {d: [rng.choice(vocab) for _ in range(rng.randrange(n, 25))]
+            for d in range(1, 6)}
+    # plant one definite copy
+    src = toks[1]
+    if len(src) >= n:
+        lo = rng.randrange(0, len(src) - n + 1)
+        hi = min(len(src), lo + rng.randrange(n, n + 8))
+        toks[2] = toks[2][:3] + src[lo:hi] + toks[2][3:]
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in toks.items()], "doc_id long, text string")
+
+    def windows(t):
+        return [" ".join(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+    want = set()
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            wa, wb = windows(toks[a]), windows(toks[b])
+            hit = {(pa, pb) for pa, ga in enumerate(wa)
+                   for pb, gb in enumerate(wb) if ga == gb}
+            for diag in {pa - pb for pa, pb in hit}:
+                run = sorted(pa for pa, pb in hit if pa - pb == diag)
+                s = run[0]
+                for prev, cur in zip(run, run[1:] + [None]):
+                    if cur is None or cur != prev + 1:
+                        want.add((a, b, s, s - diag, prev - s + n))
+                        s = cur
+    got = {(r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_len"])
+           for r in duplicated_spans(docs, n=n, max_docs_per_gram=99).collect()}
+    assert got == want, (toks, n)

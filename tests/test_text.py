@@ -297,3 +297,46 @@ def test_near_dedup_score_string_ids_and_null_scores(spark):
                       near_dedup(neg, threshold=0.5,
                                  score_col="quality").collect())
     assert kept_neg == [2, 10]
+
+
+def test_duplicated_spans_planted_copy(spark):
+    """A 12-token block copied from doc 1 (tokens 3..14) into doc 2 at
+    position 0 must come back as exactly one maximal span — not its five
+    constituent 8-gram hits, and not extended beyond the copy."""
+    from hugegraph_on_tikv_spark.functions.dedup import duplicated_spans
+
+    base = [f"w{i}" for i in range(30)]          # all-distinct tokens
+    copy = base[3:15]                            # 12 tokens
+    docs = spark.createDataFrame(
+        [(1, " ".join(base)),
+         (2, " ".join(copy + [f"z{i}" for i in range(10)])),
+         (3, "entirely different words only here")],
+        "doc_id long, text string")
+    got = duplicated_spans(docs, n=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"],
+            r["span_len"]) == (1, 2, 3, 0, 12)
+
+
+def test_duplicated_spans_hot_gram_cap_and_multimatch(spark):
+    """An n-gram present in more than max_docs_per_gram documents is
+    boilerplate: spans through it are dropped entirely (the documented
+    trade).  Two disjoint copies of the same block in one partner doc
+    yield two spans on different diagonals."""
+    from hugegraph_on_tikv_spark.functions.dedup import duplicated_spans
+
+    block = " ".join(f"b{i}" for i in range(8))   # exactly one 8-gram
+    docs = spark.createDataFrame(
+        [(i, block) for i in range(1, 6)], "doc_id long, text string")
+    # 5 docs share the gram: cap=4 drops it, cap=20 keeps all 10 pairs
+    assert duplicated_spans(docs, n=8, max_docs_per_gram=4).count() == 0
+    assert duplicated_spans(docs, n=8, max_docs_per_gram=20).count() == 10
+
+    two = spark.createDataFrame(
+        [(1, block),
+         (2, block + " x0 x1 x2 " + block)],
+        "doc_id long, text string")
+    got = sorted((r["start_a"], r["start_b"], r["span_len"])
+                 for r in duplicated_spans(two, n=8).collect())
+    assert got == [(0, 0, 8), (0, 11, 8)]
