@@ -358,8 +358,15 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
     Both steps preserve connectivity (paper lemma); the fixed point is a
     forest of stars rooted at each component's MINIMUM id, so the labels
     are identical to HashMin's (component = min vertex id) — equality-
-    tested.  Convergence is detected by edge-set fixpoint; unconverged
-    after max_iterations raises (never wrong labels).  `_rounds_out`, when
+    tested.  Convergence is detected by edge-set fixpoint via ONE aggregate
+    per round — (count, two independently-seeded xxhash64 sums in
+    decimal(38,0), overflow-free) — instead of the former exceptAll
+    anti-join, which cost a full extra pass over the edge set each round.
+    Two 64-bit order-insensitive checksums agreeing on equal-size DISTINCT
+    edge sets has collision odds ~2^-128 per round; a false "converged"
+    additionally requires the colliding set to be a non-fixpoint, so the
+    never-wrong contract holds to cosmic-ray precision.  Unconverged after
+    max_iterations raises (never wrong labels).  `_rounds_out`, when
     a list, receives the number of rounds used (test/telemetry hook).
 
     Returns (id, component) for every vertex of the input (isolated
@@ -371,9 +378,22 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
          .select(F.least("src", "dst").alias("u"),
                  F.greatest("src", "dst").alias("v"))
          .distinct().localCheckpoint(eager=True))
-    n_prev = e.count()
+
+    def _sig(df: DataFrame) -> tuple:
+        """(count, hash-sum, seeded-hash-sum) of a DISTINCT canonical edge
+        set — order-insensitive, one aggregate pass; decimal(38,0) sums
+        cannot overflow (2^63 * n fits comfortably in 38 digits)."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64(F.lit(0x5EED), "u", "v")
+                  .cast("decimal(38,0)")).alias("h2"),
+        ).collect()[0]
+        return (row["n"], row["h1"], row["h2"])
+
+    sig_prev = _sig(e)
     rounds = 0
-    converged = n_prev == 0
+    converged = sig_prev[0] == 0
     for _ in range(max_iterations):
         if converged:
             break
@@ -409,11 +429,12 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
                  .select(F.col("m").alias("u"), F.col("x").alias("v"))
                  .distinct()
                  .localCheckpoint(eager=True))
-        n_now = small.count()
-        # fixpoint: same canonical edge set (count match + containment)
-        converged = (n_now == n_prev and
-                     small.exceptAll(e).limit(1).count() == 0)
-        e, n_prev = small, n_now
+        # fixpoint: same canonical edge set, checked by one aggregate
+        # (count + two independent order-insensitive hash sums) — no
+        # per-round exceptAll join over the edge set
+        sig_now = _sig(small)
+        converged = sig_now == sig_prev
+        e, sig_prev = small, sig_now
     if _rounds_out is not None:
         _rounds_out.append(rounds)
     if not converged:
@@ -956,24 +977,84 @@ def k_truss(edges: DataFrame, k: int, max_iterations: int = 20) -> DataFrame:
     edge-level cohesion ladder above vertex k-core (every k-truss edge set
     is inside the (k−1)-core, but prunes far more aggressively).
 
-    Distributed peeling like k_core, one level up: each round recounts
-    per-edge triangle support (wedge join + corner attribution, the
-    triangle_count machinery) and drops under-supported edges; support can
-    only fall as edges leave, so the fixpoint is unique and the early exit
-    safe.  Rounds are bounded by peeling depth; each is O(wedges) shuffled.
+    Distributed peeling like k_core, one level up — with DELTA support
+    maintenance: the full O(wedges) triangle count (_edge_support, the
+    degree-oriented hub-proof enumeration) runs ONCE; each peel round then
+    enumerates only the triangles incident to that round's REMOVED edges
+    (fan-out from the lower-degree endpoint of each removal — the same
+    min-degree pivot that makes the full enumeration hub-proof — closed by
+    a semi-join against the surviving edge set) and decrements the
+    survivors' support by the destroyed-triangle count.  Support can only
+    fall as edges leave, so the fixpoint is unique and the early exit safe;
+    rounds are bounded by peeling depth and each costs O(Σ min-degree over
+    removals), the changed neighborhood, not O(wedges) again.
     Returns the surviving canonical edges as (u, v, support) with support
     measured INSIDE the truss."""
     cur = _undirected_simple(edges).localCheckpoint(eager=True)
-    n_prev = cur.count()
+    thresh = k - 2
+    # full edge set with support (0 for triangle-free edges — they peel
+    # first): the ONLY full wedge enumeration in the whole call
+    sup = (cur.join(_edge_support(cur), ["u", "v"], "left")
+           .select("u", "v",
+                   F.coalesce("support", F.lit(0).cast("long"))
+                   .alias("support"))
+           .localCheckpoint(eager=True))
     for _ in range(max_iterations):
-        keep = (_edge_support(cur)
-                .filter(F.col("support") >= k - 2).select("u", "v"))
-        cur = cur.join(keep, ["u", "v"]).localCheckpoint(eager=True)
-        n_now = cur.count()
-        if n_now == n_prev:
+        drop = (sup.filter(F.col("support") < thresh).select("u", "v")
+                .localCheckpoint(eager=True))
+        if drop.isEmpty():
             break
-        n_prev = n_now
-    return cur.join(_edge_support(cur), ["u", "v"])
+        survivors = sup.join(drop, ["u", "v"], "left_anti")
+        # fan out each removed edge from its LOWER-degree endpoint
+        # (degrees over the pre-removal graph) — hub-proof delta wedges
+        deg = (sup.select(F.col("u").alias("id"))
+               .unionByName(sup.select(F.col("v").alias("id")))
+               .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+        du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+        piv = (drop.join(du, "u").join(dv, "v")
+               .select(F.when(F.col("du") <= F.col("dv"), F.col("u"))
+                       .otherwise(F.col("v")).alias("p"),
+                       F.when(F.col("du") <= F.col("dv"), F.col("v"))
+                       .otherwise(F.col("u")).alias("o")))
+        adj = (sup.select(F.col("u").alias("p"), F.col("v").alias("w"))
+               .unionByName(
+                   sup.select(F.col("v").alias("p"), F.col("u").alias("w"))))
+        # candidate third vertex w adjacent to the pivot; triangle exists
+        # iff (w, other) is also an edge of the pre-removal graph
+        cand = (piv.join(adj, "p").filter(F.col("w") != F.col("o"))
+                .select("p", "o", "w",
+                        F.least("w", "o").alias("cu"),
+                        F.greatest("w", "o").alias("cv")))
+        destroyed = (cand.join(
+                        sup.select(F.col("u").alias("cu"),
+                                   F.col("v").alias("cv")),
+                        ["cu", "cv"], "left_semi")
+                     # a triangle with 2-3 removed edges is found once per
+                     # removal: dedupe by the sorted vertex triple
+                     .select(F.array_sort(F.array("p", "o", "w")).alias("t"))
+                     .distinct()
+                     .select(F.col("t")[0].alias("a"), F.col("t")[1].alias("b"),
+                             F.col("t")[2].alias("c")))
+        dec = (destroyed
+               .select(F.explode(F.array(
+                   F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                   F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                   F.struct(F.col("a").alias("u"), F.col("c").alias("v"))))
+                   .alias("e"))
+               .select("e.u", "e.v")
+               .groupBy("u", "v").agg(F.count(F.lit(1)).alias("dec")))
+        sup = (survivors.join(dec, ["u", "v"], "left")
+               .select("u", "v",
+                       (F.col("support") - F.coalesce("dec", F.lit(0)))
+                       .alias("support"))
+               .localCheckpoint(eager=True))
+    out = sup
+    if thresh < 1:
+        # parity with the recount formulation for k <= 2: only edges that
+        # sit in at least one triangle are part of any truss
+        out = out.filter(F.col("support") >= 1)
+    return out
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:

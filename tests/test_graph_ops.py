@@ -306,6 +306,43 @@ def test_k_truss_peels_edges(spark):
     assert analytics.k_truss(edges, k=5).count() == 0
 
 
+def test_k_truss_delta_matches_full_recount(spark):
+    """The delta-maintained peel (one full _edge_support, then
+    removal-neighborhood recounts) must equal the naive
+    recount-every-round formulation on random graphs, across k."""
+    import random
+
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        _edge_support, _undirected_simple)
+
+    def naive_k_truss(edges, k):
+        cur = _undirected_simple(edges).localCheckpoint(eager=True)
+        n_prev = cur.count()
+        for _ in range(20):
+            keep = (_edge_support(cur)
+                    .filter(F.col("support") >= k - 2).select("u", "v"))
+            cur = cur.join(keep, ["u", "v"]).localCheckpoint(eager=True)
+            n_now = cur.count()
+            if n_now == n_prev:
+                break
+            n_prev = n_now
+        return cur.join(_edge_support(cur), ["u", "v"])
+
+    rng = random.Random(73)
+    for trial in range(3):
+        n = 18
+        pairs = {(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < 0.28}
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "src long, dst long")
+        for k in (3, 4, 5):
+            got = {(r["u"], r["v"]): r["support"]
+                   for r in analytics.k_truss(edges, k=k).collect()}
+            want = {(r["u"], r["v"]): r["support"]
+                    for r in naive_k_truss(edges, k).collect()}
+            assert got == want, f"trial={trial} k={k}"
+
+
 def test_graph_summary_and_eccentricity(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long")
