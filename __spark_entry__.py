@@ -2965,6 +2965,49 @@ _register(
     _label_propagation_sql(),
 )
 
+
+# -- modularity of the LPA labeling (analytics.modularity): per-community
+#    exact-integer contributions contrib(c) = 4·m·e_c − d_c², so
+#    Q = Σ contrib / 4m².  The oracle re-derives the SAME labels by
+#    splicing the modularity computation onto the unrolled LPA CTEs. ------
+
+def _modularity_sql(iterations: int = 5) -> str:
+    return _label_propagation_sql(iterations).replace(
+        f"\nSELECT id, community FROM lp{iterations}",
+        f""",
+undm AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst),
+mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM undm),
+degm AS MATERIALIZED (
+  SELECT id, count(*) AS d
+  FROM (SELECT u AS id FROM undm UNION ALL SELECT v FROM undm) t
+  GROUP BY id),
+labm AS MATERIALIZED (SELECT id, community FROM lp{iterations}),
+ecm AS (SELECT la.community, count(*) AS e
+        FROM undm JOIN labm la ON undm.u = la.id
+                  JOIN labm lb ON undm.v = lb.id
+        WHERE la.community = lb.community GROUP BY la.community),
+dcm AS (SELECT labm.community, CAST(SUM(degm.d) AS BIGINT) AS ds
+        FROM degm JOIN labm ON degm.id = labm.id GROUP BY labm.community)
+SELECT dcm.community,
+       CAST(COALESCE(ecm.e, 0) AS BIGINT) AS intra_edges,
+       dcm.ds AS degree_sum,
+       CAST(4 * mm.m * COALESCE(ecm.e, 0) - dcm.ds * dcm.ds AS BIGINT)
+         AS contrib
+FROM dcm CROSS JOIN mm LEFT JOIN ecm ON dcm.community = ecm.community
+""")
+
+
+def _g_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    e = GraphStore(spark, sf).edges()
+    labels = analytics.label_propagation(e, iterations=5)
+    return (analytics.modularity(e, labels)
+            .select("community", "intra_edges", "degree_sum",
+                    F.col("contrib").cast("long").alias("contrib")))
+
+_register("g_modularity", _g_modularity, _modularity_sql())
+
 # -- motif/pattern matching: customer→order→part→supplier path counts -------
 
 def _g_motif(spark: SparkSession, sf: str) -> DataFrame:
@@ -5797,6 +5840,11 @@ _compose("g_components", [
       "CAST(core AS BIGINT) AS component"],
      "'corenum' AS tag, CAST(id AS BIGINT) AS id, "
      "CAST(core AS BIGINT) AS component"),
+    # modularity of the LPA labeling: one row per community, component
+    # carries the exact-integer contribution 4·m·e_c − d_c²
+    ("g_modularity",
+     ["'modularity' AS tag", "community AS id", "contrib AS component"],
+     "'modularity' AS tag, community AS id, contrib AS component"),
     # double-sweep diameter: one row; (diameter, n_reached) pack into
     # component losslessly (diameter < 100000; precedent: wid*100+step)
     ("g_diameter",

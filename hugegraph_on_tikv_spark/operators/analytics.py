@@ -1158,6 +1158,156 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
         adj.unpersist()
 
 
+def modularity(edges: DataFrame, labels: DataFrame,
+               label_col: str = "community") -> DataFrame:
+    """Per-community Newman modularity contributions of a labeling, in
+    EXACT integers: for community c with e_c intra-community edges and
+    degree sum d_c over the undirected simple graph with m edges,
+
+        contrib(c) = 4·m·e_c − d_c²       (so Q = Σ contrib / 4m²)
+
+    All arithmetic runs in decimal(38,0) — overflow-free up to ~10^18
+    edges, far past 100 TB graphs, and bit-identical across engines
+    (no float sums).  Completes the community family next to
+    label_propagation the way core_numbers completed k_core: LPA gives
+    labelings, modularity scores them.
+
+    Returns (community, intra_edges, degree_sum, contrib, q_share) — one
+    row per community that contains at least one non-isolated vertex;
+    q_share = contrib / 4m² as a rounded double for human consumption,
+    contrib is the exact integer the oracle checks."""
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    m = und.count()  # 1 driver scalar, metadata-sized by contract
+    lab = labels.select("id", F.col(label_col).alias("_c"))
+    deg = (und.select(F.col("u").alias("id"))
+           .unionByName(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("_d")))
+    lu = lab.select(F.col("id").alias("u"), F.col("_c").alias("_cu"))
+    lv = lab.select(F.col("id").alias("v"), F.col("_c").alias("_cv"))
+    e_c = (und.join(lu, "u").join(lv, "v")
+           .filter(F.col("_cu") == F.col("_cv"))
+           .groupBy(F.col("_cu").alias("community"))
+           .agg(F.count(F.lit(1)).alias("intra_edges")))
+    d_c = (deg.join(lab, "id")
+           .groupBy(F.col("_c").alias("community"))
+           .agg(F.sum("_d").alias("degree_sum")))
+
+    def _dec(c) -> Column:
+        return (F.col(c) if isinstance(c, str) else c).cast("decimal(38,0)")
+
+    four_m = F.lit(4 * m).cast("decimal(38,0)")
+    denom = float(4 * m * m) if m else 1.0
+    return (d_c.join(e_c, "community", "left")
+            .select("community",
+                    F.coalesce("intra_edges", F.lit(0).cast("long"))
+                    .alias("intra_edges"),
+                    "degree_sum")
+            .withColumn("contrib",
+                        (four_m * _dec("intra_edges")
+                         - _dec("degree_sum") * _dec("degree_sum"))
+                        .cast("decimal(38,0)"))
+            .withColumn("q_share",
+                        F.round(F.col("contrib").cast("double") / F.lit(denom),
+                                6)))
+
+
+def modularity_score(edges: DataFrame, labels: DataFrame,
+                     label_col: str = "community") -> float:
+    """Scalar modularity Q of a labeling (Σ contrib / 4m²) — exact-integer
+    numerator summed distributedly, one final float division."""
+    und = _undirected_simple(edges)
+    m = und.count()
+    if m == 0:
+        return 0.0
+    num = (modularity(edges, labels, label_col)
+           .agg(F.sum("contrib").alias("n")).collect()[0]["n"])
+    return float(num or 0) / float(4 * m * m)
+
+
+def modularity_local_move(edges: DataFrame, labels: DataFrame,
+                          label_col: str = "community") -> DataFrame:
+    """One synchronous Louvain-style local-move round on top of an existing
+    labeling (e.g. label_propagation output): every vertex v evaluates
+    moving to each NEIGHBOR community c, scoring the move by the exact
+    integer gain
+
+        ΔQ·4m² = 4m·(k_{v,c} − k_{v,c_v∖v}) − 2·k_v·(d_c − (d_{c_v} − k_v))
+
+    (k_{v,c} = edges from v into c, d_c = community degree sum, k_v = v's
+    degree), takes the best strictly-positive move (ties → smallest
+    community id, argmax-then-min — no id negation, type-safe for any
+    ordered id), and applies all winning moves SIMULTANEOUSLY.
+
+    Synchronous application can oscillate on symmetric graphs (the known
+    parallel-Louvain caveat), so the round is guarded: modularity of the
+    proposed labeling is compared against the input's — in exact integer
+    numerators, same denominator — and the input labeling is returned
+    unchanged unless the round strictly improved it.  The returned
+    labeling therefore NEVER has lower modularity than the input.
+
+    Cost: three keyed aggregations + small-dimension joins, nothing
+    quadratic; candidate set is bounded by the neighbor-community count,
+    itself bounded by degree.  Returns (id, <label_col>)."""
+    out_cols = ["id", label_col]
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    m = und.count()
+    if m == 0:
+        return labels.select(*out_cols)
+    lab = (labels.select("id", F.col(label_col).alias("_c"))
+           .localCheckpoint(eager=True))
+    deg = (und.select(F.col("u").alias("id"))
+           .unionByName(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("_d")))
+    adj = (und.select(F.col("u").alias("id"), F.col("v").alias("b"))
+           .unionByName(
+               und.select(F.col("v").alias("id"), F.col("u").alias("b"))))
+    # k_{v,c}: edge count from each vertex into each neighbor community
+    nbr = (adj.join(lab.select(F.col("id").alias("b"),
+                               F.col("_c").alias("cand")), "b")
+           .groupBy("id", "cand").agg(F.count(F.lit(1)).alias("k_to")))
+    d_c = (deg.join(lab, "id")
+           .groupBy(F.col("_c").alias("cand"))
+           .agg(F.sum("_d").alias("d_cand")))
+    own = (nbr.join(lab, "id")
+           .filter(F.col("cand") == F.col("_c"))
+           .select("id", F.col("k_to").alias("k_own")))
+
+    def _dec(c) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    four_m = F.lit(4 * m).cast("decimal(38,0)")
+    cand = (nbr.join(lab, "id").filter(F.col("cand") != F.col("_c"))
+            .join(own, "id", "left")
+            .join(deg, "id")
+            .join(d_c, "cand")
+            .join(d_c.select(F.col("cand").alias("_c"),
+                             F.col("d_cand").alias("d_cur")), "_c")
+            .withColumn(
+                "gain",
+                four_m * (_dec("k_to")
+                          - F.coalesce(_dec("k_own"),
+                                       F.lit(0).cast("decimal(38,0)")))
+                - F.lit(2).cast("decimal(38,0)") * _dec("_d")
+                * (_dec("d_cand") - (_dec("d_cur") - _dec("_d")))))
+    mx = cand.groupBy("id").agg(F.max("gain").alias("_g"))
+    best = (cand.join(mx, "id")
+            .filter((F.col("gain") == F.col("_g")) & (F.col("_g") > 0))
+            .groupBy("id").agg(F.min("cand").alias("_new")))
+    proposed = (lab.join(best, "id", "left")
+                .select("id", F.coalesce("_new", F.col("_c"))
+                        .alias(label_col))
+                .localCheckpoint(eager=True))
+    # monotone guard: exact integer numerators, same 4m² denominator
+    q_old = (modularity(edges, lab.withColumnRenamed("_c", label_col),
+                        label_col)
+             .agg(F.sum("contrib").alias("n")).collect()[0]["n"]) or 0
+    q_new = (modularity(edges, proposed, label_col)
+             .agg(F.sum("contrib").alias("n")).collect()[0]["n"]) or 0
+    if q_new > q_old:
+        return proposed
+    return labels.select(*out_cols)
+
+
 def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFrame:
     """Single-source shortest paths over weighted edges (src, dst, weight):
     Bellman-Ford rounds, d_t(v) = min(d_{t-1}(v), min over in-edges

@@ -343,6 +343,57 @@ def test_k_truss_delta_matches_full_recount(spark):
             assert got == want, f"trial={trial} k={k}"
 
 
+def test_modularity_exact_two_triangles(spark):
+    # two triangles bridged by one edge, communities = the triangles:
+    # m=7, each community has e_c=3, d_c=7 -> contrib = 4*7*3 - 49 = 35,
+    # Q = 70/196 = 5/14
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20)],
+        "id long, community long")
+    rows = {r["community"]: r for r in
+            analytics.modularity(edges, labels).collect()}
+    assert rows[10]["intra_edges"] == 3 and rows[10]["degree_sum"] == 7
+    assert int(rows[10]["contrib"]) == 35 and int(rows[20]["contrib"]) == 35
+    assert analytics.modularity_score(edges, labels) == pytest.approx(5 / 14)
+    # the all-one-community labeling scores 0 (e_c = m, d_c = 2m)
+    one = labels.select("id", F.lit(1).alias("community"))
+    assert analytics.modularity_score(edges, one) == pytest.approx(0.0)
+
+
+def test_modularity_local_move_improves_and_never_decreases(spark):
+    import random
+
+    # two K4 cliques bridged by one edge; singleton start: the move round
+    # must strictly improve modularity (vertices join neighbor communities)
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+    edges = spark.createDataFrame(k4a + k4b + [(4, 5)], "src long, dst long")
+    singles = spark.createDataFrame(
+        [(i, i) for i in range(1, 9)], "id long, community long")
+    q0 = analytics.modularity_score(edges, singles)
+    moved = analytics.modularity_local_move(edges, singles)
+    q1 = analytics.modularity_score(edges, moved)
+    assert q1 > q0
+    assert moved.columns == ["id", "community"]
+
+    # never-decrease guard on random graphs with random labelings
+    rng = random.Random(11)
+    for _ in range(2):
+        pairs = {(a, b) for a in range(12) for b in range(a + 1, 12)
+                 if rng.random() < 0.3}
+        e = spark.createDataFrame(sorted(pairs), "src long, dst long")
+        lab = spark.createDataFrame(
+            [(i, rng.randrange(3)) for i in range(12)],
+            "id long, community long")
+        q_before = analytics.modularity_score(e, lab)
+        q_after = analytics.modularity_score(
+            e, analytics.modularity_local_move(e, lab))
+        assert q_after >= q_before - 1e-12
+
+
 def test_graph_summary_and_eccentricity(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long")
