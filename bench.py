@@ -406,6 +406,17 @@ def main() -> None:
         "extras": extras,
         "sf": sf_val,
     }
+    # one-shot sf1-scale layout datapoint (tools/layout_sf1.py writes the
+    # sidecar; benched separately because the 10x amplified edge set takes
+    # minutes to materialize and would distort the headline series)
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "LAYOUT_SF1.json")
+    if os.path.exists(sidecar):
+        try:
+            with open(sidecar) as f:
+                result_full["layout_sf1"] = json.load(f)
+        except Exception:
+            pass
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     with open(full_path, "w") as f:
