@@ -1308,6 +1308,37 @@ def modularity_local_move(edges: DataFrame, labels: DataFrame,
     return labels.select(*out_cols)
 
 
+def louvain(edges: DataFrame, labels: DataFrame | None = None,
+            label_col: str = "community", max_rounds: int = 5) -> DataFrame:
+    """Louvain-style community refinement: repeated guarded local-move
+    rounds (modularity_local_move) from an initial labeling (default:
+    singleton communities, the classic Louvain start) until a round stops
+    improving modularity or max_rounds is hit.  Each round is monotone by
+    the local-move guard, so the sequence of modularity values is
+    non-decreasing and the loop terminates.
+
+    This is the LOCAL-MOVE phase only — full Louvain also contracts
+    communities into super-vertices and recurses; on a distributed engine
+    the contraction is one groupBy relabeling, but the recursion multiplies
+    round counts for diminishing modularity gains, so it is deliberately
+    left to the caller (run louvain again on the contracted graph if
+    needed).  Returns (id, <label_col>)."""
+    if labels is None:
+        labels = (edges.select(F.col("src").alias("id"))
+                  .unionByName(edges.select(F.col("dst").alias("id")))
+                  .distinct()
+                  .select("id", F.col("id").alias(label_col)))
+    cur = labels.select("id", label_col).localCheckpoint(eager=True)
+    prev_q = modularity_score(edges, cur, label_col)
+    for _ in range(max_rounds):
+        nxt = modularity_local_move(edges, cur, label_col)
+        q = modularity_score(edges, nxt, label_col)
+        if q <= prev_q:
+            break
+        cur, prev_q = nxt.localCheckpoint(eager=True), q
+    return cur
+
+
 def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFrame:
     """Single-source shortest paths over weighted edges (src, dst, weight):
     Bellman-Ford rounds, d_t(v) = min(d_{t-1}(v), min over in-edges

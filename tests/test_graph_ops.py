@@ -394,6 +394,29 @@ def test_modularity_local_move_improves_and_never_decreases(spark):
         assert q_after >= q_before - 1e-12
 
 
+def test_louvain_finds_planted_cliques(spark):
+    # three K5 cliques bridged by single edges: from the singleton start,
+    # louvain must converge to exactly the three planted communities
+    cliques = []
+    for base in (0, 10, 20):
+        cliques += [(base + a, base + b) for a in range(5)
+                    for b in range(a + 1, 5)]
+    bridges = [(4, 10), (14, 20)]
+    edges = spark.createDataFrame(cliques + bridges, "src long, dst long")
+    out = analytics.louvain(edges)
+    got = {r["id"]: r["community"] for r in out.collect()}
+    groups = {}
+    for vid, c in got.items():
+        groups.setdefault(c, set()).add(vid)
+    assert sorted(sorted(g) for g in groups.values()) == [
+        [0, 1, 2, 3, 4], [10, 11, 12, 13, 14], [20, 21, 22, 23, 24]]
+    # and the result scores at least as high as the planted labeling scores
+    planted = spark.createDataFrame(
+        [(v, v // 10) for v in got], "id long, community long")
+    assert analytics.modularity_score(edges, out) == pytest.approx(
+        analytics.modularity_score(edges, planted))
+
+
 def test_graph_summary_and_eccentricity(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long")
