@@ -1132,6 +1132,41 @@ _register(
 )
 
 
+# -- 4-clique count (analytics.four_clique_count): triangle_count one level
+#    up on the same degree-oriented enumeration; oracle = canonical 6-edge
+#    join with b<c<d over the same co-purchase graph ------------------------
+
+def _g_four_cliques(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    copurchase = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .distinct()
+        .withColumn("label", F.lit("copurchase"))
+    )
+    return analytics.four_clique_count(copurchase)
+
+_register(
+    "g_four_cliques",
+    _g_four_cliques,
+    """
+    WITH cop AS MATERIALIZED (
+      SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_4cliques
+    FROM cop e1                                      -- (a,b)
+    JOIN cop e2 ON e2.u = e1.u AND e1.v < e2.v       -- (a,c), b < c
+    JOIN cop e3 ON e3.u = e1.u AND e2.v < e3.v       -- (a,d), c < d
+    JOIN cop e4 ON e4.u = e1.v AND e4.v = e2.v       -- (b,c)
+    JOIN cop e5 ON e5.u = e1.v AND e5.v = e3.v       -- (b,d)
+    JOIN cop e6 ON e6.u = e2.v AND e6.v = e3.v       -- (c,d)
+    """,
+)
+
+
 # -- k-core decomposition (operators/analytics.py k_core): iterative
 #    peeling over the support>=2 co-purchase graph.  The oracle unrolls the
 #    peeling to a fixed round count (AS MATERIALIZED — DuckDB inlines plain
@@ -5888,6 +5923,13 @@ _compose("g_neighborhood", [
       "CAST(NULL AS DOUBLE) AS agg_msg"],
      "'triangles' AS tag, CAST(NULL AS DOUBLE) AS id, CAST(NULL AS DOUBLE) AS out_degree, "
      "CAST(NULL AS DOUBLE) AS in_degree, CAST(n_triangles AS DOUBLE) AS metric, "
+     "CAST(NULL AS DOUBLE) AS agg_msg"),
+    ("g_four_cliques",
+     ["'k4' AS tag", "CAST(NULL AS DOUBLE) AS id", "CAST(NULL AS DOUBLE) AS out_degree",
+      "CAST(NULL AS DOUBLE) AS in_degree", "CAST(n_4cliques AS DOUBLE) AS metric",
+      "CAST(NULL AS DOUBLE) AS agg_msg"],
+     "'k4' AS tag, CAST(NULL AS DOUBLE) AS id, CAST(NULL AS DOUBLE) AS out_degree, "
+     "CAST(NULL AS DOUBLE) AS in_degree, CAST(n_4cliques AS DOUBLE) AS metric, "
      "CAST(NULL AS DOUBLE) AS agg_msg"),
     # link-prediction pairs: id/out_degree carry (a, b); in_degree the
     # common-neighbor count; metric jaccard; agg_msg the quantized RA score

@@ -691,7 +691,7 @@ def _degree_oriented(und: DataFrame) -> DataFrame:
     )
 
 
-def _oriented_triangles(und: DataFrame) -> DataFrame:
+def _oriented_triangles(und: DataFrame, _o: DataFrame | None = None) -> DataFrame:
     """Every triangle of the undirected simple graph, exactly once, as
     (a, b, c) ranked by the (degree, id) total order (a = apex = minimum).
 
@@ -704,8 +704,11 @@ def _oriented_triangles(und: DataFrame) -> DataFrame:
     The oriented edge set is localCheckpoint'ed: it is referenced three
     times (two wedge arms + the closure), and its lineage may carry an
     arbitrarily expensive edge-view derivation — materialize once, join
-    three times (the same reuse rule the pagerank state follows)."""
-    o = _degree_oriented(und).localCheckpoint(eager=True)
+    three times (the same reuse rule the pagerank state follows).
+    `_o` lets callers that ALSO need the oriented edge set (4-clique
+    enumeration) pass the checkpointed copy in instead of re-deriving."""
+    o = _o if _o is not None else \
+        _degree_oriented(und).localCheckpoint(eager=True)
     e1 = o.select("x", F.col("y").alias("b"), F.col("dy").alias("db"))
     e2 = o.select("x", F.col("y").alias("c"), F.col("dy").alias("dc"))
     wedges = (e1.join(e2, "x")
@@ -726,6 +729,34 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     Returns a 1-row DataFrame (n_triangles)."""
     und = _undirected_simple(edges).localCheckpoint(eager=True)
     return _oriented_triangles(und).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """Global 4-clique (K4) count over the undirected simple graph —
+    triangle_count one level up, on the same degree-oriented machinery.
+
+    A K4 ordered a<b<c<d by the (degree, id) total order decomposes into
+    the oriented triangle (a, b, c) plus the vertex d reached by the three
+    oriented edges a→d, b→d, c→d.  Enumeration: fan each oriented triangle
+    out along c's OUT-edges (c→d implies order(c) < order(d), so each K4
+    is produced exactly once and the fan-out is the O(√m)-bounded oriented
+    out-degree — hub-proof, like the wedge step), then close with two
+    semi-joins on (a, d) and (b, d).  Cost: O(triangles·√m) candidate rows
+    shuffled on equi-keys, never a cross join; a star hub contributes zero
+    oriented triangles and therefore zero candidate rows.
+
+    Returns a 1-row DataFrame (n_4cliques)."""
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    o = _degree_oriented(und).localCheckpoint(eager=True)
+    tri = _oriented_triangles(und, _o=o)
+    cand = tri.join(o.select(F.col("x").alias("c"), F.col("y").alias("d")),
+                    "c")
+    k4 = (cand
+          .join(o.select(F.col("x").alias("a"), F.col("y").alias("d")),
+                ["a", "d"], "left_semi")
+          .join(o.select(F.col("x").alias("b"), F.col("y").alias("d")),
+                ["b", "d"], "left_semi"))
+    return k4.agg(F.count(F.lit(1)).alias("n_4cliques"))
 
 
 def _undirected_simple(edges: DataFrame) -> DataFrame:

@@ -394,6 +394,34 @@ def test_modularity_local_move_improves_and_never_decreases(spark):
         assert q_after >= q_before - 1e-12
 
 
+def test_four_clique_count(spark):
+    import itertools
+    import random
+
+    # K5 contains C(5,4) = 5 four-cliques
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k5, "src long, dst long")
+    assert analytics.four_clique_count(e).collect()[0]["n_4cliques"] == 5
+
+    # star hub: zero triangles -> zero K4s, zero candidate fan-out
+    star = spark.createDataFrame([(0, i) for i in range(1, 40)],
+                                 "src long, dst long")
+    assert analytics.four_clique_count(star).collect()[0]["n_4cliques"] == 0
+
+    # brute force on random graphs
+    rng = random.Random(5)
+    for _ in range(2):
+        pairs = {(a, b) for a in range(14) for b in range(a + 1, 14)
+                 if rng.random() < 0.4}
+        want = sum(
+            1 for quad in itertools.combinations(range(14), 4)
+            if all((x, y) in pairs
+                   for x, y in itertools.combinations(quad, 2)))
+        e = spark.createDataFrame(sorted(pairs), "src long, dst long")
+        got = analytics.four_clique_count(e).collect()[0]["n_4cliques"]
+        assert got == want
+
+
 def test_louvain_finds_planted_cliques(spark):
     # three K5 cliques bridged by single edges: from the singleton start,
     # louvain must converge to exactly the three planted communities
