@@ -4009,6 +4009,28 @@ _register("sample_split", _sample_split, _SAMPLE_SPLIT_SQL)
 _register("sample_cap", _sample_cap, _SAMPLE_CAP_SQL)
 
 
+# -- deterministic corpus mixing (sampling.mix_corpus): assemble a dataset
+#    to target domain proportions ("40% web / 30% code / 30% books") by
+#    per-domain hash-order caps.  src0's cap (30) exceeds its supply (25
+#    at sf0.01), so the no-silent-backfill contract is value-checked too --
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TOTAL = 60
+
+def _sample_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    return sampling.mix_corpus(
+        load_table(spark, sf, "documents"), "source", _MIX_WEIGHTS,
+        _MIX_TOTAL).select("doc_id", "source")
+
+def _mix_oracle() -> str:
+    from hugegraph_on_tikv_spark.functions import sampling
+    inner = sampling.mix_sql("source", _MIX_WEIGHTS, _MIX_TOTAL)
+    return f"SELECT doc_id, source FROM ({inner}) q"
+
+_register("sample_mix", _sample_mix, _mix_oracle())
+
+
 def _sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions import sampling
     docs = load_table(spark, sf, "documents").withColumn(
@@ -6144,6 +6166,13 @@ _compose("dedup_exact_canonical", [
       "CAST(NULL AS DOUBLE) AS n_docs", "doc_id AS id"],
      "'weighted_kept' AS tag, CAST(NULL AS VARCHAR) AS fp, "
      "CAST(NULL AS DOUBLE) AS n_docs, doc_id AS id"),
+    # corpus mixture: fp carries the domain, the per-domain kept counts
+    # value-check the target proportions AND the undersupply contract
+    ("sample_mix",
+     ["'mix_kept' AS tag", "source AS fp", "CAST(NULL AS DOUBLE) AS n_docs",
+      "doc_id AS id"],
+     "'mix_kept' AS tag, source AS fp, CAST(NULL AS DOUBLE) AS n_docs, "
+     "doc_id AS id"),
     # leakage-safe split: fp carries the split name, n_docs the cluster id
     ("cluster_safe_split",
      ["'cluster_split' AS tag", "split AS fp",

@@ -123,6 +123,71 @@ def cap_per_group(df: DataFrame, group_col: str, cap: int,
             .filter(F.col("_rn") <= cap).drop("_rn"))
 
 
+def mix_corpus(df: DataFrame, domain_col: str, weights: dict[str, float],
+               total: int, id_col: str = "doc_id",
+               salt: str = "") -> DataFrame:
+    """Deterministic corpus MIXING: assemble a ~`total`-row dataset whose
+    domain composition follows `weights` (the data-mixture step training
+    recipes specify as "40% web, 30% code, 30% books").
+
+    Per domain d the target is cap_d = round(total · w_d / Σw); the kept
+    rows are the first cap_d of the domain in (id-hash, id) order — the
+    same uniform-draw-by-hash contract as cap_per_group, so the mixture is
+    reproducible across runs, engines, and partitionings, and re-mixing
+    with a different `total` keeps the smaller mixture as a PREFIX of the
+    larger (hash order does not depend on the cap).  A domain with fewer
+    rows than its cap contributes everything it has — the result is then
+    smaller than `total`, never silently back-filled from other domains
+    (mixture proportions are a contract; violating them quietly is worse
+    than a short dataset).  Domains absent from `weights` are dropped.
+
+    Scale: one window shuffle on the domain key with the rank filter
+    WindowGroupLimit-pushed (rows past the cap are discarded during the
+    sort, not materialized), plus a broadcast literal CASE for the caps —
+    no driver-side counts needed."""
+    from pyspark.sql.window import Window
+
+    if total < 1:
+        raise ValueError("total must be >= 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    norm = sum(weights.values())
+    if norm <= 0:
+        raise ValueError("weights must sum to a positive value")
+    caps = {d: int(round(total * w / norm)) for d, w in weights.items()}
+    cap_expr = F.lit(None).cast("long")
+    for d, c in caps.items():
+        cap_expr = F.when(F.col(domain_col) == d, F.lit(c)).otherwise(cap_expr)
+    w = Window.partitionBy(domain_col).orderBy(
+        _bucket(F.col(id_col), salt), F.col(id_col))
+    return (df.withColumn("_cap", cap_expr)
+            .filter(F.col("_cap").isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_cap"))
+            .drop("_cap", "_rn"))
+
+
+def mix_sql(domain_col: str, weights: dict[str, float], total: int,
+            id_col: str = "doc_id", salt: str = "",
+            table: str = "documents") -> str:
+    """DuckDB twin of mix_corpus (same md5 bucket, same caps)."""
+    norm = sum(weights.values())
+    caps = {d: int(round(total * w / norm)) for d, w in weights.items()}
+    cap_case = "CASE " + " ".join(
+        f"WHEN {domain_col} = '{d}' THEN {c}" for d, c in caps.items()
+    ) + " END"
+    h = (f"CAST(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+         f"'{salt}'), 1, 12)) AS UBIGINT) AS BIGINT) % {BUCKETS}")
+    return f"""
+    SELECT * EXCLUDE (_cap, _rn) FROM (
+      SELECT *, {cap_case} AS _cap,
+             row_number() OVER (PARTITION BY {domain_col}
+                                ORDER BY {h}, {id_col}) AS _rn
+      FROM {table})
+    WHERE _cap IS NOT NULL AND _rn <= _cap
+    """
+
+
 def weighted_sample(df: DataFrame, weight_col: str,
                     id_col: str = "doc_id", salt: str = "") -> DataFrame:
     """Deterministic weighted Bernoulli: keep each row with probability

@@ -154,3 +154,47 @@ def test_cluster_safe_split_keeps_clusters_together(spark):
     for i in range(12, 40):
         assert rows[i]["split"] == plain[i]
         assert rows[i]["cluster_id"] is None
+
+
+def test_mix_corpus_proportions_prefix_and_undersupply(spark):
+    docs = _docs(spark)  # 20 sources x 25 docs at sf0.001? (sizes vary by SF)
+    per_source = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    total = 20
+    out = sampling.mix_corpus(docs, "source", weights, total)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    # caps honored exactly where supply allows; undersupplied domains give
+    # everything they have, never back-filled from elsewhere
+    for d, w in weights.items():
+        cap = round(total * w)
+        assert counts.get(d, 0) == min(cap, per_source.get(d, 0))
+    assert set(counts) <= set(weights)  # unlisted domains dropped
+
+    # prefix property: a smaller mixture is a subset of a larger one
+    small = {r["doc_id"] for r in
+             sampling.mix_corpus(docs, "source", weights, 10).collect()}
+    large = {r["doc_id"] for r in out.collect()}
+    assert small <= large
+
+    # reproducible; salted remix differs
+    again = {r["doc_id"] for r in
+             sampling.mix_corpus(docs, "source", weights, total).collect()}
+    assert again == large
+    salted = {r["doc_id"] for r in
+              sampling.mix_corpus(docs, "source", weights, total,
+                                  salt="v2").collect()}
+    assert salted != large
+
+
+def test_mix_corpus_validation(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        sampling.mix_corpus(docs, "source", {}, 10)
+    with pytest.raises(ValueError):
+        sampling.mix_corpus(docs, "source", {"a": 1.0}, 0)
+    with pytest.raises(ValueError):
+        sampling.mix_corpus(docs, "source", {"a": -1.0}, 10)
