@@ -2132,6 +2132,75 @@ _register(
     _COS_TOPK_SQL,
 )
 
+
+# -- MMR diversified retrieval (similarity.mmr_topk): greedy de-redundancy
+#    over the exact top-fetch_k cut.  The oracle unrolls the k selection
+#    steps as CTEs (precedent: pagerank/LPA unrolls); relevance and
+#    pairwise sims are rounded to 6dp in BOTH engines before the 0.5-
+#    combination, so the per-step argmax agrees bit-for-bit ---------------
+
+def _mmr_sql(k: int = 3, fetch_k: int = 8) -> str:
+    pair_cos = (
+        "round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6)"
+    )
+    ctes = [
+        f"""mscored AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS_SQL} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0)""",
+        f"""cand AS MATERIALIZED (
+      SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM mscored)
+      WHERE rn <= {fetch_k})""",
+        f"""prs AS MATERIALIZED (
+      SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b, {pair_cos} AS sim
+      FROM cand x JOIN cand y
+        ON x.query_id = y.query_id AND x.neighbor_id <> y.neighbor_id
+      JOIN embeddings ea ON ea.vec_id = x.neighbor_id
+      JOIN embeddings eb ON eb.vec_id = y.neighbor_id)""",
+        """sel1 AS MATERIALIZED (
+      SELECT query_id, neighbor_id, 1 AS mmr_rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+          ORDER BY 0.5 * cos_sim DESC, neighbor_id ASC) AS rn FROM cand)
+      WHERE rn = 1)""",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+      SELECT query_id, neighbor_id, {t} AS mmr_rank FROM (
+        SELECT c.query_id, c.neighbor_id, row_number() OVER (PARTITION BY c.query_id
+          ORDER BY 0.5 * c.cos_sim - 0.5 * COALESCE(p.mx, 0) DESC,
+                   c.neighbor_id ASC) AS rn
+        FROM cand c
+        LEFT JOIN (SELECT pr.query_id, pr.a, MAX(pr.sim) AS mx
+                   FROM prs pr JOIN sel{t-1} s
+                     ON pr.query_id = s.query_id AND pr.b = s.neighbor_id
+                   GROUP BY pr.query_id, pr.a) p
+          ON p.query_id = c.query_id AND p.a = c.neighbor_id
+        WHERE NOT EXISTS (SELECT 1 FROM sel{t-1} s2
+                          WHERE s2.query_id = c.query_id
+                            AND s2.neighbor_id = c.neighbor_id))
+      WHERE rn = 1)""")
+        ctes.append(f"sel{t} AS MATERIALIZED (SELECT * FROM sel{t-1} "
+                    f"UNION ALL SELECT * FROM s{t})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+    SELECT s.query_id, s.neighbor_id, c.cos_sim, s.mmr_rank
+    FROM sel{k} s JOIN cand c
+      ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+    """)
+
+_register(
+    "sim_mmr_topk",
+    lambda spark, sf: similarity.mmr_topk(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"),
+        k=3, fetch_k=8,
+    ),
+    _mmr_sql(),
+)
+
 _SIGN_BUCKET_SQL = (
     "(SELECT COALESCE(SUM(CASE WHEN CAST({v}.embedding[d + 1] AS DOUBLE) > 0 "
     "THEN (1 << d) ELSE 0 END), 0) FROM (SELECT unnest(range(8)) AS d))"
@@ -6581,6 +6650,15 @@ _compose("idx_search", [
       "CAST(rank AS DOUBLE) AS v2", "rank_kw AS v3", "rank_vec AS v4"],
      "'rrf' AS tag, CAST(doc_id AS DOUBLE) AS id, rrf_score AS v1, "
      "CAST(rank AS DOUBLE) AS v2, rank_kw AS v3, rank_vec AS v4"),
+    # MMR diversified retrieval: v3 carries the query id so every
+    # (query, step) selection is value-checked
+    ("sim_mmr_topk",
+     ["'mmr' AS tag", "CAST(neighbor_id AS DOUBLE) AS id", "cos_sim AS v1",
+      "CAST(mmr_rank AS DOUBLE) AS v2", "CAST(query_id AS DOUBLE) AS v3",
+      "CAST(NULL AS DOUBLE) AS v4"],
+     "'mmr' AS tag, CAST(neighbor_id AS DOUBLE) AS id, cos_sim AS v1, "
+     "CAST(mmr_rank AS DOUBLE) AS v2, CAST(query_id AS DOUBLE) AS v3, "
+     "CAST(NULL AS DOUBLE) AS v4"),
 ])
 
 _compose("idx_unique_shard", [

@@ -59,6 +59,79 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
+def mmr_topk(queries: DataFrame, corpus: DataFrame, k: int = 3,
+             fetch_k: int = 8, lambda_: float = 0.5,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein):
+    greedily select k results balancing relevance against redundancy —
+    step t picks argmax over unselected candidates of
+
+        mmr(d) = λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)
+
+    the standard de-redundancy pass RAG retrieval runs after a similarity
+    cut.  Two-phase, scale-shaped like the hybrid retriever: an exact
+    cosine top-fetch_k cut first (cosine_topk — TakeOrderedAndProject, the
+    corpus never materializes), then the greedy selection over ONLY the
+    fetch_k survivors per query: the pairwise-sim table is
+    queries·fetch_k² rows by contract and each of the k selection rounds
+    is one aggregate + one join on it, all JVM-side — no Python boundary,
+    no collect.
+
+    Determinism: relevance and pairwise sims are rounded to 6dp BEFORE the
+    λ-combination (both engines then combine identical doubles with
+    identical IEEE ops), ties broken by smallest neighbor id via
+    max-score-then-min-id two-stage aggregation (no id negation).
+    Returns (query_id, neighbor_id, cos_sim, mmr_rank)."""
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError("lambda_ must be in [0, 1]")
+    if k > fetch_k:
+        raise ValueError("k must be <= fetch_k")
+    cand = cosine_topk(queries, corpus, k=fetch_k,
+                       id_col=id_col, vec_col=vec_col)
+    emb = corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("_v"))
+    ce = (cand.select("query_id", "neighbor_id", "cos_sim")
+          .join(emb, "neighbor_id")
+          .localCheckpoint(eager=True))  # queries*fetch_k rows
+    a = ce.select("query_id", F.col("neighbor_id").alias("a"),
+                  F.col("_v").alias("_va"))
+    b = ce.select("query_id", F.col("neighbor_id").alias("b"),
+                  F.col("_v").alias("_vb"))
+    pairs = (a.join(b, "query_id").filter(F.col("a") != F.col("b"))
+             .select("query_id", "a", "b",
+                     F.round(cosine(F.col("_va"), F.col("_vb")), 6)
+                     .alias("sim"))
+             .localCheckpoint(eager=True))  # queries*fetch_k^2 rows
+    rel = ce.select("query_id", "neighbor_id", "cos_sim")
+    lam, lam1 = F.lit(float(lambda_)), F.lit(1.0 - float(lambda_))
+    sel = None
+    for step in range(1, k + 1):
+        if sel is None:
+            scores = rel.withColumn("_mmr", lam * F.col("cos_sim"))
+        else:
+            rem = rel.join(sel.select("query_id", "neighbor_id"),
+                           ["query_id", "neighbor_id"], "left_anti")
+            pen = (pairs.join(sel.select("query_id",
+                                         F.col("neighbor_id").alias("b")),
+                              ["query_id", "b"])
+                   .groupBy("query_id", F.col("a").alias("neighbor_id"))
+                   .agg(F.max("sim").alias("_pen")))
+            scores = (rem.join(pen, ["query_id", "neighbor_id"], "left")
+                      .withColumn("_mmr",
+                                  lam * F.col("cos_sim")
+                                  - lam1 * F.coalesce("_pen", F.lit(0.0))))
+        mx = scores.groupBy("query_id").agg(F.max("_mmr").alias("_mx"))
+        win = (scores.join(mx, "query_id")
+               .filter(F.col("_mmr") == F.col("_mx"))
+               .groupBy("query_id")
+               .agg(F.min("neighbor_id").alias("neighbor_id"))
+               .withColumn("mmr_rank", F.lit(step)))
+        sel = (win if sel is None else sel.unionByName(win))
+        sel = sel.localCheckpoint(eager=True)
+    return (sel.join(rel, ["query_id", "neighbor_id"])
+            .select("query_id", "neighbor_id", "cos_sim", "mmr_rank"))
+
+
 def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
     """LSH bucket id: bit d set iff vec[d] > 0, d in [0, n_bits)."""
     v = _as_double(vec)

@@ -541,3 +541,61 @@ def test_ivf_append_preserves_quantize_bits(spark, tmp_path):
                           lambda acc, x: F.greatest(acc, F.abs(x))))
         .alias("m")).collect()[0]["m"]
     assert qmax2 <= 7, qmax2
+
+
+def test_mmr_skips_redundant_neighbor(spark):
+    # corpus: n1 and n2 nearly identical and both highly relevant; n3 less
+    # relevant but orthogonal to them.  Pure relevance ranks (n1, n2, n3);
+    # MMR at lambda=0.5 must pick n1 then JUMP to n3 (n2's redundancy
+    # penalty sinks it), then n2 last.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # query
+        (1, [0.99, 0.14, 0.0]),        # n1: relevant
+        (2, [0.995, 0.0999, 0.0]),     # n2: relevant, near-dup of n1
+        (3, [0.7, 0.0, 0.71]),         # n3: less relevant, diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.mmr_topk(emb.filter("vec_id = 0"), emb, k=3, fetch_k=3)
+    got = {r["mmr_rank"]: r["neighbor_id"] for r in out.collect()}
+    assert got[1] in (1, 2)       # most relevant first
+    assert got[2] == 3            # diversity beats the near-duplicate
+    assert got[3] in (1, 2) and got[3] != got[1]
+
+
+def test_mmr_matches_reference_on_fixture(spark):
+    import math
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0")
+    k, fetch_k, lam = 3, 6, 0.5
+    out = similarity.mmr_topk(queries, emb, k=k, fetch_k=fetch_k, lambda_=lam)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], {})[r["mmr_rank"]] = r["neighbor_id"]
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    for qid in [v for v in vecs if v % 100 == 0]:
+        cand = sorted(((cos(vecs[qid], vecs[n]), n)
+                       for n in vecs if n != qid),
+                      key=lambda t: (-t[0], t[1]))[:fetch_k]
+        rel = {n: s for s, n in cand}
+        selected = []
+        for step in range(1, k + 1):
+            best = None
+            for n in rel:
+                if n in selected:
+                    continue
+                pen = max((cos(vecs[n], vecs[s]) for s in selected),
+                          default=0.0)
+                score = lam * rel[n] - (1 - lam) * pen
+                if best is None or (score, -n) > best[0]:
+                    best = ((score, -n), n)
+            selected.append(best[1])
+            assert got[qid][step] == best[1], (qid, step)
