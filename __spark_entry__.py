@@ -525,6 +525,30 @@ _register(
 )
 
 _register(
+    "win_transitions",
+    # first-order event-transition matrix (functions/events.py
+    # event_transitions): per-user time-ordered lead(), (ts, event_id)
+    # tie-break, exact counts + one 6dp-rounded row-normalized division
+    lambda spark, sf: _events_fns.event_transitions(load_events(spark, sf)),
+    """
+    WITH pr AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), counts AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM pr WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n / t.tot, 6) AS p
+    FROM counts c
+    JOIN (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+          FROM counts GROUP BY from_type) t USING (from_type)
+    """,
+)
+
+_register(
     "win_funnel",
     # first-touch funnel (functions/events.py funnel_counts): view ->
     # click -> purchase, each step strictly after the previous step's
@@ -5609,6 +5633,39 @@ _register(
 # as object/None on the Spark side but float/NaN from DuckDB, which breaks
 # the driver's stringified value hash.  Values cast int→double here are all
 # far below 2^53, so the cast is exact.
+# -- market-basket association rules (functions/affinity.py): support /
+#    confidence / lift over the order->part facts, apriori-pruned ----------
+
+def _q_basket_rules(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.affinity import pair_association
+    return pair_association(load_table(spark, sf, "lineitem"),
+                            "l_orderkey", "l_partkey", min_support=3)
+
+_register(
+    "q_basket_rules",
+    _q_basket_rules,
+    """
+    WITH facts AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM facts),
+    item_n AS MATERIALIZED (
+      SELECT i, CAST(count(*) AS BIGINT) AS n FROM facts GROUP BY i),
+    freq AS (SELECT i FROM item_n WHERE n >= 3),
+    kept AS MATERIALIZED (SELECT f.b, f.i FROM facts f JOIN freq USING (i)),
+    pairs AS (
+      SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM kept a JOIN kept b2 ON a.b = b2.b AND a.i < b2.i
+      GROUP BY a.i, b2.i HAVING count(*) >= 3)
+    SELECT p.item_a, p.item_b, na.n AS n_a, nb.n AS n_b, p.n_ab,
+           round(p.n_ab / na.n, 6) AS confidence,
+           round(p.n_ab * tot.n / (na.n * nb.n), 6) AS lift
+    FROM pairs p JOIN item_n na ON na.i = p.item_a
+    JOIN item_n nb ON nb.i = p.item_b CROSS JOIN tot
+    """,
+)
+
+
+
 # ===========================================================================
 
 _RAW_QUERIES, _RAW_ORACLES = _QUERIES, _ORACLES
@@ -6345,6 +6402,15 @@ _compose("win_windows", [
      "'interp' AS tag, bucket_start AS t1, CAST(NULL AS VARCHAR) AS t2, "
      "event_type AS s, CAST(interp_den AS DOUBLE) AS user_id, n_events, "
      "CAST(interp_num AS DOUBLE) AS sum_value"),
+    # Markov transition matrix: s carries from_type, t2 to_type,
+    # n_events the exact pair count, sum_value the row-normalized p
+    ("win_transitions",
+     ["'transitions' AS tag", "CAST(NULL AS STRING) AS t1", "to_type AS t2",
+      "from_type AS s", "CAST(NULL AS DOUBLE) AS user_id", "n AS n_events",
+      "p AS sum_value"],
+     "'transitions' AS tag, CAST(NULL AS VARCHAR) AS t1, to_type AS t2, "
+     "from_type AS s, CAST(NULL AS DOUBLE) AS user_id, n AS n_events, "
+     "p AS sum_value"),
     ("win_sliding",
      ["'sliding' AS tag", "window_start AS t1", "CAST(NULL AS STRING) AS t2",
       "CAST(NULL AS STRING) AS s", "CAST(NULL AS DOUBLE) AS user_id", "n_events",
@@ -6583,6 +6649,19 @@ _compose("q_partsupp_suite", [
       "CAST(p_partkey AS DOUBLE) AS d1", "ps_supplycost AS d2", "s_acctbal AS d3"],
      "'q2' AS tag, s_name AS c1, n_name AS c2, CAST(p_partkey AS DOUBLE) AS d1, "
      "ps_supplycost AS d2, s_acctbal AS d3"),
+    # association rules: c1 packs the item pair, c2 the three exact counts
+    # (injective '|' packing over integers), d1/d2 the rounded ratios
+    ("q_basket_rules",
+     ["'basket' AS tag",
+      "CAST(item_a AS STRING) || '|' || CAST(item_b AS STRING) AS c1",
+      "CAST(n_a AS STRING) || '|' || CAST(n_b AS STRING) || '|' || "
+      "CAST(n_ab AS STRING) AS c2",
+      "confidence AS d1", "lift AS d2", "CAST(NULL AS DOUBLE) AS d3"],
+     "'basket' AS tag, "
+     "CAST(item_a AS VARCHAR) || '|' || CAST(item_b AS VARCHAR) AS c1, "
+     "CAST(n_a AS VARCHAR) || '|' || CAST(n_b AS VARCHAR) || '|' || "
+     "CAST(n_ab AS VARCHAR) AS c2, "
+     "confidence AS d1, lift AS d2, CAST(NULL AS DOUBLE) AS d3"),
     ("q9_product_profit",
      ["'q9' AS tag", "nation AS c1", "CAST(NULL AS STRING) AS c2",
       "CAST(o_year AS DOUBLE) AS d1", "profit AS d2", "CAST(NULL AS DOUBLE) AS d3"],

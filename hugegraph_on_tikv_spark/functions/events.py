@@ -85,3 +85,33 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...] =
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def event_transitions(events: DataFrame, id_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      seq_col: str = "event_id") -> DataFrame:
+    """First-order transition matrix of the per-user event sequence: for
+    every consecutive pair in each user's time-ordered stream, count
+    (from_type, to_type) and derive the row-normalized transition
+    probability — the Markov-chain view product analytics builds journey
+    maps from.
+
+    Ordering is (ts, seq_col) so simultaneous events are deterministic.
+    One window keyed BY USER (bounded per-user partitions — the stream of
+    a single user fits a task by contract; there is no global window) and
+    one pair-count aggregation, map-side combinable.  `p` is one division
+    of exact integers, rounded to 6dp for cross-engine equality.
+    Returns (from_type, to_type, n, p)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col(ts_col), F.col(seq_col))
+    pairs = (events
+             .select(F.col(type_col).alias("from_type"),
+                     F.lead(type_col).over(w).alias("to_type"))
+             .filter(F.col("to_type").isNotNull()))
+    counts = (pairs.groupBy("from_type", "to_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (counts.join(totals, "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("_tot"), 6).alias("p")))

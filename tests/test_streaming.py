@@ -926,3 +926,55 @@ def test_resample_interpolate_linear(spark):
            for r in resample_interpolate(df, "1 hour").collect()}
     hours = [t0 + dt.timedelta(hours=i) for i in range(4)]
     assert [out[h] for h in hours] == [2.0, 4.0, 6.0, 8.0]
+
+
+def test_event_transitions_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.events import event_transitions
+
+    # user 1: a -> b -> a ; user 2: a -> b ; simultaneous ties broken by
+    # event_id (user 3 has two events at the same ts)
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "a"),
+        (2, 1, "2024-01-01 10:01:00", "b"),
+        (3, 1, "2024-01-01 10:02:00", "a"),
+        (4, 2, "2024-01-01 11:00:00", "a"),
+        (5, 2, "2024-01-01 11:01:00", "b"),
+        (6, 3, "2024-01-01 12:00:00", "b"),
+        (7, 3, "2024-01-01 12:00:00", "a"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transitions(events).collect()}
+    # a->b twice (users 1, 2); b->a twice (user 1, user 3 via event_id tie)
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (2, 1.0)
+    assert set(got) == {("a", "b"), ("b", "a")}
+
+
+def test_pair_association_exact(spark):
+    import pytest
+
+    from hugegraph_on_tikv_spark.functions.affinity import pair_association
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1, {1} x1  => N=6
+    rows = ([(b, i) for b, items in enumerate(
+        [(1, 2), (1, 2), (1, 2), (1, 3), (2, 3), (1,)]) for i in items])
+    df = spark.createDataFrame(rows, "basket long, item long")
+    got = {(r["item_a"], r["item_b"]): r
+           for r in pair_association(df, "basket", "item",
+                                     min_support=2).collect()}
+    assert set(got) == {(1, 2)}  # only pair with support >= 2
+    r = got[(1, 2)]
+    assert (r["n_a"], r["n_b"], r["n_ab"]) == (5, 4, 3)
+    assert r["confidence"] == pytest.approx(3 / 5)
+    assert r["lift"] == pytest.approx(round(3 * 6 / (5 * 4), 6))
+    # duplicate facts in a basket don't double count
+    dup = df.union(df)
+    got2 = {(r["item_a"], r["item_b"]): (r["n_a"], r["n_b"], r["n_ab"])
+            for r in pair_association(dup, "basket", "item",
+                                      min_support=2).collect()}
+    assert got2 == {(1, 2): (5, 4, 3)}
