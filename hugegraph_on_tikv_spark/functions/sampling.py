@@ -160,8 +160,11 @@ def mix_corpus(df: DataFrame, domain_col: str, weights: dict[str, float],
         cap_expr = F.when(F.col(domain_col) == d, F.lit(c)).otherwise(cap_expr)
     w = Window.partitionBy(domain_col).orderBy(
         _bucket(F.col(id_col), salt), F.col(id_col))
-    return (df.withColumn("_cap", cap_expr)
-            .filter(F.col("_cap").isNotNull())
+    # drop unlisted domains with an explicit isin — unlike the CASE-derived
+    # cap null-check, this predicate PUSHES to the scan (partition /
+    # row-group pruning on the domain column at scale)
+    return (df.filter(F.col(domain_col).isin(*caps))
+            .withColumn("_cap", cap_expr)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= F.col("_cap"))
             .drop("_cap", "_rn"))
