@@ -1984,6 +1984,96 @@ _register(
 )
 
 
+# -- eval-set decontamination (functions/dedup.contamination_report): the
+#    GPT-3 appendix-C exact n-gram overlap scrub.  Eval set = every 7th
+#    doc_id (deterministic); corpus = the rest.  Because the fixtures'
+#    natural cross-split 8-gram overlap is thin, a FROZEN 12-token sentinel
+#    sentence is appended to corpus docs doc_id%10=3 and eval docs
+#    doc_id%35=0 (disjoint sets: %35=0 ⇒ id ends in 0/5, never 3) — the
+#    text_pii injection pattern — giving hundreds of value-checked rows.
+#    The oracle replays the whole pipeline — injection, positioned corpus
+#    grams, distinct eval fingerprints, hit join, per-doc interval-union
+#    coverage — so hit_grams / eval_docs_hit / contaminated_tokens /
+#    total_tokens are all value-checked.
+
+_DECONTAM_SENT = ("zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11")
+
+
+def _decontam_docs(spark: SparkSession, sf: str) -> DataFrame:
+    inj = (F.when((F.col("doc_id") % 10 == 3) | (F.col("doc_id") % 35 == 0),
+                  F.concat(F.col("text"), F.lit(" " + _DECONTAM_SENT)))
+           .otherwise(F.col("text")))
+    return load_table(spark, sf, "documents").select(
+        "doc_id", inj.alias("text"))
+
+
+_DECONTAM_INJ_SQL = f"""
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3 OR doc_id % 35 = 0
+                  THEN text || ' {_DECONTAM_SENT}' ELSE text END AS text
+      FROM documents
+"""
+
+_register(
+    "dedup_decontam",
+    lambda spark, sf: dedup.contamination_report(
+        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 != 0),
+        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 == 0),
+        n=8),
+    f"""
+    WITH inj AS ({_DECONTAM_INJ_SQL}
+    ), corpus AS (
+      SELECT doc_id, text FROM inj WHERE doc_id % 7 <> 0
+    ), ev AS (
+      SELECT doc_id, text FROM inj WHERE doc_id % 7 = 0
+    ), tc AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM corpus
+    ), g AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(gr, 1) - 1 AS pos,
+             md5(unnest(gr)) AS fp
+      FROM (SELECT doc_id, {word_shingles_sql("toks", 8)} AS gr FROM tc)
+    ), ef AS (
+      SELECT DISTINCT eval_id, md5(unnest(gr)) AS fp
+      FROM (SELECT doc_id AS eval_id,
+                   {word_shingles_sql(TOKENS_SQL.format(col="text"), 8)} AS gr
+            FROM ev)
+    ), hits AS MATERIALIZED (
+      SELECT g.doc_id, g.pos, ef.eval_id FROM g JOIN ef USING (fp)
+    ), p AS (
+      SELECT DISTINCT doc_id, pos FROM hits
+    ), l AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos - lag(pos)
+                       OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS newf
+      FROM p
+    ), i AS (
+      SELECT doc_id, pos,
+             SUM(newf) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM l
+    ), c AS (
+      SELECT doc_id, isl, MAX(pos) - MIN(pos) + 8 AS len,
+             COUNT(*) AS np
+      FROM i GROUP BY doc_id, isl
+    ), cov AS (
+      SELECT doc_id, CAST(SUM(np) AS BIGINT) AS hit_grams,
+             CAST(SUM(len) AS BIGINT) AS contaminated_tokens
+      FROM c GROUP BY doc_id
+    ), ed AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS eval_docs_hit
+      FROM hits GROUP BY doc_id
+    ), tt AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS total_tokens FROM tc
+    )
+    SELECT doc_id, hit_grams, eval_docs_hit, contaminated_tokens,
+           total_tokens
+    FROM cov JOIN ed USING (doc_id) JOIN tt USING (doc_id)
+    """,
+)
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, r: int = 4, k: int = 3, thr: float = 0.3,
                      max_bucket: int = 1000,
                      source_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -6260,6 +6350,17 @@ _compose("text_quality_suite", [
      "'phrase' AS tag, doc_id, CAST(n_chars AS DOUBLE) AS n_tokens, "
      "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS DOUBLE) AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # eval-set decontamination: mean/punct/stopword carry hit_grams /
+    # eval_docs_hit / contaminated_tokens; n_tokens carries total_tokens
+    ("dedup_decontam",
+     ["'decontam' AS tag", "doc_id", "CAST(total_tokens AS DOUBLE) AS n_tokens",
+      "CAST(hit_grams AS DOUBLE) AS mean_token_len",
+      "CAST(eval_docs_hit AS DOUBLE) AS punct_ratio",
+      "CAST(contaminated_tokens AS DOUBLE) AS stopword_ratio"],
+     "'decontam' AS tag, doc_id, CAST(total_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(hit_grams AS DOUBLE) AS mean_token_len, "
+     "CAST(eval_docs_hit AS DOUBLE) AS punct_ratio, "
+     "CAST(contaminated_tokens AS DOUBLE) AS stopword_ratio"),
 ])
 
 _compose("dedup_exact_canonical", [

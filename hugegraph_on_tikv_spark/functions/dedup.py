@@ -824,3 +824,85 @@ def duplicated_spans(docs: DataFrame, n: int = 8, text_col: str = "text",
                  (F.max("pos_a") - F.min("pos_a") + n).cast("int")
                  .alias("span_len"))
             .select("doc_a", "doc_b", "start_a", "start_b", "span_len"))
+
+
+def contamination_report(corpus: DataFrame, eval_docs: DataFrame, n: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination report — the GPT-3 appendix-C / PaLM-style
+    exact n-gram overlap scrub: for every TRAINING document sharing at
+    least one verbatim n-token window with any EVAL document, report how
+    much of it is contaminated.
+
+    Returns (doc_id, hit_grams, eval_docs_hit, contaminated_tokens,
+    total_tokens), contaminated docs only:
+    * hit_grams — distinct contaminated n-gram positions in the doc;
+    * eval_docs_hit — distinct eval documents it collides with;
+    * contaminated_tokens — exact token coverage of the union of the hit
+      windows [pos, pos+n) (gaps-and-islands interval merge, disjoint iff
+      the position gap exceeds n);
+    * total_tokens — the doc's token count, so callers can threshold on
+      the contaminated fraction.
+
+    Scale shape: the eval side is tiny next to a 100 TB corpus, so its
+    distinct (eval_id, fingerprint) set is broadcast — the corpus-side
+    positioned-gram stream is filtered map-side and NEVER shuffles on the
+    gram key.  The only window is per-document (bounded by doc length,
+    not corpus size).  Companion to duplicated_spans (within-corpus) —
+    this is the cross-corpus eval-set face of the same fingerprint
+    machinery."""
+    if n < 2:
+        raise ValueError("decontamination n-gram width must be >= 2")
+    from pyspark.sql.window import Window
+
+    toks = corpus.select(F.col(id_col).alias("doc_id"),
+                         F.size(tokens(F.col(text_col))).alias("total_tokens"))
+    grams = (corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram"))
+        .select("doc_id", "pos", F.md5(F.col("gram")).alias("fp")))
+    ev = (eval_docs.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n)))
+        .alias("gram"))
+        .select("eval_id", F.md5(F.col("gram")).alias("fp"))
+        .distinct())
+    hits = grams.join(F.broadcast(ev), "fp")
+
+    eval_counts = (hits.groupBy("doc_id")
+                   .agg(F.countDistinct("eval_id").alias("eval_docs_hit")))
+    pos_hits = hits.select("doc_id", "pos").distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (pos_hits
+           .withColumn("_new", F.when(
+               F.lag("pos").over(w).isNull()
+               | (F.col("pos") - F.lag("pos").over(w) > n), 1).otherwise(0))
+           .withColumn("_isl", F.sum("_new").over(
+               w.rowsBetween(Window.unboundedPreceding, 0))))
+    cov = (isl.groupBy("doc_id", "_isl")
+           .agg((F.max("pos") - F.min("pos") + n).alias("_len"),
+                F.count(F.lit(1)).alias("_np"))
+           .groupBy("doc_id")
+           .agg(F.sum("_len").cast("long").alias("contaminated_tokens"),
+                F.sum("_np").cast("long").alias("hit_grams")))
+    return (cov.join(eval_counts, "doc_id")
+            .join(toks, "doc_id")
+            .select("doc_id", "hit_grams", "eval_docs_hit",
+                    "contaminated_tokens",
+                    F.col("total_tokens").cast("long").alias("total_tokens")))
+
+
+def decontaminate(corpus: DataFrame, eval_docs: DataFrame, n: int = 8,
+                  max_contaminated_fraction: float = 0.0,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop training documents whose contaminated-token fraction exceeds
+    max_contaminated_fraction (default 0.0 = any verbatim n-gram shared
+    with the eval set drops the doc — the strict GPT-3 policy).  Returns
+    the surviving corpus rows unchanged; pair with contamination_report
+    to audit what was removed and why."""
+    flagged = (contamination_report(corpus, eval_docs, n=n,
+                                    text_col=text_col, id_col=id_col)
+               .filter(F.col("contaminated_tokens")
+                       > F.col("total_tokens") * F.lit(max_contaminated_fraction))
+               .select(F.col("doc_id").alias(id_col)))
+    return corpus.join(flagged, id_col, "left_anti")

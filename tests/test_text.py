@@ -340,3 +340,72 @@ def test_duplicated_spans_hot_gram_cap_and_multimatch(spark):
     got = sorted((r["start_a"], r["start_b"], r["span_len"])
                  for r in duplicated_spans(two, n=8).collect())
     assert got == [(0, 0, 8), (0, 11, 8)]
+
+
+def test_contamination_report_known_values(spark):
+    """Hand-computable fixture: doc 1 contains eval doc 100's 10-token
+    sentence verbatim (3 hit 8-grams covering 10 tokens), doc 2 shares
+    nothing, doc 3 hits two separate eval docs in two disjoint regions."""
+    from hugegraph_on_tikv_spark.functions.dedup import contamination_report
+
+    sent = "e0 e1 e2 e3 e4 e5 e6 e7 e8 e9"          # 10 tokens
+    sent2 = "f0 f1 f2 f3 f4 f5 f6 f7"               # 8 tokens: 1 gram
+    filler = " ".join(f"w{i}" for i in range(20))   # 20 unique tokens
+    corpus = spark.createDataFrame(
+        [(1, f"{filler} {sent}"),
+         (2, "nothing shared here at all beyond eight tokens of filler"),
+         (3, f"{sent} {filler} {sent2}")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, sent), (200, sent2), (300, "unrelated eval text entirely")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in contamination_report(corpus, ev, n=8).collect()}
+
+    assert set(got) == {1, 3}
+    # doc 1: sentence at positions 20..29 → grams at 20,21,22; union = 10
+    assert got[1]["hit_grams"] == 3
+    assert got[1]["eval_docs_hit"] == 1
+    assert got[1]["contaminated_tokens"] == 10
+    assert got[1]["total_tokens"] == 30
+    # doc 3: sent at 0..9 (grams 0,1,2) and sent2 at 30..37 (gram 30);
+    # two disjoint islands → 10 + 8 tokens, two eval docs
+    assert got[3]["hit_grams"] == 4
+    assert got[3]["eval_docs_hit"] == 2
+    assert got[3]["contaminated_tokens"] == 18
+    assert got[3]["total_tokens"] == 38
+
+
+def test_contamination_overlapping_windows_merge(spark):
+    """Adjacent/overlapping hit windows merge into one island: a doc that
+    IS an eval doc's text has every position hit; coverage = doc length,
+    not n * hits."""
+    from hugegraph_on_tikv_spark.functions.dedup import contamination_report
+
+    text = " ".join(f"t{i}" for i in range(15))
+    corpus = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ev = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    [r] = contamination_report(corpus, ev, n=8).collect()
+    assert r["hit_grams"] == 8          # positions 0..7
+    assert r["contaminated_tokens"] == 15
+    assert r["total_tokens"] == 15
+
+
+def test_decontaminate_threshold(spark):
+    from hugegraph_on_tikv_spark.functions.dedup import decontaminate
+
+    sent = "e0 e1 e2 e3 e4 e5 e6 e7"
+    filler = " ".join(f"w{i}" for i in range(72))
+    corpus = spark.createDataFrame(
+        [(1, f"{filler} {sent}"),     # 8/80 = 10% contaminated
+         (2, sent),                   # 100% contaminated
+         (3, "clean doc with no overlap at all whatsoever")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, sent)], "doc_id long, text string")
+    # strict: any hit drops
+    assert sorted(r["doc_id"] for r in
+                  decontaminate(corpus, ev, n=8).collect()) == [3]
+    # 20% tolerance keeps doc 1 (10%), still drops doc 2
+    assert sorted(r["doc_id"] for r in
+                  decontaminate(corpus, ev, n=8,
+                                max_contaminated_fraction=0.2).collect()) == [1, 3]
