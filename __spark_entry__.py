@@ -1719,6 +1719,36 @@ _register(
 )
 
 
+_register(
+    "text_oov",
+    # OOV-rate vs the corpus' own top-V vocabulary (text.oov_stats): the
+    # occurrence-weighted Gopher-family companion to text_df_stats.  The
+    # vocabulary cut is deterministic (count DESC, token ASC); oov_rate is
+    # ONE double division of two exact integers, so it hash-matches raw
+    lambda spark, sf: text.oov_stats(load_table(spark, sf, "documents"),
+                                     vocab_size=500),
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKENS_SQL.format(col="text")}) AS token
+      FROM documents
+    ), cnts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+      SELECT token, cnt FROM cnts ORDER BY cnt DESC, token LIMIT 500
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate,
+           CAST(SUM(COALESCE(v.cnt, 0)) AS BIGINT) AS sum_vocab_cf
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+
+
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.packing import pack_sequences
 
@@ -6350,6 +6380,15 @@ _compose("text_quality_suite", [
      "'phrase' AS tag, doc_id, CAST(n_chars AS DOUBLE) AS n_tokens, "
      "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS DOUBLE) AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # OOV scoring: mean/punct/stopword carry n_oov / oov_rate / sum_vocab_cf
+    ("text_oov",
+     ["'oov' AS tag", "doc_id", "CAST(n_tokens AS DOUBLE) AS n_tokens",
+      "CAST(n_oov AS DOUBLE) AS mean_token_len",
+      "oov_rate AS punct_ratio",
+      "CAST(sum_vocab_cf AS DOUBLE) AS stopword_ratio"],
+     "'oov' AS tag, doc_id, CAST(n_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(n_oov AS DOUBLE) AS mean_token_len, oov_rate AS punct_ratio, "
+     "CAST(sum_vocab_cf AS DOUBLE) AS stopword_ratio"),
     # eval-set decontamination: mean/punct/stopword carry hit_grams /
     # eval_docs_hit / contaminated_tokens; n_tokens carries total_tokens
     ("dedup_decontam",

@@ -302,3 +302,41 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 128,
             .select(
                 id_col, "chunk_id", F.size("_chunk").alias("n_tokens"),
                 F.array_join("_chunk", " ").alias("chunk_text")))
+
+
+def oov_stats(df: DataFrame, vocab_size: int = 1000, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Out-of-vocabulary scoring against the corpus' OWN top-`vocab_size`
+    token vocabulary — the Gopher/CCNet-family quality signal
+    ("fraction of tokens outside the head vocabulary"), occurrence-
+    weighted where corpus_df_stats is distinct-token-weighted.
+
+    Per document: n_tokens, n_oov (occurrences outside the vocabulary),
+    oov_rate (ONE double division of two exact integers — bit-identical
+    across engines), and sum_vocab_cf (summed corpus collection-frequency
+    of the doc's in-vocab occurrences — the exact-integer stand-in for a
+    unigram-LM log-likelihood, whose libm log is engine-divergent).
+
+    Scale shape: the vocabulary is a TakeOrdered top-V cut (deterministic
+    count-desc, token-asc tie-break) and is BROADCAST — the per-occurrence
+    token stream joins map-side and never shuffles on the token key, so
+    the 'the'-sized hot keys that would skew a repartition join never
+    leave their input partitions.  Docs with zero tokens have no
+    occurrences and are absent from the output (mirrored by the oracle)."""
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(tokens(F.col(text_col))).alias("token"))
+    vocab = (tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size))
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
+                 .alias("n_oov"),
+                 F.sum(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("sum_vocab_cf"))
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_oov").cast("long").alias("n_oov"),
+                    (F.col("n_oov").cast("double") / F.col("n_tokens"))
+                    .alias("oov_rate"),
+                    F.col("sum_vocab_cf").cast("long").alias("sum_vocab_cf")))

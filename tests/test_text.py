@@ -409,3 +409,32 @@ def test_decontaminate_threshold(spark):
     assert sorted(r["doc_id"] for r in
                   decontaminate(corpus, ev, n=8,
                                 max_contaminated_fraction=0.2).collect()) == [1, 3]
+
+
+def test_oov_stats_known_values(spark):
+    """vocab_size=2 over a corpus where 'a' (5x) and 'b' (3x) head the
+    vocabulary; 'c' and 'd' are OOV."""
+    from hugegraph_on_tikv_spark.functions.text import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d"), (3, "a a b"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in oov_stats(docs, vocab_size=2).collect()}
+    assert set(got) == {1, 2, 3}          # empty doc absent
+    # corpus counts: a=5, b=3, c=1, d=1 -> vocab {a,b}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_oov"] == 1
+    assert got[1]["oov_rate"] == 0.25
+    assert got[1]["sum_vocab_cf"] == 5 + 5 + 3     # a,a,b
+    assert got[2]["n_oov"] == 1 and got[2]["sum_vocab_cf"] == 8
+    assert got[3]["n_oov"] == 0 and got[3]["oov_rate"] == 0.0
+
+
+def test_oov_vocab_tiebreak_deterministic(spark):
+    """Boundary ties resolve by token ascending: with vocab_size=1 and
+    counts a=2, b=2, the vocab is {a}."""
+    from hugegraph_on_tikv_spark.functions.text import oov_stats
+
+    docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    [r] = oov_stats(docs, vocab_size=1).collect()
+    assert r["n_oov"] == 2 and r["sum_vocab_cf"] == 4
