@@ -3727,6 +3727,82 @@ _register(
     _IVF_TOPK_SQL,
 )
 
+# Product Quantization + ADC (similarity.pq_topk): like IVF, deterministic
+# end-to-end — seeds = lowest-id vectors' subvectors, exact-integer Lloyd
+# means, (cosine DESC, code ASC) assignment argmax, and ADC partials
+# quantized to 1e-6 BIGINTs so the m-way per-pair sum is order-independent.
+# The oracle replays train → encode → LUT → scan in full: 64-dim vectors,
+# m=4 subspaces of 16 dims, 16 codes, queries = vec_id % 50.
+
+_PQ_TOPK_SQL = f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sl AS MATERIALIZED (
+      SELECT vec_id AS id, sub, v[sub * 16 + 1 : sub * 16 + 16] AS sv
+      FROM emb CROSS JOIN (VALUES (0), (1), (2), (3)) AS subs(sub)
+    ), seeds AS (
+      SELECT vec_id AS id FROM emb ORDER BY vec_id LIMIT 16
+    ), b0 AS MATERIALIZED (
+      SELECT sub, id AS code, sv AS c FROM sl JOIN seeds USING (id)
+    ), a0 AS MATERIALIZED (
+      SELECT id, sub, code, sv FROM (
+        SELECT sl.id, sl.sub, b.code, sl.sv,
+               row_number() OVER (PARTITION BY sl.id, sl.sub ORDER BY
+                 {_IVF_COS.format(a="sl.sv", b="b.c")} DESC, b.code ASC) AS r
+        FROM sl JOIN b0 b ON sl.sub = b.sub
+      ) WHERE r = 1
+    ), dims AS MATERIALIZED (
+      SELECT sub, code, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x
+      FROM a0
+    ), b1 AS MATERIALIZED (
+      SELECT sub, code, list(mx ORDER BY pos) AS c FROM (
+        SELECT sub, code, pos,
+               CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * COUNT(*)) AS mx
+        FROM dims GROUP BY sub, code, pos
+      ) GROUP BY sub, code
+    ), codes AS MATERIALIZED (
+      SELECT id AS neighbor_id, sub, code FROM (
+        SELECT sl.id, sl.sub, b.code,
+               row_number() OVER (PARTITION BY sl.id, sl.sub ORDER BY
+                 {_IVF_COS.format(a="sl.sv", b="b.c")} DESC, b.code ASC) AS r
+        FROM sl JOIN b1 b ON sl.sub = b.sub
+      ) WHERE r = 1
+    ), lut AS MATERIALIZED (
+      SELECT sl.id AS query_id, sl.sub, b.code,
+             CAST(round(list_dot_product(sl.sv, b.c) * 1000000) AS BIGINT)
+               AS qdot
+      FROM sl JOIN b1 b ON sl.sub = b.sub
+      WHERE sl.id % 50 = 0
+    ), cn AS MATERIALIZED (
+      SELECT sub, code,
+             CAST(round(list_dot_product(c, c) * 1000000) AS BIGINT) AS cn2
+      FROM b1
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             (CAST(SUM(qdot) AS DOUBLE) / 1000000.0)
+               / sqrt(CAST(SUM(cn2) AS DOUBLE) / 1000000.0) AS adc_score
+      FROM codes JOIN lut USING (sub, code) JOIN cn USING (sub, code)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id ASC)
+        AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_score, rank FROM ranked WHERE rank <= 5
+    """
+
+_register(
+    "sim_pq_topk",
+    lambda spark, sf: similarity.pq_topk(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"), k=5, m=4, n_codes=16,
+    ),
+    _PQ_TOPK_SQL,
+)
+
 # ===========================================================================
 # wave 6: Gremlin-flavored traversal DSL queries (the reference's user-facing
 # query surface is Gremlin via hugegraph-core; these prove the fluent API
@@ -6515,7 +6591,20 @@ _compose("sim_ann_neardup", [
      "CAST(rank AS DOUBLE) AS rank"),
 ])
 
-_publish("sim_ivf_topk")
+# IVF probe + PQ/ADC share one roster row (tag ivf / pq); score carries
+# cos_sim for the IVF part and the ADC dot-product approximation for PQ
+_compose("sim_ivf_topk", [
+    ("sim_ivf_topk",
+     ["'ivf' AS tag", "query_id", "neighbor_id", "cos_sim AS score",
+      "CAST(rank AS DOUBLE) AS rank"],
+     "'ivf' AS tag, query_id, neighbor_id, cos_sim AS score, "
+     "CAST(rank AS DOUBLE) AS rank"),
+    ("sim_pq_topk",
+     ["'pq' AS tag", "query_id", "neighbor_id", "adc_score AS score",
+      "CAST(rank AS DOUBLE) AS rank"],
+     "'pq' AS tag, query_id, neighbor_id, adc_score AS score, "
+     "CAST(rank AS DOUBLE) AS rank"),
+])
 _publish("i1_splits")
 
 _compose("win_windows", [

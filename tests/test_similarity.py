@@ -599,3 +599,66 @@ def test_mmr_matches_reference_on_fixture(spark):
                     best = ((score, -n), n)
             selected.append(best[1])
             assert got[qid][step] == best[1], (qid, step)
+
+
+def test_pq_exact_when_vectors_are_codewords(spark):
+    """With n_codes >= n_vectors every subvector becomes its own codeword
+    after refinement, so the reconstruction is exact and the
+    norm-corrected ADC score equals dot(q, x)/|x| up to the 1e-6 partial
+    quantization."""
+    import math
+    import random
+
+    from hugegraph_on_tikv_spark.functions.similarity import pq_topk
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pq_topk(df, df, k=5, m=2, n_codes=6).collect()
+    true = {(a, b): sum(x * y for x, y in zip(va, vb))
+            / math.sqrt(sum(x * x for x in vb))
+            for a, va in rows for b, vb in rows if a != b}
+    assert len(got) == 6 * 5
+    for r in got:
+        expect = true[(r["query_id"], r["neighbor_id"])]
+        assert abs(r["adc_score"] - expect) < 2e-5
+
+
+def test_pq_recall_against_exact_topk(spark):
+    """Two-stage PQ (ADC shortlist + exact rerank) keeps strong recall vs
+    exact cosine top-k, even on the RANDOM fixture vectors (PQ's worst
+    case: no cluster structure).  Pure ADC is much weaker here by design —
+    the shortlist stage is what production runs."""
+    from hugegraph_on_tikv_spark.functions.similarity import cosine_topk, pq_topk
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(q, emb, k=5).collect()}
+    two_stage = {(r["query_id"], r["neighbor_id"])
+                 for r in pq_topk(q, emb, k=5, m=8, n_codes=16,
+                                  shortlist=100).collect()}
+    recall = len(exact & two_stage) / len(exact)
+    assert recall >= 0.7, f"two-stage PQ recall collapsed: {recall}"
+
+
+def test_pq_encode_partitioning_invariant(spark):
+    """Codes are identical regardless of input partitioning (the exact-
+    integer Lloyd means and deterministic argmax guarantee it)."""
+    from hugegraph_on_tikv_spark.functions.similarity import pq_encode, pq_train
+
+    import random
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b1 = pq_train(df, m=2, n_codes=4)
+    c1 = {(r["vec_id"], r["sub"]): r["code"]
+          for r in pq_encode(df, b1, m=2).collect()}
+    df2 = df.repartition(13)
+    b2 = pq_train(df2, m=2, n_codes=4)
+    c2 = {(r["vec_id"], r["sub"]): r["code"]
+          for r in pq_encode(df2, b2, m=2).collect()}
+    assert c1 == c2 and len(c1) == 80
