@@ -1588,3 +1588,97 @@ def random_walks(edges: DataFrame, start_ids: list[int], length: int,
         return out.select("wid", "step", "vertex").localCheckpoint(eager=True)
     finally:
         adj.unpersist()
+
+
+def hyperball(edges: DataFrame, max_rounds: int = 16, lg_k: int = 12,
+              rel_tol: float = 0.001,
+              _rounds_out: list | None = None) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function N(r) —
+    how many (v, u) pairs are within out-distance ≤ r — estimated with one
+    HyperLogLog sketch per vertex instead of one BFS per vertex.  Exact
+    all-pairs distances are Θ(n·m) (a BFS per vertex — years at 100 TB);
+    HyperBall is O(rounds · m) with fixed 2^lg_k-byte state per vertex,
+    which is why it's the only way to measure distance structure at scale.
+
+    Per round, ball_{r+1}(v) = ball_r(v) ∪ ⋃_{(v,u)∈E} ball_r(u) — one
+    join shipping neighbor sketches plus one hll_union_agg, both
+    JVM-side (Spark's datasketches HLL: mergeable, fixed-size, exactly
+    the combinable-aggregate shape the 100 TB plan needs; the same shuffle
+    key every round, so a bucketed-by-dst edge table co-locates it).
+    Stops early when N(r) grows by < rel_tol (relative) in a round — the
+    1-row convergence probe follows the pagerank/CC collect contract.
+
+    Returns (radius, reachable_pairs): N(0)=|V| through the stopping
+    radius.  Estimates carry standard HLL error (~1.04/√2^lg_k ≈ 1.6% at
+    the default lg_k=12); rel_tol below that is aspirational — the
+    stopping rule compares successive estimates from the SAME sketches,
+    whose errors are highly correlated, so in practice it still detects
+    the plateau.  For exact small-graph ground truth, BFS via
+    shortest_paths remains the oracle (tests do exactly that).
+
+    No SQL oracle can replay datasketches internals, so this operator is
+    pytest-covered (exact-BFS tolerance + monotonicity), like the other
+    sketch/streaming surfaces."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").persist()
+    try:
+        verts = (e.select(F.col("src").alias("id"))
+                 .unionByName(e.select(F.col("dst").alias("id")))
+                 .distinct())
+        state = (verts.groupBy("id")
+                 .agg(F.hll_sketch_agg("id", F.lit(lg_k)).alias("ball"))
+                 .localCheckpoint(eager=True))
+        totals = [float(state.agg(
+            F.sum(F.hll_sketch_estimate("ball")).alias("t"))
+            .collect()[0]["t"])]
+        rounds = 0
+        for _ in range(max_rounds):
+            rounds += 1
+            msgs = (e.join(state.withColumnRenamed("id", "dst"), "dst")
+                    .select(F.col("src").alias("id"), "ball"))
+            state = (state.unionByName(msgs)
+                     .groupBy("id")
+                     .agg(F.hll_union_agg("ball").alias("ball"))
+                     .localCheckpoint(eager=True))
+            t = float(state.agg(
+                F.sum(F.hll_sketch_estimate("ball")).alias("t"))
+                .collect()[0]["t"])
+            totals.append(t)
+            if t - totals[-2] < rel_tol * totals[-2]:
+                break
+        if _rounds_out is not None:
+            _rounds_out.append(rounds)
+        return spark.createDataFrame(
+            [(r, v) for r, v in enumerate(totals)],
+            "radius int, reachable_pairs double")
+    finally:
+        e.unpersist()
+
+
+def hyperball_summary(edges: DataFrame, max_rounds: int = 16,
+                      lg_k: int = 12, quantile: float = 0.9) -> DataFrame:
+    """One-row distance-structure summary from the HyperBall curve:
+    n_vertices, avg_distance (mean over reachable pairs at distance ≥ 1),
+    and the effective diameter — the smallest radius reaching `quantile`
+    of all reachable pairs (interpolated between radii, the standard
+    Boldi-Vigna convention)."""
+    nf = sorted((r["radius"], r["reachable_pairs"])
+                for r in hyperball(edges, max_rounds, lg_k).collect())
+    ns = [v for _, v in nf]
+    n0, nmax = ns[0], ns[-1]
+    gained = nmax - n0
+    avg = (sum(r * (ns[r] - ns[r - 1]) for r in range(1, len(ns))) / gained
+           if gained > 0 else 0.0)
+    target = quantile * nmax
+    eff = float(len(ns) - 1)
+    for r in range(len(ns)):
+        if ns[r] >= target:
+            if r == 0 or ns[r] == ns[r - 1]:
+                eff = float(r)
+            else:
+                eff = (r - 1) + (target - ns[r - 1]) / (ns[r] - ns[r - 1])
+            break
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(float(n0), avg, eff)],
+        "n_vertices double, avg_distance double, effective_diameter double")

@@ -988,3 +988,55 @@ def test_graph_structure_stats_known(spark):
     want = float(np.corrcoef(xs, ys)[0, 1])
     got = graph_structure_stats(g).collect()[0]["assortativity"]
     assert got == _pytest.approx(want, abs=1e-6)
+
+
+def test_hyperball_matches_exact_on_chain(spark):
+    """Directed chain 0->1->...->31: ball_r(v) = {v..min(v+r, 31)}, so
+    N(r) = sum_v min(r+1, n-v) exactly.  At these cardinalities the HLL
+    sketches are in their exact (sparse) regime, so the estimate should
+    land within a tight tolerance; radii must be monotone."""
+    from hugegraph_on_tikv_spark.operators.analytics import hyperball
+
+    n = 32
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "src long, dst long")
+    rounds = []
+    got = {r["radius"]: r["reachable_pairs"]
+           for r in hyperball(edges, max_rounds=6, lg_k=12,
+                              _rounds_out=rounds).collect()}
+    for r in range(min(6, max(got)) + 1):
+        exact = sum(min(r + 1, n - v) for v in range(n))
+        assert abs(got[r] - exact) / exact < 0.05, (r, got[r], exact)
+    vals = [got[r] for r in sorted(got)]
+    assert vals == sorted(vals)
+
+
+def test_hyperball_early_exit_on_plateau(spark):
+    """Two disjoint 3-cliques saturate at radius 1; the round loop must
+    stop well before max_rounds."""
+    from hugegraph_on_tikv_spark.operators.analytics import hyperball
+
+    tri = [(a, b) for c in (0, 10) for a in (c, c + 1, c + 2)
+           for b in (c, c + 1, c + 2) if a != b]
+    edges = spark.createDataFrame(tri, "src long, dst long")
+    rounds = []
+    nf = hyperball(edges, max_rounds=10, _rounds_out=rounds).collect()
+    assert rounds[0] <= 3
+    last = max(r["radius"] for r in nf)
+    sat = {r["radius"]: r["reachable_pairs"] for r in nf}[last]
+    # each clique: 3 vertices each reach all 3 -> 9 pairs per clique
+    assert abs(sat - 18) / 18 < 0.05
+
+
+def test_hyperball_summary_chain_diameter(spark):
+    """Effective diameter of a 16-chain at quantile 0.9 sits between the
+    radius bounds; avg distance is positive and below the diameter."""
+    from hugegraph_on_tikv_spark.operators.analytics import hyperball_summary
+
+    n = 16
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  "src long, dst long")
+    [r] = hyperball_summary(edges, max_rounds=20, quantile=0.9).collect()
+    assert abs(r["n_vertices"] - n) / n < 0.05
+    assert 0 < r["avg_distance"] < r["effective_diameter"] <= 15.0
+    assert r["effective_diameter"] > 8     # 90% of pairs need long radii
