@@ -3669,8 +3669,9 @@ _register(
 _IVF_COS = ("(list_dot_product({a}, {b}) / "
             "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))")
 
-_IVF_TOPK_SQL = f"""
-    WITH emb AS MATERIALIZED (
+# Shared IVF training replay (seed -> assign -> exact-integer Lloyd mean ->
+# final assignment `ca`), reused by the IVF probe and SemDeDup oracles.
+_IVF_TRAIN_CTES = f"""emb AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), cents0 AS MATERIALIZED (
       SELECT vec_id AS cell, v AS c FROM emb ORDER BY vec_id LIMIT 16
@@ -3697,7 +3698,10 @@ _IVF_TOPK_SQL = f"""
                  {_IVF_COS.format(a="e.v", b="c.c")} DESC, c.cell ASC) AS r
         FROM emb e CROSS JOIN cents1 c
       ) WHERE r = 1
-    ), qa AS MATERIALIZED (
+    )"""
+
+_IVF_TOPK_SQL = f"""
+    WITH {_IVF_TRAIN_CTES}, qa AS MATERIALIZED (
       SELECT vec_id AS query_id, v AS qv, cell FROM (
         SELECT e.vec_id, e.v, c.cell,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -3801,6 +3805,46 @@ _register(
         load_table(spark, sf, "embeddings"), k=5, m=4, n_codes=16,
     ),
     _PQ_TOPK_SQL,
+)
+
+# SemDeDup (similarity.semantic_dedup_pairs / semantic_dedup): k-means-cell-
+# scoped semantic near-dup pairs and the diversity-keeping survivor set
+# (drop x iff a same-cell neighbor above threshold is FARTHER from the
+# centroid, id tie-break).  The oracle replays the shared IVF training CTEs
+# then the pair join and the pairwise drop predicate.
+
+_register(
+    "sim_semdedup_pairs",
+    lambda spark, sf: similarity.semantic_dedup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.4, n_cells=16),
+    f"""
+    WITH {_IVF_TRAIN_CTES}
+    SELECT x.neighbor_id AS id_a, y.neighbor_id AS id_b, x.cell,
+           round({_IVF_COS.format(a="x.cv", b="y.cv")}, 6) AS cos_sim
+    FROM ca x JOIN ca y ON x.cell = y.cell AND x.neighbor_id < y.neighbor_id
+    WHERE round({_IVF_COS.format(a="x.cv", b="y.cv")}, 6) >= 0.4
+    """,
+)
+
+_register(
+    "sim_semdedup_kept",
+    lambda spark, sf: similarity.semantic_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.4, n_cells=16),
+    f"""
+    WITH {_IVF_TRAIN_CTES}, scored AS MATERIALIZED (
+      SELECT ca.neighbor_id AS id, ca.cell, ca.cv,
+             round({_IVF_COS.format(a="ca.cv", b="c1.c")}, 6) AS cs
+      FROM ca JOIN cents1 c1 USING (cell)
+    ), dropped AS (
+      SELECT DISTINCT x.id
+      FROM scored x JOIN scored y
+        ON x.cell = y.cell AND x.id <> y.id
+      WHERE round({_IVF_COS.format(a="x.cv", b="y.cv")}, 6) >= 0.4
+        AND (y.cs < x.cs OR (y.cs = x.cs AND y.id < x.id))
+    )
+    SELECT id, cell, cs AS centroid_sim
+    FROM scored WHERE id NOT IN (SELECT id FROM dropped)
+    """,
 )
 
 # ===========================================================================
@@ -6589,6 +6633,17 @@ _compose("sim_ann_neardup", [
       "qcos_sim AS cos_sim", "CAST(rank AS DOUBLE) AS rank"],
      "'q_topk' AS tag, query_id AS a, neighbor_id AS b, qcos_sim AS cos_sim, "
      "CAST(rank AS DOUBLE) AS rank"),
+    # SemDeDup: cell rides the rank slot; kept rows carry centroid_sim
+    ("sim_semdedup_pairs",
+     ["'semdd_pair' AS tag", "id_a AS a", "id_b AS b", "cos_sim",
+      "CAST(cell AS DOUBLE) AS rank"],
+     "'semdd_pair' AS tag, id_a AS a, id_b AS b, cos_sim, "
+     "CAST(cell AS DOUBLE) AS rank"),
+    ("sim_semdedup_kept",
+     ["'semdd_kept' AS tag", "id AS a", "CAST(NULL AS DOUBLE) AS b",
+      "centroid_sim AS cos_sim", "CAST(cell AS DOUBLE) AS rank"],
+     "'semdd_kept' AS tag, id AS a, CAST(NULL AS DOUBLE) AS b, "
+     "centroid_sim AS cos_sim, CAST(cell AS DOUBLE) AS rank"),
 ])
 
 # IVF probe + PQ/ADC share one roster row (tag ivf / pq); score carries

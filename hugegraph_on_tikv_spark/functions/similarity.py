@@ -912,3 +912,78 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, m: int = 4,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (rer.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k))
+
+
+# -- SemDeDup (semantic deduplication) --------------------------------------
+
+def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.4,
+                         n_cells: int = 16, refine_iters: int = 1,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs scoped
+    by k-means cluster — assign every embedding to its nearest centroid
+    (the deterministic ivf_centroids/assign_best_cell machinery), then
+    compare pairs ONLY within a cell.  The cluster scoping is what makes
+    semantic dedup feasible at corpus scale: candidate volume drops from
+    n²/2 to Σ_c |c|²/2, and each cell's pair join is an equi-join on the
+    cell key (skewed giant cells are the recluster policy's job —
+    ivf_maybe_compact doubles cells on exactly that trigger).
+
+    Returns (id_a, id_b, cell, cos_sim) with id_a < id_b and
+    round(cos, 6) >= threshold."""
+    cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
+    assigned = assign_best_cell(
+        corpus.select(id_col, vec_col), cents, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("id_a"), "cell",
+                        F.col(vec_col).alias("va"))
+    b = assigned.select(F.col(id_col).alias("id_b"), "cell",
+                        F.col(vec_col).alias("vb"))
+    return (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "cell",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.4,
+                   n_cells: int = 16, refine_iters: int = 1,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup keep-set: drop an item when a same-cell neighbor above the
+    similarity threshold has HIGHER keep-priority.  Priority follows the
+    paper's rule — keep the item LEAST similar to its cluster centroid
+    (maximizes diversity of the surviving corpus) — with the id as the
+    deterministic tie-break.  The drop rule is a pure pairwise predicate
+    (x drops iff ∃y: sim ≥ t ∧ priority(y) > priority(x)), so survivors
+    are the local priority-maxima of the similarity graph: order-free and
+    engine-replayable, where the paper's greedy scan is sequential.  Like
+    the greedy, a chain a~b~c with b dropped can keep both a and c — the
+    threshold bounds their true dissimilarity.
+
+    Returns (id, cell, centroid_sim) for survivors."""
+    cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
+    assigned = assign_best_cell(
+        corpus.select(id_col, vec_col), cents, id_col, vec_col)
+    scored = (assigned.join(F.broadcast(cents), "cell")
+              .select(F.col(id_col).alias("id"), "cell",
+                      F.col(vec_col).alias("v"),
+                      F.round(cosine(F.col(vec_col), F.col("c_vec")), 6)
+                      .alias("centroid_sim")))
+    x = scored.select(F.col("id").alias("x_id"), "cell",
+                      F.col("v").alias("xv"),
+                      F.col("centroid_sim").alias("x_cs"))
+    y = scored.select(F.col("id").alias("y_id"), "cell",
+                      F.col("v").alias("yv"),
+                      F.col("centroid_sim").alias("y_cs"))
+    dropped = (x.join(y, "cell")
+               .filter(F.col("x_id") != F.col("y_id"))
+               .filter(F.round(cosine(F.col("xv"), F.col("yv")), 6)
+                       >= threshold)
+               .filter((F.col("y_cs") < F.col("x_cs"))
+                       | ((F.col("y_cs") == F.col("x_cs"))
+                          & (F.col("y_id") < F.col("x_id"))))
+               .select(F.col("x_id").alias("id"))
+               .distinct())
+    return (scored.join(dropped, "id", "left_anti")
+            .select("id", "cell", "centroid_sim"))

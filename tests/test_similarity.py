@@ -662,3 +662,59 @@ def test_pq_encode_partitioning_invariant(spark):
     c2 = {(r["vec_id"], r["sub"]): r["code"]
           for r in pq_encode(df2, b2, m=2).collect()}
     assert c1 == c2 and len(c1) == 80
+
+
+def _pycos(a, b):
+    import math
+    return (sum(x * y for x, y in zip(a, b))
+            / (math.sqrt(sum(x * x for x in a))
+               * math.sqrt(sum(y * y for y in b))))
+
+
+def test_semantic_dedup_keeps_centroid_farthest(spark):
+    """Planted near-dup pair inside one cluster: the survivor must be the
+    member LESS similar to its cell centroid (the SemDeDup diversity
+    rule); the unrelated cluster is untouched."""
+    from hugegraph_on_tikv_spark.functions.similarity import (
+        semantic_dedup, semantic_dedup_pairs)
+
+    rows = [
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [0.98, 0.12, 0.0, 0.0]),     # near-dup of 1
+        (3, [0.8, 0.6, 0.0, 0.0]),       # same cluster, below threshold
+        (10, [0.0, 0.0, 1.0, 0.05]),
+        (11, [0.0, 0.0, 0.03, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(df, threshold=0.95, n_cells=2).collect()
+    kept = sorted(r["id"] for r in semantic_dedup(
+        df, threshold=0.95, n_cells=2).collect())
+    pair_ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in pair_ids
+    assert len(kept) == len(rows) - 1
+    dropped = ({1, 2} - set(kept)).pop()
+    survivor = ({1, 2} & set(kept)).pop()
+    # replicate the rule: survivor is the pair member farther from the
+    # centroid of its assigned cell (centroid_sim read from the result)
+    cs = {r["id"]: r["centroid_sim"] for r in semantic_dedup(
+        df, threshold=2.0, n_cells=2).collect()}   # threshold>1: nothing drops
+    assert len(cs) == len(rows)
+    assert cs[survivor] <= cs[dropped]
+
+
+def test_semantic_dedup_pairs_cell_scoped(spark):
+    """Pairs never cross cells: two identical vectors forced into
+    different cells (they ARE the two seeds) produce no pair."""
+    from hugegraph_on_tikv_spark.functions.similarity import semantic_dedup_pairs
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # n_cells=2 seeds with ids 0 and 1; each vector stays nearest its own
+    # seed-derived centroid (tie broken by cell asc -> both to cell 0)...
+    # with identical vectors both land in ONE cell and the pair is found:
+    got = semantic_dedup_pairs(df, threshold=0.9, n_cells=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+    # distinct orthogonal vectors seed distinct cells; no cross-cell pair
+    rows2 = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
+    assert semantic_dedup_pairs(df2, threshold=-1.0, n_cells=2).count() == 0
