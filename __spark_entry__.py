@@ -4364,6 +4364,41 @@ def _mix_oracle() -> str:
 _register("sample_mix", _sample_mix, _mix_oracle())
 
 
+# -- temperature-flattened mixture (sampling.temperature_mix, alpha=0.5):
+#    the mT5/XLM-R p^alpha domain rebalance.  The fixture's 20 uniform
+#    sources are folded into a SKEWED 3-domain mapping (web 275 / code 175
+#    / books 50 at sf0.01) so the isqrt flattening is visible: caps become
+#    floor(120·isqrt(c)/Σisqrt) = 16:13:7-proportioned, between natural
+#    and uniform.  Exact integer weights + floor division = engine-replayable.
+
+_TEMPMIX_DOMAIN_SQL = ("CASE WHEN source LIKE 'src1%' THEN 'web' "
+                       "WHEN source IN ('src0', 'src2') THEN 'books' "
+                       "ELSE 'code' END")
+
+
+def _sample_temp_mix(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    docs = load_table(spark, sf, "documents").withColumn(
+        "domain",
+        F.when(F.col("source").startswith("src1"), "web")
+        .when(F.col("source").isin("src0", "src2"), "books")
+        .otherwise("code"))
+    return sampling.temperature_mix(docs, "domain", total=120) \
+        .select("doc_id", "domain")
+
+
+def _temp_mix_oracle() -> str:
+    from hugegraph_on_tikv_spark.functions import sampling
+    inner = sampling.temperature_mix_sql(
+        "domain", 120,
+        table=f"(SELECT doc_id, {_TEMPMIX_DOMAIN_SQL} AS domain "
+              "FROM documents) tt")
+    return f"SELECT doc_id, domain FROM ({inner}) q"
+
+
+_register("sample_temp_mix", _sample_temp_mix, _temp_mix_oracle())
+
+
 def _sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions import sampling
     docs = load_table(spark, sf, "documents").withColumn(
@@ -6558,6 +6593,12 @@ _compose("dedup_exact_canonical", [
      ["'mix_kept' AS tag", "source AS fp", "CAST(NULL AS DOUBLE) AS n_docs",
       "doc_id AS id"],
      "'mix_kept' AS tag, source AS fp, CAST(NULL AS DOUBLE) AS n_docs, "
+     "doc_id AS id"),
+    # temperature-flattened mixture: fp carries the derived skewed domain
+    ("sample_temp_mix",
+     ["'temp_mix' AS tag", "domain AS fp", "CAST(NULL AS DOUBLE) AS n_docs",
+      "doc_id AS id"],
+     "'temp_mix' AS tag, domain AS fp, CAST(NULL AS DOUBLE) AS n_docs, "
      "doc_id AS id"),
     # leakage-safe split: fp carries the split name, n_docs the cluster id
     ("cluster_safe_split",

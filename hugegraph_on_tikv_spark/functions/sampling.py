@@ -155,6 +155,15 @@ def mix_corpus(df: DataFrame, domain_col: str, weights: dict[str, float],
     if norm <= 0:
         raise ValueError("weights must sum to a positive value")
     caps = {d: int(round(total * w / norm)) for d, w in weights.items()}
+    return _apply_domain_caps(df, domain_col, caps, id_col, salt)
+
+
+def _apply_domain_caps(df: DataFrame, domain_col: str, caps: dict[str, int],
+                       id_col: str, salt: str) -> DataFrame:
+    """Keep the first cap_d rows of each domain in (id-hash, id) order —
+    the shared tail of mix_corpus / temperature_mix."""
+    from pyspark.sql.window import Window
+
     cap_expr = F.lit(None).cast("long")
     for d, c in caps.items():
         cap_expr = F.when(F.col(domain_col) == d, F.lit(c)).otherwise(cap_expr)
@@ -207,3 +216,74 @@ def weighted_sample(df: DataFrame, weight_col: str,
     # comparison anyway, so semantics are unchanged
     return (df.filter(F.col(id_col).isNotNull())
             .filter(_bucket(F.col(id_col), salt) < (w * BUCKETS).cast("long")))
+
+
+def temperature_mix(df: DataFrame, domain_col: str, total: int,
+                    alpha: float = 0.5, id_col: str = "doc_id",
+                    salt: str = "") -> DataFrame:
+    """Temperature-flattened corpus mixture — the multilingual/multi-domain
+    p^α rebalance (mT5, XLM-R style): domain d's share of the ~`total`-row
+    output is proportional to count_d^α, upweighting tail domains without
+    letting any head domain dominate.  α=1 reproduces natural proportions,
+    α→0 approaches uniform.
+
+    The observed per-domain counts are ONE small aggregate (domains are
+    tens, not millions — metadata-sized collect by contract); the caps
+    then drive the same hash-order WindowGroupLimit cut as mix_corpus.
+
+    Determinism/oracle contract: at the default α=0.5 the weights are
+    math.isqrt(count) — INTEGER square roots — and caps are
+    floor(total·w_d/Σw) in exact integer arithmetic, so a SQL engine
+    replays the whole computation bit-for-bit (temperature_mix_sql);
+    libm pow() is engine-divergent, so other α values compute caps with
+    Python floats driver-side (still reproducible run-to-run: the caps
+    are literals in the plan) but carry no exactness guarantee for
+    cross-engine replay."""
+    import math
+
+    if total < 1:
+        raise ValueError("total must be >= 1")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = {r["d"]: r["c"] for r in
+              df.groupBy(F.col(domain_col).alias("d"))
+              .agg(F.count(F.lit(1)).alias("c")).collect()}
+    if not counts:
+        return df.filter(F.lit(False))
+    if alpha == 0.5:
+        iw = {d: math.isqrt(int(c)) for d, c in counts.items()}
+        s = sum(iw.values())
+        caps = {d: (total * w) // s for d, w in iw.items()}
+    else:
+        fw = {d: float(c) ** alpha for d, c in counts.items()}
+        s = sum(fw[d] for d in sorted(fw))
+        caps = {d: int(total * w / s) for d, w in fw.items()}
+    return _apply_domain_caps(df, domain_col, caps, id_col, salt)
+
+
+def temperature_mix_sql(domain_col: str, total: int, id_col: str = "doc_id",
+                        salt: str = "", table: str = "documents") -> str:
+    """DuckDB twin of temperature_mix(alpha=0.5): integer-sqrt weights,
+    floor-division caps, same md5 hash order."""
+    h = (f"CAST(CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+         f"'{salt}'), 1, 12)) AS UBIGINT) AS BIGINT) % {BUCKETS}")
+    return f"""
+    WITH _cnts AS (
+      SELECT {domain_col} AS _d, CAST(count(*) AS BIGINT) AS _c
+      FROM {table} GROUP BY 1
+    ), _w AS (
+      SELECT _d, CAST(floor(sqrt(_c)) AS BIGINT) AS _iw FROM _cnts
+    ), _s AS (
+      SELECT CAST(SUM(_iw) AS BIGINT) AS _tot FROM _w
+    ), _caps AS (
+      SELECT _d, (CAST({total} AS BIGINT) * _iw) // _tot AS _cap
+      FROM _w CROSS JOIN _s
+    ), _rn AS (
+      SELECT *, row_number() OVER (PARTITION BY {domain_col}
+                                   ORDER BY {h}, {id_col}) AS _r
+      FROM {table}
+    )
+    SELECT * EXCLUDE (_r, _d, _cap)
+    FROM _rn JOIN _caps ON {domain_col} = _d
+    WHERE _r <= _cap
+    """

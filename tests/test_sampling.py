@@ -198,3 +198,38 @@ def test_mix_corpus_validation(spark):
         sampling.mix_corpus(docs, "source", {"a": 1.0}, 0)
     with pytest.raises(ValueError):
         sampling.mix_corpus(docs, "source", {"a": -1.0}, 10)
+
+
+def test_temperature_mix_flattens_skew(spark):
+    """alpha=0.5 pulls domain shares toward uniform: a 100:25:4 corpus
+    (isqrt weights 10:5:2) mixes at caps floor(34*w/17) = 20:10:4, flatter
+    than natural (~26:6:1 at total 34) but not uniform."""
+    from hugegraph_on_tikv_spark.functions.sampling import temperature_mix
+
+    rows = ([(i, "a") for i in range(100)]
+            + [(1000 + i, "b") for i in range(25)]
+            + [(2000 + i, "c") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    got = temperature_mix(df, "domain", total=34).groupBy("domain").count()
+    counts = {r["domain"]: r["count"] for r in got.collect()}
+    assert counts == {"a": 20, "b": 10, "c": 4}
+
+
+def test_temperature_mix_alpha_validation_and_stability(spark):
+    import pytest
+
+    from hugegraph_on_tikv_spark.functions.sampling import temperature_mix
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    with pytest.raises(ValueError):
+        temperature_mix(df, "domain", total=10, alpha=0.0)
+    with pytest.raises(ValueError):
+        temperature_mix(df, "domain", total=0)
+    # same inputs -> identical kept set (hash-order determinism)
+    k1 = sorted(r["doc_id"] for r in
+                temperature_mix(df, "domain", total=10).collect())
+    k2 = sorted(r["doc_id"] for r in
+                temperature_mix(df.repartition(7), "domain",
+                                total=10).collect())
+    assert k1 == k2 and len(k1) > 0
