@@ -74,7 +74,7 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
              state_partitions: int | None = None,
              broadcast_max_vertices: int = 2_000_000,
              teleport_ids=None, weight_col: str | None = None,
-             tol: float | None = None,
+             tol: float | None = None, init_ranks: DataFrame | None = None,
              _iters_out: list | None = None) -> DataFrame:
     """Standard damped PageRank over the directed edge list; dangling mass is
     NOT redistributed (matches GraphX's default behavior).  Returns
@@ -97,6 +97,14 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
     Each iteration: contributions = rank/out_degree shipped along edges,
     grouped by dst (one shuffle per iteration on the same key → a cluster
     run pre-buckets edges by src to make the contribution join co-located).
+
+    `init_ranks` (opt-in, (id, rank)) warm-starts the iteration from a
+    previous run's output — the incremental path after an edge delta:
+    combined with `tol`, re-convergence over a slightly-changed graph
+    takes a fraction of the cold rounds (power iteration contracts toward
+    the new fixpoint from wherever it starts, so the answer is unchanged;
+    only the round count moves).  New vertices fall back to the cold
+    value; departed vertices' stale entries drop out in the join.
 
     `tol` (opt-in) adds convergence early-exit: on the checkpoint cadence
     the max |Δrank| since the previous checkpoint is probed (one max-abs
@@ -164,7 +172,21 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         # edge table makes co-located.
         tele = (F.when(F.col("id").isin([int(v) for v in teleport_ids]), F.lit(1.0))
                 .otherwise(F.lit(0.0)) if teleport_ids is not None else F.lit(1.0))
-        ranks = verts.withColumn("rank", tele)
+        # init_ranks (opt-in) warm-starts the iteration from a previous
+        # run's ranks — the incremental-recompute path after an edge
+        # delta: with tol= set, a warm start over a slightly-changed graph
+        # converges in a fraction of the cold rounds (the power iteration
+        # contracts toward the new fixpoint from wherever it starts, so
+        # correctness is unchanged — only the round count moves).  Vertices
+        # absent from init_ranks (newly added) fall back to the cold-start
+        # value; departed vertices' stale entries are dropped by the join.
+        if init_ranks is None:
+            ranks = verts.withColumn("rank", tele)
+        else:
+            ranks = (verts.join(
+                init_ranks.select("id", F.col("rank").alias("_ir")),
+                "id", "left")
+                .select("id", F.coalesce(F.col("_ir"), tele).alias("rank")))
         prev_ck = None
         iters_done = 0
         for i in range(iterations):

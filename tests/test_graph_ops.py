@@ -1040,3 +1040,56 @@ def test_hyperball_summary_chain_diameter(spark):
     assert abs(r["n_vertices"] - n) / n < 0.05
     assert 0 < r["avg_distance"] < r["effective_diameter"] <= 15.0
     assert r["effective_diameter"] > 8     # 90% of pairs need long radii
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    """After a small edge delta, warm-starting from the previous ranks
+    reaches the tol fixpoint in fewer rounds than a cold start, and the
+    final ranks agree with the cold run."""
+    from hugegraph_on_tikv_spark.operators.analytics import pagerank
+    from pyspark.sql import functions as F
+
+    n = 500
+    # reset=0.5 keeps the contraction factor at 1/2 so the tol fixpoint is
+    # reachable in tens of rounds (0.85 damping needs ~90 for 1e-7 — the
+    # warm-start benefit is identical, the test just runs shorter)
+    kw = dict(reset=0.5, tol=1e-6, checkpoint_every=2)
+    # NOT a pure permutation: a permutation graph's fixpoint is uniform
+    # 1.0 — exactly the cold start — which would make warm == cold by
+    # construction.  The partial second out-edge family makes ranks
+    # genuinely non-uniform.
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 1) % n).alias("dst"))
+    chords = spark.range(n // 3).select(
+        F.col("id").alias("src"), ((F.col("id") * 3 + 2) % n).alias("dst"))
+    base = ring.unionByName(chords)
+    prev = pagerank(base, iterations=40, **kw)
+
+    delta = spark.createDataFrame(
+        [(i, (i * 13 + 5) % n) for i in range(5)], "src long, dst long")
+    changed = base.unionByName(delta)
+
+    cold_iters, warm_iters = [], []
+    cold = pagerank(changed, iterations=60, _iters_out=cold_iters, **kw)
+    warm = pagerank(changed, iterations=60, init_ranks=prev,
+                    _iters_out=warm_iters, **kw)
+    assert warm_iters[0] < cold_iters[0], (warm_iters, cold_iters)
+    c = {r["id"]: r["rank"] for r in cold.collect()}
+    w = {r["id"]: r["rank"] for r in warm.collect()}
+    assert set(c) == set(w)
+    assert max(abs(c[i] - w[i]) for i in c) < 1e-4
+
+
+def test_pagerank_warm_start_handles_new_and_gone_vertices(spark):
+    """init_ranks missing a (new) vertex falls back to the cold value;
+    stale entries for vertices no longer in the graph are dropped."""
+    from hugegraph_on_tikv_spark.operators.analytics import pagerank
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                  "src long, dst long")
+    stale = spark.createDataFrame([(1, 0.9), (2, 1.1), (99, 5.0)],
+                                  "id long, rank double")
+    got = pagerank(edges, iterations=8, init_ranks=stale)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [1, 2, 3]          # 99 dropped, 3 initialized cold
