@@ -2749,6 +2749,33 @@ _register(
     """,
 )
 
+_register(
+    "win_attribution_full",
+    # FULL-OUTER interval join: + never-attributed views with NULL click
+    # columns (stream twin: stream_attribution_join(how='fullOuter'))
+    lambda spark, sf: _stream_joins.attribution_join_full(
+        load_events(spark, sf).filter(F.col("event_type") == "click"),
+        load_events(spark, sf).filter(F.col("event_type") == "view"),
+        within="10 minutes",
+    ),
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+      FROM events
+    ),
+    c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+          FROM ev WHERE event_type = 'click'),
+    v AS (SELECT event_id AS view_id, user_id AS v_user_id, ts AS view_ts
+          FROM ev WHERE event_type = 'view')
+    SELECT c.click_id, v.view_id,
+           COALESCE(c.user_id, v.v_user_id) AS user_id,
+           CAST(date_diff('microsecond', v.view_ts, c.click_ts) AS BIGINT) AS lag_us
+    FROM c FULL JOIN v
+      ON c.user_id = v.v_user_id AND v.view_ts <= c.click_ts
+     AND v.view_ts >= c.click_ts - INTERVAL '10 minutes'
+    """,
+)
+
 # -- as-of join (operators/joins.py): last view at-or-before each click per
 #    user — the time-series lookup Spark lacks natively, built as
 #    union+window carry-forward (one shuffle).  The view side pre-aggregates
@@ -6773,6 +6800,17 @@ _compose("win_windows", [
       "CAST(view_id AS DOUBLE) AS n_events",
       "CAST(lag_us AS DOUBLE) AS sum_value"],
      "'attr_outer' AS tag, CAST(NULL AS VARCHAR) AS t1, "
+     "CAST(NULL AS VARCHAR) AS t2, CAST(click_id AS VARCHAR) AS s, "
+     "CAST(user_id AS DOUBLE) AS user_id, CAST(view_id AS DOUBLE) AS n_events, "
+     "CAST(lag_us AS DOUBLE) AS sum_value"),
+    # full outer adds never-attributed views: click_id now nullable too
+    ("win_attribution_full",
+     ["'attr_full' AS tag", "CAST(NULL AS STRING) AS t1",
+      "CAST(NULL AS STRING) AS t2", "CAST(click_id AS STRING) AS s",
+      "CAST(user_id AS DOUBLE) AS user_id",
+      "CAST(view_id AS DOUBLE) AS n_events",
+      "CAST(lag_us AS DOUBLE) AS sum_value"],
+     "'attr_full' AS tag, CAST(NULL AS VARCHAR) AS t1, "
      "CAST(NULL AS VARCHAR) AS t2, CAST(click_id AS VARCHAR) AS s, "
      "CAST(user_id AS DOUBLE) AS user_id, CAST(view_id AS DOUBLE) AS n_events, "
      "CAST(lag_us AS DOUBLE) AS sum_value"),

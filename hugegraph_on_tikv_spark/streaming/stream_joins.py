@@ -96,6 +96,35 @@ def attribution_join_outer(clicks: DataFrame, views: DataFrame,
     )
 
 
+def attribution_join_full(clicks: DataFrame, views: DataFrame,
+                          within: str = "10 minutes") -> DataFrame:
+    """FULL-OUTER batch twin: matched pairs, clicks with no view in their
+    window (NULL view columns), AND views that attributed to no click
+    (NULL click columns) — the second NULL class is the impression-waste
+    side of the funnel (paid views that never converted).  user_id is
+    coalesced across sides so every row keeps its key.  Completes the
+    inner/leftOuter/fullOuter interval-join family; same per-user
+    equi-join contract as attribution_join."""
+    c = clicks.select(F.col("event_id").alias("click_id"), "user_id",
+                      F.col("ts").alias("click_ts"))
+    v = views.select(F.col("event_id").alias("view_id"),
+                     F.col("user_id").alias("v_user_id"),
+                     F.col("ts").alias("view_ts"))
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return (
+        c.join(v, cond, "full")
+        .select("click_id", "view_id",
+                F.coalesce(F.col("user_id"), F.col("v_user_id"))
+                .alias("user_id"),
+                F.expr("timestampdiff(MICROSECOND, view_ts, click_ts)")
+                .alias("lag_us"))
+    )
+
+
 def stream_attribution_join(spark: SparkSession, clicks_dir: str, views_dir: str,
                             checkpoint_dir: str, sink,
                             within: str = "10 minutes",
@@ -131,6 +160,10 @@ def stream_attribution_join(spark: SparkSession, clicks_dir: str, views_dir: str
          .select(F.col("event_id").alias("view_id"),
                  F.col("user_id").alias("v_user_id"),
                  F.col("ts").alias("view_ts"), F.col("wts").alias("view_wts")))
+    # fullOuter additionally emits never-matched VIEWS (NULL click columns)
+    # on click-side watermark expiry; their user_id comes from the view side
+    uid = (F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id")
+           if how == "fullOuter" else F.col("user_id"))
     joined = (
         c.join(
             v,
@@ -141,7 +174,7 @@ def stream_attribution_join(spark: SparkSession, clicks_dir: str, views_dir: str
             """),
             how,
         )
-        .select("click_id", "view_id", "user_id",
+        .select("click_id", "view_id", uid,
                 F.expr("timestampdiff(MICROSECOND, view_ts, click_ts)").alias("lag_us"))
     )
     return (

@@ -978,3 +978,61 @@ def test_pair_association_exact(spark):
             for r in pair_association(dup, "basket", "item",
                                       min_support=2).collect()}
     assert got2 == {(1, 2): (5, 4, 3)}
+
+
+def test_stream_stream_full_outer_attribution_join(spark, tmp_path):
+    """FULL-OUTER stream-stream interval join: beyond leftOuter's
+    unmatched clicks, never-attributed VIEWS emit NULL-click rows on
+    click-side watermark expiry.  Same two-trigger sentinel recipe; the
+    union of both triggers' output must equal the batch full twin."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.streaming import stream_joins
+
+    ev = load_events(spark, "/root/testdata/sf0.001")
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "view").write.parquet(views_dir)
+
+    got = []
+
+    def sink(batch_df, batch_id):
+        got.extend(
+            (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
+            for r in batch_df.collect()
+        )
+
+    q = stream_joins.stream_attribution_join(
+        spark, clicks_dir, views_dir, str(tmp_path / "ckpt"), sink,
+        how="fullOuter")
+    q.awaitTermination(180)
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + dt.timedelta(hours=2)
+    sentinel = spark.createDataFrame(
+        [(10**9, sentinel_ts, -1, "click", 0.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string")
+    sentinel.write.mode("append").parquet(clicks_dir)
+    sentinel.withColumn("event_type", F.lit("view")) \
+        .write.mode("append").parquet(views_dir)
+
+    q2 = stream_joins.stream_attribution_join(
+        spark, clicks_dir, views_dir, str(tmp_path / "ckpt"), sink,
+        how="fullOuter")
+    q2.awaitTermination(180)
+
+    real = [t for t in got if t[2] != -1]
+    want = [
+        (r["click_id"], r["view_id"], r["user_id"], r["lag_us"])
+        for r in stream_joins.attribution_join_full(
+            spark.read.parquet(clicks_dir).filter("user_id <> -1"),
+            spark.read.parquet(views_dir).filter("user_id <> -1"),
+        ).collect()
+    ]
+    assert sorted(real, key=str) == sorted(want, key=str)
+    # both NULL classes present: clicks without views AND views without clicks
+    assert any(t[1] is None for t in real)
+    assert any(t[0] is None for t in real)
