@@ -1944,6 +1944,110 @@ _register(
 )
 
 
+# -- Fellegi-Sunter probabilistic record linkage (functions/linkage.py):
+#    left = customer as-is; right = deterministically perturbed copy (every
+#    5th name uppercased, every 7th phone reversed) so the model sees
+#    agree/disagree mixes.  Blocking on nationkey; u-statistics from the
+#    right side as exact-integer (Σc², N²); the weight is the fixed-order
+#    odds-ratio PRODUCT (log2 is libm — same exactification as BM25's
+#    odds-ratio IDF), so every weight hash-matches the SQL replay.
+
+_FS_FIELDS = ["name", "phone", "segment"]
+_FS_M = {"name": 0.95, "phone": 0.9, "segment": 0.7}
+
+
+def _fs_phone():
+    # the fixture has no phone column; derive a deterministic phone-like
+    # string (md5 prefix of the key — portable across engines)
+    return F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 10)
+
+
+def _fs_left(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"),
+        F.col("c_name").alias("name"), _fs_phone().alias("phone"),
+        F.col("c_mktsegment").alias("segment"))
+
+
+def _fs_right(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_nationkey").alias("nation"),
+        F.when(F.col("c_custkey") % 5 == 0, F.upper(F.col("c_name")))
+        .otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.reverse(_fs_phone()))
+        .otherwise(_fs_phone()).alias("phone"),
+        F.col("c_mktsegment").alias("segment"))
+
+
+def _fs_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import linkage
+    return linkage.fs_link(
+        _fs_left(spark, sf), _fs_right(spark, sf), block_on=["nation"],
+        fields=_FS_FIELDS, m=_FS_M, upper=100.0, lower=2.0)
+
+
+_FS_RIGHT_SQL = """
+      SELECT c_custkey AS id, c_nationkey AS nation,
+             CASE WHEN c_custkey % 5 = 0 THEN upper(c_name)
+                  ELSE c_name END AS name,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN reverse(substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10))
+                  ELSE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10)
+                  END AS phone,
+             c_mktsegment AS segment
+      FROM customer
+"""
+
+
+def _fs_oracle() -> str:
+    factors = []
+    for f, m in [("name", 0.95), ("phone", 0.9), ("segment", 0.7)]:
+        factors.append(
+            f"(CASE WHEN l.{f} IS NOT NULL AND r.{f} IS NOT NULL "
+            f"AND l.{f} = r.{f} "
+            f"THEN ({m} * u.nn) / u.s_{f} "
+            f"ELSE ({1.0 - m} * u.nn) / (u.nn - u.s_{f}) END)")
+    weight = "1.0 * " + " * ".join(factors)
+    agr = ", ".join(
+        f"CAST(CASE WHEN l.{f} IS NOT NULL AND r.{f} IS NOT NULL "
+        f"AND l.{f} = r.{f} THEN 1 ELSE 0 END AS INTEGER) AS agr_{f}"
+        for f in _FS_FIELDS)
+    return f"""
+    WITH l AS (
+      SELECT c_custkey AS id, c_nationkey AS nation, c_name AS name,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS phone,
+             c_mktsegment AS segment FROM customer
+    ), r AS ({_FS_RIGHT_SQL}
+    ), u AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) * CAST(count(*) AS BIGINT)
+              FROM r) AS nn,
+             (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+                SELECT count(*) AS c FROM r WHERE name IS NOT NULL
+                GROUP BY name)) AS s_name,
+             (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+                SELECT count(*) AS c FROM r WHERE phone IS NOT NULL
+                GROUP BY phone)) AS s_phone,
+             (SELECT CAST(SUM(c * c) AS BIGINT) FROM (
+                SELECT count(*) AS c FROM r WHERE segment IS NOT NULL
+                GROUP BY segment)) AS s_segment
+    ), scored AS (
+      SELECT l.id AS l_id, r.id AS r_id,
+             l.name AS l_name, r.name AS r_name,
+             l.phone AS l_phone, r.phone AS r_phone,
+             l.segment AS l_segment, r.segment AS r_segment,
+             {agr}, {weight} AS weight
+      FROM l JOIN r ON l.nation = r.nation CROSS JOIN u
+    )
+    SELECT *, CASE WHEN weight >= 100.0 THEN 'match'
+                   WHEN weight >= 2.0 THEN 'possible'
+                   ELSE 'non_match' END AS decision
+    FROM scored WHERE weight >= 2.0
+    """
+
+
+_register("dedup_fs_linkage", _fs_linkage, _fs_oracle())
+
+
 # -- exact set-similarity join (prefix filtering; functions/dedup.py
 #    set_similarity_join).  Oracle = brute-force all-pairs jaccard — the
 #    hash match certifies prefix-filter completeness, like dedup_fuzzy.
@@ -6669,6 +6773,16 @@ _compose("dedup_pairs", [
       "CAST(NULL AS STRING) AS detail"],
      "'setsim' AS tag, id_a AS doc_a, id_b AS doc_b, jaccard, "
      "CAST(NULL AS VARCHAR) AS detail"),
+    # Fellegi-Sunter linkage: jaccard carries the odds-ratio weight,
+    # detail value-checks decision + the per-field agreement vector
+    ("dedup_fs_linkage",
+     ["'fslink' AS tag", "l_id AS doc_a", "r_id AS doc_b",
+      "weight AS jaccard",
+      "concat(decision, ':', CAST(agr_name AS STRING), "
+      "CAST(agr_phone AS STRING), CAST(agr_segment AS STRING)) AS detail"],
+     "'fslink' AS tag, l_id AS doc_a, r_id AS doc_b, weight AS jaccard, "
+     "decision || ':' || CAST(agr_name AS VARCHAR) || "
+     "CAST(agr_phone AS VARCHAR) || CAST(agr_segment AS VARCHAR) AS detail"),
     # cross-document exact substring spans: jaccard carries span_len,
     # detail value-checks the positions as 'start_a:start_b:span_len'
     ("dedup_spans",
