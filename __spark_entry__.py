@@ -1749,6 +1749,72 @@ _register(
 )
 
 
+# -- distributed BPE merge learning (functions/bpe.py): tokenizer training
+#    on the word-frequency table; 6 rounds, each = freq-weighted pair count
+#    + deterministic argmax + marker-string replace.  The oracle unrolls
+#    all 6 rounds (pair counts via positional twin unnest, argmax via
+#    ORDER BY/LIMIT 1, apply via the same prefix-marker replace) and
+#    value-checks every learned merge AND the final symbol inventory.
+
+_BPE_ROUNDS = 6
+
+
+def _text_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_learn, bpe_vocab
+    merges, words = bpe_learn(load_table(spark, sf, "documents"),
+                              n_merges=_BPE_ROUNDS)
+    m_df = spark.createDataFrame(
+        merges, "round int, left string, right string, freq long").select(
+        "round", F.concat(F.col("left"), F.lit("+"), F.col("right"))
+        .alias("sym"), "freq")
+    v_df = bpe_vocab(words).select(
+        F.lit(99).alias("round"), F.col("symbol").alias("sym"), "freq")
+    return m_df.unionByName(v_df)
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    ctes = [f"""w0 AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq,
+             regexp_replace(word, '(.)', '_\\1', 'g') AS syms
+      FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word
+    )"""]
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(f"""pc{r} AS (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(arr[1:len(arr) - 1]) AS l,
+               unnest(arr[2:len(arr)]) AS r
+        FROM (SELECT freq, string_split(syms, '_')[2:] AS arr FROM {prev})
+      ) GROUP BY l, r
+    )""")
+        ctes.append(f"""m{r} AS MATERIALIZED (
+      SELECT l, r, cnt FROM pc{r} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    )""")
+        ctes.append(f"""w{r} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(syms, '_' || l || '_' || r, '_' || l || r) AS syms
+      FROM {prev} CROSS JOIN m{r}
+    )""")
+        merge_rows.append(
+            f"SELECT {r} AS round, l || '+' || r AS sym, cnt AS freq FROM m{r}")
+    merges_sql = "\nUNION ALL\n".join(merge_rows)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT * FROM ({merges_sql})
+    UNION ALL
+    SELECT 99 AS round, symbol AS sym, CAST(SUM(freq) AS BIGINT) AS freq
+    FROM (SELECT freq, unnest(string_split(syms, '_')[2:]) AS symbol
+          FROM w{rounds})
+    GROUP BY symbol
+    """
+
+
+_register("text_bpe_learn", _text_bpe_learn, _bpe_oracle())
+
+
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.packing import pack_sequences
 
@@ -6665,6 +6731,19 @@ _compose("text_quality_suite", [
       "CAST(NULL AS DOUBLE) AS stopword_ratio"],
      "'phrase' AS tag, doc_id, CAST(n_chars AS DOUBLE) AS n_tokens, "
      "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS DOUBLE) AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # BPE merge learning: the merge pair / vocab symbol rides the tag
+    # (pii/chunk pattern); doc_id carries the round (99 = final vocab)
+    ("text_bpe_learn",
+     ["concat('bpe_', CAST(round AS STRING), '_', sym) AS tag",
+      "CAST(round AS LONG) AS doc_id", "CAST(freq AS DOUBLE) AS n_tokens",
+      "CAST(NULL AS DOUBLE) AS mean_token_len",
+      "CAST(NULL AS DOUBLE) AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'bpe_' || CAST(round AS VARCHAR) || '_' || sym AS tag, "
+     "CAST(round AS BIGINT) AS doc_id, CAST(freq AS DOUBLE) AS n_tokens, "
+     "CAST(NULL AS DOUBLE) AS mean_token_len, "
+     "CAST(NULL AS DOUBLE) AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
     # OOV scoring: mean/punct/stopword carry n_oov / oov_rate / sum_vocab_cf
     ("text_oov",

@@ -1,0 +1,125 @@
+"""Distributed BPE merge learning (Sennrich et al. 2016) — tokenizer
+training as a Spark program.
+
+Reference parity: the reference engine has no tokenizer ops (north-star
+LLM-pipeline surface, next to text.bpe_token_estimate's fixed ESTIMATOR —
+this learns actual merges from the corpus).
+
+The classic trick makes this corpus-scale cheap: BPE statistics depend
+only on the WORD FREQUENCY table, not the corpus — one groupBy collapses
+terabytes of text into a vocab-sized (word, freq) table, and every merge
+round then runs on that small table:
+
+    round r:  pair counts  = explode adjacent symbol pairs × freq
+              best pair    = argmax (count DESC, left ASC, right ASC)
+              apply        = replace the pair everywhere it occurs
+
+Symbol sequences are MARKER-PREFIXED STRINGS, not arrays: the word "cat"
+is '_c_a_t', and applying merge (a, b) is replace(syms, '_a_b', '_ab').
+Because the marker prefixes each symbol (no shared separator between
+adjacent pair occurrences), non-overlapping left-to-right string
+replacement — the semantics of BOTH Spark's replace() and DuckDB's —
+implements exactly the greedy leftmost merge BPE specifies: '_a_a_a'
+→ '_aa_a', '_a_b_a_b' → '_ab_ab'.  That is what makes the whole
+train loop SQL-replayable (the driver oracle unrolls the rounds).
+
+Each round is one map-side-combinable aggregate over the vocab table
+plus a 1-row argmax collect (driver scalar probe, the pagerank/CC
+contract); the corpus itself is touched exactly once.  No word-boundary
+marker (</w>) is added — merges are token-internal; callers who need
+word-final symbols can append one to the tokens first.
+
+Tokens follow the engine-wide contract (text.tokens: lower → [a-z0-9]+),
+so the '_' marker can never collide with symbol text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hugegraph_on_tikv_spark.functions.text import tokens
+
+MARK = "_"
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text",
+               min_freq: int = 1) -> DataFrame:
+    """(word, freq, syms): the corpus' word-frequency table with initial
+    character-level symbol strings ('cat' → '_c_a_t')."""
+    w = (docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+         .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    if min_freq > 1:
+        w = w.filter(F.col("freq") >= min_freq)
+    return w.withColumn(
+        "syms", F.regexp_replace(F.col("word"), "(.)", MARK + "$1"))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(left, right, cnt): freq-weighted adjacent-pair counts over the
+    current symbol strings."""
+    arr = F.slice(F.split(F.col("syms"), MARK), 2, 2_000_000)  # drop lead ''
+    n = F.size(arr)
+    a = F.slice(arr, 1, F.greatest(n - 1, F.lit(0)))
+    b = F.slice(arr, 2, F.greatest(n - 1, F.lit(0)))
+    return (words.select("freq", F.explode(F.arrays_zip(a.alias("l"),
+                                                        b.alias("r")))
+                         .alias("p"))
+            .select(F.col("p.l").alias("left"), F.col("p.r").alias("right"),
+                    F.col("freq"))
+            .groupBy("left", "right")
+            .agg(F.sum("freq").cast("long").alias("cnt")))
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 8, min_word_freq: int = 1,
+              text_col: str = "text") -> tuple[list, DataFrame]:
+    """Learn `n_merges` merges from the corpus.  Returns
+    (merges, final_words): merges is a list of (round, left, right, cnt)
+    starting at round 1, in learned order — the tokenizer artifact;
+    final_words is the (word, freq, syms) table after all merges (feed to
+    bpe_vocab for the symbol inventory).  Stops early if no pair is left.
+
+    Determinism: the argmax tie-break is (count DESC, left ASC,
+    right ASC) — total, so learned merges are identical across runs,
+    partitionings, and engines."""
+    words = word_freqs(docs, text_col, min_word_freq).persist()
+    merges: list = []
+    try:
+        cur = words
+        for r in range(1, n_merges + 1):
+            top = (_pair_counts(cur)
+                   .orderBy(F.col("cnt").desc(), F.col("left").asc(),
+                            F.col("right").asc())
+                   .limit(1).collect())
+            if not top:
+                break
+            left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+            merges.append((r, left, right, int(cnt)))
+            cur = cur.withColumn(
+                "syms", F.replace(F.col("syms"),
+                                  F.lit(MARK + left + MARK + right),
+                                  F.lit(MARK + left + right)))
+            cur = cur.localCheckpoint(eager=True)
+        return merges, cur
+    finally:
+        words.unpersist()
+
+
+def bpe_apply(words: DataFrame, merges: list) -> DataFrame:
+    """Apply a learned merge list to a (.., syms) table — R chained
+    replaces, a pure column expression (codegen; the tokenizer's encode
+    step at corpus scale)."""
+    syms = F.col("syms")
+    for _, left, right, _ in merges:
+        syms = F.replace(syms, F.lit(MARK + left + MARK + right),
+                         F.lit(MARK + left + right))
+    return words.withColumn("syms", syms)
+
+
+def bpe_vocab(words: DataFrame) -> DataFrame:
+    """(symbol, freq): the corpus symbol inventory of a (word, freq, syms)
+    table — what the trained tokenizer's vocabulary looks like."""
+    arr = F.slice(F.split(F.col("syms"), MARK), 2, 2_000_000)
+    return (words.select("freq", F.explode(arr).alias("symbol"))
+            .groupBy("symbol")
+            .agg(F.sum("freq").cast("long").alias("freq")))

@@ -438,3 +438,50 @@ def test_oov_vocab_tiebreak_deterministic(spark):
     docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
     [r] = oov_stats(docs, vocab_size=1).collect()
     assert r["n_oov"] == 2 and r["sum_vocab_cf"] == 4
+
+
+def test_bpe_learn_hand_computed_merges(spark):
+    """Corpus 'aaab'x3 + 'aab'x2: round 1 merges (a,a) [count 8]; round 2
+    is a 3-3 tie between (aa,a) and (a,b) broken by left ASC -> (a,b);
+    round 3 merges (aa,ab) fusing 'aaab' into one symbol.  Final vocab:
+    aaab:3 (from 'aaab'), aa:2 + b:2 (from 'aab')."""
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_learn, bpe_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab aab aab")], "doc_id long, text string")
+    merges, words = bpe_learn(docs, n_merges=3)
+    assert merges == [(1, "a", "a", 8), (2, "a", "b", 3),
+                      (3, "aa", "ab", 3)]
+    vocab = {r["symbol"]: r["freq"] for r in bpe_vocab(words).collect()}
+    assert vocab == {"aaab": 3, "aa": 2, "b": 2}
+
+
+def test_bpe_greedy_leftmost_overlap(spark):
+    """'aaaa' under merge (a,a) becomes [aa, aa] — greedy leftmost pairs,
+    never three; learning stops early when no pairs remain."""
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_learn
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    merges, words = bpe_learn(docs, n_merges=10)
+    # merge 1: (a,a) count 6 (3 pairs/word x 2 words); then (aa,aa) x2
+    assert merges[0] == (1, "a", "a", 6)
+    assert merges[1] == (2, "aa", "aa", 2)
+    [r] = words.collect()
+    assert r["syms"] == "_aaaa"
+    assert len(merges) == 2          # nothing left to merge -> early stop
+
+
+def test_bpe_apply_matches_learn_trajectory(spark):
+    """bpe_apply on the initial table with the learned merges reproduces
+    the final symbol strings bpe_learn arrived at."""
+    from hugegraph_on_tikv_spark.functions.bpe import (
+        bpe_apply, bpe_learn, word_freqs)
+
+    docs = spark.createDataFrame(
+        [(1, "lower lower lowest newest newest widest")],
+        "doc_id long, text string")
+    merges, final_words = bpe_learn(docs, n_merges=5)
+    replayed = bpe_apply(word_freqs(docs), merges)
+    a = {r["word"]: r["syms"] for r in final_words.collect()}
+    b = {r["word"]: r["syms"] for r in replayed.collect()}
+    assert a == b and len(a) == 4
