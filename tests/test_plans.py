@@ -437,6 +437,16 @@ def test_whole_roster_lints_clean(spark):
         # a modulo the scan can't evaluate; harness row selection, not a
         # product read path
         "m_bulk_upsert": {"unfiltered-scan"},
+        # SemDeDup's nearest-centroid assignment is the SAME bounded
+        # corpus × broadcast(n_cells centroids) cross as assign_best_cell
+        # everywhere else — n_cells-bounded fan-out, never corpus²; the
+        # pair join itself is an equi-join on the cell key
+        "sim_semdedup_pairs": {"cartesian"},
+        "sim_semdedup_kept": {"cartesian"},
+        # temperature mixing must observe every domain's full count to set
+        # the caps — a whole-table aggregate by definition (and the cut
+        # itself is a WindowGroupLimit, not a scan predicate)
+        "sample_temp_mix": {"unfiltered-scan"},
     }
     unexpected = {}
     for name, fn in sorted(m.raw_queries().items()):
