@@ -2360,12 +2360,13 @@ def _contamination_sql() -> str:
 _register("contamination", _contamination, _contamination_sql())
 
 
-def _near_clusters_sql(rounds: int = 8) -> str:
+def _near_clusters_sql(rounds: int = 8,
+                       source_sql: str = "SELECT doc_id, text FROM documents") -> str:
     """Minhash pairs (nested WITH) → unrolled HashMin connected components:
     the oracle for near_duplicate_clusters.  Fixed round count; the Spark
     side may early-stop once converged, which by definition matches."""
     ctes = [
-        f"pairs AS MATERIALIZED (\n{_minhash_lsh_sql()}\n)",
+        f"pairs AS MATERIALIZED (\n{_minhash_lsh_sql(source_sql=source_sql)}\n)",
         "adjd AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs "
         "UNION SELECT doc_b, doc_a FROM pairs)",
         "c0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS component FROM adjd)",
@@ -6028,6 +6029,174 @@ def _pipe_curate_v3_sql() -> str:
 _register("pipe_curate_v3", _pipe_curate_v3, _pipe_curate_v3_sql())
 
 
+# -- pipe_curate_v4: v3 + the r7 stages — eval-set DECONTAMINATION after the
+#    quality filter and TEMPERATURE MIXING after the per-source cap.  The
+#    corpus excludes the benchmark docs (doc_id % 37 = 0) which form the
+#    eval set; every stage's drop count is value-checked (neardup/quality/
+#    cap ride the doubles, decontam/mix/splits/pii ride the tag string).
+
+_V4_MIX_TOTAL = 150
+
+
+def _pipe_curate_v4(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+
+    alldocs = load_table(spark, sf, "documents")
+    docs = alldocs.filter(F.col("doc_id") % 37 != 0)
+    evaldocs = alldocs.filter(F.col("doc_id") % 37 == 0)
+
+    clusters = dedup.near_duplicate_clusters(
+        docs, num_hashes=32, rows_per_band=4, k=3, threshold=0.3)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    qm = text.quality_metrics(survivors)
+    kept_ids = qm.filter(
+        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.30)
+        & (F.col("mean_token_len") >= 3.0)).select("doc_id")
+    kept = survivors.join(kept_ids, "doc_id")
+    clean = dedup.decontaminate(kept, evaldocs, n=8)
+    capped = sampling.cap_per_group(clean, "source", _CURATE_CAP)
+    # distinct salts per hash-driven stage: cap, mix and split all rank by
+    # the id hash, and with a shared salt each stage would keep exactly the
+    # previous stage's smallest-bucket prefix (e.g. every mixed doc lands
+    # in 'train').  Decorrelating the stages is the documented practice.
+    mixed = sampling.temperature_mix(capped, "source", total=_V4_MIX_TOTAL,
+                                     salt="mix")
+
+    injected = mixed.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")))
+    pii = text.pii_counts(injected)
+    redacted = injected.withColumn("text", text.redact_pii(F.col("text")))
+    split = sampling.cluster_safe_split(
+        mixed, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters,
+        salt="v4split")
+
+    stats = redacted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.bpe_token_estimate(F.col("text")).cast("long"))
+        .alias("total_bpe_tokens"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    surv_n = survivors.agg(F.count(F.lit(1)).alias("n_surv"))
+    kept_n = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    clean_n = clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    capped_n = capped.agg(F.count(F.lit(1)).alias("n_capped"))
+    pii_n = pii.agg(F.sum(F.col("n_email") + F.col("n_ssn")
+                          + F.col("n_phone")).alias("n_pii"))
+    split_n = split.agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"))
+    return (
+        stats.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(surv_n))
+        .crossJoin(F.broadcast(kept_n)).crossJoin(F.broadcast(clean_n))
+        .crossJoin(F.broadcast(capped_n)).crossJoin(F.broadcast(pii_n))
+        .crossJoin(F.broadcast(split_n))
+        .select(
+            "n_docs",
+            (F.col("n_total") - F.col("n_surv")).alias("n_dropped_neardup"),
+            (F.col("n_surv") - F.col("n_kept")).alias("n_dropped_quality"),
+            (F.col("n_kept") - F.col("n_clean")).alias("n_dropped_decontam"),
+            (F.col("n_clean") - F.col("n_capped")).alias("n_dropped_cap"),
+            (F.col("n_capped") - F.col("n_docs")).alias("n_dropped_mix"),
+            "total_bpe_tokens", "n_pii", "n_train", "n_val", "n_test",
+        )
+    )
+
+
+def _pipe_curate_v4_sql() -> str:
+    from hugegraph_on_tikv_spark.functions import sampling
+
+    pii_sels, pii_red = _pii_chain_sql("inj.text")
+    split_case = _split_sql_oracle(
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="COALESCE(cl.cluster_id, c.doc_id)", salt="v4split")
+    mix_sql = sampling.temperature_mix_sql(
+        "source", _V4_MIX_TOTAL, table="capped", salt="mix")
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT * FROM documents WHERE doc_id % 37 <> 0
+    ), clusters AS MATERIALIZED (
+      {_near_clusters_sql(source_sql="SELECT doc_id, text FROM corpus")}
+    ), survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.text, d.source FROM corpus d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / greatest(len(toks), 1), 4) AS mean_token_len,
+        round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+              * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+      FROM (SELECT doc_id, text, {toks} AS toks FROM survivors)
+    ), kept AS MATERIALIZED (
+      SELECT s.doc_id, s.text, s.source FROM survivors s JOIN m USING (doc_id)
+      WHERE n_tokens >= 20 AND stopword_ratio <= 0.30 AND mean_token_len >= 3.0
+    ), evg AS MATERIALIZED (
+      SELECT DISTINCT md5(unnest(gr)) AS fp
+      FROM (SELECT {word_shingles_sql(toks, 8)} AS gr
+            FROM documents WHERE doc_id % 37 = 0)
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, md5(unnest(gr)) AS fp
+        FROM (SELECT doc_id, {word_shingles_sql(toks, 8)} AS gr FROM kept)
+      ) g JOIN evg USING (fp)
+    ), clean AS MATERIALIZED (
+      SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), capped AS MATERIALIZED (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ''), 1, 12)) AS UBIGINT) AS BIGINT) % 10000,
+                          doc_id) AS rn
+        FROM clean) WHERE rn <= {_CURATE_CAP}
+    ), mixed AS MATERIALIZED (
+      SELECT doc_id, text FROM ({mix_sql}) q
+    ), inj AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || '{_PII_SUFFIX}'
+                          ELSE text END AS text
+      FROM mixed
+    ), pii AS MATERIALIZED (
+      SELECT doc_id, {', '.join(pii_sels)}, {pii_red} AS rtext FROM inj
+    ), sp AS MATERIALIZED (
+      SELECT c.doc_id, {split_case} AS split
+      FROM mixed c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM mixed) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM corpus) - (SELECT count(*) FROM survivors)
+                AS BIGINT) AS n_dropped_neardup,
+           CAST((SELECT count(*) FROM survivors) - (SELECT count(*) FROM kept)
+                AS BIGINT) AS n_dropped_quality,
+           CAST((SELECT count(*) FROM kept) - (SELECT count(*) FROM clean)
+                AS BIGINT) AS n_dropped_decontam,
+           CAST((SELECT count(*) FROM clean) - (SELECT count(*) FROM capped)
+                AS BIGINT) AS n_dropped_cap,
+           CAST((SELECT count(*) FROM capped) - (SELECT count(*) FROM mixed)
+                AS BIGINT) AS n_dropped_mix,
+           CAST((SELECT SUM(list_sum(list_transform(
+                    regexp_extract_all(lower(rtext), '[a-z]+|[0-9]+'),
+                    p -> CAST(ceil(length(p) / 4.0) AS INTEGER)))) FROM pii)
+                AS BIGINT) AS total_bpe_tokens,
+           CAST((SELECT SUM(n_email + n_ssn + n_phone) FROM pii) AS BIGINT)
+                AS n_pii,
+           CAST((SELECT count(*) FROM sp WHERE split = 'train') AS BIGINT)
+                AS n_train,
+           CAST((SELECT count(*) FROM sp WHERE split = 'val') AS BIGINT)
+                AS n_val,
+           CAST((SELECT count(*) FROM sp WHERE split = 'test') AS BIGINT)
+                AS n_test
+    """
+
+
+_register("pipe_curate_v4", _pipe_curate_v4, _pipe_curate_v4_sql())
+
+
 # -- equi-depth histogram + corpus top n-grams -----------------------------
 
 def _equidepth_sql(nbins: int = 8) -> str:
@@ -6708,6 +6877,25 @@ _compose("text_quality_suite", [
      "'curated_v3_' || CAST(n_train AS VARCHAR) || '_' || "
      "CAST(n_val AS VARCHAR) || '_' || CAST(n_test AS VARCHAR) || '_' || "
      "CAST(n_pii AS VARCHAR) AS tag, "
+     "n_docs AS doc_id, CAST(total_bpe_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
+     "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "
+     "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"),
+    # v4 = v3 + decontamination + temperature mixing; the two new stages'
+    # drop counts join the splits/PII counts inside the tag string
+    ("pipe_curate_v4",
+     ["concat('curated_v4_', CAST(n_train AS STRING), '_', "
+      "CAST(n_val AS STRING), '_', CAST(n_test AS STRING), '_', "
+      "CAST(n_pii AS STRING), '_', CAST(n_dropped_decontam AS STRING), '_', "
+      "CAST(n_dropped_mix AS STRING)) AS tag",
+      "n_docs AS doc_id", "CAST(total_bpe_tokens AS DOUBLE) AS n_tokens",
+      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len",
+      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio",
+      "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"],
+     "'curated_v4_' || CAST(n_train AS VARCHAR) || '_' || "
+     "CAST(n_val AS VARCHAR) || '_' || CAST(n_test AS VARCHAR) || '_' || "
+     "CAST(n_pii AS VARCHAR) || '_' || CAST(n_dropped_decontam AS VARCHAR) "
+     "|| '_' || CAST(n_dropped_mix AS VARCHAR) AS tag, "
      "n_docs AS doc_id, CAST(total_bpe_tokens AS DOUBLE) AS n_tokens, "
      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "

@@ -238,7 +238,16 @@ def temperature_mix(df: DataFrame, domain_col: str, total: int,
     libm pow() is engine-divergent, so other α values compute caps with
     Python floats driver-side (still reproducible run-to-run: the caps
     are literals in the plan) but carry no exactness guarantee for
-    cross-engine replay."""
+    cross-engine replay.
+
+    COMPOSITION WARNING: every hash-driven stage in this module
+    (cap_per_group, mix/temperature_mix, split_assign) ranks or buckets
+    by the SAME id hash.  Chaining two stages with the same salt makes
+    the second see exactly the first's smallest-bucket prefix — e.g. a
+    mix followed by a same-salt 80/10/10 split puts EVERY mixed doc in
+    'train' (the kept docs are precisely the ones whose bucket is below
+    every threshold).  Give each pipeline stage its own salt;
+    tests/test_sampling.py pins the failure mode."""
     import math
 
     if total < 1:

@@ -233,3 +233,26 @@ def test_temperature_mix_alpha_validation_and_stability(spark):
                 temperature_mix(df.repartition(7), "domain",
                                 total=10).collect())
     assert k1 == k2 and len(k1) > 0
+
+
+def test_hash_stage_salt_correlation_pitfall(spark):
+    """Chained hash-driven stages MUST use distinct salts: a mix followed
+    by a same-salt 80/10/10 split puts every kept doc in 'train' (the mix
+    keeps exactly the smallest-bucket prefix), while a distinct-salt
+    split is balanced.  Pins the composition warning in temperature_mix's
+    docstring (found live by the pipe_curate_v4 driver row)."""
+    from hugegraph_on_tikv_spark.functions.sampling import (
+        split_assign, temperature_mix)
+
+    rows = [(i, "d") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    mixed = temperature_mix(df, "domain", total=40)   # salt "" — 40 kept
+    same = split_assign(mixed, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in
+              same.groupBy("split").count().collect()}
+    assert counts == {"train": 40}                    # the pitfall, pinned
+    decor = split_assign(mixed, {"train": 0.8, "val": 0.1, "test": 0.1},
+                         salt="other")
+    counts2 = {r["split"]: r["count"] for r in
+               decor.groupBy("split").count().collect()}
+    assert len(counts2) >= 2 and counts2.get("train", 0) < 40
