@@ -795,7 +795,11 @@ def _pq_assign(slices: DataFrame, books: DataFrame, out_id: str) -> DataFrame:
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
     # 1-row metadata probe (bounded-collect contract)
-    return len(df.select(vec_col).head()[0])
+    row = df.select(vec_col).head()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dimension: no non-null {vec_col} row")
+    return len(row[0])
 
 
 def pq_train(corpus: DataFrame, m: int = 4, n_codes: int = 16,

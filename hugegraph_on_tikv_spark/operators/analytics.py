@@ -1650,9 +1650,12 @@ def hyperball(edges: DataFrame, max_rounds: int = 16, lg_k: int = 12,
         state = (verts.groupBy("id")
                  .agg(F.hll_sketch_agg("id", F.lit(lg_k)).alias("ball"))
                  .localCheckpoint(eager=True))
-        totals = [float(state.agg(
-            F.sum(F.hll_sketch_estimate("ball")).alias("t"))
-            .collect()[0]["t"])]
+        t0 = state.agg(F.sum(F.hll_sketch_estimate("ball")).alias("t")) \
+            .collect()[0]["t"]
+        if t0 is None:  # empty edge set: no vertices, no curve
+            return spark.createDataFrame(
+                [], "radius int, reachable_pairs double")
+        totals = [float(t0)]
         rounds = 0
         for _ in range(max_rounds):
             rounds += 1
@@ -1687,6 +1690,11 @@ def hyperball_summary(edges: DataFrame, max_rounds: int = 16,
     nf = sorted((r["radius"], r["reachable_pairs"])
                 for r in hyperball(edges, max_rounds, lg_k).collect())
     ns = [v for _, v in nf]
+    spark = edges.sparkSession
+    if not ns:  # empty graph
+        return spark.createDataFrame(
+            [(0.0, 0.0, 0.0)],
+            "n_vertices double, avg_distance double, effective_diameter double")
     n0, nmax = ns[0], ns[-1]
     gained = nmax - n0
     avg = (sum(r * (ns[r] - ns[r - 1]) for r in range(1, len(ns))) / gained

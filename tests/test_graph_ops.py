@@ -1093,3 +1093,14 @@ def test_pagerank_warm_start_handles_new_and_gone_vertices(spark):
     got = pagerank(edges, iterations=8, init_ranks=stale)
     ids = sorted(r["id"] for r in got.collect())
     assert ids == [1, 2, 3]          # 99 dropped, 3 initialized cold
+
+
+def test_hyperball_empty_graph(spark):
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        hyperball, hyperball_summary)
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hyperball(empty).count() == 0
+    [r] = hyperball_summary(empty).collect()
+    assert (r["n_vertices"], r["avg_distance"],
+            r["effective_diameter"]) == (0.0, 0.0, 0.0)

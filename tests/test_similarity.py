@@ -718,3 +718,13 @@ def test_semantic_dedup_pairs_cell_scoped(spark):
     rows2 = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>")
     assert semantic_dedup_pairs(df2, threshold=-1.0, n_cells=2).count() == 0
+
+
+def test_pq_empty_corpus_raises_cleanly(spark):
+    import pytest
+
+    from hugegraph_on_tikv_spark.functions.similarity import pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dimension"):
+        pq_train(empty)
