@@ -77,7 +77,11 @@ HEADLINERS = [
     "sim_cosine_topk_vectorized",
 ]
 
-EXTRAS = ["dedup_minhash_lsh", "sim_cosine_topk", "g_pagerank"]
+EXTRAS = ["dedup_minhash_lsh", "sim_cosine_topk", "g_pagerank",
+          # r7 additions: PQ/ADC search, probabilistic linkage, BPE merge
+          # learning, eval-set decontamination
+          "sim_pq_topk", "dedup_fs_linkage", "text_bpe_learn",
+          "dedup_decontam"]
 
 
 # ---------------------------------------------------------------------------
