@@ -76,6 +76,10 @@ def fs_score_pairs(pairs: DataFrame, fields: list[str],
     part of the determinism contract."""
     mm = {f: (m if isinstance(m, (int, float)) else m.get(f, DEFAULT_M))
           for f in fields}
+    for f, v in mm.items():
+        if not 0.0 < v < 1.0:
+            raise ValueError(
+                f"m probability for field {f} must be in (0, 1), got {v}")
     weight = F.lit(1.0)
     cols = []
     for f in fields:

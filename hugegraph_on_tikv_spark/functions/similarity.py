@@ -875,6 +875,8 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, m: int = 4,
     final rank window mirrors cosine_topk's exact form (the contract
     oracle); the production cut is a per-partition top-k as in
     cosine_topk_vectorized."""
+    if shortlist is not None and shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
     books = pq_train(corpus, m, n_codes, refine_iters, id_col, vec_col)
     codes = pq_encode(corpus, books, m, id_col, vec_col) \
         .withColumnRenamed(id_col, "neighbor_id")

@@ -80,3 +80,14 @@ def test_fs_degenerate_u_raises(spark):
     with pytest.raises(ValueError, match="degenerate"):
         linkage.fs_link(left, right, block_on=["blk"],
                         fields=["name", "city"])
+
+
+def test_fs_m_probability_validation(spark):
+    import pytest
+
+    left = _mk(spark, [(1, 0, "x", "a")])
+    right = _mk(spark, [(10, 0, "x", "b"), (11, 0, "y", "a")])
+    for bad in (0.0, 1.0, 1.5, -0.2):
+        with pytest.raises(ValueError, match="probability"):
+            linkage.fs_link(left, right, block_on=["blk"],
+                            fields=["name", "city"], m=bad)

@@ -728,3 +728,14 @@ def test_pq_empty_corpus_raises_cleanly(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="dimension"):
         pq_train(empty)
+
+
+def test_pq_shortlist_must_cover_k(spark):
+    import pytest
+
+    from hugegraph_on_tikv_spark.functions.similarity import pq_topk
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="shortlist"):
+        pq_topk(df, df, k=5, shortlist=3)
