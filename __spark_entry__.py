@@ -2274,6 +2274,62 @@ _register(
 )
 
 
+# -- duplicated-span REMOVAL (dedup.remove_duplicated_spans): the Lee-et-al
+#    excise step.  The oracle embeds the dedup_spans oracle verbatim as its
+#    span source (one definition, both rows move together), unions removal
+#    intervals with the same running-max-end islands pass, and rebuilds the
+#    surviving token stream.  Only MODIFIED docs are driver-checked (the
+#    rebuilt text rides the tag as md5).
+
+_register(
+    "dedup_despan",
+    lambda spark, sf: dedup.remove_duplicated_spans(
+        load_table(spark, sf, "documents"), n=8, max_docs_per_gram=20)
+    .filter(F.col("n_removed_tokens") > 0),
+    f"""
+    WITH spans AS MATERIALIZED (
+      {_ORACLES["dedup_spans"]}
+    ), iv AS (
+      SELECT doc_b AS doc_id, start_b AS s, start_b + span_len AS e
+      FROM spans
+    ), l AS (
+      SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pme
+      FROM iv
+    ), mrg AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+      FROM l
+    ), mi AS MATERIALIZED (
+      SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+      FROM mrg GROUP BY doc_id, isl
+    ), toks AS MATERIALIZED (
+      SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+      FROM (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t
+            FROM documents)
+    ), removed AS MATERIALIZED (
+      SELECT DISTINCT toks.doc_id, pos
+      FROM toks JOIN mi ON toks.doc_id = mi.doc_id
+                       AND pos >= mi.s AND pos < mi.e
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok FROM toks t
+      WHERE NOT EXISTS (SELECT 1 FROM removed r
+                        WHERE r.doc_id = t.doc_id AND r.pos = t.pos)
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS newtext
+      FROM kept GROUP BY doc_id
+    ), cnt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_tokens
+      FROM removed GROUP BY doc_id
+    )
+    SELECT c.doc_id, COALESCE(r.newtext, '') AS text, c.n_removed_tokens
+    FROM cnt c LEFT JOIN reb r USING (doc_id)
+    """,
+)
+
+
 def _minhash_lsh_sql(num_hashes: int = 32, r: int = 4, k: int = 3, thr: float = 0.3,
                      max_bucket: int = 1000,
                      source_sql: str = "SELECT doc_id, text FROM documents") -> str:
@@ -7050,6 +7106,15 @@ _compose("dedup_pairs", [
      "'fslink' AS tag, l_id AS doc_a, r_id AS doc_b, weight AS jaccard, "
      "decision || ':' || CAST(agr_name AS VARCHAR) || "
      "CAST(agr_phone AS VARCHAR) || CAST(agr_segment AS VARCHAR) AS detail"),
+    # span REMOVAL: the rebuilt text's md5 rides the tag, removed-token
+    # count rides jaccard; doc_b slot carries the doc id again (type rule)
+    ("dedup_despan",
+     ["concat('despanned_', md5(text)) AS tag", "doc_id AS doc_a",
+      "doc_id AS doc_b", "CAST(n_removed_tokens AS DOUBLE) AS jaccard",
+      "CAST(NULL AS STRING) AS detail"],
+     "'despanned_' || md5(text) AS tag, doc_id AS doc_a, doc_id AS doc_b, "
+     "CAST(n_removed_tokens AS DOUBLE) AS jaccard, "
+     "CAST(NULL AS VARCHAR) AS detail"),
     # cross-document exact substring spans: jaccard carries span_len,
     # detail value-checks the positions as 'start_a:start_b:span_len'
     ("dedup_spans",

@@ -906,3 +906,69 @@ def decontaminate(corpus: DataFrame, eval_docs: DataFrame, n: int = 8,
                        > F.col("total_tokens") * F.lit(max_contaminated_fraction))
                .select(F.col("doc_id").alias(id_col)))
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def remove_duplicated_spans(docs: DataFrame, n: int = 8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            max_docs_per_gram: int = 20) -> DataFrame:
+    """The REMOVE half of Lee-et-al substring dedup: excise every shared
+    ≥n-token span from all but its lowest-id occurrence.  duplicated_spans
+    finds the (doc_a < doc_b) maximal shared spans; each pair keeps
+    doc_a's copy and marks [start_b, start_b+span_len) for removal in
+    doc_b — chains resolve naturally (in a 1-2-3 chain, pair (1,2) clears
+    doc 2 and pairs (1,3)/(2,3) clear doc 3).
+
+    Overlapping removal intervals within a doc are unioned with a
+    running-max-end gaps-and-islands pass (variable-length intervals —
+    an island breaks where start > max prior end), then surviving token
+    positions are re-assembled in order.  All windows are per-document.
+
+    Returns every input doc as (doc_id, text, n_removed_tokens):
+    untouched docs pass through with their ORIGINAL text; modified docs
+    get their surviving tokens rejoined with single spaces — token-level
+    surgery is inherently on the normalized stream (case/punctuation
+    inside a removed span are gone with it), the standard behavior of
+    token-level dedup pipelines."""
+    from pyspark.sql.window import Window
+
+    spans = duplicated_spans(docs, n=n, text_col=text_col, id_col=id_col,
+                             max_docs_per_gram=max_docs_per_gram)
+    iv = spans.select(F.col("doc_b").alias("doc_id"),
+                      F.col("start_b").alias("s"),
+                      (F.col("start_b") + F.col("span_len")).alias("e"))
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (iv.withColumn("_new", F.when(
+        prior_max_e.isNull() | (F.col("s") > prior_max_e), 1).otherwise(0))
+        .withColumn("_isl", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(tokens(F.col(text_col)))
+                       .alias("pos", "tok"))
+    removed = (toks.join(merged, (toks.doc_id == merged.doc_id)
+                         & (F.col("pos") >= F.col("s"))
+                         & (F.col("pos") < F.col("e")))
+               .select(toks.doc_id.alias("doc_id"), "pos").distinct())
+    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(" ", F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                   lambda st: st["tok"])).alias("_newtext"),
+                    F.count(F.lit(1)).alias("_nkept")))
+    counts = (removed.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long")
+                   .alias("n_removed_tokens")))
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("_orig"))
+            .join(counts, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("n_removed_tokens").isNotNull(),
+                           F.coalesce(F.col("_newtext"), F.lit("")))
+                    .otherwise(F.col("_orig")).alias("text"),
+                    F.coalesce(F.col("n_removed_tokens"), F.lit(0))
+                    .cast("long").alias("n_removed_tokens")))

@@ -485,3 +485,46 @@ def test_bpe_apply_matches_learn_trajectory(spark):
     a = {r["word"]: r["syms"] for r in final_words.collect()}
     b = {r["word"]: r["syms"] for r in replayed.collect()}
     assert a == b and len(a) == 4
+
+
+def test_remove_duplicated_spans_semantics(spark):
+    """Lowest-id occurrence survives; later docs lose the span; untouched
+    docs keep their ORIGINAL (un-normalized) text; a doc that IS the span
+    empties out."""
+    from hugegraph_on_tikv_spark.functions.dedup import remove_duplicated_spans
+
+    span = " ".join(f"s{i}" for i in range(10))
+    filler_a = " ".join(f"a{i}" for i in range(12))
+    filler_b = " ".join(f"b{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, f"{filler_a} {span}"),
+         (2, f"{span} {filler_b}"),      # copy of the span at the front
+         (3, span),                      # the span and nothing else
+         (4, "Totally unrelated, PUNCTUATED text!")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed_tokens"])
+           for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert got[1] == (f"{filler_a} {span}", 0)     # lowest id untouched
+    assert got[2] == (filler_b, 10)                # span excised, rest kept
+    assert got[3] == ("", 10)                      # emptied out
+    assert got[4] == ("Totally unrelated, PUNCTUATED text!", 0)
+
+
+def test_remove_duplicated_spans_overlap_union(spark):
+    """Two overlapping removal intervals in one doc union (no double
+    counting): doc 30 shares [0,10) with doc 10 and [5,15) with doc 20 →
+    15 tokens removed, not 20."""
+    from hugegraph_on_tikv_spark.functions.dedup import remove_duplicated_spans
+
+    t = [f"t{i}" for i in range(15)]
+    pad1 = " ".join(f"p{i}" for i in range(9))
+    pad2 = " ".join(f"q{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [(10, " ".join(t[0:10]) + " " + pad1),
+         (20, pad2 + " " + " ".join(t[5:15])),
+         (30, " ".join(t))],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["n_removed_tokens"]
+           for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert got[30] == 15
+    assert got[10] == 0                           # lowest id in its pair
