@@ -4061,6 +4061,26 @@ _register(
     _PQ_TOPK_SQL,
 )
 
+# Johnson-Lindenstrauss sign random projection (similarity.random_projection):
+# the deterministic ±1 matrix is generated driver-side (hashlib md5) and
+# embedded as literals in BOTH the Spark plan and the SQL oracle, so the
+# projected coordinates are bit-identical folds.  Checked exploded per
+# coordinate (8000 values at 500 vectors × 16 dims).
+
+_register(
+    "sim_random_projection",
+    lambda spark, sf: similarity.random_projection(
+        load_table(spark, sf, "embeddings"), out_dim=16)
+    .select("vec_id", F.posexplode("proj").alias("dim", "value")),
+    f"""
+    SELECT vec_id, generate_subscripts(p, 1) - 1 AS dim, unnest(p) AS value
+    FROM (SELECT vec_id,
+                 {{proj}} AS p
+          FROM embeddings)
+    """.format(proj=similarity.projection_sql(
+        64, 16, "CAST(embedding AS DOUBLE[])")),
+)
+
 # SemDeDup (similarity.semantic_dedup_pairs / semantic_dedup): k-means-cell-
 # scoped semantic near-dup pairs and the diversity-keeping survivor set
 # (drop x iff a same-cell neighbor above threshold is FARTHER from the
@@ -7147,6 +7167,12 @@ _compose("sim_ann_neardup", [
       "qcos_sim AS cos_sim", "CAST(rank AS DOUBLE) AS rank"],
      "'q_topk' AS tag, query_id AS a, neighbor_id AS b, qcos_sim AS cos_sim, "
      "CAST(rank AS DOUBLE) AS rank"),
+    # JL projection coordinates: b = dim index, cos_sim = coordinate
+    ("sim_random_projection",
+     ["'rp' AS tag", "vec_id AS a", "CAST(dim AS DOUBLE) AS b",
+      "value AS cos_sim", "CAST(NULL AS DOUBLE) AS rank"],
+     "'rp' AS tag, vec_id AS a, CAST(dim AS DOUBLE) AS b, value AS cos_sim, "
+     "CAST(NULL AS DOUBLE) AS rank"),
     # SemDeDup: cell rides the rank slot; kept rows carry centroid_sim
     ("sim_semdedup_pairs",
      ["'semdd_pair' AS tag", "id_a AS a", "id_b AS b", "cos_sim",

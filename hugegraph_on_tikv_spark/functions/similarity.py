@@ -993,3 +993,64 @@ def semantic_dedup(corpus: DataFrame, threshold: float = 0.4,
                .distinct())
     return (scored.join(dropped, "id", "left_anti")
             .select("id", "cell", "centroid_sim"))
+
+
+# -- Johnson-Lindenstrauss sign random projection ---------------------------
+
+def projection_signs(in_dim: int, out_dim: int, salt: str = "rp") -> list:
+    """The deterministic ±1 projection matrix, row-major by output dim:
+    sign(j, i) = +1 iff the first hex nibble of md5('{salt}:{j}:{i}') is
+    < 8.  Generated driver-side with hashlib and embedded as PLAN
+    LITERALS (and verbatim in the SQL oracle) — neither engine computes a
+    hash per element, and both see the identical matrix."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{salt}:{j}:{i}".encode())
+                        .hexdigest()[0], 16) < 8 else -1.0
+             for i in range(in_dim)]
+            for j in range(out_dim)]
+
+
+def random_projection(df: DataFrame, out_dim: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      salt: str = "rp",
+                      round_dp: int | None = 6) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003): y_j = (Σ_i x_i·s_ji) / √out_dim.  Pairwise
+    distances/dots are preserved within ~1/√out_dim relative error —
+    the standard preprocessing that makes downstream LSH / PQ / brute
+    cosine cheaper by in_dim/out_dim in both I/O and math.
+
+    Everything is a pure column expression over plan-literal sign rows
+    (no shuffle, no UDF, codegen end to end) and each output coordinate
+    is ONE sequential fold — bit-identical across engines, so projected
+    vectors are oracle-checkable (round_dp rounds each coordinate for
+    the driver hash; None keeps raw doubles).
+
+    Returns (id_col, proj array<double>)."""
+    dim = _vec_dim(df, vec_col)
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    signs = projection_signs(dim, out_dim, salt)
+    inv = 1.0 / (out_dim ** 0.5)
+    v = _as_double(F.col(vec_col))
+    coords = []
+    for j in range(out_dim):
+        row = F.array(*[F.lit(s) for s in signs[j]])
+        y = dot(v, row) * F.lit(inv)
+        coords.append(F.round(y, round_dp) if round_dp is not None else y)
+    return df.select(F.col(id_col), F.array(*coords).alias("proj"))
+
+
+def projection_sql(in_dim: int, out_dim: int, vec_expr: str,
+                   salt: str = "rp", round_dp: int | None = 6) -> str:
+    """DuckDB twin of random_projection's proj column: the same literal
+    sign rows, list_dot_product folds, √out_dim scale and rounding."""
+    signs = projection_signs(in_dim, out_dim, salt)
+    inv = 1.0 / (out_dim ** 0.5)
+    items = []
+    for j in range(out_dim):
+        row = "[" + ", ".join(str(s) for s in signs[j]) + "]"
+        y = f"(list_dot_product({vec_expr}, {row}) * {inv!r})"
+        items.append(f"round({y}, {round_dp})" if round_dp is not None else y)
+    return "[" + ", ".join(items) + "]"

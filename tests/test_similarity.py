@@ -739,3 +739,54 @@ def test_pq_shortlist_must_cover_k(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="shortlist"):
         pq_topk(df, df, k=5, shortlist=3)
+
+
+def test_random_projection_preserves_similarity_structure(spark):
+    """JL guarantee, operationally: per-pair cosine error after 64→32
+    projection stays in the ~1/√out_dim band ON AVERAGE, and every
+    strongly-similar (planted near-dup) pair stays clearly positive.
+    (Top-k ORDER on random vectors does not survive — all cosines sit in
+    a ±0.12 band narrower than the distortion; that is expected JL
+    behavior, not a defect — so the assertions target the error band.)"""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.similarity import (
+        cosine, cosine_topk, random_projection)
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    proj = random_projection(emb, out_dim=32).withColumnRenamed(
+        "proj", "embedding")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    top = cosine_topk(q, emb, k=5).select("query_id", "neighbor_id",
+                                          "cos_sim")
+    pn = proj.selectExpr("vec_id as neighbor_id", "embedding as pv")
+    pq = proj.selectExpr("vec_id as query_id", "embedding as qv")
+    rows = (top.join(pn, "neighbor_id").join(pq, "query_id")
+            .select("cos_sim",
+                    F.round(cosine(F.col("qv"), F.col("pv")), 6)
+                    .alias("pcos")).collect())
+    errs = [abs(r["cos_sim"] - r["pcos"]) for r in rows]
+    assert statistics.mean(errs) <= 0.2, statistics.mean(errs)
+    strong = [r for r in rows if r["cos_sim"] >= 0.35]
+    assert strong and all(r["pcos"] > 0.0 for r in strong)
+
+
+def test_random_projection_deterministic_and_salted(spark):
+    from hugegraph_on_tikv_spark.functions.similarity import random_projection
+
+    import random
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["proj"] for r in
+         random_projection(df, out_dim=4).collect()}
+    b = {r["vec_id"]: r["proj"] for r in
+         random_projection(df.repartition(3), out_dim=4).collect()}
+    assert a == b                                  # partitioning-invariant
+    c = {r["vec_id"]: r["proj"] for r in
+         random_projection(df, out_dim=4, salt="other").collect()}
+    assert c != a                                  # salt changes the matrix
