@@ -119,3 +119,55 @@ def stream_enrich(stream_df: DataFrame, dim_df: DataFrame,
                          "(the static side cannot drive outer rows)")
     d = F.broadcast(dim_df) if broadcast_dim else dim_df
     return stream_df.join(d, on, how)
+
+
+def eval_fingerprints(eval_docs: DataFrame, n: int = 8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """The distinct eval-set n-gram fingerprint table (fp) — the static
+    side stream_decontaminate broadcasts.  Materialize it once (it's tiny
+    next to any corpus) and reuse across micro-batches."""
+    from hugegraph_on_tikv_spark.functions.dedup import word_shingles
+
+    return (eval_docs.select(
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n)))
+        .alias("gram"))
+        .select(F.md5(F.col("gram")).alias("fp"))
+        .distinct())
+
+
+def stream_decontaminate(spark, docs_dir: str, eval_fps: DataFrame,
+                         checkpoint_dir: str, sink, schema: str,
+                         n: int = 8, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Streaming face of dedup.decontaminate (strict policy): drop any
+    streamed document sharing at least one verbatim n-gram with the eval
+    set.  Decontamination is PER-DOCUMENT — no cross-batch state exists by
+    problem structure — so the streaming form is a foreachBatch pipeline
+    (the stream_upsert pattern): each micro-batch explodes its docs'
+    grams, semi-joins the broadcast fingerprint table to find contaminated
+    ids, anti-joins them away, and hands the survivors to `sink(batch_df,
+    batch_id)`.  The eval side is a static DataFrame re-planned per batch,
+    so a refreshed eval table is picked up without restarting the query.
+    A per-batch aggregation-free plan also means this composes with any
+    downstream stateful stage.
+
+    Batch equivalence: running the same per-batch body over the whole
+    corpus at once IS dedup.decontaminate's strict mode (equality-tested).
+    """
+    from hugegraph_on_tikv_spark.functions.dedup import word_shingles
+
+    def _clean(batch_df: DataFrame, batch_id: int) -> None:
+        grams = (batch_df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), n)))
+            .alias("gram"))
+            .select(id_col, F.md5(F.col("gram")).alias("fp")))
+        bad = grams.join(F.broadcast(eval_fps), "fp")             .select(id_col).distinct()
+        sink(batch_df.join(bad, id_col, "left_anti"), batch_id)
+
+    return (spark.readStream.schema(schema).parquet(docs_dir)
+            .writeStream.foreachBatch(_clean)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

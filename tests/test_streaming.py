@@ -1036,3 +1036,38 @@ def test_stream_stream_full_outer_attribution_join(spark, tmp_path):
     # both NULL classes present: clicks without views AND views without clicks
     assert any(t[1] is None for t in real)
     assert any(t[0] is None for t in real)
+
+
+def test_stream_decontaminate_equals_batch(spark, tmp_path):
+    """The streaming decontamination (foreachBatch, two micro-batch files)
+    keeps exactly the docs dedup.decontaminate keeps in strict mode, and
+    the union across batches equals the one-shot batch result."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.dedup import decontaminate
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from hugegraph_on_tikv_spark.streaming.ingest import (
+        eval_fingerprints, stream_decontaminate)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    evald = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    d = str(tmp_path / "stream")
+    corpus.filter("doc_id % 2 = 0").write.parquet(d)
+    corpus.filter("doc_id % 2 = 1").write.mode("append").parquet(d)
+
+    fps = eval_fingerprints(evald, n=8).localCheckpoint(eager=True)
+    got: list = []
+
+    def sink(batch_df, batch_id):
+        got.extend((r["doc_id"]) for r in batch_df.select("doc_id").collect())
+
+    q = stream_decontaminate(spark, d, fps, str(tmp_path / "ckpt"), sink,
+                             schema="doc_id long, text string", n=8)
+    q.awaitTermination(180)
+
+    want = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, evald, n=8).collect())
+    assert sorted(got) == want
+    assert len(want) < corpus.count()      # something was actually dropped
