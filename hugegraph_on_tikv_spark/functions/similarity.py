@@ -1054,3 +1054,93 @@ def projection_sql(in_dim: int, out_dim: int, vec_expr: str,
         y = f"(list_dot_product({vec_expr}, {row}) * {inv!r})"
         items.append(f"round({y}, {round_dp})" if round_dp is not None else y)
     return "[" + ", ".join(items) + "]"
+
+
+def pq_write_index(corpus: DataFrame, path: str, m: int = 4,
+                   n_codes: int = 16, refine_iters: int = 1,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> None:
+    """Persist a PQ index: codebooks plus the corpus with a WIDE
+    `pq_codes` array<int> column (sub-order) NEXT TO the float column.
+    Parquet is columnar, so the ADC scan reads only the m-int codes
+    (64-dim float32 = 256 B → m=4 ints ≈ 16 B on disk, and the
+    conceptual 100 TB layout stores them as m bytes) while the float
+    column stays available for the exact rerank — the same
+    codes-beside-floats design as the IVF-SQ8 index.  Deterministic
+    training makes an index search reproduce inline pq_topk exactly."""
+    books = pq_train(corpus, m, n_codes, refine_iters, id_col, vec_col)
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    books = corpus.sparkSession.read.parquet(f"{path}/books")
+    codes = pq_encode(corpus, books, m, id_col, vec_col)
+    wide = (codes.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"]).alias("pq_codes")))
+    (corpus.select(id_col, vec_col).join(wide, id_col)
+     .write.mode("overwrite").parquet(f"{path}/corpus"))
+    _merge_index_meta(path, {"pq_m": m, "pq_n_codes": n_codes})
+
+
+def pq_search_index(spark, path: str, queries: DataFrame, k: int = 5,
+                    shortlist: int | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Search a persisted PQ index: the ADC pass scans ONLY the pq_codes
+    column (the float column never leaves disk — plan-pinned like the
+    IVF-SQ8 codes-only scan); shortlist=K adds the exact-cosine rerank
+    reading floats for K candidate rows per query.  Identical output to
+    inline pq_topk with the same parameters (training is deterministic;
+    equality-tested)."""
+    from pyspark.sql.window import Window
+
+    if shortlist is not None and shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    import json as _json
+    import os as _os
+
+    meta = {}
+    meta_path = f"{path}/index_meta.json"
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    m = int(meta.get("pq_m", 4))
+    books = spark.read.parquet(f"{path}/books")
+    dim = _vec_dim(queries, vec_col)
+    qslices = _pq_slices(queries, m, dim, id_col, vec_col, "query_id")
+    lut = (qslices.join(F.broadcast(books), "sub")
+           .select("query_id", "sub", "code",
+                   F.round(dot(F.col("v"), F.col("c_vec")) * 1000000)
+                   .cast("long").alias("qdot")))
+    cnorms = books.select(
+        "sub", "code",
+        F.round(dot(F.col("c_vec"), F.col("c_vec")) * 1000000)
+        .cast("long").alias("cn2"))
+    codes = (spark.read.parquet(f"{path}/corpus")
+             .select(F.col(id_col).alias("neighbor_id"),
+                     F.posexplode("pq_codes").alias("sub", "code")))
+    scored = (codes.join(F.broadcast(lut), ["sub", "code"])
+              .join(F.broadcast(cnorms), ["sub", "code"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(((F.sum("qdot").cast("double") / F.lit(1000000.0))
+                    / F.sqrt(F.sum("cn2").cast("double") / F.lit(1000000.0)))
+                   .alias("adc_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if shortlist is None:
+        return ranked.filter(F.col("rank") <= k)
+    cand = ranked.filter(F.col("rank") <= shortlist) \
+        .select("query_id", "neighbor_id")
+    floats = spark.read.parquet(f"{path}/corpus").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+    rer = (cand.join(floats, "neighbor_id").join(F.broadcast(qv), "query_id")
+           .select("query_id", "neighbor_id",
+                   F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+                   .alias("cos_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k))

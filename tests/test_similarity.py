@@ -790,3 +790,47 @@ def test_random_projection_deterministic_and_salted(spark):
     c = {r["vec_id"]: r["proj"] for r in
          random_projection(df, out_dim=4, salt="other").collect()}
     assert c != a                                  # salt changes the matrix
+
+
+def test_pq_index_matches_inline_and_scans_codes_only(spark, tmp_path):
+    """The persisted PQ index reproduces inline pq_topk exactly (both
+    modes), and the ADC scan's ReadSchema carries pq_codes but NOT the
+    float embedding column — the codes-only I/O contract."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.similarity import (
+        pq_search_index, pq_topk, pq_write_index)
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "pq")
+    pq_write_index(emb, path, m=4, n_codes=16)
+
+    got = pq_search_index(spark, path, q, k=5)
+    want = pq_topk(q, emb, k=5, m=4, n_codes=16)
+    gr = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                 round(r["adc_score"], 9)) for r in got.collect())
+    wr = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                 round(r["adc_score"], 9)) for r in want.collect())
+    assert gr == wr and len(gr) > 0
+
+    got2 = pq_search_index(spark, path, q, k=5, shortlist=50)
+    want2 = pq_topk(q, emb, k=5, m=4, n_codes=16, shortlist=50)
+    g2 = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                for r in got2.collect())
+    w2 = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+                for r in want2.collect())
+    assert g2 == w2
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pq_search_index(spark, path, q, k=5).explain(True)
+    plan = buf.getvalue()
+    import re
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    code_scans = [sc for sc in schemas if "pq_codes" in sc]
+    assert code_scans and all("embedding" not in sc for sc in code_scans)
