@@ -1144,3 +1144,117 @@ def pq_search_index(spark, path: str, queries: DataFrame, k: int = 5,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (rer.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k))
+
+
+def ivfpq_write_index(corpus: DataFrame, path: str, n_cells: int = 16,
+                      m: int = 4, n_codes: int = 16,
+                      refine_iters: int = 1, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> None:
+    """IVF-PQ index: the corpus hive-partitioned BY CELL (ivf_write_index's
+    directory pruning) with the wide PQ code column beside the floats
+    (pq_write_index's column pruning).  A probe then reads
+    n_probe/n_cells of the data AND only m ints of each row — the two
+    prunings multiply, which is the FAISS IVFPQ layout.  Codebooks are
+    GLOBAL (trained on the whole corpus), not per-cell residual books:
+    residual encoding buys precision at the cost of a cell-dependent
+    decode, and the exact float rerank already recovers precision here —
+    the trade is documented, not hidden."""
+    cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = corpus.sparkSession.read.parquet(f"{path}/centroids")
+    books = pq_train(corpus, m, n_codes, refine_iters, id_col, vec_col)
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    books = corpus.sparkSession.read.parquet(f"{path}/books")
+    assigned = assign_best_cell(corpus.select(id_col, vec_col), cents,
+                                id_col, vec_col)
+    codes = pq_encode(corpus, books, m, id_col, vec_col)
+    wide = (codes.groupBy(id_col)
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"]).alias("pq_codes")))
+    (assigned.join(wide, id_col)
+     .select(id_col, vec_col, "pq_codes", "cell")
+     .repartition("cell").write.mode("overwrite")
+     .partitionBy("cell").parquet(f"{path}/corpus"))
+    _merge_index_meta(path, {"pq_m": m, "pq_n_codes": n_codes,
+                             "n_cells": n_cells})
+
+
+def ivfpq_search_index(spark, path: str, queries: DataFrame, k: int = 5,
+                       n_probe: int = 4, shortlist: int | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Search an IVF-PQ index: assign each query to its n_probe nearest
+    cells (broadcast centroids), push the probed cell set into the scan
+    as a partition filter, ADC-rank the probed rows reading ONLY the
+    pq_codes column, and optionally exact-rerank the top `shortlist` by
+    float cosine.  With n_probe = n_cells the candidate set is the whole
+    corpus and the result equals pq_search_index exactly (equality-
+    tested)."""
+    from pyspark.sql.window import Window
+
+    if shortlist is not None and shortlist < k:
+        raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/books")
+    meta_path = f"{path}/index_meta.json"
+    import json as _json
+    import os as _os
+    meta = {}
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    m = int(meta.get("pq_m", 4))
+
+    qa = queries.select(id_col, vec_col).crossJoin(F.broadcast(cents)) \
+        .select(id_col, vec_col, "cell",
+                cosine(F.col(vec_col), F.col("c_vec")).alias("cs"))
+    wq = Window.partitionBy(id_col).orderBy(F.col("cs").desc(),
+                                            F.col("cell").asc())
+    q_cells = (qa.withColumn("r", F.row_number().over(wq))
+               .filter(F.col("r") <= n_probe)
+               .select(F.col(id_col).alias("query_id"), "cell"))
+    probe_cells = [r["cell"] for r in
+                   q_cells.select("cell").distinct().collect()]
+
+    dim = _vec_dim(queries, vec_col)
+    qslices = _pq_slices(queries, m, dim, id_col, vec_col, "query_id")
+    lut = (qslices.join(F.broadcast(books), "sub")
+           .select("query_id", "sub", "code",
+                   F.round(dot(F.col("v"), F.col("c_vec")) * 1000000)
+                   .cast("long").alias("qdot")))
+    cnorms = books.select(
+        "sub", "code",
+        F.round(dot(F.col("c_vec"), F.col("c_vec")) * 1000000)
+        .cast("long").alias("cn2"))
+    raw = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("cell").isin(probe_cells))
+    codes = (raw.select(F.col(id_col).alias("neighbor_id"), "cell",
+                        F.posexplode("pq_codes").alias("sub", "code")))
+    scored = (codes.join(F.broadcast(q_cells), "cell")
+              .join(F.broadcast(lut), ["query_id", "sub", "code"])
+              .join(F.broadcast(cnorms), ["sub", "code"])
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(((F.sum("qdot").cast("double") / F.lit(1000000.0))
+                    / F.sqrt(F.sum("cn2").cast("double") / F.lit(1000000.0)))
+                   .alias("adc_score")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc())
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if shortlist is None:
+        return ranked.filter(F.col("rank") <= k)
+    cand = ranked.filter(F.col("rank") <= shortlist) \
+        .select("query_id", "neighbor_id")
+    floats = spark.read.parquet(f"{path}/corpus").select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("q_vec"))
+    rer = (cand.join(floats, "neighbor_id").join(F.broadcast(qv), "query_id")
+           .select("query_id", "neighbor_id",
+                   F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+                   .alias("cos_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (rer.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k))

@@ -834,3 +834,47 @@ def test_pq_index_matches_inline_and_scans_codes_only(spark, tmp_path):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     code_scans = [sc for sc in schemas if "pq_codes" in sc]
     assert code_scans and all("embedding" not in sc for sc in code_scans)
+
+
+def test_ivfpq_full_probe_equals_pq_and_prunes(spark, tmp_path):
+    """With n_probe = n_cells the IVF-PQ candidate set is the whole
+    corpus, so results equal the plain PQ index search exactly; a partial
+    probe's plan carries BOTH prunings — a cell PartitionFilter and a
+    codes-only ReadSchema."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.similarity import (
+        ivfpq_search_index, ivfpq_write_index, pq_search_index,
+        pq_write_index)
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    p1, p2 = str(tmp_path / "ivfpq"), str(tmp_path / "pq")
+    ivfpq_write_index(emb, p1, n_cells=8, m=4, n_codes=16)
+    pq_write_index(emb, p2, m=4, n_codes=16)
+
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                  round(r["adc_score"], 9))
+                 for r in ivfpq_search_index(spark, p1, q, k=5,
+                                             n_probe=8).collect())
+    want = sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                   round(r["adc_score"], 9))
+                  for r in pq_search_index(spark, p2, q, k=5).collect())
+    assert got == want and len(got) > 0
+
+    partial = ivfpq_search_index(spark, p1, q, k=5, n_probe=3)
+    assert partial.count() > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        partial.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
+    schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    code_scans = [sc for sc in schemas if "pq_codes" in sc]
+    assert code_scans and all("embedding" not in sc for sc in code_scans)
