@@ -422,6 +422,15 @@ def main() -> None:
                 result_full["layout_sf1"] = json.load(f)
         except Exception:
             pass
+    # one-shot sf1-scale ANN datapoint (tools/ann_sf1.py sidecar)
+    ann_sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "ANN_SF1.json")
+    if os.path.exists(ann_sidecar):
+        try:
+            with open(ann_sidecar) as f:
+                result_full["ann_sf1"] = json.load(f)
+        except Exception:
+            pass
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     with open(full_path, "w") as f:

@@ -1258,3 +1258,93 @@ def ivfpq_search_index(spark, path: str, queries: DataFrame, k: int = 5,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (rer.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k))
+
+
+def pq_adc_vectorized(spark, path: str, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      max_query_rows: int = 100_000) -> DataFrame:
+    """Arrow-vectorized ADC over a persisted PQ index — the actual FAISS
+    kernel shape: the per-query lookup tables (n_queries × m × n_codes
+    int64, kilobytes) ship to every executor, and each corpus Arrow
+    batch scores ALL queries with m gather-adds per row — no join, no
+    per-row expression tree — then emits only its LOCAL top-k per query
+    (the cosine_topk_vectorized pattern, so the shuffle sees ~k rows per
+    partition).  The relational pq_search_index is the contract twin: it
+    replays in SQL and this kernel reproduces its scores BIT-FOR-BIT
+    (the LUT entries are the same 1e-6-quantized integers, summed
+    exactly, divided with the same expression) — equality-tested.
+
+    Reads ONLY the pq_codes column of the index.  Queries are collected
+    to the driver (dense LUT contract); above max_query_rows falls back
+    to pq_search_index."""
+    import numpy as np
+    import pandas as pd
+
+    qp = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
+    if len(qp) > max_query_rows:
+        return pq_search_index(spark, path, queries, k=k,
+                               id_col=id_col, vec_col=vec_col)
+    books = spark.read.parquet(f"{path}/books").toPandas()
+    subs = sorted(books["sub"].unique())
+    labels = np.array(sorted(books[books["sub"] == subs[0]]["code"]))
+    m = len(subs)
+    n_codes = len(labels)
+    lab_pos = {c: i for i, c in enumerate(labels)}
+    dim = len(qp[vec_col].iloc[0])
+    subdim = dim // m
+    cvecs = np.zeros((m, n_codes, subdim))
+    for _, r in books.iterrows():
+        cvecs[int(r["sub"]), lab_pos[r["code"]]] = np.array(r["c_vec"])
+
+    q_ids = qp[id_col].to_numpy()
+    q_mat = np.stack(qp[vec_col].to_numpy()).astype(np.float64)
+    # 1e-6-quantized integer LUTs — identical to the relational plan's
+    lut = np.zeros((len(q_ids), m, n_codes), dtype=np.int64)
+    for s in range(m):
+        qs = q_mat[:, s * subdim:(s + 1) * subdim]
+        lut[:, s, :] = np.round(qs @ cvecs[s].T * 1e6).astype(np.int64)
+    cn2 = np.array([[round(float(cvecs[s, c] @ cvecs[s, c]) * 1e6)
+                     for c in range(n_codes)] for s in range(m)],
+                   dtype=np.int64)
+
+    out_schema = "query_id long, neighbor_id long, adc_score double"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            codes = np.stack(pdf["pq_codes"].to_numpy())  # (B, m) labels
+            idx = np.searchsorted(labels, codes)          # labels sorted
+            d = np.zeros((len(q_ids), len(c_ids)), dtype=np.int64)
+            n2 = np.zeros(len(c_ids), dtype=np.int64)
+            for s in range(m):
+                d += lut[:, s, idx[:, s]]
+                n2 += cn2[s, idx[:, s]]
+            scores = (d / 1e6) / np.sqrt(n2 / 1e6)        # (Q, B)
+            rows = {"query_id": [], "neighbor_id": [], "adc_score": []}
+            top = min(k + 1, len(c_ids))
+            for j in range(len(q_ids)):
+                col = scores[j]
+                if len(col) > top:
+                    cutoff = col[np.argpartition(-col, top - 1)[top - 1]]
+                    cand = np.nonzero(col >= cutoff)[0]
+                else:
+                    cand = np.arange(len(col))
+                order = cand[np.lexsort((c_ids[cand], -col[cand]))][:top]
+                for i in order:
+                    if c_ids[i] == q_ids[j]:
+                        continue
+                    rows["query_id"].append(q_ids[j])
+                    rows["neighbor_id"].append(c_ids[i])
+                    rows["adc_score"].append(float(col[i]))
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql.window import Window
+
+    partial = (spark.read.parquet(f"{path}/corpus")
+               .select(id_col, "pq_codes").mapInPandas(run, out_schema))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id").asc())
+    return partial.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= k)

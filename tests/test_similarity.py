@@ -878,3 +878,23 @@ def test_ivfpq_full_probe_equals_pq_and_prunes(spark, tmp_path):
     schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
     code_scans = [sc for sc in schemas if "pq_codes" in sc]
     assert code_scans and all("embedding" not in sc for sc in code_scans)
+
+
+def test_pq_adc_vectorized_equals_relational(spark, tmp_path):
+    """The Arrow ADC kernel reproduces the relational pq_search_index
+    result bit-for-bit (same quantized-integer LUT arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.similarity import (
+        pq_adc_vectorized, pq_search_index, pq_write_index)
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "pq")
+    pq_write_index(emb, path, m=4, n_codes=16)
+    got = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["adc_score"])
+                 for r in pq_adc_vectorized(spark, path, q, k=5).collect())
+    want = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["adc_score"])
+                  for r in pq_search_index(spark, path, q, k=5).collect())
+    assert got == want and len(got) > 0
