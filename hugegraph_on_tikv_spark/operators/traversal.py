@@ -123,3 +123,30 @@ def k_hop(edges: DataFrame, start_ids: Sequence[int], k: int, direction: str = O
         visited = visited.unionByName(layer)
         result = layer if result is None else result.unionByName(layer)
     return result if result is not None else visited.limit(0)
+
+
+def induced_subgraph(edges: DataFrame, vertex_ids: DataFrame) -> DataFrame:
+    """Edges whose BOTH endpoints lie in `vertex_ids` (a one-column `id`
+    DataFrame) — the induced subgraph on a vertex set.  Two semi-joins;
+    when the vertex set is small (an ego net, a community) it broadcasts
+    and the edge table is filtered map-side in one pass."""
+    ids = vertex_ids.select(F.col(vertex_ids.columns[0]).alias("id"))
+    return (edges
+            .join(F.broadcast(ids.withColumnRenamed("id", "src")),
+                  "src", "leftsemi")
+            .join(F.broadcast(ids.withColumnRenamed("id", "dst")),
+                  "dst", "leftsemi"))
+
+
+def ego_network(edges: DataFrame, center, k: int = 1,
+                direction: str = BOTH,
+                edges_by_dst: DataFrame | None = None) -> DataFrame:
+    """The k-hop ego network around `center`: the induced subgraph on
+    {center} ∪ k_hop(center, k).  Composition of the guarded-BFS k_hop
+    frontier and induced_subgraph — same scale posture as both."""
+    spark = edges.sparkSession
+    hood = k_hop(edges, [center], k=k, direction=direction,
+                 edges_by_dst=edges_by_dst).select("id")
+    ids = hood.unionByName(
+        spark.createDataFrame([(int(center),)], "id long")).distinct()
+    return induced_subgraph(edges, ids)

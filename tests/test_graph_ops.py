@@ -1104,3 +1104,22 @@ def test_hyperball_empty_graph(spark):
     [r] = hyperball_summary(empty).collect()
     assert (r["n_vertices"], r["avg_distance"],
             r["effective_diameter"]) == (0.0, 0.0, 0.0)
+
+
+def test_induced_subgraph_and_ego_network(spark, tiny):
+    from hugegraph_on_tikv_spark.operators import traversal
+
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    got = {(r["src"], r["dst"])
+           for r in traversal.induced_subgraph(tiny, ids).collect()}
+    assert got == {(1, 2), (2, 3), (1, 3)}     # (3,4) and (5,1) cut
+
+    # ego net of 1 at k=1 (both directions): {1,2,3,5} -> induced edges
+    ego = {(r["src"], r["dst"])
+           for r in traversal.ego_network(tiny, 1, k=1).collect()}
+    assert ego == {(1, 2), (2, 3), (1, 3), (5, 1)}
+    # directed out-only 1-hop: {1,2,3} -> (5,1) drops out
+    ego_out = {(r["src"], r["dst"])
+               for r in traversal.ego_network(tiny, 1, k=1,
+                                              direction="out").collect()}
+    assert ego_out == {(1, 2), (2, 3), (1, 3)}
