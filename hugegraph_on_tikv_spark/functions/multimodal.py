@@ -104,12 +104,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-# -- REAL pure-Python decoders for header-simple formats ---------------------
+# -- REAL pure-Python decoders ------------------------------------------------
 #
 # BMP (24-bit uncompressed), PPM (P6 binary) and WAV (PCM16) need no codec
-# library — their payloads are a fixed header plus raw samples — so the
-# decode path is REAL for these formats even in a codec-free sandbox.
-# Compressed formats (JPEG/PNG/MP3/H.264 ...) still hit the documented
+# library — their payloads are a fixed header plus raw samples.  PNG is a
+# COMPRESSED format but its only codec dependency is DEFLATE, which is
+# Python stdlib (`zlib`) — so 8-bit gray/RGB(A) non-interlaced PNG decodes
+# for real here too (inflate + all five row unfilters).  Entropy-coded
+# formats (JPEG/MP3/H.264 ...) still hit the documented
 # NotImplementedError seam where a deployment plugs PIL/ffmpeg in.
 
 import struct
@@ -241,6 +243,144 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return s, sample_rate
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Pure-Python PNG writer (stdlib zlib): 8-bit grayscale (H, W) or RGB
+    (H, W, 3), non-interlaced.  `filters` picks the per-row filter type
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth, cycled over rows; default all 0)
+    so fixtures can exercise every unfilter path in decode_png."""
+    import zlib
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ch = 1 if gray else img.shape[2]
+    if ch not in (1, 3):
+        raise ValueError("encode_png supports grayscale or RGB input")
+    color_type = 0 if ch == 1 else 2
+    rows = img.reshape(h, w * ch).astype(np.int64)
+    filters = filters or [0]
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = rows[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros_like(prev)
+        upleft[ch:] = prev[:-ch]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:
+            filt = cur - left
+        elif ft == 2:
+            filt = cur - prev
+        elif ft == 3:
+            filt = cur - (left + prev) // 2
+        elif ft == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to (H, W, 3) uint8 RGB — a REAL
+    pure-Python inflate + unfilter path (stdlib zlib), no codec library.
+
+    Supported: color types 0 (gray → channel-replicated), 2 (RGB),
+    4 (gray+alpha) and 6 (RGBA) — alpha is DISCARDED (documented: stats
+    run on straight RGB); all five row filters (None/Sub/Up/Average/
+    Paeth).  Palette images, sub-8-bit depths, 16-bit depths and Adam7
+    interlace raise NotImplementedError — those are deliberate variant
+    guards, same contract as the 24-bit-only BMP path."""
+    import zlib
+    b = bytes(payload)
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        (length,), ctype = struct.unpack_from(">I", b, pos), b[pos + 4:pos + 8]
+        body = b[pos + 8: pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2, 4, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB(A) non-interlaced PNG decodes codec-free "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 1:                         # Sub: per-channel cumsum
+            cur = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif ft == 2:                         # Up
+            cur = (line + prev) % 256
+        elif ft == 3:                         # Average (left is sequential)
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:                         # Paeth (sequential predictor)
+            cur = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                cur[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()               # RGB / RGBA-minus-alpha
+
+
 def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
     """Deterministic integer luma: (299R + 587G + 114B) // 1000 — exact
     integer arithmetic, bit-identical across engines/platforms."""
@@ -252,29 +392,35 @@ def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
 
 def decode_media(payload: bytes):
     """Magic-byte dispatcher for the REAL decode path: returns
-    ('image', (H,W,3) uint8) for BMP/PPM, ('audio', (n,ch) int16) for PCM16
-    WAV; raises NotImplementedError for codec formats (JPEG/PNG/...)."""
+    ('image', (H,W,3) uint8) for BMP/PPM/PNG, ('audio', (n,ch) int16) for
+    PCM16 WAV; raises NotImplementedError for codec formats that genuinely
+    need an external library (JPEG/MP3/H.264/...)."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return "image", decode_bmp(b)
     if b[:2] == b"P6":
         return "image", decode_ppm(b)
+    if b[:8] == PNG_SIG:
+        return "image", decode_png(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio", decode_wav(b)[0]
     raise NotImplementedError(
         "codec formats need an external decoder (PIL/ffmpeg); only "
-        "BMP/PPM/WAV decode codec-free")
+        "BMP/PPM/PNG/WAV decode codec-free")
 
 
 def _sniff_real(payload: bytes) -> bool:
     """Strict magic sniff — random/corrupt bytes must NOT route to the real
     decoders: BMP additionally requires its header file-size field to equal
-    the payload length, P6 requires whitespace after the magic."""
+    the payload length, P6 requires whitespace after the magic (PNG's
+    8-byte signature is already collision-proof)."""
     b = bytes(payload)
     if b[:2] == b"BM" and len(b) >= 54 \
             and struct.unpack_from("<I", b, 2)[0] == len(b):
         return True
     if b[:2] == b"P6" and len(b) > 2 and b[2:3].isspace():
+        return True
+    if b[:8] == PNG_SIG:
         return True
     return b[:4] == b"RIFF" and b[8:12] == b"WAVE"
 

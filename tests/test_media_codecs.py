@@ -116,7 +116,7 @@ def test_decode_media_dispatch_and_codec_gate():
     kind, arr = decode_media(encode_wav(np.array([5, 6], dtype=np.int16)))
     assert kind == "audio" and arr.shape == (2, 1)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 32)   # JPEG/JFIF
 
 
 def test_decode_pixels_seam_real_vs_stub():
@@ -283,3 +283,110 @@ def test_resize_skips_sniffed_undecodable_without_dims(spark):
         "media_id long, kind string, mime string, payload binary, "
         "width int, height int")
     assert resize_images(df, 2, 2).collect() == []
+
+
+# -- PNG: the REAL inflate + unfilter path (stdlib zlib) ---------------------
+
+def test_png_round_trip_every_filter():
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_png, encode_png)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for filts in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(decode_png(encode_png(img, filters=filts)), img)
+
+
+def test_png_grayscale_replicates_channels():
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_png, encode_png)
+
+    g = (np.arange(35, dtype=np.int64).reshape(7, 5) * 29 % 256).astype(np.uint8)
+    out = decode_png(encode_png(g, filters=[4, 3, 2, 1, 0]))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_png_known_external_vector():
+    """The widely-published 1x1 RGBA data-URI PNG: IDAT inflates to
+    filter=Sub + bytes (0, 255, 0, 127) — i.e. GREEN at half alpha (the
+    'black pixel' folklore is wrong; this test pins the true bytes)."""
+    import base64
+
+    from hugegraph_on_tikv_spark.functions.multimodal import decode_png
+
+    b = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        "+M9QDwADhgGAWjR9awAAAABJRU5ErkJggg==")
+    arr = decode_png(b)
+    assert arr.shape == (1, 1, 3)
+    assert arr.reshape(-1).tolist() == [0, 255, 0]  # alpha discarded
+
+
+def test_png_third_party_files_decode():
+    """Conformance against PNGs this sandbox ships but we did not write
+    (Spark's mllib sample images / doc screenshots use mixed real-encoder
+    filters); palette PNGs must hit the variant guard, not crash."""
+    import os
+
+    from hugegraph_on_tikv_spark.functions.multimodal import decode_png
+
+    cases = [
+        ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+         "multi-channel/BGRA.png", (100, 100, 3)),
+    ]
+    seen = 0
+    for path, shape in cases:
+        if not os.path.exists(path):
+            continue
+        arr = decode_png(open(path, "rb").read())
+        assert arr.shape == shape
+        assert arr.dtype == np.uint8
+        seen += 1
+    if seen == 0:
+        pytest.skip("no third-party PNGs present in this environment")
+
+
+def test_png_variant_guards():
+    import struct as _s
+    import zlib
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        PNG_SIG, _png_chunk, decode_png)
+
+    def png_with_ihdr(w, h, depth, color, interlace):
+        ihdr = _s.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        idat = zlib.compress(b"\x00" * (h * (w + 1)))
+        return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError):   # palette
+        decode_png(png_with_ihdr(2, 2, 8, 3, 0))
+    with pytest.raises(NotImplementedError):   # 16-bit
+        decode_png(png_with_ihdr(2, 2, 16, 2, 0))
+    with pytest.raises(NotImplementedError):   # Adam7
+        decode_png(png_with_ihdr(2, 2, 8, 2, 1))
+    with pytest.raises(ValueError):            # not a PNG at all
+        decode_png(b"nope")
+    with pytest.raises(ValueError):            # size mismatch
+        bad = png_with_ihdr(5, 5, 8, 2, 0)     # IDAT sized for gray, not RGB
+        decode_png(bad)
+
+
+def test_png_dispatch_and_image_stats(spark):
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _sniff_real, decode_media, encode_png, image_stats)
+
+    img = _rgb_fixture(6, 4)
+    p = encode_png(img, filters=[0, 1, 2, 3, 4])
+    assert _sniff_real(p)
+    kind, arr = decode_media(p)
+    assert kind == "image" and np.array_equal(arr, img)
+
+    df = spark.createDataFrame([(1, bytearray(p))],
+                               "media_id long, payload binary")
+    row = image_stats(df).collect()[0]
+    luma = ((299 * img[..., 0].astype(np.int64)
+             + 587 * img[..., 1].astype(np.int64)
+             + 114 * img[..., 2].astype(np.int64)) // 1000)
+    assert row.sum_luma == int(luma.sum())
+    assert (row.width, row.height, row.n_pixels) == (4, 6, 24)
