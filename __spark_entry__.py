@@ -1749,6 +1749,59 @@ _register(
 )
 
 
+# -- bigram-LM quality scoring (functions/lm.py): the CCNet perplexity
+#    filter — model trained on the English reference slice, every document
+#    scored.  Driver-checked columns are the EXACT-integer aggregates
+#    (n_scored + sum of floor-scaled add-1 probabilities); the float
+#    log-likelihood/perplexity companions are pytest-pinned instead
+#    (libm log is engine-divergent).  Oracle replays train → join → score
+#    with the identical integer floor-division.
+
+def _lm_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import lm
+    docs = load_table(spark, sf, "documents")
+    return (lm.lm_score(docs, docs.filter(F.col("lang") == "en"))
+            .select("doc_id", "n_scored", "sum_p_scaled"))
+
+_register(
+    "text_lm_score",
+    _lm_docs,
+    f"""
+    WITH rtl AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t
+      FROM documents WHERE lang = 'en'
+    ), rstream AS (
+      SELECT doc_id, generate_subscripts(t,1) AS pos, unnest(t) AS tok FROM rtl
+    ), rpairs AS (
+      SELECT doc_id,
+             COALESCE(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS h,
+             tok AS t
+      FROM rstream
+    ), c_ht AS (SELECT h, t, CAST(count(*) AS BIGINT) AS c_ht FROM rpairs GROUP BY h, t),
+    c_h AS (SELECT h, CAST(count(*) AS BIGINT) AS c_h FROM rpairs GROUP BY h),
+    vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM rpairs),
+    tl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+    stream AS (
+      SELECT doc_id, generate_subscripts(t,1) AS pos, unnest(t) AS tok FROM tl
+    ), pairs AS (
+      SELECT doc_id,
+             COALESCE(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS h,
+             tok AS t
+      FROM stream
+    ), scored AS (
+      SELECT p.doc_id,
+             COALESCE(b.c_ht, 0) + 1 AS p_num,
+             COALESCE(hh.c_h, 0) + (vv.v + 1) AS p_den
+      FROM pairs p LEFT JOIN c_ht b USING (h, t)
+      LEFT JOIN c_h hh USING (h) CROSS JOIN vv
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(SUM((p_num * 1000000) // p_den) AS BIGINT) AS sum_p_scaled
+    FROM scored GROUP BY doc_id
+    """,
+)
+
+
 # -- distributed BPE merge learning (functions/bpe.py): tokenizer training
 #    on the word-frequency table; 6 rounds, each = freq-weighted pair count
 #    + deterministic argmax + marker-string replace.  The oracle unrolls
@@ -2841,7 +2894,7 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
 
     from hugegraph_on_tikv_spark.functions.multimodal import (
-        audio_frames, encode_bmp, encode_wav, image_stats)
+        audio_frames, encode_bmp, encode_png, encode_wav, image_stats)
 
     rows = []
     for i, n in ((0, 1500), (1, 2200)):
@@ -2852,6 +2905,15 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
         t = np.arange(h * w * 3, dtype=np.int64)
         rgb = ((t * 37 + 11 + i) % 256).astype(np.uint8).reshape(h, w, 3)
         rows.append((200 + i, bytearray(encode_bmp(rgb))))
+    # PNG: the REAL inflate+unfilter path — RGB cycling ALL five row
+    # filters, and grayscale (luma of a replicated gray g is exactly g).
+    # Same contract as BMP: oracle recomputes from the pixel formulas.
+    t = np.arange(7 * 5 * 3, dtype=np.int64)
+    rgb = ((t * 53 + 7) % 256).astype(np.uint8).reshape(7, 5, 3)
+    rows.append((300, bytearray(encode_png(rgb, filters=[0, 1, 2, 3, 4]))))
+    t = np.arange(9 * 4, dtype=np.int64)
+    gray = ((t * 29 + 3) % 256).astype(np.uint8).reshape(9, 4)
+    rows.append((301, bytearray(encode_png(gray, filters=[4, 3, 2, 1, 0]))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     af = audio_frames(media, frame_len=1024).select(
         F.lit("audio").alias("kind"), "media_id", "frame",
@@ -2916,10 +2978,42 @@ _register(
              CAST(w AS BIGINT) AS v1, CAST(h AS BIGINT) AS v2,
              CAST(h * w AS BIGINT) AS v3
       FROM im
+    ),
+    png_pix AS (
+      SELECT (299 * (((t.range * 3 + 0) * 53 + 7) % 256)
+            + 587 * (((t.range * 3 + 1) * 53 + 7) % 256)
+            + 114 * (((t.range * 3 + 2) * 53 + 7) % 256)) // 1000 AS luma
+      FROM range(35) t
+    ),
+    png_gray AS (
+      SELECT (t.range * 29 + 3) % 256 AS luma FROM range(36) t
+    ),
+    png_rows AS (
+      SELECT 'image' AS kind, CAST(300 AS BIGINT) AS media_id,
+             CAST(-1 AS INTEGER) AS frame,
+             CAST(SUM(luma) AS BIGINT) AS v1,
+             CAST(MIN(luma) AS BIGINT) AS v2,
+             CAST(MAX(luma) AS BIGINT) AS v3
+      FROM png_pix
+      UNION ALL
+      SELECT 'image', CAST(301 AS BIGINT), CAST(-1 AS INTEGER),
+             CAST(SUM(luma) AS BIGINT), CAST(MIN(luma) AS BIGINT),
+             CAST(MAX(luma) AS BIGINT)
+      FROM png_gray
+    ),
+    png_dims AS (
+      SELECT 'imagedim' AS kind, CAST(300 AS BIGINT) AS media_id,
+             CAST(-1 AS INTEGER) AS frame, CAST(5 AS BIGINT) AS v1,
+             CAST(7 AS BIGINT) AS v2, CAST(35 AS BIGINT) AS v3
+      UNION ALL
+      SELECT 'imagedim', CAST(301 AS BIGINT), CAST(-1 AS INTEGER),
+             CAST(4 AS BIGINT), CAST(9 AS BIGINT), CAST(36 AS BIGINT)
     )
     SELECT * FROM audio_rows
     UNION ALL SELECT * FROM image_rows
     UNION ALL SELECT * FROM dim_rows
+    UNION ALL SELECT * FROM png_rows
+    UNION ALL SELECT * FROM png_dims
     """,
 )
 
@@ -7029,6 +7123,17 @@ _compose("text_quality_suite", [
      "CAST(hit_grams AS DOUBLE) AS mean_token_len, "
      "CAST(eval_docs_hit AS DOUBLE) AS punct_ratio, "
      "CAST(contaminated_tokens AS DOUBLE) AS stopword_ratio"),
+    # bigram-LM (CCNet) quality scoring: n_tokens carries n_scored,
+    # mean_token_len the exact-integer sum_p_scaled (< 1e8 — double-exact)
+    ("text_lm_score",
+     ["'lm' AS tag", "doc_id", "CAST(n_scored AS DOUBLE) AS n_tokens",
+      "CAST(sum_p_scaled AS DOUBLE) AS mean_token_len",
+      "CAST(NULL AS DOUBLE) AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'lm' AS tag, doc_id, CAST(n_scored AS DOUBLE) AS n_tokens, "
+     "CAST(sum_p_scaled AS DOUBLE) AS mean_token_len, "
+     "CAST(NULL AS DOUBLE) AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
 ])
 
 _compose("dedup_exact_canonical", [

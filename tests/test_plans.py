@@ -444,6 +444,9 @@ def test_whole_roster_lints_clean(spark):
         # pair join itself is an equi-join on the cell key
         "sim_semdedup_pairs": {"cartesian"},
         "sim_semdedup_kept": {"cartesian"},
+        # the LM smoothing denominator needs V (one count-distinct row)
+        # crossed back into the token stream — the 1-row scalar pattern
+        "text_lm_score": {"cartesian"},
         # temperature mixing must observe every domain's full count to set
         # the caps — a whole-table aggregate by definition (and the cut
         # itself is a WindowGroupLimit, not a scan predicate)
