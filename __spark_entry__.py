@@ -2167,6 +2167,80 @@ def _fs_oracle() -> str:
 _register("dedup_fs_linkage", _fs_linkage, _fs_oracle())
 
 
+# -- ER resolution on top of the linkage (linkage.er_resolve): 'match'
+#    pairs -> connected components over the bipartite match graph (node =
+#    2*id left / 2*id+1 right; cluster = min encoded node) -> golden-record
+#    survivorship (most frequent non-NULL per field, ties to MIN value).
+#    The oracle embeds the fslink oracle verbatim, unrolls 4 HashMin
+#    rounds (linkage components are near-pairs), and replays the
+#    count-then-min survivorship — every canonical field value is inside
+#    the fused detail string, so survivorship divergence breaks the hash.
+
+def _er_golden(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import linkage
+    return linkage.er_resolve(
+        _fs_left(spark, sf), _fs_right(spark, sf), block_on=["nation"],
+        fields=_FS_FIELDS, m=_FS_M, upper=100.0, lower=2.0)
+
+
+def _er_oracle() -> str:
+    cc = ["c0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS component FROM adj)"]
+    for t in range(1, 5):
+        cc.append(
+            f"c{t} AS MATERIALIZED (SELECT c.id, least(c.component, "
+            f"COALESCE(m.mn, c.component)) AS component FROM c{t-1} c "
+            f"LEFT JOIN (SELECT adj.a AS id, MIN(ct.component) AS mn "
+            f"FROM adj JOIN c{t-1} ct ON adj.b = ct.id GROUP BY adj.a) m "
+            f"ON c.id = m.id)")
+    per_field = []
+    joins = []
+    for f in _FS_FIELDS:
+        per_field.append(f"""
+    cnts_{f} AS MATERIALIZED (
+      SELECT cluster_id, {f} AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM recs WHERE {f} IS NOT NULL GROUP BY cluster_id, {f}),
+    canon_{f} AS (
+      SELECT c.cluster_id, MIN(c.v) AS {f}
+      FROM cnts_{f} c JOIN (SELECT cluster_id, MAX(cnt) AS mc
+                            FROM cnts_{f} GROUP BY cluster_id) b
+        ON c.cluster_id = b.cluster_id AND c.cnt = b.mc
+      GROUP BY c.cluster_id)""")
+        joins.append(f"LEFT JOIN canon_{f} USING (cluster_id)")
+    return f"""
+    WITH matches AS MATERIALIZED (
+      SELECT l_id, r_id FROM ({_fs_oracle()}) WHERE decision = 'match'
+    ), adj AS MATERIALIZED (
+      SELECT 2 * l_id AS a, 2 * r_id + 1 AS b FROM matches
+      UNION SELECT 2 * r_id + 1, 2 * l_id FROM matches
+    ),
+    {", ".join(cc)},
+    clus AS MATERIALIZED (
+      SELECT CASE WHEN id % 2 = 0 THEN 'L' ELSE 'R' END AS side,
+             id // 2 AS rec_id, CAST(component AS BIGINT) AS cluster_id
+      FROM c4
+    ), lrec AS (
+      SELECT 'L' AS side, c_custkey AS rec_id, c_name AS name,
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 10) AS phone,
+             c_mktsegment AS segment FROM customer
+    ), rrec AS (
+      SELECT 'R' AS side, id AS rec_id, name, phone, segment
+      FROM ({_FS_RIGHT_SQL})
+    ), recs AS MATERIALIZED (
+      SELECT clus.cluster_id, u.name, u.phone, u.segment
+      FROM (SELECT * FROM lrec UNION ALL SELECT * FROM rrec) u
+      JOIN clus ON u.side = clus.side AND u.rec_id = clus.rec_id
+    ), members AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+      FROM clus GROUP BY cluster_id
+    ),{", ".join(per_field)}
+    SELECT cluster_id, n_members, name, phone, segment
+    FROM members {" ".join(joins)}
+    """
+
+
+_register("dedup_er_golden", _er_golden, _er_oracle())
+
+
 # -- exact set-similarity join (prefix filtering; functions/dedup.py
 #    set_similarity_join).  Oracle = brute-force all-pairs jaccard — the
 #    hash match certifies prefix-filter completeness, like dedup_fuzzy.
@@ -7231,6 +7305,16 @@ _compose("dedup_pairs", [
      "'fslink' AS tag, l_id AS doc_a, r_id AS doc_b, weight AS jaccard, "
      "decision || ':' || CAST(agr_name AS VARCHAR) || "
      "CAST(agr_phone AS VARCHAR) || CAST(agr_segment AS VARCHAR) AS detail"),
+    # ER golden records: doc_a = cluster id, doc_b = member count, the
+    # canonical field values all ride the detail string (survivorship
+    # divergence breaks the hash)
+    ("dedup_er_golden",
+     ["'er' AS tag", "cluster_id AS doc_a", "n_members AS doc_b",
+      "CAST(NULL AS DOUBLE) AS jaccard",
+      "concat(name, '|', phone, '|', segment) AS detail"],
+     "'er' AS tag, cluster_id AS doc_a, n_members AS doc_b, "
+     "CAST(NULL AS DOUBLE) AS jaccard, "
+     "name || '|' || phone || '|' || segment AS detail"),
     # span REMOVAL: the rebuilt text's md5 rides the tag, removed-token
     # count rides jaccard; doc_b slot carries the doc id again (type rule)
     ("dedup_despan",

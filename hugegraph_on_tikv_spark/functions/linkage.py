@@ -123,3 +123,79 @@ def fs_link(left: DataFrame, right: DataFrame, block_on: list[str],
     scored = fs_score_pairs(pairs, fields, u_stats, m=m,
                             upper=upper, lower=lower)
     return scored.filter(F.col("weight") >= lower)
+
+
+def er_clusters(match_pairs: DataFrame, l_id: str = "l_id",
+                r_id: str = "r_id", max_iterations: int = 10) -> DataFrame:
+    """Entity-resolution clustering: connected components over the
+    bipartite match graph, so transitive matches (L1-R1, L2-R1) collapse
+    into ONE entity.  Node ids are namespaced 2*id (left) / 2*id+1
+    (right) — the two tables' key spaces may collide; cluster_id = the
+    minimum ENCODED node id in the component (deterministic).
+
+    Returns (side 'L'|'R', rec_id, cluster_id) for every record that
+    appears in at least one match pair.  Singletons are by definition
+    their own entity and are not emitted — union them in with a
+    left-anti join if a total clustering is needed.
+
+    Scale shape: delegates to the HashMin component loop
+    (operators/analytics.py) — one aggregate-messages shuffle per round;
+    linkage components are short chains (diameter ≈ the number of
+    transitively-linked duplicates), so rounds stay single-digit."""
+    from ..operators.analytics import connected_components
+
+    edges = match_pairs.select(
+        (F.col(l_id).cast("long") * 2).alias("src"),
+        (F.col(r_id).cast("long") * 2 + 1).alias("dst"))
+    comp = connected_components(edges, max_iterations=max_iterations)
+    return comp.select(
+        F.when(F.col("id") % 2 == 0, F.lit("L")).otherwise(F.lit("R"))
+        .alias("side"),
+        F.expr("id DIV 2").cast("long").alias("rec_id"),
+        F.col("component").cast("long").alias("cluster_id"))
+
+
+def golden_records(clusters: DataFrame, left: DataFrame, right: DataFrame,
+                   fields: list[str], id_col: str = "id") -> DataFrame:
+    """Survivorship: one canonical record per resolved entity.  Per
+    cluster and field, the most frequent non-NULL value wins; frequency
+    ties break to the MINIMUM value — deterministic without negating ids
+    (string-safe, the near_dedup tie-break lesson).  Returns
+    (cluster_id, n_members, <fields...>); a field all-NULL across the
+    cluster stays NULL.
+
+    Scale shape: per-field (cluster, value) counts are map-side
+    combinable aggregates; the winner is picked by a max-count join +
+    min-value aggregate — no windows over member lists, so a celebrity
+    entity with millions of duplicates never single-tasks a sort."""
+    l = left.select(F.lit("L").alias("side"),
+                    F.col(id_col).cast("long").alias("rec_id"), *fields)
+    r = right.select(F.lit("R").alias("side"),
+                     F.col(id_col).cast("long").alias("rec_id"), *fields)
+    recs = l.unionByName(r).join(clusters, ["side", "rec_id"])
+    out = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"))
+    for f in fields:
+        cnts = (recs.filter(F.col(f).isNotNull())
+                .groupBy("cluster_id", f)
+                .agg(F.count(F.lit(1)).alias("cnt")))
+        best = cnts.groupBy("cluster_id").agg(F.max("cnt").alias("mc"))
+        canon = (cnts.join(best, "cluster_id")
+                 .filter(F.col("cnt") == F.col("mc"))
+                 .groupBy("cluster_id").agg(F.min(f).alias(f)))
+        out = out.join(canon, "cluster_id", "left")
+    return out
+
+
+def er_resolve(left: DataFrame, right: DataFrame, block_on: list[str],
+               fields: list[str], id_col: str = "id",
+               m: dict[str, float] | float = DEFAULT_M,
+               upper: float = 100.0, lower: float = 2.0) -> DataFrame:
+    """The full MDM pipeline: Fellegi-Sunter link -> component clusters
+    over 'match' decisions -> golden-record survivorship.  Returns the
+    golden_records frame."""
+    pairs = fs_link(left, right, block_on, fields, id_col=id_col,
+                    m=m, upper=upper, lower=lower)
+    matches = pairs.filter(F.col("decision") == "match")
+    clusters = er_clusters(matches)
+    return golden_records(clusters, left, right, fields, id_col=id_col)

@@ -91,3 +91,84 @@ def test_fs_m_probability_validation(spark):
         with pytest.raises(ValueError, match="probability"):
             linkage.fs_link(left, right, block_on=["blk"],
                             fields=["name", "city"], m=bad)
+
+
+# -- ER clustering + golden records ------------------------------------------
+
+def test_er_clusters_transitive_merge(spark):
+    """L1-R1 and L2-R1 must land in ONE cluster (transitivity through the
+    shared right record), and the cluster id is the min encoded node."""
+    pairs = spark.createDataFrame([(1, 1), (2, 1), (5, 7)],
+                                  "l_id long, r_id long")
+    rows = {(r.side, r.rec_id): r.cluster_id
+            for r in linkage.er_clusters(pairs).collect()}
+    assert rows[("L", 1)] == rows[("L", 2)] == rows[("R", 1)] == 2  # 2*1
+    assert rows[("L", 5)] == rows[("R", 7)] == 10                   # 2*5
+    assert len(rows) == 5
+
+
+def test_er_clusters_id_collision_between_sides(spark):
+    """Left id 3 and right id 3 are DIFFERENT records: if they are not
+    matched to each other they must not share a cluster."""
+    pairs = spark.createDataFrame([(3, 8), (9, 3)], "l_id long, r_id long")
+    rows = {(r.side, r.rec_id): r.cluster_id
+            for r in linkage.er_clusters(pairs).collect()}
+    assert rows[("L", 3)] == rows[("R", 8)]
+    assert rows[("L", 9)] == rows[("R", 3)]
+    assert rows[("L", 3)] != rows[("R", 3)]
+
+
+def test_golden_records_majority_and_string_safe_tiebreak(spark):
+    left = _mk(spark, [(1, 0, "Ann", "NYC"), (2, 0, "Ann", None)])
+    right = _mk(spark, [(7, 0, "ann", "NYC")])
+    clusters = spark.createDataFrame(
+        [("L", 1, 100), ("L", 2, 100), ("R", 7, 100)],
+        "side string, rec_id long, cluster_id long")
+    row = linkage.golden_records(clusters, left, right,
+                                 ["name", "city"]).collect()[0]
+    assert row.n_members == 3
+    assert row.name == "Ann"          # majority 2-1 over 'ann'
+    assert row.city == "NYC"          # NULL excluded from the vote
+    # frequency tie on a STRING field breaks to MIN (no id negation)
+    left2 = _mk(spark, [(1, 0, "Zed", "LA"), (2, 0, "Abe", "SF")])
+    right2 = _mk(spark, [(9, 0, "Zed", "SF")])
+    clusters2 = spark.createDataFrame(
+        [("L", 1, 2), ("L", 2, 2), ("R", 9, 2)],
+        "side string, rec_id long, cluster_id long")
+    row2 = linkage.golden_records(clusters2, left2, right2,
+                                  ["name", "city"]).collect()[0]
+    assert row2.name == "Zed"         # 2-1 majority
+    assert row2.city == "SF"          # 2-1 majority
+    clusters3 = spark.createDataFrame(
+        [("L", 1, 2), ("L", 2, 2)], "side string, rec_id long, cluster_id long")
+    row3 = linkage.golden_records(clusters3, left2, right2,
+                                  ["name", "city"]).collect()[0]
+    assert row3.name == "Abe"         # 1-1 tie -> min string
+    assert row3.city == "LA"          # 1-1 tie -> min string
+
+
+def test_golden_records_all_null_field_stays_null(spark):
+    left = _mk(spark, [(1, 0, "A", None)])
+    right = _mk(spark, [(5, 0, "A", None)])
+    clusters = spark.createDataFrame([("L", 1, 2), ("R", 5, 2)],
+                                     "side string, rec_id long, cluster_id long")
+    row = linkage.golden_records(clusters, left, right,
+                                 ["name", "city"]).collect()[0]
+    assert row.name == "A" and row.city is None
+
+
+def test_er_resolve_end_to_end(spark):
+    """Exact duplicates resolve into 2-member entities with the shared
+    values surviving; unmatched records stay out of the golden set."""
+    left = _mk(spark, [(1, 0, "Ann Lee", "NYC"), (2, 0, "Bob Roy", "LA"),
+                       (3, 1, "Cy Day", "SF")])
+    right = _mk(spark, [(11, 0, "Ann Lee", "NYC"), (12, 0, "Bob Roy", "LA"),
+                        (13, 1, "Zz Top", "Reno")])
+    # with 3 unique right rows the full-agreement weight is
+    # (0.95*9/3)^2 = 8.1225 — set `upper` below that
+    golden = linkage.er_resolve(left, right, block_on=["blk"],
+                                fields=["name", "city"], m=0.95,
+                                upper=8.0, lower=2.0)
+    rows = sorted(golden.collect(), key=lambda r: r.cluster_id)
+    assert [(r.n_members, r.name, r.city) for r in rows] == [
+        (2, "Ann Lee", "NYC"), (2, "Bob Roy", "LA")]
