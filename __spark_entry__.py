@@ -6057,6 +6057,42 @@ _register(
 )
 
 
+# -- MAD-based robust anomaly detection (profiling.mad_outliers): per
+#    event-type median/MAD over cent-scaled values, outliers by the exact
+#    integer rule dev * k_den > k_num * MAD; robust_z is the single float
+#    division.  quantile_disc == Spark percentile_disc (both lower
+#    discrete) — verified semantics, no interpolation ambiguity.
+
+_register(
+    "events_mad_outliers",
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.profiling",
+        fromlist=["mad_outliers"]).mad_outliers(
+        load_events(spark, sf), "value", ["event_type"], "event_id",
+        k=(3, 1)),
+    """
+    WITH base AS (
+      SELECT event_type, event_id AS row_id,
+             CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ), med AS (
+      SELECT event_type, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med
+      FROM base GROUP BY event_type
+    ), dev AS (
+      SELECT b.event_type, b.row_id, b.v, m.med, abs(b.v - m.med) AS dev
+      FROM base b JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.row_id, d.v, d.med, a.mad, d.dev,
+           CASE WHEN a.mad > 0 THEN CAST(d.dev AS DOUBLE) / a.mad END
+             AS robust_z
+    FROM dev d JOIN mad a USING (event_type)
+    WHERE d.dev * 1 > 3 * a.mad
+    """,
+)
+
+
 # -- HITS hubs & authorities (analytics.hits) ------------------------------
 
 def _hits_sql(iters: int = 8) -> str:
@@ -7587,6 +7623,17 @@ _compose("a1_agg_counts", [
      "'agg' AS tag, l_returnflag AS k, CAST(min_qty AS DOUBLE) AS v_min, "
      "CAST(max_qty AS DOUBLE) AS v_max, CAST(sum_qty AS DOUBLE) AS v_sum, "
      "CAST(avg_qty AS DOUBLE) AS v_avg, CAST(n_suppliers AS DOUBLE) AS n"),
+    # MAD anomaly detection: k = "event_type:row_id", v_min/v_max carry
+    # med/mad, v_sum the scaled value, v_avg robust_z, n the deviation
+    ("events_mad_outliers",
+     ["'mad' AS tag", "concat(event_type, ':', CAST(row_id AS STRING)) AS k",
+      "CAST(med AS DOUBLE) AS v_min", "CAST(mad AS DOUBLE) AS v_max",
+      "CAST(v AS DOUBLE) AS v_sum", "robust_z AS v_avg",
+      "CAST(dev AS DOUBLE) AS n"],
+     "'mad' AS tag, event_type || ':' || CAST(row_id AS VARCHAR) AS k, "
+     "CAST(med AS DOUBLE) AS v_min, CAST(mad AS DOUBLE) AS v_max, "
+     "CAST(v AS DOUBLE) AS v_sum, robust_z AS v_avg, "
+     "CAST(dev AS DOUBLE) AS n"),
     # the count-min COUNTER TABLE, value-checked cell by cell (k = "d:w")
     ("cm_sketch",
      ["'cm' AS tag", "concat(CAST(d AS STRING), ':', CAST(w AS STRING)) AS k",

@@ -302,3 +302,56 @@ def enforce_expectations(df: DataFrame, checks: dict[str, str]) -> DataFrame:
         detail = ", ".join(f"{n}: {v}/{t} rows" for n, v, t in bad)
         raise ValueError(f"expectations failed — {detail}")
     return df
+
+
+def mad_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                 id_col: str, k: tuple[int, int] = (3, 1), scale: int = 100,
+                 exact: bool = True) -> DataFrame:
+    """Robust per-group anomaly detection: flag rows whose deviation from
+    the group median exceeds k x MAD (median absolute deviation) — the
+    classical outlier rule that, unlike mean/stddev z-scores, a single
+    extreme value cannot drag.
+
+    Exactness: values are scaled to integers (`scale`, the _money cents
+    trick), medians are DISCRETE percentiles (percentile_disc — a real
+    data value, no interpolation), and the k x MAD comparison is the
+    integer cross-multiplication dev * k_den > k_num * mad, so the flag
+    set is bit-identical across engines.  `k` is the (num, den) rational.
+    robust_z = dev/mad is the single float division (NULL when mad = 0 —
+    there any nonzero deviation is already flagged by the exact rule).
+
+    Output: one row per OUTLIER (group cols, row_id, v, med, mad, dev,
+    robust_z), all in scaled-integer units.
+
+    Scale shape: two aggregate passes (median, then MAD of deviations)
+    with group-cardinality results broadcast back — the per-row stream
+    never shuffles.  Like QueryEngine.splits, exact percentile_disc
+    concentrates each GROUP's values on one reducer: right while groups
+    are bounded (event types, tenants); for extreme per-group volume pass
+    exact=False to use approx_percentile sketches (bounded memory,
+    engine-specific boundaries — excluded from oracle checks by
+    contract)."""
+    k_num, k_den = k
+    if k_num <= 0 or k_den <= 0:
+        raise ValueError(f"k must be a positive rational, got {k}")
+
+    def _median(frame: DataFrame, col: str, alias: str) -> DataFrame:
+        if exact:
+            agg = F.expr(f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {col})")
+        else:
+            agg = F.expr(f"approx_percentile({col}, 0.5)")
+        return frame.groupBy(*group_cols).agg(agg.cast("long").alias(alias))
+
+    base = df.select(*group_cols, F.col(id_col).alias("row_id"),
+                     F.round(F.col(value_col) * scale).cast("long").alias("v"))
+    med = _median(base, "v", "med")
+    dev = (base.join(F.broadcast(med), group_cols)
+           .withColumn("dev", F.abs(F.col("v") - F.col("med"))))
+    mad = _median(dev, "dev", "mad")
+    return (dev.join(F.broadcast(mad), group_cols)
+            .filter(F.col("dev") * k_den > F.lit(k_num) * F.col("mad"))
+            .withColumn("robust_z",
+                        F.when(F.col("mad") > 0,
+                               F.col("dev").cast("double") / F.col("mad")))
+            .select(*group_cols, "row_id", "v", "med", "mad", "dev",
+                    "robust_z"))

@@ -333,3 +333,60 @@ def test_expectations_report_and_enforce(spark):
     assert enforce_expectations(df, {"id_nonnull": "id IS NOT NULL"}) is df
     with _pytest.raises(ValueError, match="quotes"):
         expectations_report(df, {"bad'name": "id IS NOT NULL"})
+
+
+# -- MAD-based robust anomaly detection --------------------------------------
+
+def test_mad_outliers_flags_extreme_not_dragged(spark):
+    """One huge value must be flagged, and must NOT drag the threshold the
+    way a mean/stddev rule would (the robustness property)."""
+    from hugegraph_on_tikv_spark.functions.profiling import mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 1000.0, 10.2]
+    df = spark.createDataFrame([("a", i, v) for i, v in enumerate(vals)],
+                               "g string, rid long, value double")
+    out = mad_outliers(df, "value", ["g"], "rid", k=(3, 1))
+    rows = out.collect()
+    assert [r.row_id for r in rows] == [6]          # only the 1000.0
+    r = rows[0]
+    # med of cents {950,1000,1020,1050,1100,1150,1200,100000} -> 1050
+    assert r.med == 1050
+    assert r.dev == 100000 - 1050
+    assert r.robust_z == pytest.approx(r.dev / r.mad)
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    """A constant group has MAD 0: any deviation is an outlier and
+    robust_z is NULL (no division blow-up)."""
+    from hugegraph_on_tikv_spark.functions.profiling import mad_outliers
+
+    df = spark.createDataFrame(
+        [("c", i, 5.0) for i in range(6)] + [("c", 9, 5.01)],
+        "g string, rid long, value double")
+    rows = mad_outliers(df, "value", ["g"], "rid").collect()
+    assert [(r.row_id, r.mad, r.robust_z) for r in rows] == [(9, 0, None)]
+
+
+def test_mad_outliers_rational_k_and_validation(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7])],
+        "g string, rid long, value double")
+    # med=400c, devs {0,100,100,200,200,300,300}c, mad=200c:
+    # k=5/4 flags dev*4 > 5*200, i.e. dev > 250
+    rows = mad_outliers(df, "value", ["g"], "rid", k=(5, 4)).collect()
+    assert sorted(r.v for r in rows) == [100, 700]
+    with pytest.raises(ValueError, match="positive rational"):
+        mad_outliers(df, "value", ["g"], "rid", k=(0, 1))
+
+
+def test_mad_outliers_groups_are_independent(spark):
+    from hugegraph_on_tikv_spark.functions.profiling import mad_outliers
+
+    df = spark.createDataFrame(
+        [("lo", i, float(v)) for i, v in enumerate([1, 1, 1, 1, 50])]
+        + [("hi", i, float(v)) for i, v in enumerate([50, 50, 50, 50, 50])],
+        "g string, rid long, value double")
+    rows = mad_outliers(df, "value", ["g"], "rid").collect()
+    assert [(r.g, r.row_id) for r in rows] == [("lo", 4)]  # 50 is normal in 'hi'
