@@ -1802,6 +1802,136 @@ _register(
 )
 
 
+# -- privacy audits (functions/privacy.py): k-anonymity / l-diversity /
+#    suppression over quasi-identifiers — exact integer group sizes and
+#    distinct counts.  The l-diversity sensitive attribute is an exact
+#    integer balance band ((cents + 1e8) DIV 2e5 — truncation == floor
+#    once shifted non-negative, so Spark DIV and DuckDB // agree).
+
+_PRIV_QUASI = ["c_nationkey", "c_mktsegment"]
+
+
+def _bal_band():
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return ((cents + F.lit(100_000_000)).cast("long") / F.lit(200_000)) \
+        .cast("long")
+
+
+def _priv_base(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "customer")
+
+
+_BAL_BAND_SQL = ("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) "
+                 "// 200000")
+
+_register(
+    "privacy_kanon",
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.privacy",
+        fromlist=["k_anonymity_report"]).k_anonymity_report(
+        _priv_base(spark, sf), _PRIV_QUASI, k=10),
+    """
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 10
+    """,
+)
+
+_register(
+    "privacy_level",
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.privacy",
+        fromlist=["anonymity_level"]).anonymity_level(
+        _priv_base(spark, sf), _PRIV_QUASI),
+    """
+    WITH sizes AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS k_level,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n = (SELECT MIN(n) FROM sizes)
+                         THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk
+    FROM sizes
+    """,
+)
+
+_register(
+    "privacy_ldiv",
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.privacy",
+        fromlist=["l_diversity_report"]).l_diversity_report(
+        _priv_base(spark, sf).withColumn("bal_band", _bal_band()),
+        _PRIV_QUASI, "bal_band", l=8),
+    f"""
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {_BAL_BAND_SQL}) AS BIGINT)
+             AS n_distinct_sensitive
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+    HAVING count(DISTINCT {_BAL_BAND_SQL}) < 8
+    """,
+)
+
+_register(
+    "privacy_suppress",
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.privacy",
+        fromlist=["suppress_to_k"]).suppress_to_k(
+        _priv_base(spark, sf), _PRIV_QUASI, k=10).select("c_custkey"),
+    """
+    SELECT c.c_custkey FROM customer c
+    LEFT JOIN (SELECT c_nationkey, c_mktsegment FROM customer
+               GROUP BY c_nationkey, c_mktsegment
+               HAVING count(*) < 10) b
+      ON c.c_nationkey = b.c_nationkey AND c.c_mktsegment = b.c_mktsegment
+    WHERE b.c_nationkey IS NULL
+    """,
+)
+
+
+# -- PMI collocation extraction (text.collocations): adjacent-pair lift
+#    ranking with the log dropped (monotone) — the order key is the exact
+#    integer (c_xy*N*1e6) DIV (c_x*c_y); ties break on counts then the
+#    pair, so rank boundaries are engine-exact.
+
+_register(
+    "text_collocations",
+    lambda spark, sf: text.collocations(
+        load_table(spark, sf, "documents"), min_count=5, k=15),
+    f"""
+    WITH tl AS (SELECT doc_id, {TOKENS_SQL.format(col="text")} AS t FROM documents),
+    stream AS (
+      SELECT doc_id, generate_subscripts(t,1) AS pos, unnest(t) AS tok FROM tl
+    ), uni AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM stream GROUP BY tok
+    ), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM stream),
+    pairs AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM stream
+    ), big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM pairs WHERE w2 IS NOT NULL GROUP BY w1, w2
+      HAVING count(*) >= 5
+    ), scored AS (
+      SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+             CAST((b.c_xy * nt.n * 1000000) // (ux.c * uy.c) AS BIGINT)
+               AS lift_scaled,
+             CAST(b.c_xy * nt.n AS DOUBLE) / (ux.c * uy.c) AS lift
+      FROM big b JOIN uni ux ON b.w1 = ux.tok
+      JOIN uni uy ON b.w2 = uy.tok CROSS JOIN nt
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY lift_scaled DESC, c_xy DESC,
+                                   w1 ASC, w2 ASC) AS rank
+      FROM scored
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, w1, w2, c_xy, c_x, c_y,
+           lift_scaled, lift
+    FROM ranked WHERE rank <= 15
+    """,
+)
+
+
 # -- distributed BPE merge learning (functions/bpe.py): tokenizer training
 #    on the word-frequency table; 6 rounds, each = freq-weighted pair count
 #    + deterministic argmax + marker-string replace.  The oracle unrolls
@@ -7623,6 +7753,46 @@ _compose("a1_agg_counts", [
      "'agg' AS tag, l_returnflag AS k, CAST(min_qty AS DOUBLE) AS v_min, "
      "CAST(max_qty AS DOUBLE) AS v_max, CAST(sum_qty AS DOUBLE) AS v_sum, "
      "CAST(avg_qty AS DOUBLE) AS v_avg, CAST(n_suppliers AS DOUBLE) AS n"),
+    # privacy audits: k-anonymity violations / table level / l-diversity
+    # violations / post-suppression survivors, all exact integers
+    ("privacy_kanon",
+     ["'kanon' AS tag",
+      "concat(CAST(c_nationkey AS STRING), ':', c_mktsegment) AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(n_rows AS DOUBLE) AS n"],
+     "'kanon' AS tag, CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(n_rows AS DOUBLE) AS n"),
+    ("privacy_level",
+     ["'anon_level' AS tag", "CAST(NULL AS STRING) AS k",
+      "CAST(k_level AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(n_groups AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(n_rows_at_risk AS DOUBLE) AS n"],
+     "'anon_level' AS tag, CAST(NULL AS VARCHAR) AS k, "
+     "CAST(k_level AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(n_groups AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(n_rows_at_risk AS DOUBLE) AS n"),
+    ("privacy_ldiv",
+     ["'ldiv' AS tag",
+      "concat(CAST(c_nationkey AS STRING), ':', c_mktsegment) AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(n_rows AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(n_distinct_sensitive AS DOUBLE) AS n"],
+     "'ldiv' AS tag, CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(n_rows AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(n_distinct_sensitive AS DOUBLE) AS n"),
+    ("privacy_suppress",
+     ["'ksup' AS tag", "CAST(c_custkey AS STRING) AS k",
+      "CAST(NULL AS DOUBLE) AS v_min", "CAST(NULL AS DOUBLE) AS v_max",
+      "CAST(NULL AS DOUBLE) AS v_sum", "CAST(NULL AS DOUBLE) AS v_avg",
+      "CAST(NULL AS DOUBLE) AS n"],
+     "'ksup' AS tag, CAST(c_custkey AS VARCHAR) AS k, "
+     "CAST(NULL AS DOUBLE) AS v_min, CAST(NULL AS DOUBLE) AS v_max, "
+     "CAST(NULL AS DOUBLE) AS v_sum, CAST(NULL AS DOUBLE) AS v_avg, "
+     "CAST(NULL AS DOUBLE) AS n"),
     # MAD anomaly detection: k = "event_type:row_id", v_min/v_max carry
     # med/mad, v_sum the scaled value, v_avg robust_z, n the deviation
     ("events_mad_outliers",
@@ -7692,6 +7862,17 @@ _compose("a1_agg_counts", [
      "'ngrams' AS tag, ngram AS k, CAST(NULL AS DOUBLE) AS v_min, "
      "CAST(NULL AS DOUBLE) AS v_max, CAST(NULL AS DOUBLE) AS v_sum, "
      "CAST(rank AS DOUBLE) AS v_avg, CAST(n_occurrences AS DOUBLE) AS n"),
+    # PMI collocations: k = the pair, v_min/v_max = unigram counts,
+    # v_sum = exact lift surrogate, v_avg = rank, n = pair count
+    ("text_collocations",
+     ["'colloc' AS tag", "concat(w1, ' ', w2) AS k",
+      "CAST(c_x AS DOUBLE) AS v_min", "CAST(c_y AS DOUBLE) AS v_max",
+      "CAST(lift_scaled AS DOUBLE) AS v_sum", "CAST(rank AS DOUBLE) AS v_avg",
+      "CAST(c_xy AS DOUBLE) AS n"],
+     "'colloc' AS tag, w1 || ' ' || w2 AS k, "
+     "CAST(c_x AS DOUBLE) AS v_min, CAST(c_y AS DOUBLE) AS v_max, "
+     "CAST(lift_scaled AS DOUBLE) AS v_sum, CAST(rank AS DOUBLE) AS v_avg, "
+     "CAST(c_xy AS DOUBLE) AS n"),
     # exact-integer Pearson pairs (k = "col_a:col_b", v_avg = corr)
     ("stats_corr",
      ["'corr' AS tag", "concat(col_a, ':', col_b) AS k",

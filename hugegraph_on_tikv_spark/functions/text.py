@@ -340,3 +340,66 @@ def oov_stats(df: DataFrame, vocab_size: int = 1000, text_col: str = "text",
                     (F.col("n_oov").cast("double") / F.col("n_tokens"))
                     .alias("oov_rate"),
                     F.col("sum_vocab_cf").cast("long").alias("sum_vocab_cf")))
+
+
+def collocations(df: DataFrame, min_count: int = 5, k: int = 20,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k collocations (adjacent token pairs that co-occur far more
+    than their unigram frequencies predict) — PMI-ranked, EXACTIFIED.
+
+    PMI = log(N·c_xy / (c_x·c_y)) is libm; since log is monotone, ranking
+    by the rational lift N·c_xy / (c_x·c_y) is identical — so the order
+    key is the exact-integer pair (c_xy·N, c_x·c_y) compared by cross
+    multiplication, materialized here as lift_num/lift_den BIGINTs plus
+    one float division `lift` for display.  N = total token occurrences.
+
+    Ordering: lift DESC (via lift_num·other_den cross-compare encoded as
+    the float — ties are then broken exactly), c_xy DESC, pair ASC; the
+    emitted rank is recomputed from the exact integers so two engines
+    cannot disagree on boundary ties.
+
+    Scale shape: bigram + unigram counts are map-side-combinable
+    aggregates; unigram counts broadcast back onto the (far smaller
+    post-min_count) bigram table; the top-k cut is TakeOrdered."""
+    from pyspark.sql import Window
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.select(F.count(F.lit(1)).cast("long").alias("n"))
+
+    pairs = df.select(F.explode(F.expr(
+        "filter(transform({0}, (x, i) -> struct(x AS w1, get({0}, i+1) AS w2)), "
+        "p -> p.w2 IS NOT NULL)".format(
+            f"array_remove(split(lower({text_col}), '[^a-z0-9]+'), '')"))
+    ).alias("p")).select("p.w1", "p.w2")
+    big = (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+           .filter(F.col("c_xy") >= min_count))
+    scored = (big
+              .join(F.broadcast(uni.withColumnRenamed("t", "w1")
+                                .withColumnRenamed("c", "c_x")), "w1")
+              .join(F.broadcast(uni.withColumnRenamed("t", "w2")
+                                .withColumnRenamed("c", "c_y")), "w2")
+              .crossJoin(F.broadcast(n_total))
+              .select("w1", "w2",
+                      F.col("c_xy").cast("long").alias("c_xy"),
+                      F.col("c_x").cast("long").alias("c_x"),
+                      F.col("c_y").cast("long").alias("c_y"),
+                      (F.col("c_xy") * F.col("n")).cast("long")
+                      .alias("lift_num"),
+                      (F.col("c_x") * F.col("c_y")).cast("long")
+                      .alias("lift_den")))
+    # exact ORDER key: lift compared by cross multiplication needs a total
+    # order; num/den are coprime-free but num*1e6 DIV den is a stable
+    # integer surrogate with ties then broken by the raw pair
+    key = F.expr("(lift_num * 1000000) DIV lift_den")
+    top = (scored.withColumn("lift_scaled", key.cast("long"))
+           .orderBy(F.desc("lift_scaled"), F.desc("c_xy"),
+                    F.asc("w1"), F.asc("w2"))
+           .limit(k))
+    w = Window.orderBy(F.desc("lift_scaled"), F.desc("c_xy"),
+                       F.asc("w1"), F.asc("w2"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .withColumn("lift",
+                        F.col("lift_num").cast("double") / F.col("lift_den"))
+            .select("rank", "w1", "w2", "c_xy", "c_x", "c_y",
+                    "lift_scaled", "lift"))

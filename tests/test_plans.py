@@ -447,6 +447,11 @@ def test_whole_roster_lints_clean(spark):
         # the LM smoothing denominator needs V (one count-distinct row)
         # crossed back into the token stream — the 1-row scalar pattern
         "text_lm_score": {"cartesian"},
+        # collocation lift needs N (one total-count row) against the
+        # bigram table; anonymity_level crosses the 1-row min back over
+        # the group sizes — both the same scalar pattern
+        "text_collocations": {"cartesian"},
+        "privacy_level": {"cartesian"},
         # temperature mixing must observe every domain's full count to set
         # the caps — a whole-table aggregate by definition (and the cut
         # itself is a WindowGroupLimit, not a scan predicate)

@@ -528,3 +528,25 @@ def test_remove_duplicated_spans_overlap_union(spark):
            for r in remove_duplicated_spans(docs, n=8).collect()}
     assert got[30] == 15
     assert got[10] == 0                           # lowest id in its pair
+
+
+def test_collocations_exact_lift_ordering(spark):
+    """'zig zag' appears only together -> maximal lift; frequent-but-
+    independent pairs rank below; min_count prunes rare pairs."""
+    from hugegraph_on_tikv_spark.functions.text import collocations
+
+    docs = [(i, "zig zag common stuff common filler") for i in range(5)]
+    # 'here'/'and' are frequent, so their pairs carry lower lift than the
+    # exclusive 'zig zag' pairing
+    docs += [(100 + i, "here and here and here and") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations(df, min_count=5, k=5).collect()
+    assert rows[0].w1 == "zig" and rows[0].w2 == "zag"
+    assert rows[0].rank == 1
+    # exact surrogate: lift_scaled = (c_xy * N * 1e6) DIV (c_x * c_y)
+    n_total = sum(len(t.split()) for _, t in docs)
+    r0 = rows[0]
+    assert r0.lift_scaled == (r0.c_xy * n_total * 1_000_000) // (r0.c_x * r0.c_y)
+    # every emitted pair meets min_count and ranks are dense from 1
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.c_xy >= 5 for r in rows)
