@@ -3118,7 +3118,23 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
     t = np.arange(9 * 4, dtype=np.int64)
     gray = ((t * 29 + 3) % 256).astype(np.uint8).reshape(9, 4)
     rows.append((301, bytearray(encode_png(gray, filters=[4, 3, 2, 1, 0]))))
+    # GIF: the multi-frame REAL LZW path — 3 formula frames over a formula
+    # palette, per-frame luma stats recomputed by the oracle
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        encode_gif, video_frame_stats)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([(i * 7 + 1) % 256, (i * 11 + 3) % 256,
+                    (i * 13 + 5) % 256], axis=1).astype(np.uint8)
+    p = np.arange(6 * 5, dtype=np.int64)
+    gif_frames = [((p * 5 + f * 9 + 2) % 256).astype(np.uint8).reshape(6, 5)
+                  for f in range(3)]
+    rows.append((400, bytearray(encode_gif(gif_frames, pal))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
+    vf = video_frame_stats(media).select(
+        F.lit("video").alias("kind"), "media_id", "frame",
+        F.col("sum_luma").alias("v1"),
+        F.col("min_luma").cast("long").alias("v2"),
+        F.col("max_luma").cast("long").alias("v3"))
     af = audio_frames(media, frame_len=1024).select(
         F.lit("audio").alias("kind"), "media_id", "frame",
         F.col("sum_abs").alias("v1"),
@@ -3134,7 +3150,7 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("imagedim").alias("kind"), "media_id",
         F.lit(-1).alias("frame"), F.col("width").cast("long").alias("v1"),
         F.col("height").cast("long").alias("v2"), F.col("n_pixels").alias("v3"))
-    return af.unionByName(im).unionByName(dim)
+    return af.unionByName(im).unionByName(dim).unionByName(vf)
 
 _register(
     "mm_real_codec_stats",
@@ -3205,6 +3221,22 @@ _register(
              CAST(MAX(luma) AS BIGINT)
       FROM png_gray
     ),
+    gif_px AS (
+      SELECT f.f AS frame,
+             (299 * ((((t.range * 5 + f.f * 9 + 2) % 256) * 7 + 1) % 256)
+            + 587 * ((((t.range * 5 + f.f * 9 + 2) % 256) * 11 + 3) % 256)
+            + 114 * ((((t.range * 5 + f.f * 9 + 2) % 256) * 13 + 5) % 256))
+             // 1000 AS luma
+      FROM range(30) t, (SELECT unnest(range(3)) AS f) f
+    ),
+    gif_rows AS (
+      SELECT 'video' AS kind, CAST(400 AS BIGINT) AS media_id,
+             CAST(frame AS INTEGER) AS frame,
+             CAST(SUM(luma) AS BIGINT) AS v1,
+             CAST(MIN(luma) AS BIGINT) AS v2,
+             CAST(MAX(luma) AS BIGINT) AS v3
+      FROM gif_px GROUP BY frame
+    ),
     png_dims AS (
       SELECT 'imagedim' AS kind, CAST(300 AS BIGINT) AS media_id,
              CAST(-1 AS INTEGER) AS frame, CAST(5 AS BIGINT) AS v1,
@@ -3218,6 +3250,7 @@ _register(
     UNION ALL SELECT * FROM dim_rows
     UNION ALL SELECT * FROM png_rows
     UNION ALL SELECT * FROM png_dims
+    UNION ALL SELECT * FROM gif_rows
     """,
 )
 

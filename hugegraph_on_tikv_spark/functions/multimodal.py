@@ -107,10 +107,11 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
 # -- REAL pure-Python decoders ------------------------------------------------
 #
 # BMP (24-bit uncompressed), PPM (P6 binary) and WAV (PCM16) need no codec
-# library — their payloads are a fixed header plus raw samples.  PNG is a
-# COMPRESSED format but its only codec dependency is DEFLATE, which is
-# Python stdlib (`zlib`) — so 8-bit gray/RGB(A) non-interlaced PNG decodes
-# for real here too (inflate + all five row unfilters).  Entropy-coded
+# library — their payloads are a fixed header plus raw samples.  PNG and
+# GIF are COMPRESSED formats whose only codec dependencies are DEFLATE
+# (Python stdlib `zlib`) and LZW (implemented below) — so 8-bit gray/
+# RGB(A) non-interlaced PNG and multi-frame GIF both decode for real
+# here, GIF serving as the multi-frame "video" path.  Entropy-coded
 # formats (JPEG/MP3/H.264 ...) still hit the documented
 # NotImplementedError seam where a deployment plugs PIL/ffmpeg in.
 
@@ -381,6 +382,216 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, :3].copy()               # RGB / RGBA-minus-alpha
 
 
+# -- GIF: pure-Python LZW, the multi-frame ("video") real-decode path --------
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
+    resets the dictionary, widths grow at 2^w up to 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, code_size, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        next_code = end + 1
+
+    code_size = min_code_size + 1
+    next_code = end + 1
+    reset()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]       # the KwKwK case
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (CLEAR first, dictionary reset at 4096) —
+    the fixture-side inverse of _lzw_decode."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    code_size = min_code_size + 1
+    next_code = end + 1
+    emit(clear)
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(frames: list[np.ndarray], palette: np.ndarray,
+               delay_cs: int = 10) -> bytes:
+    """Minimal GIF89a writer: `frames` are (H, W) uint8 PALETTE-INDEX
+    arrays (all full logical-screen size), `palette` is (n<=256, 3) uint8
+    RGB.  Fixture generator for the real multi-frame decode path."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    depth = max(2, int(np.ceil(np.log2(len(pal)))) or 1)
+    gct = bytearray(pal.tobytes()) + b"\x00" * (3 * ((1 << depth) - len(pal)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += gct
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("all GIF fixture frames must be screen-sized")
+        # GCE: size 4, no disposal/transparency, delay, terminator
+        out += struct.pack("<BBBBHB", 0x21, 0xF9, 4, 0, delay_cs, 0) + b"\x00"
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)     # no LCT
+        min_code = max(2, depth)
+        out.append(min_code)
+        lzw = _lzw_encode(f.tobytes(), min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> list[np.ndarray]:
+    """Decode a GIF87a/89a to a list of (H, W, 3) uint8 RGB frames,
+    composited onto the logical screen in order (disposal: draw-over —
+    each frame painted onto the previous canvas; transparent pixels keep
+    the underlying value).  Handles local color tables and interlaced
+    frames (a row permutation); the LZW inflate is REAL pure Python."""
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:                      # trailer
+            break
+        if block == 0x21:                      # extension
+            label = b[pos]
+            pos += 1
+            if label == 0xF9:                  # graphic control
+                size = b[pos]
+                flags = b[pos + 1]
+                tidx = b[pos + 4]
+                transparent = tidx if flags & 1 else None
+                pos += 1 + size
+            while b[pos] != 0:                 # skip (remaining) sub-blocks
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, ipk = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        pal = gct
+        if ipk & 0x80:                         # local color table
+            n = 2 << (ipk & 0x07)
+            pal = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        min_code = b[pos]
+        pos += 1
+        data = bytearray()
+        while b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1: pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decode(bytes(data), min_code), np.uint8)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame pixel data truncated")
+        idx = idx[:fw * fh].reshape(fh, fw)
+        if ipk & 0x40:                         # interlace = row permutation
+            order = ([*range(0, fh, 8)] + [*range(4, fh, 8)]
+                     + [*range(2, fh, 4)] + [*range(1, fh, 2)])
+            deinter = np.empty_like(idx)
+            deinter[np.array(order)] = idx
+            idx = deinter
+        region = canvas[top:top + fh, left:left + fw]
+        rgb = pal[np.minimum(idx, len(pal) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[..., None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        transparent = None
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return frames
+
+
 def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
     """Deterministic integer luma: (299R + 587G + 114B) // 1000 — exact
     integer arithmetic, bit-identical across engines/platforms."""
@@ -402,11 +613,13 @@ def decode_media(payload: bytes):
         return "image", decode_ppm(b)
     if b[:8] == PNG_SIG:
         return "image", decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "video", np.stack(decode_gif(b))    # (n_frames, H, W, 3)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio", decode_wav(b)[0]
     raise NotImplementedError(
         "codec formats need an external decoder (PIL/ffmpeg); only "
-        "BMP/PPM/PNG/WAV decode codec-free")
+        "BMP/PPM/PNG/GIF/WAV decode codec-free")
 
 
 def _sniff_real(payload: bytes) -> bool:
@@ -421,6 +634,8 @@ def _sniff_real(payload: bytes) -> bool:
     if b[:2] == b"P6" and len(b) > 2 and b[2:3].isspace():
         return True
     if b[:8] == PNG_SIG:
+        return True
+    if b[:6] in (b"GIF87a", b"GIF89a"):
         return True
     return b[:4] == b"RIFF" and b[8:12] == b"WAVE"
 
@@ -449,7 +664,7 @@ def _decode_stub(payload: bytes) -> np.ndarray:
         # batch on one row.
         try:
             kind, arr = decode_media(payload)
-            if kind == "image":
+            if kind in ("image", "video"):      # video: gray over ALL frames
                 vals = _rgb_to_gray(arr).ravel()
             else:
                 # int16 samples folded to uint8 magnitude buckets
@@ -522,6 +737,8 @@ def _decode_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
             kind, arr = decode_media(payload)
             if kind == "image":
                 return _rgb_to_gray(arr)
+            if kind == "video":                 # resize the FIRST frame
+                return _rgb_to_gray(arr[0])
         except _DECODE_ERRORS:
             pass  # sniffed-real but undecodable → tile stub below
     return _decode_pixels_stub(payload, width, height)
@@ -677,6 +894,51 @@ def audio_frames(media: DataFrame, frame_len: int = 1024) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         run, AUDIO_FRAMES_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame", IntegerType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("sum_luma", LongType(), False),
+    StructField("min_luma", IntegerType(), False),
+    StructField("max_luma", IntegerType(), False),
+])
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """Per-FRAME statistics over REAL decoded multi-frame payloads (GIF):
+    the video twin of image_stats — exact integer luma sum/min/max per
+    composited frame, the inputs to scene-change and black-frame corpus
+    filters.  Arrow-batched mapInPandas; non-video / undecodable payloads
+    are skipped (absent from output)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in VIDEO_FRAME_STATS_SCHEMA}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or not _sniff_real(p):
+                    continue
+                try:
+                    kind, arr = decode_media(p)
+                except _DECODE_ERRORS:
+                    continue
+                if kind != "video":
+                    continue
+                for i, frame in enumerate(arr):
+                    gray = _rgb_to_gray(frame).astype(np.int64)
+                    out["media_id"].append(mid)
+                    out["frame"].append(i)
+                    out["height"].append(frame.shape[0])
+                    out["width"].append(frame.shape[1])
+                    out["sum_luma"].append(int(gray.sum()))
+                    out["min_luma"].append(int(gray.min()))
+                    out["max_luma"].append(int(gray.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, VIDEO_FRAME_STATS_SCHEMA)
 
 
 # -- byte-level media dedup (codec-free) -------------------------------------

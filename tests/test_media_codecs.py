@@ -390,3 +390,103 @@ def test_png_dispatch_and_image_stats(spark):
              + 114 * img[..., 2].astype(np.int64)) // 1000)
     assert row.sum_luma == int(luma.sum())
     assert (row.width, row.height, row.n_pixels) == (4, 6, 24)
+
+
+# -- GIF: the REAL LZW multi-frame ("video") path ----------------------------
+
+def test_gif_round_trip_multiframe():
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_gif, encode_gif)
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 256, (17, 11), dtype=np.uint8)
+              for _ in range(3)]
+    out = decode_gif(encode_gif(frames, pal))
+    assert len(out) == 3
+    for idx, rgb in zip(frames, out):
+        assert np.array_equal(rgb, pal[idx])
+
+
+def test_gif_lzw_dictionary_growth_and_reset():
+    """A 16k-pixel frame forces the LZW dictionary through every code
+    width up to 12 bits (and past 4096 entries on random data)."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_gif, encode_gif)
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    frame = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    out = decode_gif(encode_gif([frame], pal))
+    assert np.array_equal(out[0], pal[frame])
+
+
+def test_gif_third_party_files_decode():
+    """Conformance against GIFs this sandbox ships but we did not write —
+    idlelib icons include both plain and INTERLACED files."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(
+        "/root/.pyenv/versions/3.11.7/lib/python3.11/idlelib/Icons/*.gif"))
+    if not files:
+        pytest.skip("no third-party GIFs present")
+    from hugegraph_on_tikv_spark.functions.multimodal import decode_gif
+
+    decoded = 0
+    for path in files:
+        frames = decode_gif(open(path, "rb").read())
+        assert frames and frames[0].dtype == np.uint8
+        assert frames[0].ndim == 3 and frames[0].shape[2] == 3
+        decoded += 1
+    assert decoded == len(files)     # interlace included — no guards left
+
+
+def test_gif_dispatch_and_video_frame_stats(spark):
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _sniff_real, decode_media, encode_gif, video_frame_stats)
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)  # gray pal
+    frames = [(np.arange(24, dtype=np.uint8).reshape(4, 6) + 10 * f)
+              for f in range(2)]
+    g = encode_gif(frames, pal)
+    assert _sniff_real(g)
+    kind, arr = decode_media(g)
+    assert kind == "video" and arr.shape == (2, 4, 6, 3)
+
+    df = spark.createDataFrame([(7, bytearray(g))],
+                               "media_id long, payload binary")
+    rows = sorted(video_frame_stats(df).collect(), key=lambda r: r.frame)
+    assert [r.frame for r in rows] == [0, 1]
+    for f, r in zip(frames, rows):
+        # gray palette: luma of (v,v,v) is exactly v
+        assert r.sum_luma == int(f.astype(np.int64).sum())
+        assert (r.width, r.height) == (6, 4)
+        assert (r.min_luma, r.max_luma) == (int(f.min()), int(f.max()))
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    from hugegraph_on_tikv_spark.functions.multimodal import decode_gif
+    import struct as _s
+
+    from hugegraph_on_tikv_spark.functions.multimodal import _lzw_encode
+
+    # hand-build a 2-frame GIF where frame 2 marks index 1 transparent
+    pal = b"\x10\x20\x30" + b"\xAA\xBB\xCC" + b"\x00" * (3 * 2)
+    f1 = bytes([0, 0, 0, 0])                  # 2x2 all color 0
+    f2 = bytes([1, 0, 1, 0])                  # color0 at odd cells, transp=1
+    out = bytearray(b"GIF89a")
+    out += _s.pack("<HHBBB", 2, 2, 0x81, 0, 0) + pal
+    for data, transp in ((f1, None), (f2, 1)):
+        if transp is not None:
+            out += _s.pack("<BBBBHB", 0x21, 0xF9, 4, 1, 0, transp) + b"\x00"
+        out += _s.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        lzw = _lzw_encode(data, 2)
+        out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out.append(0x3B)
+    frames = decode_gif(bytes(out))
+    assert len(frames) == 2
+    base = np.array([0x10, 0x20, 0x30], dtype=np.uint8)
+    assert np.array_equal(frames[0], np.tile(base, (2, 2, 1)))
+    # frame 2: transparent cells (index 1) keep frame 1's color
+    assert np.array_equal(frames[1], np.tile(base, (2, 2, 1)))
