@@ -3658,6 +3658,89 @@ _SPLITS_SQL = """
 
 _register("i1_splits", _splits, _SPLITS_SQL)
 
+
+# -- optimizer statistics (functions/stats.py): exact join cardinality,
+#    DETERMINISTIC KMV join-size estimation (md5 bottom-k — the estimate
+#    itself hash-checks, not just its error band), FK-candidate
+#    containment.  The reference's metrics surface is a stub (I2); this
+#    is the Spark-first planner-statistics replacement.
+
+def _stats_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import stats
+    li = load_table(spark, sf, "lineitem")
+    return stats.join_size_exact(li, li, "l_partkey")
+
+_register(
+    "stats_join_exact",
+    _stats_exact,
+    """
+    WITH c AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(c * c) AS BIGINT) AS join_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_keys_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_keys_b,
+           CAST(count(*) AS BIGINT) AS n_keys_both
+    FROM c
+    """,
+)
+
+
+def _stats_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import stats
+    li = load_table(spark, sf, "lineitem")
+    return stats.join_size_kmv(li, li, "l_partkey", k=256)
+
+_register(
+    "stats_join_kmv",
+    _stats_kmv,
+    f"""
+    WITH c AS MATERIALIZED (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY l_partkey
+    ), domain AS MATERIALIZED (
+      SELECT k, {H60_SQL.format(x="k")} AS r FROM c
+    ), kth AS (
+      SELECT MAX(r) AS r_max, CAST(count(*) AS BIGINT) AS n_sampled
+      FROM (SELECT r FROM domain ORDER BY r LIMIT 256)
+    ), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_domain FROM domain),
+    prod AS (
+      SELECT CAST(COALESCE(SUM(c.c * c.c), 0) AS BIGINT) AS sampled_product
+      FROM domain d JOIN c ON d.k = c.k CROSS JOIN kth
+      WHERE d.r <= kth.r_max
+    )
+    SELECT CAST((prod.sampled_product * nd.n_domain * 1000000)
+                // kth.n_sampled AS BIGINT) AS estimate_scaled,
+           prod.sampled_product, kth.n_sampled,
+           CAST(kth.r_max AS BIGINT) AS threshold_rank
+    FROM prod CROSS JOIN kth CROSS JOIN nd
+    """,
+)
+
+
+def _stats_containment(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import stats
+    return stats.key_containment(
+        load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders"),
+        "l_orderkey", "o_orderkey")
+
+_register(
+    "stats_containment",
+    _stats_containment,
+    """
+    WITH da AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                WHERE l_orderkey IS NOT NULL),
+    db AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderkey IS NOT NULL)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM da) AS n_keys_a,
+           CAST(count(*) AS BIGINT) AS n_contained,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT count(*) FROM da) AS containment
+    FROM da JOIN db USING (k)
+    """,
+)
+
 # ===========================================================================
 # wave 4: shortest paths, label propagation, motif matching, BPE estimation
 # ===========================================================================
@@ -7588,7 +7671,37 @@ _compose("sim_ivf_topk", [
      "'pq' AS tag, query_id, neighbor_id, adc_score AS score, "
      "CAST(rank AS DOUBLE) AS rank"),
 ])
-_publish("i1_splits")
+_compose("i1_splits", [
+    ("i1_splits",
+     ["'splits' AS tag", "CAST(shard_idx AS DOUBLE) AS a", "start_key AS b",
+      "end_key AS c", "CAST(NULL AS DOUBLE) AS d", "CAST(NULL AS STRING) AS s"],
+     "'splits' AS tag, CAST(shard_idx AS DOUBLE) AS a, start_key AS b, "
+     "end_key AS c, CAST(NULL AS DOUBLE) AS d, CAST(NULL AS VARCHAR) AS s"),
+    # optimizer statistics: exact join cardinality / deterministic KMV
+    # estimate (threshold rank rides the string - 2^60 exceeds double
+    # precision) / FK containment
+    ("stats_join_exact",
+     ["'join_exact' AS tag", "CAST(join_rows AS DOUBLE) AS a",
+      "CAST(n_keys_a AS DOUBLE) AS b", "CAST(n_keys_b AS DOUBLE) AS c",
+      "CAST(n_keys_both AS DOUBLE) AS d", "CAST(NULL AS STRING) AS s"],
+     "'join_exact' AS tag, CAST(join_rows AS DOUBLE) AS a, "
+     "CAST(n_keys_a AS DOUBLE) AS b, CAST(n_keys_b AS DOUBLE) AS c, "
+     "CAST(n_keys_both AS DOUBLE) AS d, CAST(NULL AS VARCHAR) AS s"),
+    ("stats_join_kmv",
+     ["'join_kmv' AS tag", "CAST(estimate_scaled AS DOUBLE) AS a",
+      "CAST(sampled_product AS DOUBLE) AS b", "CAST(n_sampled AS DOUBLE) AS c",
+      "CAST(NULL AS DOUBLE) AS d", "CAST(threshold_rank AS STRING) AS s"],
+     "'join_kmv' AS tag, CAST(estimate_scaled AS DOUBLE) AS a, "
+     "CAST(sampled_product AS DOUBLE) AS b, CAST(n_sampled AS DOUBLE) AS c, "
+     "CAST(NULL AS DOUBLE) AS d, CAST(threshold_rank AS VARCHAR) AS s"),
+    ("stats_containment",
+     ["'containment' AS tag", "CAST(n_keys_a AS DOUBLE) AS a",
+      "CAST(n_contained AS DOUBLE) AS b", "CAST(NULL AS DOUBLE) AS c",
+      "containment AS d", "CAST(NULL AS STRING) AS s"],
+     "'containment' AS tag, CAST(n_keys_a AS DOUBLE) AS a, "
+     "CAST(n_contained AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS c, "
+     "containment AS d, CAST(NULL AS VARCHAR) AS s"),
+])
 
 _compose("win_windows", [
     ("win_tumbling",

@@ -452,6 +452,11 @@ def test_whole_roster_lints_clean(spark):
         # the group sizes — both the same scalar pattern
         "text_collocations": {"cartesian"},
         "privacy_level": {"cartesian"},
+        # optimizer statistics: 1-row scalar aggregates (key counts,
+        # KMV threshold, domain size) recombined via broadcast crosses
+        "stats_join_exact": {"cartesian"},
+        "stats_join_kmv": {"cartesian"},
+        "stats_containment": {"cartesian"},
         # temperature mixing must observe every domain's full count to set
         # the caps — a whole-table aggregate by definition (and the cut
         # itself is a WindowGroupLimit, not a scan predicate)
