@@ -362,7 +362,13 @@ def main() -> None:
                      # learning, eval-set decontamination (kept OUT of the
                      # headline total so cross-round totals stay comparable)
                      "sim_pq_topk", "dedup_fs_linkage", "text_bpe_learn",
-                     "dedup_decontam"):
+                     "dedup_decontam",
+                     # round 7 session 3: bigram-LM scoring, ER golden
+                     # records, collocations, MAD anomalies, privacy
+                     # suppression, KMV join-size estimation
+                     "text_lm_score", "dedup_er_golden", "text_collocations",
+                     "events_mad_outliers", "privacy_suppress",
+                     "stats_join_kmv"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():
