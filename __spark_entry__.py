@@ -2471,13 +2471,7 @@ _DECONTAM_INJ_SQL = f"""
       FROM documents
 """
 
-_register(
-    "dedup_decontam",
-    lambda spark, sf: dedup.contamination_report(
-        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 != 0),
-        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 == 0),
-        n=8),
-    f"""
+_DECONTAM_ORACLE = f"""
     WITH inj AS ({_DECONTAM_INJ_SQL}
     ), corpus AS (
       SELECT doc_id, text FROM inj WHERE doc_id % 7 <> 0
@@ -2527,7 +2521,28 @@ _register(
     SELECT doc_id, hit_grams, eval_docs_hit, contaminated_tokens,
            total_tokens
     FROM cov JOIN ed USING (doc_id) JOIN tt USING (doc_id)
-    """,
+    """
+
+_register(
+    "dedup_decontam",
+    lambda spark, sf: dedup.contamination_report(
+        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 != 0),
+        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 == 0),
+        n=8),
+    _DECONTAM_ORACLE,
+)
+
+# the Bloom-pruned scale path MUST give the identical answer (the filter
+# only prunes; the exact verify decides), so it shares the oracle string
+# verbatim — a driver hash match here certifies bloom-prune + verify ==
+# plain broadcast-set join, end to end
+_register(
+    "dedup_decontam_bloom",
+    lambda spark, sf: dedup.contamination_report(
+        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 != 0),
+        _decontam_docs(spark, sf).filter(F.col("doc_id") % 7 == 0),
+        n=8, mode="bloom", bloom_bits=1 << 18),
+    _DECONTAM_ORACLE,
 )
 
 
@@ -7476,6 +7491,18 @@ _compose("text_quality_suite", [
       "CAST(eval_docs_hit AS DOUBLE) AS punct_ratio",
       "CAST(contaminated_tokens AS DOUBLE) AS stopword_ratio"],
      "'decontam' AS tag, doc_id, CAST(total_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(hit_grams AS DOUBLE) AS mean_token_len, "
+     "CAST(eval_docs_hit AS DOUBLE) AS punct_ratio, "
+     "CAST(contaminated_tokens AS DOUBLE) AS stopword_ratio"),
+    # Bloom-pruned decontamination: identical values under a different
+    # physical plan (word-table bloom prune -> tiny-side exact verify)
+    ("dedup_decontam_bloom",
+     ["'decontam_bloom' AS tag", "doc_id",
+      "CAST(total_tokens AS DOUBLE) AS n_tokens",
+      "CAST(hit_grams AS DOUBLE) AS mean_token_len",
+      "CAST(eval_docs_hit AS DOUBLE) AS punct_ratio",
+      "CAST(contaminated_tokens AS DOUBLE) AS stopword_ratio"],
+     "'decontam_bloom' AS tag, doc_id, CAST(total_tokens AS DOUBLE) AS n_tokens, "
      "CAST(hit_grams AS DOUBLE) AS mean_token_len, "
      "CAST(eval_docs_hit AS DOUBLE) AS punct_ratio, "
      "CAST(contaminated_tokens AS DOUBLE) AS stopword_ratio"),

@@ -437,6 +437,15 @@ def main() -> None:
                 result_full["ann_sf1"] = json.load(f)
         except Exception:
             pass
+    # one-shot sf1-scale dedup datapoint (tools/dedup_sf1.py sidecar)
+    dedup_sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "DEDUP_SF1.json")
+    if os.path.exists(dedup_sidecar):
+        try:
+            with open(dedup_sidecar) as f:
+                result_full["dedup_sf1"] = json.load(f)
+        except Exception:
+            pass
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     with open(full_path, "w") as f:

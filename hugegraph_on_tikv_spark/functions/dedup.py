@@ -826,9 +826,38 @@ def duplicated_spans(docs: DataFrame, n: int = 8, text_col: str = "text",
             .select("doc_a", "doc_b", "start_a", "start_b", "span_len"))
 
 
+def _bloom_positions(fp_col, k: int, n_bits: int):
+    """k deterministic bit positions from an md5-hex fingerprint: the
+    j-th position is the j-th 8-hex-char (32-bit) slice mod n_bits —
+    portable (md5-only hash rule), no RNG, k <= 4."""
+    if not 1 <= k <= 4:
+        raise ValueError("bloom k must be in 1..4 (md5 has 4 32-bit slices)")
+    return [F.conv(F.substring(fp_col, 1 + 8 * j, 8), 16, 10).cast("long")
+            % n_bits for j in range(k)]
+
+
+def bloom_words(fps: DataFrame, fp_col: str = "fp", n_bits: int = 1 << 20,
+                k: int = 3) -> DataFrame:
+    """Build a Bloom filter over a fingerprint column as a (word_idx,
+    bits) DataFrame — n_bits/64 int64 words populated by a distributed
+    BIT_OR aggregate.  Unlike a driver-side bitset, the word TABLE form
+    scales to arbitrarily large filters: membership probes equi-join on
+    word_idx (map-side once the table broadcasts), so a multi-GB filter
+    never has to fit in a plan literal."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(fp_col), k, n_bits)))
+    return (fps.select(pos.alias("p"))
+            .select((F.col("p") / 64).cast("long").alias("word_idx"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(p % 64 AS INT))").alias("b"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("b").alias("bits")))
+
+
 def contamination_report(corpus: DataFrame, eval_docs: DataFrame, n: int = 8,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id", mode: str = "set",
+                         bloom_bits: int = 1 << 20,
+                         bloom_k: int = 3) -> DataFrame:
     """Benchmark decontamination report — the GPT-3 appendix-C / PaLM-style
     exact n-gram overlap scrub: for every TRAINING document sharing at
     least one verbatim n-token window with any EVAL document, report how
@@ -844,15 +873,28 @@ def contamination_report(corpus: DataFrame, eval_docs: DataFrame, n: int = 8,
     * total_tokens — the doc's token count, so callers can threshold on
       the contaminated fraction.
 
-    Scale shape: the eval side is tiny next to a 100 TB corpus, so its
+    Scale shape: the eval side is small next to a 100 TB corpus, so its
     distinct (eval_id, fingerprint) set is broadcast — the corpus-side
     positioned-gram stream is filtered map-side and NEVER shuffles on the
     gram key.  The only window is per-document (bounded by doc length,
     not corpus size).  Companion to duplicated_spans (within-corpus) —
     this is the cross-corpus eval-set face of the same fingerprint
-    machinery."""
+    machinery.
+
+    mode='bloom': the scale path for when even the eval FINGERPRINT SET
+    outgrows a broadcast join table (a full benchmark battery is easily
+    10^9 grams).  A Bloom word TABLE (bloom_words — n_bits/64 rows, e.g.
+    2^27 bits = 16 MB at any eval-set size) broadcast-joins the gram
+    stream's k probe positions; only the bloom-POSITIVE survivors (true
+    hits + the ~(1-e^-kn/m)^k false-positive trickle) proceed to the
+    exact verify join, now with the TINY positive side broadcast against
+    the full eval fingerprints.  Output is IDENTICAL to mode='set' —
+    the filter only prunes, the verify decides — so both modes share one
+    oracle."""
     if n < 2:
         raise ValueError("decontamination n-gram width must be >= 2")
+    if mode not in ("set", "bloom"):
+        raise ValueError(f"mode must be 'set' or 'bloom', got {mode!r}")
     from pyspark.sql.window import Window
 
     toks = corpus.select(F.col(id_col).alias("doc_id"),
@@ -867,7 +909,27 @@ def contamination_report(corpus: DataFrame, eval_docs: DataFrame, n: int = 8,
         .alias("gram"))
         .select("eval_id", F.md5(F.col("gram")).alias("fp"))
         .distinct())
-    hits = grams.join(F.broadcast(ev), "fp")
+    if mode == "bloom":
+        words = bloom_words(ev.select("fp").distinct(), n_bits=bloom_bits,
+                            k=bloom_k)
+        probes = grams.select(
+            "doc_id", "pos", "fp",
+            F.posexplode(F.array(*_bloom_positions(
+                F.col("fp"), bloom_k, bloom_bits))).alias("j", "p"))
+        probe_hits = (probes
+                      .withColumn("word_idx", (F.col("p") / 64).cast("long"))
+                      .join(F.broadcast(words), "word_idx")
+                      .filter(F.expr(
+                          "shiftright(bits, CAST(p % 64 AS INT)) & 1 = 1")))
+        positives = (probe_hits.groupBy("doc_id", "pos", "fp")
+                     .agg(F.count(F.lit(1)).alias("_k"))
+                     .filter(F.col("_k") == bloom_k)
+                     .select("doc_id", "pos", "fp"))
+        # exact verify: the positive set is small BY CONSTRUCTION — it is
+        # the broadcast side now, the full eval fps stream past it
+        hits = F.broadcast(positives).join(ev, "fp")
+    else:
+        hits = grams.join(F.broadcast(ev), "fp")
 
     eval_counts = (hits.groupBy("doc_id")
                    .agg(F.countDistinct("eval_id").alias("eval_docs_hit")))

@@ -550,3 +550,58 @@ def test_collocations_exact_lift_ordering(spark):
     # every emitted pair meets min_count and ranks are dense from 1
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.c_xy >= 5 for r in rows)
+
+
+def test_bloom_decontamination_equals_exact_mode(spark):
+    """mode='bloom' must give IDENTICAL reports to mode='set' — the
+    filter only prunes, the exact verify decides.  Tiny filters (high
+    false-positive rate) must not change values either, only cost."""
+    from hugegraph_on_tikv_spark.functions.dedup import contamination_report
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    corpus = spark.createDataFrame(
+        [(1, "a b c " + shared + " tail0 tail1"),
+         (2, "clean words only here nothing shared at all x y z w q r"),
+         (3, shared + " " + shared)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, "pre " + shared + " post")],
+                               "doc_id long, text string")
+    want = {r.doc_id: r.asDict()
+            for r in contamination_report(corpus, ev, n=8).collect()}
+    for bits in (1 << 16, 1 << 8):    # 256-bit filter: ~all-positive
+        got = {r.doc_id: r.asDict()
+               for r in contamination_report(
+                   corpus, ev, n=8, mode="bloom",
+                   bloom_bits=bits).collect()}
+        assert got == want, bits
+
+
+def test_bloom_words_membership_complete(spark):
+    """Every inserted fingerprint tests positive (no false negatives) —
+    the property the exactness argument rests on."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions.dedup import (
+        _bloom_positions, bloom_words)
+
+    fps = spark.createDataFrame([(F"{i:032x}",) for i in range(500)],
+                                "fp string").select(F.md5("fp").alias("fp"))
+    words = bloom_words(fps, n_bits=1 << 12, k=3)
+    probes = fps.select(
+        "fp", F.posexplode(F.array(*_bloom_positions(
+            F.col("fp"), 3, 1 << 12))).alias("j", "p"))
+    hits = (probes.withColumn("word_idx", (F.col("p") / 64).cast("long"))
+            .join(words, "word_idx")
+            .filter(F.expr("shiftright(bits, CAST(p % 64 AS INT)) & 1 = 1"))
+            .groupBy("fp").count().filter("count = 3"))
+    assert hits.count() == 500
+
+
+def test_bloom_k_validation(spark):
+    from hugegraph_on_tikv_spark.functions.dedup import contamination_report
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bloom k"):
+        contamination_report(df, df, n=2, mode="bloom", bloom_k=5)
+    with pytest.raises(ValueError, match="mode"):
+        contamination_report(df, df, n=2, mode="wat")

@@ -77,26 +77,38 @@ def main() -> None:
     doc: dict = {"n_docs": N_DOCS, "n_planted": N_PLANTED,
                  "doc_len": DOC_LEN, "vocab": VOCAB}
     try:
+        twin_pass()                  # throwaway: JIT/parquet-footer warmup
         twin_before = twin_pass()
 
-        # token = multiplicative scramble of (base, i) — NO shift structure
-        # (a linear i-step would make every doc a window of one cyclic
-        # stream and the whole corpus one near-dup family).  Copies flip a
-        # mutation bit at 3 positions.  Scramble is plain integer column
-        # math — deterministic, engine-local (bench-only data).
+        # token = murmur-style multiply-XORSHIFT avalanche of an INJECTIVE
+        # pre-image x = base*61 + i (stride 61 > doc length: disjoint
+        # x-windows per doc).  THREE fixture designs failed before this
+        # one, each by preserving additive structure:
+        #   1. linear i-step -> the corpus is one cyclic string;
+        #   2. mod-2^31 wrap -> exact pre-image collisions (~80k spurious
+        #      J>=0.7 pairs);
+        #   3. single Knuth multiply (a linear map) -> doc offsets Delta
+        #      with 61*Delta*A mod 2^32 < 2^16 rotate the stream by less
+        #      than the >>16 window, giving ~126k mostly-equal-token doc
+        #      families.
+        # The xor between the two multiplies is what kills linearity.
+        # Mutations map to a third disjoint x-range.  All integer column
+        # math stays inside int64 (pre-mod to 2^31 before the second
+        # multiply: 2^31 * 0x85EBCA6B < 2^63).
         base = F.when(F.col("id") >= N_DOCS - N_PLANTED,
                       F.col("id") - (N_DOCS - N_PLANTED)).otherwise(F.col("id"))
 
         def _tok(i):
             mut = F.when((F.col("id") >= N_DOCS - N_PLANTED)
                          & i.isin(10, 20, 30), F.lit(1)).otherwise(F.lit(0))
-            # pre-mod to 2^31 so the Knuth multiply stays inside int64
-            # (2^31 * 2654435761 < 2^63) even under ANSI overflow checks
-            mix = F.pmod(base * 1_000_003 + i * 97 + mut * 31,
-                         F.lit(2**31)) * 2_654_435_761
+            x = base * 61 + i + mut * (61 * N_DOCS)
+            h = F.pmod(x * 0x9E3779B1, F.lit(2**32))
+            h = h.bitwiseXOR(F.floor(h / 65536).cast("long"))
+            h = F.pmod(F.pmod(h, F.lit(2**31)) * 0x85EBCA6B, F.lit(2**32))
+            h = h.bitwiseXOR(F.floor(h / 8192).cast("long"))
             return F.concat(F.lit("w"),
-                            F.pmod(F.floor(F.pmod(mix, 2**32) / 65536),
-                                   F.lit(VOCAB)).cast("long").cast("string"))
+                            F.pmod(h, F.lit(VOCAB)).cast("long")
+                            .cast("string"))
 
         docs = (spark.range(N_DOCS)
                 .select(F.col("id").alias("doc_id"),
