@@ -3734,6 +3734,43 @@ _register(
 )
 
 
+def _stats_skew(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import stats
+    return stats.skew_report(load_table(spark, sf, "lineitem"), "l_suppkey",
+                             top=5, shuffle_partitions=32)
+
+_register(
+    "stats_skew_report",
+    _stats_skew,
+    """
+    WITH c AS MATERIALIZED (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key_str,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n_rows) AS BIGINT) AS max_rows
+      FROM c
+    ), hot AS (
+      SELECT key_str, n_rows FROM c
+      ORDER BY n_rows DESC, key_str ASC LIMIT 5
+    )
+    SELECT 'hot' AS tag, h.key_str, h.n_rows,
+           CAST((h.n_rows * 1000000) // t.n_total AS BIGINT) AS share_ppm,
+           CAST((h.n_rows + (t.n_total + 31) // 32 - 1)
+                // ((t.n_total + 31) // 32) AS BIGINT) AS salt_factor
+    FROM hot h CROSS JOIN tot t
+    UNION ALL
+    SELECT 'summary', CAST(n_keys AS VARCHAR), n_total,
+           CAST((max_rows * 1000000) // n_total AS BIGINT),
+           CAST((max_rows + (n_total + 31) // 32 - 1)
+                // ((n_total + 31) // 32) AS BIGINT)
+    FROM tot
+    """,
+)
+
+
 def _stats_containment(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions import stats
     return stats.key_containment(
@@ -7728,6 +7765,14 @@ _compose("i1_splits", [
      "'containment' AS tag, CAST(n_keys_a AS DOUBLE) AS a, "
      "CAST(n_contained AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS c, "
      "containment AS d, CAST(NULL AS VARCHAR) AS s"),
+    # skew diagnosis: hot keys + summary, salt-factor recommendation
+    ("stats_skew_report",
+     ["concat('skew_', tag) AS tag", "CAST(n_rows AS DOUBLE) AS a",
+      "CAST(share_ppm AS DOUBLE) AS b", "CAST(salt_factor AS DOUBLE) AS c",
+      "CAST(NULL AS DOUBLE) AS d", "key_str AS s"],
+     "'skew_' || tag AS tag, CAST(n_rows AS DOUBLE) AS a, "
+     "CAST(share_ppm AS DOUBLE) AS b, CAST(salt_factor AS DOUBLE) AS c, "
+     "CAST(NULL AS DOUBLE) AS d, key_str AS s"),
 ])
 
 _compose("win_windows", [

@@ -119,3 +119,47 @@ def key_containment(a: DataFrame, b: DataFrame, key_a: str,
             .select("n_keys_a", "n_contained",
                     (F.col("n_contained").cast("double")
                      / F.col("n_keys_a")).alias("containment")))
+
+
+def skew_report(df: DataFrame, key: str, top: int = 10,
+                shuffle_partitions: int = 200) -> DataFrame:
+    """Join/aggregation skew diagnosis for a key column: the numbers that
+    decide between plain shuffle, AQE skew-split, and salting (see
+    SCALE.md's measured crossover).  One row per hot key (top-`top` by
+    count, ties to MIN key string) plus one 'summary' row.
+
+    Columns: tag ('hot'|'summary'), key_str, n_rows, share_ppm (exact
+    integer parts-per-million of the table), salt_factor — for hot rows,
+    ceil(n_rows / ideal_partition_rows): the replication factor that
+    would level this key across tasks (1 = no action needed).
+
+    All exact integers (counts, floor divisions); deterministic top-k
+    cut.  Scale shape: one combinable groupBy + a TakeOrdered — the same
+    cost as any key-count pass."""
+    counts = key_counts(df, key).select(
+        F.col("k").cast("string").alias("key_str"),
+        F.col("c").alias("n_rows"))
+    tot = counts.agg(F.sum("n_rows").cast("long").alias("n_total"),
+                     F.count(F.lit(1)).cast("long").alias("n_keys"),
+                     F.max("n_rows").cast("long").alias("max_rows"))
+    hot = (counts.orderBy(F.desc("n_rows"), F.asc("key_str")).limit(top)
+           .crossJoin(F.broadcast(tot)))
+    # all-integer ceil divisions: (a + b - 1) DIV b — no float in any
+    # checked column, so the report hash-matches any ANSI replay
+    ideal_sql = (f"((n_total + {shuffle_partitions - 1}) "
+                 f"DIV {shuffle_partitions})")
+    hot_rows = hot.select(
+        F.lit("hot").alias("tag"), "key_str", "n_rows",
+        F.expr("(n_rows * 1000000) DIV n_total").cast("long")
+        .alias("share_ppm"),
+        F.expr(f"(n_rows + {ideal_sql} - 1) DIV {ideal_sql}").cast("long")
+        .alias("salt_factor"))
+    summary = tot.select(
+        F.lit("summary").alias("tag"),
+        F.col("n_keys").cast("string").alias("key_str"),
+        F.col("n_total").alias("n_rows"),
+        F.expr("(max_rows * 1000000) DIV n_total").cast("long")
+        .alias("share_ppm"),
+        F.expr(f"(max_rows + {ideal_sql} - 1) DIV {ideal_sql}").cast("long")
+        .alias("salt_factor"))
+    return hot_rows.unionByName(summary)

@@ -457,6 +457,7 @@ def test_whole_roster_lints_clean(spark):
         "stats_join_exact": {"cartesian"},
         "stats_join_kmv": {"cartesian"},
         "stats_containment": {"cartesian"},
+        "stats_skew_report": {"cartesian"},   # 1-row totals × top-k keys
         # temperature mixing must observe every domain's full count to set
         # the caps — a whole-table aggregate by definition (and the cut
         # itself is a WindowGroupLimit, not a scan predicate)

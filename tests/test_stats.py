@@ -68,3 +68,30 @@ def test_key_containment_fk_discovery(spark, tables):
     assert row.containment == pytest.approx(0.5)
     full = stats.key_containment(b.filter("k IN (1, 2)"), a, "k").collect()[0]
     assert full.containment == 1.0
+
+
+def test_skew_report_flags_hub_and_recommends_salt(spark):
+    rows = ([("hub", i) for i in range(900)]
+            + [(f"k{i}", i) for i in range(100)])
+    df = spark.createDataFrame(rows, "k string, payload long")
+    out = {(r.tag, r.key_str): r
+           for r in stats.skew_report(df, "k", top=3,
+                                      shuffle_partitions=10).collect()}
+    hub = out[("hot", "hub")]
+    assert hub.n_rows == 900
+    assert hub.share_ppm == (900 * 1_000_000) // 1000
+    # ideal partition = 100 rows -> the hub needs 9-way salting
+    assert hub.salt_factor == 9
+    summary = next(v for (t, _), v in out.items() if t == "summary")
+    assert summary.key_str == "101" and summary.n_rows == 1000
+    assert summary.salt_factor == 9
+    # uniform keys need no salting
+    uni = [v for (t, k), v in out.items() if t == "hot" and k != "hub"]
+    assert all(v.salt_factor == 1 for v in uni)
+
+
+def test_skew_report_uniform_table_is_quiet(spark):
+    df = spark.createDataFrame([(f"k{i % 50}",) for i in range(500)],
+                               "k string")
+    out = stats.skew_report(df, "k", top=5, shuffle_partitions=10).collect()
+    assert all(r.salt_factor == 1 for r in out)
