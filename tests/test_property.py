@@ -332,3 +332,130 @@ def test_duplicated_spans_match_bruteforce_random(spark, seed, n):
     got = {(r["doc_a"], r["doc_b"], r["start_a"], r["start_b"], r["span_len"])
            for r in duplicated_spans(docs, n=n, max_docs_per_gram=99).collect()}
     assert got == want, (toks, n)
+
+
+@settings(deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    gray=st.booleans(),
+    filters=st.lists(st.integers(min_value=0, max_value=4),
+                     min_size=1, max_size=5),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_round_trip_property(h, w, gray, filters, seed):
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_png, encode_png)
+
+    rng = np.random.RandomState(seed)
+    if gray:
+        img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        want = np.repeat(img[:, :, None], 3, axis=2)
+    else:
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        want = img
+    assert np.array_equal(decode_png(encode_png(img, filters=filters)), want)
+
+
+@settings(deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=8),
+    w=st.integers(min_value=1, max_value=8),
+    n_frames=st.integers(min_value=1, max_value=4),
+    pal_n=st.sampled_from([4, 16, 256]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_round_trip_property(h, w, n_frames, pal_n, seed):
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_gif, encode_gif)
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(pal_n, 3), dtype=np.uint8)
+    frames = [rng.randint(0, pal_n, size=(h, w)).astype(np.uint8)
+              for _ in range(n_frames)]
+    out = decode_gif(encode_gif(frames, pal))
+    assert len(out) == n_frames
+    for idx, rgb in zip(frames, out):
+        assert np.array_equal(rgb, pal[idx])
+
+
+_WORD = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+
+@settings(deadline=None, max_examples=12,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(st.lists(_WORD, min_size=0, max_size=12), min_size=1,
+                   max_size=12),
+    head=st.integers(min_value=1, max_value=6),
+)
+def test_lm_two_path_join_property(spark, texts, head):
+    """Any corpus, any head size: the two-path (head-broadcast /
+    tail-shuffle) model join equals the all-in-one-join scores."""
+    from hugegraph_on_tikv_spark.functions import lm
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    a = {r.doc_id: (r.n_scored, r.sum_p_scaled)
+         for r in lm.lm_score(df, head_size=head).collect()}
+    b = {r.doc_id: (r.n_scored, r.sum_p_scaled)
+         for r in lm.lm_score(df, head_size=100_000).collect()}
+    assert a == b
+
+
+@settings(deadline=None, max_examples=10,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys_a=st.lists(st.integers(min_value=0, max_value=30), min_size=0,
+                    max_size=40),
+    keys_b=st.lists(st.integers(min_value=0, max_value=30), min_size=0,
+                    max_size=40),
+)
+def test_kmv_join_size_exact_when_k_covers_domain(spark, keys_a, keys_b):
+    """k >= |domain| makes the KMV 'estimate' exactly the true join size,
+    for any multiplicity profile on either side."""
+    from hypothesis import assume
+
+    from hugegraph_on_tikv_spark.functions import stats
+
+    assume(keys_a and keys_b)
+    a = spark.createDataFrame([(k,) for k in keys_a], "k long")
+    b = spark.createDataFrame([(k,) for k in keys_b], "k long")
+    exact = stats.join_size_exact(a, b, "k").collect()[0].join_rows
+    kmv = stats.join_size_kmv(a, b, "k", k=1000).collect()[0]
+    assert kmv.sampled_product == exact
+    assert kmv.estimate_scaled == exact * 1_000_000
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(st.lists(_WORD, min_size=0, max_size=14), min_size=1,
+                    max_size=8),
+    ev=st.lists(st.lists(_WORD, min_size=0, max_size=14), min_size=1,
+                max_size=4),
+    bits_pow=st.integers(min_value=6, max_value=14),
+)
+def test_bloom_decontam_equals_set_mode_property(spark, corpus, ev, bits_pow):
+    """For ANY corpus/eval pair and ANY filter size (down to 64 bits,
+    where nearly everything is a false positive), bloom mode returns the
+    identical contamination report."""
+    from hugegraph_on_tikv_spark.functions.dedup import contamination_report
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)],
+        "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(ev)],
+        "doc_id long, text string")
+    want = {r.doc_id: r.asDict()
+            for r in contamination_report(cdf, edf, n=2).collect()}
+    got = {r.doc_id: r.asDict()
+           for r in contamination_report(cdf, edf, n=2, mode="bloom",
+                                         bloom_bits=1 << bits_pow).collect()}
+    assert got == want
