@@ -6775,6 +6775,232 @@ def _pipe_curate_v4_sql() -> str:
 _register("pipe_curate_v4", _pipe_curate_v4, _pipe_curate_v4_sql())
 
 
+# -- pipe_curate_v5: v4 + the session-3 stages — bigram-LM QUALITY FILTER
+#    after decontamination (keep docs with mean scaled probability >=
+#    LM_THRESH under the corpus' own English-reference model: the
+#    exact-integer rule sum_p_scaled >= n_scored * THRESH — the monotone
+#    arithmetic-mean stand-in for a perplexity cut, no libm anywhere) and
+#    PRIVACY SUPPRESSION after mixing (drop (lang, source) groups smaller
+#    than k=2 — the k-anonymity residue rule on release metadata).  Docs
+#    that tokenize to nothing have no LM score and drop at the LM stage
+#    (inner-join semantics, mirrored by the oracle).
+
+_V5_LM_THRESH = 33_000
+
+
+def _pipe_curate_v5(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import lm, privacy, sampling
+
+    alldocs = load_table(spark, sf, "documents")
+    docs = alldocs.filter(F.col("doc_id") % 37 != 0)
+    evaldocs = alldocs.filter(F.col("doc_id") % 37 == 0)
+
+    clusters = dedup.near_duplicate_clusters(
+        docs, num_hashes=32, rows_per_band=4, k=3, threshold=0.3)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")) \
+        .select("doc_id")
+    survivors = docs.join(losers, "doc_id", "left_anti")
+    qm = text.quality_metrics(survivors)
+    kept_ids = qm.filter(
+        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") <= 0.30)
+        & (F.col("mean_token_len") >= 3.0)).select("doc_id")
+    kept = survivors.join(kept_ids, "doc_id")
+    clean = dedup.decontaminate(kept, evaldocs, n=8)
+
+    lm_ids = (lm.lm_score(clean, clean.filter(F.col("lang") == "en"))
+              .filter(F.col("sum_p_scaled")
+                      >= F.col("n_scored") * _V5_LM_THRESH)
+              .select("doc_id"))
+    lmkept = clean.join(lm_ids, "doc_id")
+
+    capped = sampling.cap_per_group(lmkept, "source", _CURATE_CAP)
+    mixed = sampling.temperature_mix(capped, "source", total=_V4_MIX_TOTAL,
+                                     salt="mix")
+    suppressed = privacy.suppress_to_k(mixed, ["lang", "source"], 2)
+
+    injected = suppressed.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 0,
+               F.concat(F.col("text"), F.lit(_PII_SUFFIX)))
+        .otherwise(F.col("text")))
+    pii = text.pii_counts(injected)
+    redacted = injected.withColumn("text", text.redact_pii(F.col("text")))
+    split = sampling.cluster_safe_split(
+        suppressed, {"train": 0.8, "val": 0.1, "test": 0.1}, clusters,
+        salt="v5split")
+
+    stats = redacted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.bpe_token_estimate(F.col("text")).cast("long"))
+        .alias("total_bpe_tokens"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    surv_n = survivors.agg(F.count(F.lit(1)).alias("n_surv"))
+    kept_n = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    clean_n = clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    lm_n = lmkept.agg(F.count(F.lit(1)).alias("n_lm"))
+    capped_n = capped.agg(F.count(F.lit(1)).alias("n_capped"))
+    mixed_n = mixed.agg(F.count(F.lit(1)).alias("n_mixed"))
+    pii_n = pii.agg(F.sum(F.col("n_email") + F.col("n_ssn")
+                          + F.col("n_phone")).alias("n_pii"))
+    split_n = split.agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"))
+    return (
+        stats.crossJoin(F.broadcast(total)).crossJoin(F.broadcast(surv_n))
+        .crossJoin(F.broadcast(kept_n)).crossJoin(F.broadcast(clean_n))
+        .crossJoin(F.broadcast(lm_n)).crossJoin(F.broadcast(capped_n))
+        .crossJoin(F.broadcast(mixed_n)).crossJoin(F.broadcast(pii_n))
+        .crossJoin(F.broadcast(split_n))
+        .select(
+            "n_docs",
+            (F.col("n_total") - F.col("n_surv")).alias("n_dropped_neardup"),
+            (F.col("n_surv") - F.col("n_kept")).alias("n_dropped_quality"),
+            (F.col("n_kept") - F.col("n_clean")).alias("n_dropped_decontam"),
+            (F.col("n_clean") - F.col("n_lm")).alias("n_dropped_lm"),
+            (F.col("n_lm") - F.col("n_capped")).alias("n_dropped_cap"),
+            (F.col("n_capped") - F.col("n_mixed")).alias("n_dropped_mix"),
+            (F.col("n_mixed") - F.col("n_docs")).alias("n_dropped_privacy"),
+            "total_bpe_tokens", "n_pii", "n_train", "n_val", "n_test",
+        )
+    )
+
+
+def _pipe_curate_v5_sql() -> str:
+    from hugegraph_on_tikv_spark.functions import sampling
+
+    pii_sels, pii_red = _pii_chain_sql("inj.text")
+    split_case = _split_sql_oracle(
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="COALESCE(cl.cluster_id, c.doc_id)", salt="v5split")
+    mix_sql = sampling.temperature_mix_sql(
+        "source", _V4_MIX_TOTAL, table="capped", salt="mix")
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT * FROM documents WHERE doc_id % 37 <> 0
+    ), clusters AS MATERIALIZED (
+      {_near_clusters_sql(source_sql="SELECT doc_id, text FROM corpus")}
+    ), survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.text, d.source, d.lang FROM corpus d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    ), m AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+              / greatest(len(toks), 1), 4) AS mean_token_len,
+        round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it'], x)))
+              * 1.0 / greatest(len(toks), 1), 4) AS stopword_ratio
+      FROM (SELECT doc_id, text, {toks} AS toks FROM survivors)
+    ), kept AS MATERIALIZED (
+      SELECT s.doc_id, s.text, s.source, s.lang
+      FROM survivors s JOIN m USING (doc_id)
+      WHERE n_tokens >= 20 AND stopword_ratio <= 0.30 AND mean_token_len >= 3.0
+    ), evg AS MATERIALIZED (
+      SELECT DISTINCT md5(unnest(gr)) AS fp
+      FROM (SELECT {word_shingles_sql(toks, 8)} AS gr
+            FROM documents WHERE doc_id % 37 = 0)
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, md5(unnest(gr)) AS fp
+        FROM (SELECT doc_id, {word_shingles_sql(toks, 8)} AS gr FROM kept)
+      ) g JOIN evg USING (fp)
+    ), clean AS MATERIALIZED (
+      SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), lmrtl AS (
+      SELECT doc_id, {toks} AS t FROM clean WHERE lang = 'en'
+    ), lmrstream AS (
+      SELECT doc_id, generate_subscripts(t,1) AS pos, unnest(t) AS tok FROM lmrtl
+    ), lmrpairs AS MATERIALIZED (
+      SELECT doc_id,
+             COALESCE(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS h,
+             tok AS t
+      FROM lmrstream
+    ), lmc_ht AS MATERIALIZED (
+      SELECT h, t, CAST(count(*) AS BIGINT) AS c_ht FROM lmrpairs GROUP BY h, t
+    ), lmc_h AS MATERIALIZED (
+      SELECT h, CAST(count(*) AS BIGINT) AS c_h FROM lmrpairs GROUP BY h
+    ), lmvv AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM lmrpairs
+    ), lmtl AS (
+      SELECT doc_id, {toks} AS t FROM clean
+    ), lmstream AS (
+      SELECT doc_id, generate_subscripts(t,1) AS pos, unnest(t) AS tok FROM lmtl
+    ), lmpairs AS (
+      SELECT doc_id,
+             COALESCE(lag(tok) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS h,
+             tok AS t
+      FROM lmstream
+    ), lmscore AS MATERIALIZED (
+      SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(SUM(((COALESCE(b.c_ht, 0) + 1) * 1000000)
+                      // (COALESCE(hh.c_h, 0) + (lmvv.v + 1))) AS BIGINT)
+               AS sum_p_scaled
+      FROM lmpairs p LEFT JOIN lmc_ht b USING (h, t)
+      LEFT JOIN lmc_h hh USING (h) CROSS JOIN lmvv
+      GROUP BY p.doc_id
+    ), lmkept AS MATERIALIZED (
+      SELECT c.* FROM clean c JOIN lmscore l USING (doc_id)
+      WHERE l.sum_p_scaled >= l.n_scored * {_V5_LM_THRESH}
+    ), capped AS MATERIALIZED (
+      SELECT doc_id, text, source, lang FROM (
+        SELECT doc_id, text, source, lang,
+               row_number() OVER (
+                 PARTITION BY source
+                 ORDER BY CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ''), 1, 12)) AS UBIGINT) AS BIGINT) % 10000,
+                          doc_id) AS rn
+        FROM lmkept) WHERE rn <= {_CURATE_CAP}
+    ), mixed AS MATERIALIZED (
+      SELECT q.doc_id, q.text, c2.source, c2.lang
+      FROM ({mix_sql}) q JOIN capped c2 USING (doc_id)
+    ), suppressed AS MATERIALIZED (
+      SELECT mx.* FROM mixed mx
+      JOIN (SELECT lang, source FROM mixed GROUP BY lang, source
+            HAVING count(*) >= 2) ok USING (lang, source)
+    ), inj AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || '{_PII_SUFFIX}'
+                          ELSE text END AS text
+      FROM suppressed
+    ), pii AS MATERIALIZED (
+      SELECT doc_id, {', '.join(pii_sels)}, {pii_red} AS rtext FROM inj
+    ), sp AS MATERIALIZED (
+      SELECT c.doc_id, {split_case} AS split
+      FROM suppressed c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+    )
+    SELECT CAST((SELECT count(*) FROM suppressed) AS BIGINT) AS n_docs,
+           CAST((SELECT count(*) FROM corpus) - (SELECT count(*) FROM survivors)
+                AS BIGINT) AS n_dropped_neardup,
+           CAST((SELECT count(*) FROM survivors) - (SELECT count(*) FROM kept)
+                AS BIGINT) AS n_dropped_quality,
+           CAST((SELECT count(*) FROM kept) - (SELECT count(*) FROM clean)
+                AS BIGINT) AS n_dropped_decontam,
+           CAST((SELECT count(*) FROM clean) - (SELECT count(*) FROM lmkept)
+                AS BIGINT) AS n_dropped_lm,
+           CAST((SELECT count(*) FROM lmkept) - (SELECT count(*) FROM capped)
+                AS BIGINT) AS n_dropped_cap,
+           CAST((SELECT count(*) FROM capped) - (SELECT count(*) FROM mixed)
+                AS BIGINT) AS n_dropped_mix,
+           CAST((SELECT count(*) FROM mixed) - (SELECT count(*) FROM suppressed)
+                AS BIGINT) AS n_dropped_privacy,
+           CAST((SELECT SUM(list_sum(list_transform(
+                    regexp_extract_all(lower(rtext), '[a-z]+|[0-9]+'),
+                    p -> CAST(ceil(length(p) / 4.0) AS INTEGER)))) FROM pii)
+                AS BIGINT) AS total_bpe_tokens,
+           CAST((SELECT SUM(n_email + n_ssn + n_phone) FROM pii) AS BIGINT)
+                AS n_pii,
+           CAST((SELECT count(*) FROM sp WHERE split = 'train') AS BIGINT)
+                AS n_train,
+           CAST((SELECT count(*) FROM sp WHERE split = 'val') AS BIGINT)
+                AS n_val,
+           CAST((SELECT count(*) FROM sp WHERE split = 'test') AS BIGINT)
+                AS n_test
+    """
+
+
+_register("pipe_curate_v5", _pipe_curate_v5, _pipe_curate_v5_sql())
+
+
 # -- equi-depth histogram + corpus top n-grams -----------------------------
 
 def _equidepth_sql(nbins: int = 8) -> str:
@@ -7474,6 +7700,28 @@ _compose("text_quality_suite", [
      "CAST(n_val AS VARCHAR) || '_' || CAST(n_test AS VARCHAR) || '_' || "
      "CAST(n_pii AS VARCHAR) || '_' || CAST(n_dropped_decontam AS VARCHAR) "
      "|| '_' || CAST(n_dropped_mix AS VARCHAR) AS tag, "
+     "n_docs AS doc_id, CAST(total_bpe_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
+     "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "
+     "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"),
+    # v5 = v4 + the bigram-LM quality filter and privacy suppression; the
+    # two new stages' drop counts join the tag string
+    ("pipe_curate_v5",
+     ["concat('curated_v5_', CAST(n_train AS STRING), '_', "
+      "CAST(n_val AS STRING), '_', CAST(n_test AS STRING), '_', "
+      "CAST(n_pii AS STRING), '_', CAST(n_dropped_decontam AS STRING), '_', "
+      "CAST(n_dropped_lm AS STRING), '_', CAST(n_dropped_mix AS STRING), "
+      "'_', CAST(n_dropped_privacy AS STRING)) AS tag",
+      "n_docs AS doc_id", "CAST(total_bpe_tokens AS DOUBLE) AS n_tokens",
+      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len",
+      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio",
+      "CAST(n_dropped_cap AS DOUBLE) AS stopword_ratio"],
+     "'curated_v5_' || CAST(n_train AS VARCHAR) || '_' || "
+     "CAST(n_val AS VARCHAR) || '_' || CAST(n_test AS VARCHAR) || '_' || "
+     "CAST(n_pii AS VARCHAR) || '_' || CAST(n_dropped_decontam AS VARCHAR) "
+     "|| '_' || CAST(n_dropped_lm AS VARCHAR) || '_' || "
+     "CAST(n_dropped_mix AS VARCHAR) || '_' || "
+     "CAST(n_dropped_privacy AS VARCHAR) AS tag, "
      "n_docs AS doc_id, CAST(total_bpe_tokens AS DOUBLE) AS n_tokens, "
      "CAST(n_dropped_neardup AS DOUBLE) AS mean_token_len, "
      "CAST(n_dropped_quality AS DOUBLE) AS punct_ratio, "

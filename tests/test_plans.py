@@ -406,6 +406,7 @@ def test_whole_roster_lints_clean(spark):
         "pipe_curate_v2": {"cartesian"},        # 1-row stat totals
         "pipe_curate_v3": {"cartesian"},        # 1-row stat totals
         "pipe_curate_v4": {"cartesian"},        # 1-row stat totals
+        "pipe_curate_v5": {"cartesian"},        # 1-row stat totals
         # BM25's corpus stats (N, Σdl, per-term df) come back as a 1-row
         # broadcast join — the same scalar pattern as q11/q22
         "bm25_ranked": {"cartesian"},
