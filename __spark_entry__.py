@@ -3734,6 +3734,59 @@ _register(
 )
 
 
+# -- z-order (Morton) values (sources/zorder.py): the multi-dimensional
+#    data-skipping layout key.  Bit interleave is exact integer math; the
+#    min/max normalization is IEEE-double arithmetic mirrored TEXTUALLY in
+#    the oracle (the profile_histogram precedent).  The layout's pruning
+#    effect on real parquet footers is pinned by tests/test_plans.py.
+
+_Z_BITS = 8
+
+
+def _zorder_values(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.sources.zorder import _normalize, z_value
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"))
+    stats = o.agg(F.min("x"), F.max("x"), F.min("y"), F.max("y")).collect()[0]
+    nx = _normalize(F.col("x"), F.lit(stats[0]), F.lit(stats[1]), _Z_BITS)
+    ny = _normalize(F.col("y"), F.lit(stats[2]), F.lit(stats[3]), _Z_BITS)
+    return o.select("o_orderkey",
+                    z_value([nx, ny], _Z_BITS).cast("long").alias("zval"))
+
+
+def _zorder_oracle() -> str:
+    interleave = " + ".join(
+        f"((n{j} >> {i}) & 1) * {1 << (i * 2 + j)}"
+        for j in range(2) for i in range(_Z_BITS))
+    top = (1 << _Z_BITS) - 1
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ), mm AS (
+      SELECT MIN(x) AS lox, MAX(x) AS hix, MIN(y) AS loy, MAX(y) AS hiy
+      FROM base
+    ), norm AS (
+      SELECT o_orderkey,
+             CAST(floor(CASE WHEN hix > lox THEN
+               ((CAST(x AS DOUBLE) - CAST(lox AS DOUBLE))
+                / CAST(hix - lox AS DOUBLE)) * {top} ELSE 0.0 END)
+               AS BIGINT) AS n0,
+             CAST(floor(CASE WHEN hiy > loy THEN
+               ((CAST(y AS DOUBLE) - CAST(loy AS DOUBLE))
+                / CAST(hiy - loy AS DOUBLE)) * {top} ELSE 0.0 END)
+               AS BIGINT) AS n1
+      FROM base CROSS JOIN mm
+    )
+    SELECT o_orderkey, CAST({interleave} AS BIGINT) AS zval FROM norm
+    """
+
+
+_register("zorder_values", _zorder_values, _zorder_oracle())
+
+
 def _stats_skew(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions import stats
     return stats.skew_report(load_table(spark, sf, "lineitem"), "l_suppkey",
@@ -8013,6 +8066,15 @@ _compose("i1_splits", [
      "'containment' AS tag, CAST(n_keys_a AS DOUBLE) AS a, "
      "CAST(n_contained AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS c, "
      "containment AS d, CAST(NULL AS VARCHAR) AS s"),
+    # z-order layout keys: every order's Morton value over
+    # (custkey, price-cents) — the data-skipping sort key, value-checked
+    ("zorder_values",
+     ["'zorder' AS tag", "CAST(o_orderkey AS DOUBLE) AS a",
+      "CAST(zval AS DOUBLE) AS b", "CAST(NULL AS DOUBLE) AS c",
+      "CAST(NULL AS DOUBLE) AS d", "CAST(NULL AS STRING) AS s"],
+     "'zorder' AS tag, CAST(o_orderkey AS DOUBLE) AS a, "
+     "CAST(zval AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS c, "
+     "CAST(NULL AS DOUBLE) AS d, CAST(NULL AS VARCHAR) AS s"),
     # skew diagnosis: hot keys + summary, salt-factor recommendation
     ("stats_skew_report",
      ["concat('skew_', tag) AS tag", "CAST(n_rows AS DOUBLE) AS a",
