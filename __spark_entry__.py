@@ -1463,6 +1463,216 @@ def _ktruss_sql(k: int = 3, rounds: int = 6) -> str:
 
 _register("g_ktruss", _g_ktruss, _ktruss_sql())
 
+
+# -- minimum spanning forest (analytics.spanning_forest): Boruvka
+#    contraction over the support>=2 co-purchase graph, weight =
+#    1e6 - shared-order count, so the MINIMUM forest is the MAXIMUM-affinity
+#    backbone.  Distinct edge priorities (weight, u, v) make the forest
+#    unique, so the full edge set value-checks.  The oracle unrolls the
+#    same rounds (measured: <=5 rounds / <=4 doubling steps across
+#    sf0.001-0.1; unrolled 8x6 — extra rounds are no-ops past the fixpoint,
+#    the k-core precedent). -------------------------------------------------
+
+_MSF_SUP_SQL = """sup AS MATERIALIZED (
+      SELECT x.l_partkey AS u, y.l_partkey AS v, count(*) AS cnt
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 2
+    )"""
+
+
+def _g_msf(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    sup = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("src", "dst", (F.lit(1000000.0) - F.col("cnt")).alias("weight"))
+    )
+    return (
+        analytics.spanning_forest(sup)
+        .select("u", "v",
+                (F.lit(1000000) - F.col("weight").cast("long")).alias("affinity"))
+    )
+
+
+def _msf_sql(rounds: int = 8, jumps: int = 6) -> str:
+    ctes = [
+        _MSF_SUP_SQL,
+        "canon AS MATERIALIZED (SELECT u, v, CAST(1000000 - cnt AS DOUBLE) AS weight, "
+        "lpad(CAST(CAST(round((1000000 - cnt) * 100) AS BIGINT) AS VARCHAR), 18, '0') "
+        "|| ':' || lpad(CAST(u AS VARCHAR), 12, '0') "
+        "|| ':' || lpad(CAST(v AS VARCHAR), 12, '0') AS key FROM sup)",
+        "comp0 AS MATERIALIZED (SELECT id, id AS c FROM "
+        "(SELECT u AS id FROM canon UNION SELECT v FROM canon))",
+        "f0 AS MATERIALIZED (SELECT u, v, weight FROM canon WHERE 1 = 0)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"cr{t} AS MATERIALIZED (SELECT e.u, e.v, e.weight, e.key, "
+            f"ca.c AS cu, cb.c AS cv FROM canon e "
+            f"JOIN comp{t-1} ca ON e.u = ca.id JOIN comp{t-1} cb ON e.v = cb.id "
+            f"WHERE ca.c <> cb.c)")
+        ctes.append(
+            f"mink{t} AS MATERIALIZED (SELECT c, MIN(key) AS key FROM ("
+            f"SELECT cu AS c, key FROM cr{t} UNION ALL SELECT cv, key FROM cr{t}"
+            f") GROUP BY c)")
+        ctes.append(
+            f"sel{t} AS MATERIALIZED (SELECT m.c, x.u, x.v, x.weight, x.cu, x.cv "
+            f"FROM mink{t} m JOIN cr{t} x ON m.key = x.key)")
+        ctes.append(
+            f"f{t} AS MATERIALIZED (SELECT u, v, weight FROM f{t-1} "
+            f"UNION ALL SELECT DISTINCT u, v, weight FROM sel{t})")
+        ctes.append(
+            f"ptr{t} AS MATERIALIZED (SELECT c, "
+            f"CASE WHEN cu = c THEN cv ELSE cu END AS p FROM sel{t})")
+        ctes.append(
+            f"rt{t}_0 AS MATERIALIZED (SELECT a.c, "
+            f"CASE WHEN b.p = a.c AND a.c < a.p THEN a.c ELSE a.p END AS p "
+            f"FROM ptr{t} a LEFT JOIN ptr{t} b ON a.p = b.c)")
+        for s in range(1, jumps + 1):
+            ctes.append(
+                f"rt{t}_{s} AS MATERIALIZED (SELECT x.c, COALESCE(y.p, x.p) AS p "
+                f"FROM rt{t}_{s-1} x LEFT JOIN rt{t}_{s-1} y ON x.p = y.c)")
+        ctes.append(
+            f"comp{t} AS MATERIALIZED (SELECT cm.id, COALESCE(r.p, cm.c) AS c "
+            f"FROM comp{t-1} cm LEFT JOIN rt{t}_{jumps} r ON cm.c = r.c)")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u, v, CAST(1000000 - weight AS BIGINT) AS affinity FROM f{rounds}"
+    )
+
+
+_register("g_spanning_forest", _g_msf, _msf_sql())
+
+
+# -- maximal independent set (analytics.maximal_independent_set): Luby
+#    rounds with deterministic md5 priorities over the same support>=2
+#    co-purchase graph; (id, selection round) value-checked.  Measured:
+#    <=4 rounds across sf0.001-0.1; unrolled 7 (extra rounds no-op on the
+#    empty active set). ------------------------------------------------------
+
+def _g_mis(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    sup = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return analytics.maximal_independent_set(sup)
+
+
+def _mis_sql(rounds: int = 7) -> str:
+    prio = ("md5(CAST({col} AS VARCHAR)) || ':' || "
+            "lpad(CAST({col} AS VARCHAR), 12, '0')")
+    ctes = [
+        _MSF_SUP_SQL,
+        "adj AS MATERIALIZED (SELECT u AS a, v AS b FROM sup "
+        "UNION ALL SELECT v, u FROM sup)",
+        f"act0 AS MATERIALIZED (SELECT a AS id, {prio.format(col='a')} AS prio "
+        f"FROM (SELECT DISTINCT a FROM adj))",
+        "mis0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, "
+        "0 AS round WHERE 1 = 0)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"mn{t} AS MATERIALIZED (SELECT n.a, MIN(p.prio) AS mn FROM adj n "
+            f"JOIN act{t-1} x ON n.a = x.id JOIN act{t-1} p ON n.b = p.id "
+            f"GROUP BY n.a)")
+        ctes.append(
+            f"sel{t} AS MATERIALIZED (SELECT v.id FROM act{t-1} v "
+            f"LEFT JOIN mn{t} m ON v.id = m.a "
+            f"WHERE m.mn IS NULL OR v.prio < m.mn)")
+        ctes.append(
+            f"mis{t} AS MATERIALIZED (SELECT id, round FROM mis{t-1} "
+            f"UNION ALL SELECT id, {t} AS round FROM sel{t})")
+        ctes.append(
+            f"act{t} AS MATERIALIZED (SELECT x.id, x.prio FROM act{t-1} x "
+            f"WHERE x.id NOT IN (SELECT id FROM sel{t}) "
+            f"AND x.id NOT IN (SELECT n.b FROM adj n "
+            f"JOIN sel{t} s ON n.a = s.id))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, CAST(round AS INTEGER) AS round FROM mis{rounds}")
+
+
+_register("g_mis", _g_mis, _mis_sql())
+
+
+# -- Jones-Plassmann greedy coloring (analytics.greedy_coloring) over the
+#    SPARSER support>=3 co-purchase graph (the support>=2 graph's longest
+#    decreasing-priority path runs 44 rounds at sf0.001 — measured — which
+#    would bloat the unrolled oracle; support>=3 needs <=11 across
+#    sf0.001-0.1, unrolled 14).  (id, color) fully value-checked. ----------
+
+def _g_coloring(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    sup3 = (
+        li.alias("x").join(li.alias("y"), F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("src", "dst")
+    )
+    return analytics.greedy_coloring(sup3)
+
+
+def _coloring_sql(rounds: int = 14) -> str:
+    prio = ("md5(CAST({col} AS VARCHAR)) || ':' || "
+            "lpad(CAST({col} AS VARCHAR), 12, '0')")
+    ctes = [
+        """sup AS MATERIALIZED (
+      SELECT x.l_partkey AS u, y.l_partkey AS v
+      FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+      GROUP BY x.l_partkey, y.l_partkey HAVING count(*) >= 3
+    )""",
+        "adj AS MATERIALIZED (SELECT u AS a, v AS b FROM sup "
+        "UNION ALL SELECT v, u FROM sup)",
+        f"u0 AS MATERIALIZED (SELECT a AS id, {prio.format(col='a')} AS prio "
+        f"FROM (SELECT DISTINCT a FROM adj))",
+        "col0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, "
+        "0 AS color WHERE 1 = 0)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"mn{t} AS MATERIALIZED (SELECT n.a, MIN(p.prio) AS mn FROM adj n "
+            f"JOIN u{t-1} x ON n.a = x.id JOIN u{t-1} p ON n.b = p.id "
+            f"GROUP BY n.a)")
+        ctes.append(
+            f"fr{t} AS MATERIALIZED (SELECT v.id FROM u{t-1} v "
+            f"LEFT JOIN mn{t} m ON v.id = m.a "
+            f"WHERE m.mn IS NULL OR v.prio < m.mn)")
+        ctes.append(
+            f"used{t} AS MATERIALIZED (SELECT DISTINCT f.id, c.color "
+            f"FROM fr{t} f JOIN adj n ON n.a = f.id "
+            f"JOIN col{t-1} c ON c.id = n.b)")
+        ctes.append(
+            f"pick{t} AS MATERIALIZED (SELECT id, MIN(color) AS color FROM ("
+            f"SELECT f.id, 0 AS color FROM fr{t} f WHERE NOT EXISTS ("
+            f"SELECT 1 FROM used{t} u WHERE u.id = f.id AND u.color = 0) "
+            f"UNION ALL "
+            f"SELECT u.id, u.color + 1 FROM used{t} u WHERE NOT EXISTS ("
+            f"SELECT 1 FROM used{t} w WHERE w.id = u.id "
+            f"AND w.color = u.color + 1)"
+            f") GROUP BY id)")
+        ctes.append(
+            f"col{t} AS MATERIALIZED (SELECT id, color FROM col{t-1} "
+            f"UNION ALL SELECT id, color FROM pick{t})")
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT x.id, x.prio FROM u{t-1} x "
+            f"WHERE x.id NOT IN (SELECT id FROM fr{t}))")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT id, CAST(color AS INTEGER) AS color FROM col{rounds}")
+
+
+_register("g_coloring", _g_coloring, _coloring_sql())
+
 # -- extended aggregates (beyond reference's COUNT-only pushdown) -----------
 
 # -- count-min sketch (functions/sketches.py): the transparent counter
@@ -1885,6 +2095,41 @@ _register(
                HAVING count(*) < 10) b
       ON c.c_nationkey = b.c_nationkey AND c.c_mktsegment = b.c_mktsegment
     WHERE b.c_nationkey IS NULL
+    """,
+)
+
+
+_register(
+    "privacy_tclose",
+    # t-closeness of the segment mix per nation: exact-rational TVD
+    # between each nation's mktsegment distribution and the global one
+    # (decimal(38,0) cross-multiplied numerators, one final division;
+    # the exact pair rides a string past double precision)
+    lambda spark, sf: __import__(
+        "hugegraph_on_tikv_spark.functions.privacy",
+        fromlist=["t_closeness_report"]).t_closeness_report(
+        _priv_base(spark, sf)
+        .select(F.col("c_nationkey").cast("long").alias("g"),
+                F.col("c_mktsegment").alias("s")), ["g"], "s"),
+    """
+    WITH base AS (SELECT CAST(c_nationkey AS BIGINT) AS g, c_mktsegment AS s
+                  FROM customer WHERE c_mktsegment IS NOT NULL),
+    gdist AS (SELECT s, count(*) AS n_s FROM base GROUP BY s),
+    tot AS (SELECT count(*) AS n FROM base),
+    grp AS (SELECT g, count(*) AS n_g FROM base GROUP BY g),
+    cells AS (SELECT g, s, count(*) AS n_gs FROM base GROUP BY g, s),
+    grid AS (SELECT grp.g, grp.n_g, gdist.s, gdist.n_s, tot.n,
+                    COALESCE(c.n_gs, 0) AS n_gs
+             FROM grp CROSS JOIN gdist CROSS JOIN tot
+             LEFT JOIN cells c ON c.g = grp.g AND c.s = gdist.s)
+    SELECT g, CAST(MIN(n_g) AS BIGINT) AS n_rows,
+           CAST(SUM(abs(CAST(n_gs AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_g))
+                AS VARCHAR) AS tvd_num,
+           CAST(2 * CAST(MIN(n_g) AS HUGEINT) * MIN(n) AS VARCHAR) AS tvd_den,
+           CAST(SUM(abs(CAST(n_gs AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_g))
+                AS DOUBLE)
+             / CAST(2 * CAST(MIN(n_g) AS HUGEINT) * MIN(n) AS DOUBLE) AS tvd
+    FROM grid GROUP BY g
     """,
 )
 
@@ -3560,6 +3805,41 @@ _register(
     SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+# -- PIVOT (relational crosstab; absent in reference).  The wide pivot plan
+#    executes (groupBy().pivot() with an explicit value list — no extra
+#    distinct-values job), then stack() melts it back to long form so the
+#    row fuses into agg_grouping_sets and value-checks — a NULL cell
+#    (empty group) melts to a NULL sum, also checked. ------------------------
+
+def _agg_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    wide = (
+        load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_money(F.col("l_extendedprice")))
+    )
+    return wide.select(
+        "l_returnflag",
+        F.expr("stack(2, 'F', `F`, 'O', `O`) AS (l_linestatus, sum_base_price)"))
+
+_register(
+    "agg_pivot",
+    _agg_pivot,
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             SUM(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) / 100.0 AS v_f,
+             SUM(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) / 100.0 AS v_o
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'F' AS l_linestatus, v_f AS sum_base_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'O' AS l_linestatus, v_o AS sum_base_price FROM wide
     """,
 )
 
@@ -7384,6 +7664,14 @@ _compose("agg_grouping_sets", [
      ["'cube' AS tag", "l_returnflag", "l_linestatus", "n",
       "CAST(NULL AS DOUBLE) AS sum_base_price"],
      "'cube' AS tag, l_returnflag, l_linestatus, n, CAST(NULL AS DOUBLE) AS sum_base_price"),
+    # crosstab: wide pivot plan melted back to long form (n rides NULL
+    # DOUBLE; the union widens the other parts' BIGINT n identically in
+    # both engines — the attr_outer precedent)
+    ("agg_pivot",
+     ["'pivot' AS tag", "l_returnflag", "l_linestatus",
+      "CAST(NULL AS DOUBLE) AS n", "sum_base_price"],
+     "'pivot' AS tag, l_returnflag, l_linestatus, "
+     "CAST(NULL AS DOUBLE) AS n, sum_base_price"),
 ])
 
 # -- 13-14: Gremlin DSL surface ---------------------------------------------
@@ -7526,6 +7814,25 @@ _compose("g_components", [
     ("g_modularity",
      ["'modularity' AS tag", "community AS id", "contrib AS component"],
      "'modularity' AS tag, community AS id, contrib AS component"),
+    # Boruvka max-affinity spanning forest: (v, affinity) pack into
+    # component losslessly (affinity = shared-order count < 100000)
+    ("g_spanning_forest",
+     ["'msf' AS tag", "CAST(u AS BIGINT) AS id",
+      "CAST(v AS BIGINT) * 100000 + affinity AS component"],
+     "'msf' AS tag, CAST(u AS BIGINT) AS id, "
+     "CAST(v AS BIGINT) * 100000 + affinity AS component"),
+    # Luby maximal independent set: component = 1-based selection round
+    ("g_mis",
+     ["'mis' AS tag", "CAST(id AS BIGINT) AS id",
+      "CAST(round AS BIGINT) AS component"],
+     "'mis' AS tag, CAST(id AS BIGINT) AS id, "
+     "CAST(round AS BIGINT) AS component"),
+    # Jones-Plassmann coloring: component carries the color
+    ("g_coloring",
+     ["'coloring' AS tag", "CAST(id AS BIGINT) AS id",
+      "CAST(color AS BIGINT) AS component"],
+     "'coloring' AS tag, CAST(id AS BIGINT) AS id, "
+     "CAST(color AS BIGINT) AS component"),
     # double-sweep diameter: one row; (diameter, n_reached) pack into
     # component losslessly (diameter < 100000; precedent: wid*100+step)
     ("g_diameter",
@@ -8083,6 +8390,14 @@ _compose("i1_splits", [
      "'skew_' || tag AS tag, CAST(n_rows AS DOUBLE) AS a, "
      "CAST(share_ppm AS DOUBLE) AS b, CAST(salt_factor AS DOUBLE) AS c, "
      "CAST(NULL AS DOUBLE) AS d, key_str AS s"),
+    # t-closeness: per-nation TVD of the segment mix vs global; the exact
+    # rational rides the string (num:den), the double division rides d
+    ("privacy_tclose",
+     ["'tclose' AS tag", "CAST(g AS DOUBLE) AS a",
+      "CAST(n_rows AS DOUBLE) AS b", "CAST(NULL AS DOUBLE) AS c",
+      "tvd AS d", "concat(tvd_num, ':', tvd_den) AS s"],
+     "'tclose' AS tag, CAST(g AS DOUBLE) AS a, CAST(n_rows AS DOUBLE) AS b, "
+     "CAST(NULL AS DOUBLE) AS c, tvd AS d, tvd_num || ':' || tvd_den AS s"),
 ])
 
 _compose("win_windows", [

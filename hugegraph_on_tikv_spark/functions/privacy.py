@@ -78,3 +78,57 @@ def suppress_to_k(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
         eq = F.col(c).eqNullSafe(F.col(f"__q_{c}"))   # NULL groups suppress too
         cond = eq if cond is None else cond & eq
     return df.join(F.broadcast(bad), on=cond, how="left_anti")
+
+
+def t_closeness_report(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str) -> DataFrame:
+    """Per-quasi-group t-closeness for a CATEGORICAL sensitive attribute
+    (Li, Li & Venkatasubramanian 2007): the total variation distance
+    between the group's sensitive-value distribution and the table-wide
+    one — l-diversity's fix for skewness attacks (a group can be diverse
+    yet still leak when its mix differs wildly from the population).
+
+    Exact rational form (the corr_pairs/modularity precedent — never a
+    float sum of floats):
+
+        tvd = 1/2 Σ_s |n_gs/n_g − N_s/N| = Σ_s |n_gs·N − N_s·n_g| / (2·n_g·N)
+
+    Numerator terms are decimal(38,0) products of exact counts, summed
+    before any division; ONE final double division produces `tvd`.  The
+    exact pair also returns as strings (tvd_num, tvd_den) so callers can
+    hash-check past double precision.
+
+    NULL sensitive values are excluded from both distributions (the
+    l_diversity_report contract).  The candidate (group × value) grid is a
+    join against the distinct sensitive-value table — bounded by the
+    sensitive domain, which is small by the problem's construction (a
+    10^6-value "sensitive attribute" is an identifier, not a category).
+
+    Returns (quasi..., n_rows, tvd_num, tvd_den, tvd), one row per
+    quasi-group, tvd in [0, 1]."""
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    glob = base.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("n_s"))
+    totals = glob.agg(F.sum("n_s").cast("long").alias("n_total"))
+    groups = base.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n_g"))
+    cells = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("n_gs"))
+    grid = (
+        groups.join(F.broadcast(glob))                 # bounded: |groups|·|domain|
+        .join(F.broadcast(totals))
+        .join(cells, [*quasi_cols, sensitive_col], "left")
+        .withColumn("n_gs", F.coalesce("n_gs", F.lit(0)))
+    )
+    term = F.abs(dec("n_gs") * dec("n_total") - dec("n_s") * dec("n_g"))
+    return (
+        grid.groupBy(*quasi_cols)
+        .agg(F.min("n_g").cast("long").alias("n_rows"),
+             F.sum(term).alias("num"),
+             (F.lit(2).cast("decimal(19,0)") * F.min(dec("n_g"))
+              * F.min(dec("n_total"))).alias("den"))
+        .select(*quasi_cols, "n_rows",
+                F.col("num").cast("string").alias("tvd_num"),
+                F.col("den").cast("string").alias("tvd_den"),
+                (F.col("num").cast("double")
+                 / F.col("den").cast("double")).alias("tvd"))
+    )

@@ -1712,3 +1712,288 @@ def hyperball_summary(edges: DataFrame, max_rounds: int = 16,
     return spark.createDataFrame(
         [(float(n0), avg, eff)],
         "n_vertices double, avg_distance double, effective_diameter double")
+
+
+def _ckpt_fresh(df: DataFrame) -> DataFrame:
+    """localCheckpoint + rebuild as a bare LogicalRDD with NO inherited
+    size statistics.
+
+    localCheckpoint truncates lineage but copies the origin plan's
+    size-in-bytes ESTIMATE into the LogicalRDD, so estimates compound
+    across rounds; a pointer-doubling step (root ⨝ root) SQUARES the
+    estimate every iteration, and after a handful of rounds the BigInt
+    holding it reaches megabytes — Catalyst's stats visitor then burns
+    minutes in BigInteger.divide and OOMs the driver (observed at round 3
+    on a 3,638-edge graph).  Rebuilding from the already-materialized
+    checkpoint RDD (JVM-side, zero recompute, no Python boundary) resets
+    the estimate to defaultSizeInBytes; joins against these frames still
+    end up broadcast when AQE sees the real post-shuffle sizes."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    spark = df.sparkSession
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    return DataFrame(fresh, spark)
+
+
+def _edge_priority(weight: Column, u: Column, v: Column,
+                   weight_scale: int = 100) -> Column:
+    """Total order on weighted edges as ONE sortable string:
+    zero-padded quantized weight, then u, then v.  Distinct priorities make
+    the minimum spanning forest unique, so Spark and the SQL oracle agree
+    bit-for-bit.  Quantization contract (the corr_pairs precedent): the
+    caller guarantees weight*weight_scale is integral and non-negative —
+    raw doubles in a MIN() would be fine, but tie-breaking needs the id
+    suffix, and string order on a padded integer is engine-portable."""
+    return F.concat_ws(
+        ":",
+        F.lpad(F.round(weight * weight_scale).cast("long").cast("string"), 18, "0"),
+        F.lpad(u.cast("string"), 12, "0"),
+        F.lpad(v.cast("string"), 12, "0"),
+    )
+
+
+def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
+                    jump_steps: int = 10,
+                    weight_scale: int = 100) -> DataFrame:
+    """Minimum spanning forest by Boruvka contraction — the MapReduce-era
+    classic, O(log n) rounds, each round a pair of keyed aggregations (no
+    sequential union-find, no sorting the global edge list like Kruskal).
+
+    Round: every component picks its minimum-priority incident cross edge
+    (priority = `_edge_priority`, distinct by construction, so the forest
+    is UNIQUE and both engines converge to the same edge set); selected
+    edges join the forest; the component-pointer graph they induce (each
+    component points at the neighbor its chosen edge reaches) is contracted
+    by pointer doubling.  With distinct priorities the pointer graph's only
+    cycles are mutual pairs, whose smaller id becomes the new root — the
+    textbook invariant.
+
+    Scale: the per-round work is two shuffles keyed on component id plus
+    log-depth pointer doubling over one row PER COMPONENT (not per vertex,
+    not per edge) — components at least halve per round, so the state
+    collapses geometrically.  A 100 TB edge set runs the same plan with the
+    cross-edge join co-located on the bucketed layout.
+
+    Never-wrong contract (the star-CC precedent): raises RuntimeError if
+    contraction or the round budget is exhausted before the fixpoint —
+    partial forests are never returned.
+
+    Returns (u, v, weight) canonical u<v, one row per forest edge."""
+    spark = weighted_edges.sparkSession
+    canon = _ckpt_fresh(
+        weighted_edges
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"), "weight")
+        .groupBy("u", "v").agg(F.min("weight").alias("weight"))
+        .withColumn("key", _edge_priority(F.col("weight"), F.col("u"),
+                                          F.col("v"), weight_scale))
+    )
+    comp = _ckpt_fresh(
+        canon.select(F.col("u").alias("id"))
+        .unionByName(canon.select(F.col("v").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("c"))
+    )
+    forest = spark.createDataFrame([], "u long, v long, weight double")
+    for _ in range(max_rounds):
+        cross = _ckpt_fresh(
+            canon
+            .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
+            .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        if cross.isEmpty():
+            return forest
+        # each component's minimum-priority incident cross edge
+        mink = (
+            cross.select(F.col("cu").alias("c"), "key")
+            .unionByName(cross.select(F.col("cv").alias("c"), "key"))
+            .groupBy("c").agg(F.min("key").alias("key"))
+        )
+        sel = _ckpt_fresh(mink.join(cross, "key"))
+        forest = _ckpt_fresh(
+            forest.unionByName(sel.select("u", "v", "weight").distinct()))
+        # component pointer graph: c -> the other endpoint's component
+        ptr = sel.select(
+            "c",
+            F.when(F.col("cu") == F.col("c"), F.col("cv"))
+             .otherwise(F.col("cu")).alias("p"))
+        # break mutual pairs: the smaller id of a 2-cycle roots itself
+        other = ptr.select(F.col("c").alias("p"), F.col("p").alias("back"))
+        root = _ckpt_fresh(
+            ptr.join(other, "p", "left")
+            .select(
+                "c",
+                F.when((F.col("back") == F.col("c")) & (F.col("c") < F.col("p")),
+                       F.col("c")).otherwise(F.col("p")).alias("p"))
+        )
+        # pointer doubling to the root (self-loop fixpoint); early-exit on
+        # the per-step fixpoint probe (one aggregate over one row/component)
+        for _ in range(jump_steps):
+            hop = root.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+            stepped = _ckpt_fresh(
+                root.join(hop, "p", "left")
+                .select("c", F.coalesce("pp", "p").alias("p"),
+                        (F.col("pp") != F.col("p")).alias("moved"))
+            )
+            root = stepped.select("c", "p")
+            if stepped.filter(F.col("moved")).isEmpty():
+                break
+        unconverged = (
+            root.join(root.select(F.col("c").alias("p"),
+                                  F.col("p").alias("pp")), "p", "left")
+            .filter(F.col("pp").isNotNull() & (F.col("pp") != F.col("p")))
+        )
+        if not unconverged.isEmpty():
+            raise RuntimeError(
+                "spanning_forest: pointer doubling did not reach the roots "
+                f"within {jump_steps} steps — raise jump_steps")
+        comp = _ckpt_fresh(
+            comp.join(root.withColumnRenamed("c", "oc")
+                          .withColumnRenamed("p", "nc"),
+                      comp.c == F.col("oc"), "left")
+            .select("id", F.coalesce("nc", "c").alias("c"))
+        )
+    # budget exhausted: only acceptable if no cross edges remain
+    final_cross = (
+        canon
+        .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
+        .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
+        .filter(F.col("cu") != F.col("cv"))
+    )
+    if not final_cross.isEmpty():
+        raise RuntimeError(
+            f"spanning_forest: not converged in {max_rounds} rounds")
+    return forest
+
+
+def maximal_independent_set(edges: DataFrame,
+                            max_rounds: int = 24) -> DataFrame:
+    """Maximal independent set by Luby's algorithm with DETERMINISTIC
+    md5 priorities — the distributed-greedy workhorse behind scheduling,
+    coloring seeds, and landmark selection.
+
+    Round t: an active vertex joins the MIS iff its priority is strictly
+    below every active neighbor's (priority = md5(id) || ':' || padded id —
+    portable, collision-free via the id suffix); selected vertices and
+    their neighbors leave the active set.  With random-like priorities the
+    active edge set shrinks by a constant factor per round in expectation
+    (Luby's lemma), so O(log n) rounds — each round two keyed aggregations
+    over the ACTIVE subgraph only, which collapses geometrically.
+
+    Never-wrong contract: raises RuntimeError if the active set is not
+    empty after max_rounds — a prefix of an MIS is not an MIS.
+
+    Returns (id, round) — round = 1-based selection round (deterministic,
+    value-checkable)."""
+    und = _undirected_simple(edges)
+    adj = _ckpt_fresh(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    )
+    prio = F.concat_ws(
+        ":", F.md5(F.col("id").cast("string")),
+        F.lpad(F.col("id").cast("string"), 12, "0"))
+    active = _ckpt_fresh(
+        adj.select(F.col("a").alias("id")).distinct()
+        .withColumn("prio", prio)
+    )
+    spark = edges.sparkSession
+    mis = spark.createDataFrame([], "id long, round int")
+    for t in range(1, max_rounds + 1):
+        if active.isEmpty():
+            return mis
+        act_nb = (
+            adj.join(active.select(F.col("id").alias("a")), "a")
+            .join(active.select(F.col("id").alias("b"),
+                                F.col("prio").alias("prio_b")), "b")
+        )
+        min_nb = act_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
+        sel = _ckpt_fresh(
+            active.join(min_nb.withColumnRenamed("a", "id"), "id", "left")
+            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
+            .select("id")
+        )
+        mis = _ckpt_fresh(
+            mis.unionByName(sel.select("id", F.lit(t).alias("round"))))
+        dropped = sel.unionByName(
+            adj.join(sel.withColumnRenamed("id", "a"), "a")
+            .select(F.col("b").alias("id"))).distinct()
+        active = _ckpt_fresh(active.join(dropped, "id", "left_anti"))
+    if not active.isEmpty():
+        raise RuntimeError(
+            f"maximal_independent_set: active set nonempty after "
+            f"{max_rounds} rounds")
+    return mis
+
+
+def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Jones-Plassmann greedy graph coloring with deterministic md5
+    priorities — register allocation, schedule slotting, conflict-free
+    batching.  A vertex colors itself in the round where no SMALLER-
+    priority neighbor is still uncolored, taking the smallest color absent
+    among its already-colored neighbors; adjacent vertices can never color
+    in the same round (one of them has the smaller priority), so the
+    coloring is proper by construction and uses ≤ maxdegree+1 colors.
+
+    The "smallest missing color" is computed WITHOUT a candidate
+    explosion: smallest missing = MIN over ({0} ∪ {c+1 : c used}) minus
+    the used set — one anti-join over the used-color rows, so a hub with
+    10⁸ colored neighbors costs O(deg) rows, never O(deg·palette).
+
+    Rounds = the longest strictly-decreasing-priority path, O(log n) with
+    high probability on random-like (md5) priorities.  Never-wrong
+    contract: raises if uncolored vertices remain after max_rounds.
+
+    Returns (id, color), color ∈ {0, 1, ...} dense from 0."""
+    und = _undirected_simple(edges)
+    adj = _ckpt_fresh(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    )
+    prio = F.concat_ws(
+        ":", F.md5(F.col("id").cast("string")),
+        F.lpad(F.col("id").cast("string"), 12, "0"))
+    uncolored = _ckpt_fresh(
+        adj.select(F.col("a").alias("id")).distinct().withColumn("prio", prio))
+    spark = edges.sparkSession
+    colored = spark.createDataFrame([], "id long, color int")
+    for _ in range(max_rounds):
+        if uncolored.isEmpty():
+            return colored
+        un_nb = (
+            adj.join(uncolored.select(F.col("id").alias("a")), "a")
+            .join(uncolored.select(F.col("id").alias("b"),
+                                   F.col("prio").alias("prio_b")), "b")
+        )
+        mn = un_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
+        frontier = _ckpt_fresh(
+            uncolored.join(mn.withColumnRenamed("a", "id"), "id", "left")
+            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
+            .select("id")
+        )
+        used = _ckpt_fresh(
+            frontier.join(adj.withColumnRenamed("a", "id"), "id")
+            .join(colored.select(F.col("id").alias("b"), "color"), "b")
+            .select("id", "color").distinct()
+        )
+        cand0 = (
+            frontier.join(used.filter(F.col("color") == 0), "id", "left_anti")
+            .select("id", F.lit(0).alias("color"))
+        )
+        cand_succ = (
+            used.select("id", (F.col("color") + 1).alias("color"))
+            .join(used, ["id", "color"], "left_anti")
+        )
+        pick = (
+            cand0.unionByName(cand_succ)
+            .groupBy("id").agg(F.min("color").cast("int").alias("color"))
+        )
+        colored = _ckpt_fresh(colored.unionByName(pick))
+        uncolored = _ckpt_fresh(uncolored.join(frontier, "id", "left_anti"))
+    if not uncolored.isEmpty():
+        raise RuntimeError(
+            f"greedy_coloring: uncolored vertices after {max_rounds} rounds")
+    return colored

@@ -1123,3 +1123,164 @@ def test_induced_subgraph_and_ego_network(spark, tiny):
                for r in traversal.ego_network(tiny, 1, k=1,
                                               direction="out").collect()}
     assert ego_out == {(1, 2), (2, 3), (1, 3)}
+
+
+def _kruskal_reference(edges):
+    """Pure-Python Kruskal with union-find over (u, v, w) tuples; the
+    priority order mirrors analytics._edge_priority (w, u, v)."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = []
+    for u, v, w in sorted(edges, key=lambda e: (e[2], e[0], e[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.append((u, v, w))
+    return sorted(forest)
+
+
+def test_spanning_forest_matches_kruskal_random(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        seen = set()
+        rows = []
+        for _ in range(rng.randint(n, 3 * n)):
+            u, v = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            if u == v:
+                continue
+            u, v = min(u, v), max(u, v)
+            if (u, v) in seen:
+                continue
+            seen.add((u, v))
+            rows.append((u, v, float(rng.randint(1, 6))))  # heavy weight ties
+        if not rows:
+            continue
+        e = spark.createDataFrame(rows, "src long, dst long, weight double")
+        got = sorted(
+            (r.u, r.v, r.weight)
+            for r in analytics.spanning_forest(e).collect())
+        assert got == _kruskal_reference(rows), f"trial {trial}"
+
+
+def test_spanning_forest_chain_and_multigraph(spark):
+    # a path graph with strictly increasing weights builds the worst-case
+    # pointer chain (every component points left) — exercises the doubling
+    rows = [(i, i + 1, float(i + 1)) for i in range(32)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = sorted((r.u, r.v, r.weight)
+                 for r in analytics.spanning_forest(e).collect())
+    assert got == [(i, i + 1, float(i + 1)) for i in range(32)]
+    # parallel edges keep only the lightest; reversed duplicates collapse
+    rows = [(1, 2, 5.0), (2, 1, 3.0), (1, 2, 9.0), (2, 3, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = sorted((r.u, r.v, r.weight)
+                 for r in analytics.spanning_forest(e).collect())
+    assert got == [(1, 2, 3.0), (2, 3, 1.0)]
+
+
+def test_spanning_forest_two_components(spark):
+    rows = [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.0),
+            (10, 11, 1.0), (11, 12, 1.0), (10, 12, 1.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    got = sorted((r.u, r.v, r.weight)
+                 for r in analytics.spanning_forest(e).collect())
+    # triangle 0-1-2 drops its heaviest edge; tie triangle keeps the two
+    # (weight, u, v)-smallest edges
+    assert got == [(0, 1, 1.0), (1, 2, 2.0), (10, 11, 1.0), (10, 12, 1.0)]
+    # forest size = n_vertices - n_components
+    assert len(got) == 6 - 2
+
+
+def test_mis_is_independent_and_maximal(spark):
+    import random
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n = rng.randint(6, 50)
+        rows = sorted({
+            (min(u, v), max(u, v))
+            for u, v in (
+                (rng.randint(0, n - 1), rng.randint(0, n - 1))
+                for _ in range(3 * n))
+            if u != v})
+        if not rows:
+            continue
+        e = spark.createDataFrame(
+            [(u, v) for u, v in rows], "src long, dst long")
+        mis = {r.id for r in analytics.maximal_independent_set(e).collect()}
+        adj = {}
+        for u, v in rows:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        # independence: no edge inside the set
+        assert not any(u in mis and v in mis for u, v in rows), f"trial {trial}"
+        # maximality: every non-member has a member neighbor
+        for x in adj:
+            if x not in mis:
+                assert adj[x] & mis, f"trial {trial}: {x} addable"
+
+
+def test_mis_star_and_rounds_deterministic(spark):
+    # star: either the hub alone or all leaves — priorities decide, and the
+    # result must be identical across runs (determinism contract)
+    rows = [(0, i) for i in range(1, 9)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted((r.id, r.round)
+               for r in analytics.maximal_independent_set(e).collect())
+    b = sorted((r.id, r.round)
+               for r in analytics.maximal_independent_set(e).collect())
+    assert a == b
+    ids = {i for i, _ in a}
+    assert ids == {0} or ids == set(range(1, 9))
+
+
+def test_greedy_coloring_proper_and_minimal_palette(spark):
+    import random
+
+    rng = random.Random(3)
+    for trial in range(3):
+        n = rng.randint(6, 40)
+        rows = sorted({
+            (min(u, v), max(u, v))
+            for u, v in ((rng.randint(0, n - 1), rng.randint(0, n - 1))
+                         for _ in range(3 * n)) if u != v})
+        if not rows:
+            continue
+        e = spark.createDataFrame([(u, v) for u, v in rows],
+                                  "src long, dst long")
+        col = {r.id: r.color
+               for r in analytics.greedy_coloring(e).collect()}
+        assert all(col[u] != col[v] for u, v in rows), f"trial {trial}"
+        maxdeg = max(
+            sum(1 for a, b in rows if v in (a, b)) for v in col)
+        assert max(col.values()) <= maxdeg, f"trial {trial}"
+        # greedy never skips a color a vertex could have used
+        adj = {}
+        for u, v in rows:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        for v, c in col.items():
+            nb_colors = {col[u] for u in adj[v]}
+            assert all(x in nb_colors for x in range(c)), f"{v} skipped"
+
+
+def test_greedy_coloring_bipartite_two_colors(spark):
+    # even cycle: 2-colorable, and greedy on any schedule uses <= 3;
+    # a star colors hub+leaves in 2
+    rows = [(i, (i + 1) % 8) for i in range(8)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    col = {r.id: r.color for r in analytics.greedy_coloring(e).collect()}
+    assert all(col[u] != col[v] for u, v in [(i, (i + 1) % 8) for i in range(8)])
+    rows = [(0, i) for i in range(1, 7)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    col = {r.id: r.color for r in analytics.greedy_coloring(e).collect()}
+    assert len(set(col.values())) == 2

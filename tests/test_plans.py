@@ -463,6 +463,10 @@ def test_whole_roster_lints_clean(spark):
         # the caps — a whole-table aggregate by definition (and the cut
         # itself is a WindowGroupLimit, not a scan predicate)
         "sample_temp_mix": {"unfiltered-scan"},
+        # t-closeness grid: quasi-groups × broadcast(sensitive domain) ×
+        # 1-row total — bounded by the sensitive domain's cardinality by
+        # the problem's construction (documented in the docstring)
+        "privacy_tclose": {"cartesian"},
     }
     unexpected = {}
     for name, fn in sorted(m.raw_queries().items()):

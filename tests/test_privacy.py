@@ -70,3 +70,40 @@ def test_parameter_validation(spark):
         privacy.k_anonymity_report(df, ["zip3"], 0)
     with pytest.raises(ValueError, match="l must be"):
         privacy.l_diversity_report(df, ["zip3"], "disease", 0)
+
+
+def test_t_closeness_exact_rational(spark):
+    from fractions import Fraction
+
+    # group A: 3x red, 1x blue; group B: 2x blue; global: 3 red, 3 blue
+    rows = [("A", "red")] * 3 + [("A", "blue")] + [("B", "blue")] * 2
+    df = spark.createDataFrame(rows, "g string, colour string")
+    got = {r.g: r for r in
+           privacy.t_closeness_report(df, ["g"], "colour").collect()}
+    for g, n_g, dist in (("A", 4, {"red": 3, "blue": 1}),
+                         ("B", 2, {"red": 0, "blue": 2})):
+        expected = sum(
+            abs(Fraction(dist[s], n_g) - Fraction(3, 6))
+            for s in ("red", "blue")) / 2
+        r = got[g]
+        assert Fraction(int(r.tvd_num), int(r.tvd_den)) == expected
+        assert r.n_rows == n_g
+        assert abs(r.tvd - float(expected)) < 1e-12
+    # identical-to-global distribution => tvd 0
+    uniform = spark.createDataFrame(
+        [("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")], "g string, s string")
+    for r in privacy.t_closeness_report(uniform, ["g"], "s").collect():
+        assert int(r.tvd_num) == 0 and r.tvd == 0.0
+
+
+def test_t_closeness_null_sensitive_excluded(spark):
+    rows = [("A", "red"), ("A", None), ("B", "red"), ("B", "blue")]
+    df = spark.createDataFrame(rows, "g string, s string")
+    got = {r.g: r for r in
+           privacy.t_closeness_report(df, ["g"], "s").collect()}
+    # base: A has 1 red; B has 1 red 1 blue; global 2 red 1 blue of 3
+    assert got["A"].n_rows == 1
+    from fractions import Fraction
+    exp_a = (abs(Fraction(1, 1) - Fraction(2, 3))
+             + abs(Fraction(0, 1) - Fraction(1, 3))) / 2
+    assert Fraction(int(got["A"].tvd_num), int(got["A"].tvd_den)) == exp_a
