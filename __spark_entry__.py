@@ -1037,6 +1037,61 @@ def _walks_sql() -> str:
 _register("g_walks", _g_walks, _walks_sql())
 
 
+# -- node2vec biased walks (analytics.node2vec_walks): the second-order
+#    p/q-tunable generalization — candidate priority = H48 DIV the scaled
+#    bias weight (integer quotient in BOTH engines; a double quotient can
+#    round across the truncation boundary), ties on the neighbor id.
+#    p=4, q=0.25 = exploration-biased (DFS-ish), visibly different
+#    trajectories from the uniform walks on the same seeds. ----------------
+
+_N2V_P, _N2V_Q = 4.0, 0.25
+
+
+def _g_n2v_walks(spark: SparkSession, sf: str) -> DataFrame:
+    edges = GraphStore(spark, sf).edges()
+    return analytics.node2vec_walks(
+        edges, list(_WALK_SEEDS), _WALK_LEN, p=_N2V_P, q=_N2V_Q,
+        walks_per_node=_WALKS_PER)
+
+
+def _n2v_sql() -> str:
+    ret_w = round(1_000_000 / _N2V_P)
+    far_w = round(1_000_000 / _N2V_Q)
+    seeds = ", ".join(
+        f"({i * _WALKS_PER + j}, {v})"
+        for i, v in enumerate(_WALK_SEEDS) for j in range(_WALKS_PER))
+    ctes = [
+        "undp AS MATERIALIZED (SELECT src AS pa, dst AS pb FROM edges "
+        "UNION SELECT dst, src FROM edges)",
+        f"n0 AS (SELECT wid, vertex, CAST(NULL AS BIGINT) AS prev "
+        f"FROM (VALUES {seeds}) AS s(wid, vertex))",
+    ]
+    for t in range(1, _WALK_LEN + 1):
+        h48 = (f"CAST(CAST(('0x' || substr(md5(CAST(w.wid AS VARCHAR) "
+               f"|| ':{t}:' || CAST(e.dst AS VARCHAR) || ':'), 1, 12)) "
+               f"AS UBIGINT) AS BIGINT)")
+        alpha = (f"CASE WHEN w.prev IS NULL THEN 1000000 "
+                 f"WHEN e.dst = w.prev THEN {ret_w} "
+                 f"WHEN u.pa IS NOT NULL THEN 1000000 "
+                 f"ELSE {far_w} END")
+        prio = (f"lpad(CAST(({h48} // ({alpha})) AS VARCHAR), 12, '0') "
+                f"|| ':' || lpad(CAST(e.dst AS VARCHAR), 12, '0')")
+        ctes.append(
+            f"n{t} AS (SELECT w.wid, arg_min(e.dst, {prio}) AS vertex, "
+            f"MIN(w.vertex) AS prev "
+            f"FROM n{t-1} w JOIN edges e ON e.src = w.vertex "
+            f"LEFT JOIN undp u ON u.pa = w.prev AND u.pb = e.dst "
+            f"GROUP BY w.wid)")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST(wid AS INTEGER) AS wid, CAST({t} AS INTEGER) AS step, "
+        f"CAST(vertex AS BIGINT) AS vertex FROM n{t}"
+        for t in range(_WALK_LEN + 1))
+    return f"WITH {graph_ctes()},\n" + ",\n".join(ctes) + "\n" + selects
+
+
+_register("g_n2v_walks", _g_n2v_walks, _n2v_sql())
+
+
 def _g_skipgram(spark: SparkSession, sf: str) -> DataFrame:
     return analytics.skipgram_pairs(_g_walks(spark, sf), window=2)
 
@@ -6150,6 +6205,59 @@ _register(
     """,
 )
 
+# -- interval overlap join (operators/joins.py interval_overlap_join):
+#    bucket-decomposed range join — candidates meet in an equi-join on
+#    (key, bucket), each true pair kept exactly once in the later start's
+#    bucket; never a cross join.  Fixture: per-supplier overlapping transit
+#    windows [shipdate, shipdate + quantity days] over 1997Q1, epoch-day
+#    integers from a fixed origin so the bucket arithmetic is portable. ---
+
+def _j_interval(spark: SparkSession, sf: str) -> DataFrame:
+    li = (
+        load_table(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1997-04-01"))
+        .select(
+            F.col("l_suppkey").alias("k"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("iid"),
+            F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long").alias("s"),
+            (F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+             + F.col("l_quantity").cast("int")).cast("long").alias("e"))
+    )
+    left = li.select("k", F.col("iid").alias("lid"), F.col("s").alias("ls"),
+                     F.col("e").alias("le"))
+    right = li.select("k", F.col("iid").alias("rid"), F.col("s").alias("rs"),
+                      F.col("e").alias("re"))
+    return (
+        joins.interval_overlap_join(left, right, "ls", "le", "rs", "re",
+                                    on=["k"], bucket_width=32)
+        .filter(F.col("lid") < F.col("rid"))
+        .select("k", "lid", "rid",
+                (F.least("le", "re") - F.greatest("ls", "rs") + 1)
+                .alias("overlap_days"))
+    )
+
+_register(
+    "j_interval_overlap",
+    _j_interval,
+    """
+    WITH iv AS (
+      SELECT l_suppkey AS k, l_orderkey * 10 + l_linenumber AS iid,
+             date_diff('day', DATE '1992-01-01', l_shipdate) AS s,
+             date_diff('day', DATE '1992-01-01', l_shipdate)
+               + CAST(l_quantity AS INTEGER) AS e
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+    )
+    SELECT a.k, a.iid AS lid, b.iid AS rid,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) + 1 AS BIGINT)
+             AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.k = b.k AND a.s <= b.e AND b.s <= a.e AND a.iid < b.iid
+    """,
+)
+
 _register(
     "j_range_bucket_counts",
     lambda spark, sf: joins.range_bucket_join(
@@ -7853,6 +7961,12 @@ _compose("g_khop2", [
     ("g_walks",
      ["'walk' AS tag", "vertex AS id", "CAST(wid * 100 + step AS INT) AS hops"],
      "'walk' AS tag, vertex AS id, CAST(wid * 100 + step AS INTEGER) AS hops"),
+    # node2vec biased walks: same lossless (wid, step) packing
+    ("g_n2v_walks",
+     ["'n2v_walk' AS tag", "vertex AS id",
+      "CAST(wid * 100 + step AS INT) AS hops"],
+     "'n2v_walk' AS tag, vertex AS id, "
+     "CAST(wid * 100 + step AS INTEGER) AS hops"),
     # skip-gram pairs: hops packs (context, step_offset) losslessly — it is
     # in [-2,2] so context*10 + (offset+2) stays inside int64
     ("g_skipgram_pairs",
@@ -8762,6 +8876,15 @@ _compose("q_partsupp_suite", [
       "CAST(o_year AS DOUBLE) AS d1", "profit AS d2", "CAST(NULL AS DOUBLE) AS d3"],
      "'q9' AS tag, nation AS c1, CAST(NULL AS VARCHAR) AS c2, "
      "CAST(o_year AS DOUBLE) AS d1, profit AS d2, CAST(NULL AS DOUBLE) AS d3"),
+    # interval overlap join: per-supplier overlapping transit windows;
+    # c1 carries the overlap length, d1-d3 the key and the pair ids
+    ("j_interval_overlap",
+     ["'overlap' AS tag", "CAST(overlap_days AS STRING) AS c1",
+      "CAST(NULL AS STRING) AS c2", "CAST(k AS DOUBLE) AS d1",
+      "CAST(lid AS DOUBLE) AS d2", "CAST(rid AS DOUBLE) AS d3"],
+     "'overlap' AS tag, CAST(overlap_days AS VARCHAR) AS c1, "
+     "CAST(NULL AS VARCHAR) AS c2, CAST(k AS DOUBLE) AS d1, "
+     "CAST(lid AS DOUBLE) AS d2, CAST(rid AS DOUBLE) AS d3"),
     ("q11_important_stock",
      ["'q11' AS tag", "CAST(NULL AS STRING) AS c1", "CAST(NULL AS STRING) AS c2",
       "CAST(ps_partkey AS DOUBLE) AS d1", "value AS d2", "CAST(NULL AS DOUBLE) AS d3"],

@@ -368,7 +368,12 @@ def main() -> None:
                      # suppression, KMV join-size estimation
                      "text_lm_score", "dedup_er_golden", "text_collocations",
                      "events_mad_outliers", "privacy_suppress",
-                     "stats_join_kmv"):
+                     "stats_join_kmv",
+                     # round 7 session 4: Boruvka spanning forest, Luby MIS,
+                     # Jones-Plassmann coloring, t-closeness, pivot
+                     "g_spanning_forest", "g_mis", "g_coloring",
+                     "privacy_tclose", "agg_pivot",
+                     "g_n2v_walks", "j_interval_overlap"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():
@@ -444,6 +449,15 @@ def main() -> None:
         try:
             with open(dedup_sidecar) as f:
                 result_full["dedup_sf1"] = json.load(f)
+        except Exception:
+            pass
+    # one-shot sf1-scale graph-iteration datapoint (tools/graph_sf1.py)
+    graph_sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "GRAPH_SF1.json")
+    if os.path.exists(graph_sidecar):
+        try:
+            with open(graph_sidecar) as f:
+                result_full["graph_sf1"] = json.load(f)
         except Exception:
             pass
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1829,8 +1829,11 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
                 F.when((F.col("back") == F.col("c")) & (F.col("c") < F.col("p")),
                        F.col("c")).otherwise(F.col("p")).alias("p"))
         )
-        # pointer doubling to the root (self-loop fixpoint); early-exit on
-        # the per-step fixpoint probe (one aggregate over one row/component)
+        # pointer doubling to the root (self-loop fixpoint); the per-step
+        # probe (one aggregate over one row/component) both early-exits AND
+        # certifies convergence — moved == 0 IS the fixpoint proof, so no
+        # separate final check is needed on that path
+        converged = False
         for _ in range(jump_steps):
             hop = root.select(F.col("c").alias("p"), F.col("p").alias("pp"))
             stepped = _ckpt_fresh(
@@ -1840,13 +1843,9 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
             )
             root = stepped.select("c", "p")
             if stepped.filter(F.col("moved")).isEmpty():
+                converged = True
                 break
-        unconverged = (
-            root.join(root.select(F.col("c").alias("p"),
-                                  F.col("p").alias("pp")), "p", "left")
-            .filter(F.col("pp").isNotNull() & (F.col("pp") != F.col("p")))
-        )
-        if not unconverged.isEmpty():
+        if not converged:
             raise RuntimeError(
                 "spanning_forest: pointer doubling did not reach the roots "
                 f"within {jump_steps} steps — raise jump_steps")
@@ -1997,3 +1996,91 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         raise RuntimeError(
             f"greedy_coloring: uncolored vertices after {max_rounds} rounds")
     return colored
+
+
+def node2vec_walks(edges: DataFrame, start_ids: list[int], length: int,
+                   p: float = 1.0, q: float = 2.0,
+                   walks_per_node: int = 1, salt: str = "") -> DataFrame:
+    """Second-order biased walks (Grover & Leskovec 2016, node2vec) — the
+    return/in-out-tunable generalization of `random_walks`: the step from
+    cur (having arrived from prev) weighs candidate nbr by α = 1/p if
+    nbr == prev (return), 1 if nbr is adjacent to prev (BFS-ish), 1/q
+    otherwise (DFS-ish).
+
+    Deterministic weighted choice, engine-exact: candidate priority =
+    md5_48(wid:step:nbr:salt) DIV round(10⁶·α) — a larger α divides the
+    hash rank harder and wins more often, and both engines compute the
+    same integer quotient (never a float division: a double quotient of
+    two big ints can round across the truncation boundary).  Ties break
+    on the neighbor id inside the padded priority string.  Step 1 has no
+    prev and falls back to the uniform md5 choice — exactly
+    `random_walks`' first step.
+
+    Plan per step: the O(#walks) frontier broadcasts against the
+    adjacency (edge side never shuffles), plus one broadcast flag join
+    against the undirected pair set keyed (prev, nbr) for the distance-1
+    test.  Same scale posture as random_walks; the bias costs one extra
+    broadcast join per step.
+
+    Returns (wid, step, vertex), step 0 = seed."""
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be positive, got p={p} q={q}")
+    ret_w = round(1_000_000 / p)
+    far_w = round(1_000_000 / q)
+    spark = edges.sparkSession
+    adj = edges.select(F.col("src").alias("cur"), F.col("dst").alias("nbr")).persist()
+    # the distance-1 flag table is O(edges) — NEVER broadcast it; cache it
+    # pre-partitioned on the join key so each step's flag join shuffles
+    # only the tiny candidate side (the cached partitioning is reused)
+    undp = (
+        edges.select(F.col("src").alias("pa"), F.col("dst").alias("pb"))
+        .unionByName(edges.select(F.col("dst").alias("pa"), F.col("src").alias("pb")))
+        .distinct().withColumn("is_near", F.lit(1))
+        .repartition("pa", "pb").persist()
+    )
+    try:
+        seeds = [(i * walks_per_node + j, int(v), 0)
+                 for i, v in enumerate(start_ids) for j in range(walks_per_node)]
+        frontier = spark.createDataFrame(seeds, "wid int, vertex long, step int") \
+            .withColumn("prev", F.lit(None).cast("long"))
+        out = frontier.select("wid", "step", "vertex")
+        for t in range(1, length + 1):
+            h = F.conv(F.substring(F.md5(F.concat_ws(
+                ":", F.col("wid").cast("string"), F.lit(str(t)),
+                F.col("nbr").cast("string"), F.lit(salt))), 1, 12), 16, 10) \
+                .cast("long")
+            alpha = (
+                F.when(F.col("nbr") == F.col("prev"), F.lit(ret_w))
+                .when(F.col("is_near") == 1, F.lit(1_000_000))
+                .otherwise(F.lit(far_w)))
+            # step 1 (prev NULL): uniform — divisor 1e6 for every candidate
+            alpha = F.when(F.col("prev").isNull(), F.lit(1_000_000)) \
+                .otherwise(alpha)
+            prio = F.concat_ws(
+                ":",
+                F.lpad(F.expr("_h DIV _a").cast("string"), 12, "0"),
+                F.lpad(F.col("nbr").cast("string"), 12, "0"))
+            cand = (
+                F.broadcast(frontier.select(
+                    "wid", F.col("vertex").alias("cur"), "prev"))
+                .join(adj, "cur")
+                .join(undp,
+                      (F.col("prev") == F.col("pa"))
+                      & (F.col("nbr") == F.col("pb")), "left")
+                .withColumn("_h", h)
+                .withColumn("_a", alpha)
+            )
+            cand = cand.withColumn("_prio", prio)
+            frontier = (
+                cand.groupBy("wid")
+                .agg(F.min_by(F.col("nbr"), F.col("_prio")).alias("vertex"),
+                     F.min("cur").alias("prev"))
+                .select("wid", "vertex", F.lit(t).alias("step"), "prev")
+            )
+            if t % 4 == 0:
+                frontier = frontier.localCheckpoint(eager=True)
+            out = out.unionByName(frontier.select("wid", "step", "vertex"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()
+        undp.unpersist()

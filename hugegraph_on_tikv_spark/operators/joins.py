@@ -145,3 +145,59 @@ def range_bucket_join(facts: DataFrame, bounds: Sequence[float], value_col: str,
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(F.col(value_col) < F.lit(bounds[i]), F.lit(i)).otherwise(expr)
     return facts.withColumn(bucket_name, expr.cast("int"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          l_start: str, l_end: str,
+                          r_start: str, r_end: str,
+                          on: Sequence[str] = (),
+                          bucket_width: int = 32,
+                          how_overlap: str = "closed") -> DataFrame:
+    """Interval overlap join — pairs every left row with every right row
+    whose [start, end] interval overlaps it (closed-interval semantics:
+    touching endpoints match), optionally under equi-keys `on`.  Spark has
+    no interval-join operator; the naive formulation is a cross join (or a
+    one-sided range join) that explodes quadratically.
+
+    Bucket decomposition (the standard distributed range-join technique):
+    each interval explodes into the fixed-width buckets it spans
+    (`sequence(start DIV w, end DIV w)`), candidates meet in an EQUI-join
+    on (keys…, bucket), and each true pair is kept exactly once — in the
+    bucket of the LATER start (`greatest(l_start, r_start) DIV w`), which
+    both sides provably span when the intervals overlap (floor is
+    monotone: max(⌊a/w⌋,⌊b/w⌋) = ⌊max(a,b)/w⌋ ≤ ⌊min(e_l,e_r)/w⌋).  No
+    distinct pass, no cross join; cost = Σ span/w replication plus one
+    shuffle on (keys, bucket).
+
+    Start/end columns are NUMERIC (cast dates to epoch days first — keeps
+    the bucket arithmetic engine-portable).  `bucket_width` tunes the
+    replication-vs-bucket-size trade: ~ the median interval length is the
+    usual choice; intervals of length L explode into ≤ L/w + 2 rows.
+
+    Column names must be disjoint across sides except the `on` keys.
+    Returns all columns of both inputs, keys once."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    if how_overlap != "closed":
+        raise ValueError("only closed-interval semantics are implemented")
+    w = F.lit(int(bucket_width))
+    on = list(on)
+    # integer bucket arithmetic: cast-to-long of a division is NOT floor
+    # for negatives — use floor division explicitly
+    lb = left.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.floor(F.col(l_start) / w).cast("long"),
+            F.floor(F.col(l_end) / w).cast("long"))))
+    rb = right.withColumn(
+        "_bk", F.explode(F.sequence(
+            F.floor(F.col(r_start) / w).cast("long"),
+            F.floor(F.col(r_end) / w).cast("long"))))
+    pairs = lb.join(rb, on + ["_bk"])
+    keep = (
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        & (F.col("_bk")
+           == F.floor(F.greatest(F.col(l_start), F.col(r_start)) / w)
+           .cast("long"))
+    )
+    return pairs.filter(keep).drop("_bk")

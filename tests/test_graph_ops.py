@@ -1284,3 +1284,75 @@ def test_greedy_coloring_bipartite_two_colors(spark):
     e = spark.createDataFrame(rows, "src long, dst long")
     col = {r.id: r.color for r in analytics.greedy_coloring(e).collect()}
     assert len(set(col.values())) == 2
+
+
+def test_node2vec_walks_match_reference(spark):
+    import hashlib
+    import random
+
+    def md548(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def reference(edges, seeds, length, p, q, per):
+        adj = {}
+        und = set()
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+            und.add((s, d)); und.add((d, s))
+        ret_w, far_w = round(1e6 / p), round(1e6 / q)
+        rows = []
+        for i, v in enumerate(seeds):
+            for j in range(per):
+                wid = i * per + j
+                prev, cur = None, v
+                rows.append((wid, 0, cur))
+                for t in range(1, length + 1):
+                    cands = adj.get(cur, [])
+                    if not cands:
+                        break
+                    best = None
+                    for nbr in cands:
+                        h = md548(f"{wid}:{t}:{nbr}:")
+                        if prev is None:
+                            a = 1_000_000
+                        elif nbr == prev:
+                            a = ret_w
+                        elif (prev, nbr) in und:
+                            a = 1_000_000
+                        else:
+                            a = far_w
+                        key = (h // a, nbr)
+                        if best is None or key < best[0]:
+                            best = (key, nbr)
+                    prev, cur = cur, best[1]
+                    rows.append((wid, t, cur))
+        return sorted(rows)
+
+    rng = random.Random(5)
+    n = 30
+    edges = sorted({(rng.randint(0, n - 1), rng.randint(0, n - 1))
+                    for _ in range(120)})
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [0, 1, 2]
+    got = sorted(
+        (r.wid, r.step, r.vertex)
+        for r in analytics.node2vec_walks(
+            e, seeds, length=6, p=4.0, q=0.25, walks_per_node=2).collect())
+    assert got == reference(edges, seeds, 6, 4.0, 0.25, 2)
+
+
+def test_node2vec_bias_steers_walks(spark):
+    # triangle fan + long tail: with q tiny (in-out favored), walks leave
+    # the clique; with p tiny (return favored), walks bounce — the two
+    # settings must produce different trajectories on the same seed
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0),
+             (2, 3), (3, 4), (4, 5), (5, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted((r.wid, r.step, r.vertex) for r in
+               analytics.node2vec_walks(e, [0], 5, p=100.0, q=0.01).collect())
+    b = sorted((r.wid, r.step, r.vertex) for r in
+               analytics.node2vec_walks(e, [0], 5, p=0.01, q=100.0).collect())
+    assert a != b
+    with pytest.raises(ValueError):
+        analytics.node2vec_walks(e, [0], 3, p=0.0)

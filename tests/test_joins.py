@@ -115,3 +115,47 @@ def test_asof_join_one_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert phys.count("Exchange") == 1, phys
     assert "Python" not in phys, phys
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import random
+
+    from hugegraph_on_tikv_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(13)
+    for w in (1, 5, 32):
+        lrows = [(rng.randint(0, 2), i, rng.randint(-40, 60))
+                 for i in range(60)]
+        lrows = [(k, i, s, s + rng.randint(0, 25)) for k, i, s in lrows]
+        rrows = [(rng.randint(0, 2), 100 + i, rng.randint(-40, 60))
+                 for i in range(60)]
+        rrows = [(k, i, s, s + rng.randint(0, 25)) for k, i, s in rrows]
+        left = spark.createDataFrame(
+            lrows, "k long, lid long, ls long, le long")
+        right = spark.createDataFrame(
+            rrows, "k long, rid long, rs long, re long")
+        got = sorted(
+            (r.k, r.lid, r.rid) for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re",
+                on=["k"], bucket_width=w).collect())
+        want = sorted(
+            (lk, lid, rid)
+            for lk, lid, ls, le in lrows
+            for rk, rid, rs, re in rrows
+            if lk == rk and ls <= re and rs <= le)
+        assert got == want, f"bucket_width={w}"
+
+
+def test_interval_overlap_join_touching_and_no_key(spark):
+    from hugegraph_on_tikv_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 0, 10)], "lid long, ls long, le long")
+    right = spark.createDataFrame(
+        [(1, 10, 20), (2, 11, 20)], "rid long, rs long, re long")
+    got = sorted(r.rid for r in interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=4).collect())
+    assert got == [1]  # closed intervals: touching at 10 matches, 11 not
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        interval_overlap_join(left, right, "ls", "le", "rs", "re",
+                              bucket_width=0)
