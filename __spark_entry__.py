@@ -1074,7 +1074,10 @@ def _n2v_sql() -> str:
                  f"WHEN e.dst = w.prev THEN {ret_w} "
                  f"WHEN u.pa IS NOT NULL THEN 1000000 "
                  f"ELSE {far_w} END")
-        prio = (f"lpad(CAST(({h48} // ({alpha})) AS VARCHAR), 12, '0') "
+        # width 15: H48 max is 2^48-1 = 15 digits; a 12-wide lpad would
+        # TRUNCATE quotients above 12 digits (divisor 1 when alpha rounds
+        # small) and silently corrupt the priority order.
+        prio = (f"lpad(CAST(({h48} // ({alpha})) AS VARCHAR), 15, '0') "
                 f"|| ':' || lpad(CAST(e.dst AS VARCHAR), 12, '0')")
         ctes.append(
             f"n{t} AS (SELECT w.wid, arg_min(e.dst, {prio}) AS vertex, "

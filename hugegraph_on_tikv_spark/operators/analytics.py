@@ -1392,6 +1392,163 @@ def louvain(edges: DataFrame, labels: DataFrame | None = None,
     return cur
 
 
+def _modularity_numerator(edges: DataFrame, labels: DataFrame,
+                          label_col: str = "community") -> int:
+    """Exact-integer modularity numerator Σ contrib = Σ (4·m·e_c − d_c²)
+    of a labeling (Q = numerator / 4m²) — the monotone-guard currency."""
+    n = (modularity(edges, labels, label_col)
+         .agg(F.sum("contrib").alias("n")).collect()[0]["n"])
+    return int(n or 0)
+
+
+def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
+                            m: int, parity: int | None = None) -> DataFrame:
+    """One synchronous weighted local-move proposal on a contracted
+    (super-vertex) graph — the level-2+ Louvain step.
+
+    `sedges` is the canonical weighted super-graph (u2 <= v2, integer
+    weight w = number of original edges between the two super-vertices;
+    u2 == v2 rows are self-loops carrying intra-community edge counts).
+    `slab` maps super-vertex sid -> community sc.  Total weight is the
+    ORIGINAL graph's m, so gains share the original 4m² denominator and
+    a gain here IS a gain on the original graph (standard Louvain
+    equivalence).  Weighted degree counts self-loops twice (Newman).
+    Self-loops never enter the candidate set — they move with their
+    vertex.  Deterministic tie-break: argmax gain, then smallest
+    community id (the modularity_local_move contract).
+
+    `parity` (0 or 1): when set, only super-vertices whose deterministic
+    md5 bit equals it may move this round — the standard parallel-Louvain
+    symmetry breaker.  A fully synchronous sweep on a symmetric structure
+    (ring, cycle) has every vertex swap simultaneously, producing a
+    permuted-but-no-better labeling that the guard then rejects; holding
+    half the vertices still each round lets the other half's moves
+    actually land.  The bit is engine-portable (first md5 hex nibble mod
+    2), so the SQL oracle replays the same schedule.
+
+    Returns (sid, sc) with winning strictly-positive moves applied
+    simultaneously — UNGUARDED; the caller guards on the original
+    graph's exact numerator."""
+    plain = sedges.filter(F.col("u2") != F.col("v2"))
+    loops = sedges.filter(F.col("u2") == F.col("v2")) \
+        .select(F.col("u2").alias("sid"), (F.col("w") * 2).alias("lw"))
+    wdeg = (
+        plain.select(F.col("u2").alias("sid"), "w")
+        .unionByName(plain.select(F.col("v2").alias("sid"), "w"))
+        .unionByName(loops.select("sid", F.col("lw").alias("w")))
+        .groupBy("sid").agg(F.sum("w").alias("_d"))
+    )
+    adj = (
+        plain.select(F.col("u2").alias("sid"), F.col("v2").alias("b"), "w")
+        .unionByName(
+            plain.select(F.col("v2").alias("sid"), F.col("u2").alias("b"), "w"))
+    )
+    nbr = (adj.join(slab.select(F.col("sid").alias("b"),
+                                F.col("sc").alias("cand")), "b")
+           .groupBy("sid", "cand").agg(F.sum("w").alias("k_to")))
+    d_c = (wdeg.join(slab, "sid")
+           .groupBy(F.col("sc").alias("cand"))
+           .agg(F.sum("_d").alias("d_cand")))
+    own = (nbr.join(slab, "sid")
+           .filter(F.col("cand") == F.col("sc"))
+           .select("sid", F.col("k_to").alias("k_own")))
+
+    def _dec(c) -> Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    four_m = F.lit(4 * m).cast("decimal(38,0)")
+    cand = (nbr.join(slab, "sid").filter(F.col("cand") != F.col("sc"))
+            .join(own, "sid", "left")
+            .join(wdeg, "sid")
+            .join(d_c, "cand")
+            .join(d_c.select(F.col("cand").alias("sc"),
+                             F.col("d_cand").alias("d_cur")), "sc")
+            .withColumn(
+                "gain",
+                four_m * (_dec("k_to")
+                          - F.coalesce(_dec("k_own"),
+                                       F.lit(0).cast("decimal(38,0)")))
+                - F.lit(2).cast("decimal(38,0)") * _dec("_d")
+                * (_dec("d_cand") - (_dec("d_cur") - _dec("_d")))))
+    mx = cand.groupBy("sid").agg(F.max("gain").alias("_g"))
+    best = (cand.join(mx, "sid")
+            .filter((F.col("gain") == F.col("_g")) & (F.col("_g") > 0))
+            .groupBy("sid").agg(F.min("cand").alias("_new")))
+    if parity is not None:
+        bit = (F.conv(F.substring(F.md5(F.col("sid").cast("string")), 1, 1),
+                      16, 10).cast("int") % 2)
+        best = best.filter(bit == F.lit(parity))
+    return (slab.join(best, "sid", "left")
+            .select("sid", F.coalesce("_new", F.col("sc")).alias("sc")))
+
+
+def louvain_full(edges: DataFrame, label_col: str = "community",
+                 level1_rounds: int = 5, level2_rounds: int = 4,
+                 max_levels: int = 2) -> DataFrame:
+    """FULL Louvain: the local-move phase (`louvain`) plus the contraction
+    phase the r7 docstring punted to the caller — communities contract to
+    super-vertices (one groupBy relabel; super-edge weight = inter-community
+    edge count, self-loop weight = intra count), weighted local-move rounds
+    run on the contracted graph, and accepted labelings project back to the
+    original vertices.
+
+    Monotone guard: every contracted-round proposal is projected back and
+    scored on the ORIGINAL graph with the exact-integer modularity
+    numerator (same 4m² denominator throughout — the weighted contracted
+    gains are exactly original-graph gains, so this guard loses nothing);
+    a proposal is accepted only on STRICT improvement, so modularity never
+    decreases across rounds or levels.  Rounds alternate the parity
+    symmetry-breaker (see `_weighted_move_proposal`) and all
+    `level2_rounds` run unconditionally — a rejected round leaves the
+    labeling unchanged (the proposal is a deterministic function of the
+    labeling and parity, so re-running it later is a no-op), which makes
+    the loop exactly replayable by an unconditionally unrolled SQL
+    oracle.
+
+    Scale: contraction is one keyed aggregation; each level-2 round runs
+    over the contracted graph (|communities| vertices, inter-community
+    pairs as edges — typically orders of magnitude smaller than the input)
+    plus one O(m) guard aggregation.  Returns (id, <label_col>)."""
+    und = _undirected_simple(edges)
+    m = und.count()
+    cur = louvain(edges, None, label_col, max_rounds=level1_rounds)
+    if m == 0:
+        return cur
+    for _ in range(1, max_levels):
+        lab = (cur.select("id", F.col(label_col).alias("_c"))
+               .localCheckpoint(eager=True))
+        prev_num = _modularity_numerator(
+            edges, lab.withColumnRenamed("_c", label_col), label_col)
+        lu = lab.select(F.col("id").alias("u"), F.col("_c").alias("cu"))
+        lv = lab.select(F.col("id").alias("v"), F.col("_c").alias("cv"))
+        sed = (
+            und.join(lu, "u").join(lv, "v")
+            .select(F.least("cu", "cv").alias("u2"),
+                    F.greatest("cu", "cv").alias("v2"))
+            .groupBy("u2", "v2").agg(F.count(F.lit(1)).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        slab = (sed.select(F.col("u2").alias("sid"))
+                .unionByName(sed.select(F.col("v2").alias("sid")))
+                .distinct()
+                .select("sid", F.col("sid").alias("sc"))
+                .localCheckpoint(eager=True))
+        improved = False
+        for r in range(level2_rounds):
+            prop = _weighted_move_proposal(sed, slab, m, parity=r % 2) \
+                .localCheckpoint(eager=True)
+            projected = (lab.join(prop.withColumnRenamed("sid", "_c"), "_c")
+                         .select("id", F.col("sc").alias(label_col)))
+            num = _modularity_numerator(edges, projected, label_col)
+            if num <= prev_num:
+                continue
+            slab, prev_num, improved = prop, num, True
+            cur = projected.localCheckpoint(eager=True)
+        if not improved:
+            break
+    return cur
+
+
 def sssp(weighted_edges: DataFrame, source: int, iterations: int = 8) -> DataFrame:
     """Single-source shortest paths over weighted edges (src, dst, weight):
     Bellman-Ford rounds, d_t(v) = min(d_{t-1}(v), min over in-edges
@@ -1727,8 +1884,19 @@ def _ckpt_fresh(df: DataFrame) -> DataFrame:
     on a 3,638-edge graph).  Rebuilding from the already-materialized
     checkpoint RDD (JVM-side, zero recompute, no Python boundary) resets
     the estimate to defaultSizeInBytes; joins against these frames still
-    end up broadcast when AQE sees the real post-shuffle sizes."""
+    end up broadcast when AQE sees the real post-shuffle sizes.
+
+    Supported runtimes: classic py4j-backed Spark 3.4-4.x sessions ONLY.
+    Uses private internals (DataFrame._jdf, QueryExecution.toRdd,
+    SparkSession.internalCreateDataFrame) that do not exist on Spark
+    Connect, so fail fast with a clear error instead of an opaque py4j
+    AttributeError."""
     ck = df.localCheckpoint(eager=True)
+    if not hasattr(ck, "_jdf"):
+        raise RuntimeError(
+            "_ckpt_fresh requires a classic (py4j) SparkSession; Spark "
+            "Connect sessions expose no DataFrame._jdf. Run iterative "
+            "graph operators on a non-Connect session.")
     jdf = ck._jdf
     spark = df.sparkSession
     fresh = spark._jsparkSession.internalCreateDataFrame(
@@ -1754,7 +1922,7 @@ def _edge_priority(weight: Column, u: Column, v: Column,
 
 
 def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
-                    jump_steps: int = 10,
+                    jump_steps: int = 24,
                     weight_scale: int = 100) -> DataFrame:
     """Minimum spanning forest by Boruvka contraction — the MapReduce-era
     classic, O(log n) rounds, each round a pair of keyed aggregations (no
@@ -1769,11 +1937,26 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
     cycles are mutual pairs, whose smaller id becomes the new root — the
     textbook invariant.
 
-    Scale: the per-round work is two shuffles keyed on component id plus
-    log-depth pointer doubling over one row PER COMPONENT (not per vertex,
-    not per edge) — components at least halve per round, so the state
-    collapses geometrically.  A 100 TB edge set runs the same plan with the
-    cross-edge join co-located on the bucketed layout.
+    Orchestration (r8 — cuts the driver-probe constant measured at sf1):
+    the live state is the RELABELED cross-edge set itself — after each
+    contraction the edges are rewritten to their component endpoints,
+    intra-component edges dropped, and parallel edges between the same
+    component pair deduped to the minimum-priority one (safe by the cut
+    property: a non-minimum edge between two components can never enter
+    the forest while they are separate, and is intra once they merge).
+    So the per-round joins run over a GEOMETRICALLY SHRINKING edge set,
+    never the full input; the original (u, v, weight) ride along as
+    payload.  Pointer doubling probes for convergence only every 3rd
+    step (each unprobed step is one eager checkpoint job, no extra probe
+    job); extra steps past the fixpoint are no-ops, and the moved-count
+    probe that does run still CERTIFIES convergence — moved == 0 is the
+    fixpoint proof.  Accumulators are unions of per-round checkpointed
+    deltas, never re-checkpointed cumulative frames.
+
+    Scale: per-round work is keyed aggregations over the shrinking
+    cross-edge set plus log-depth pointer doubling over one row PER
+    COMPONENT (not per vertex, not per edge).  A 100 TB edge set runs the
+    same plan; round 1 dominates and is two shuffles of the edge set.
 
     Never-wrong contract (the star-CC precedent): raises RuntimeError if
     contraction or the round budget is exhausted before the fixpoint —
@@ -1781,7 +1964,7 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
 
     Returns (u, v, weight) canonical u<v, one row per forest edge."""
     spark = weighted_edges.sparkSession
-    canon = _ckpt_fresh(
+    ed = _ckpt_fresh(
         weighted_edges
         .filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("u"),
@@ -1789,32 +1972,23 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
         .groupBy("u", "v").agg(F.min("weight").alias("weight"))
         .withColumn("key", _edge_priority(F.col("weight"), F.col("u"),
                                           F.col("v"), weight_scale))
+        .select(F.col("u").alias("cu"), F.col("v").alias("cv"),
+                "u", "v", "weight", "key")
     )
-    comp = _ckpt_fresh(
-        canon.select(F.col("u").alias("id"))
-        .unionByName(canon.select(F.col("v").alias("id")))
-        .distinct()
-        .select("id", F.col("id").alias("c"))
-    )
-    forest = spark.createDataFrame([], "u long, v long, weight double")
+    forest_legs: list[DataFrame] = []
+    done = False
     for _ in range(max_rounds):
-        cross = _ckpt_fresh(
-            canon
-            .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
-            .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
-            .filter(F.col("cu") != F.col("cv"))
-        )
-        if cross.isEmpty():
-            return forest
+        if ed.isEmpty():
+            done = True
+            break
         # each component's minimum-priority incident cross edge
         mink = (
-            cross.select(F.col("cu").alias("c"), "key")
-            .unionByName(cross.select(F.col("cv").alias("c"), "key"))
+            ed.select(F.col("cu").alias("c"), "key")
+            .unionByName(ed.select(F.col("cv").alias("c"), "key"))
             .groupBy("c").agg(F.min("key").alias("key"))
         )
-        sel = _ckpt_fresh(mink.join(cross, "key"))
-        forest = _ckpt_fresh(
-            forest.unionByName(sel.select("u", "v", "weight").distinct()))
+        sel = _ckpt_fresh(mink.join(ed, "key"))
+        forest_legs.append(sel.select("u", "v", "weight").distinct())
         # component pointer graph: c -> the other endpoint's component
         ptr = sel.select(
             "c",
@@ -1829,12 +2003,8 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
                 F.when((F.col("back") == F.col("c")) & (F.col("c") < F.col("p")),
                        F.col("c")).otherwise(F.col("p")).alias("p"))
         )
-        # pointer doubling to the root (self-loop fixpoint); the per-step
-        # probe (one aggregate over one row/component) both early-exits AND
-        # certifies convergence — moved == 0 IS the fixpoint proof, so no
-        # separate final check is needed on that path
         converged = False
-        for _ in range(jump_steps):
+        for s in range(1, jump_steps + 1):
             hop = root.select(F.col("c").alias("p"), F.col("p").alias("pp"))
             stepped = _ckpt_fresh(
                 root.join(hop, "p", "left")
@@ -1842,29 +2012,39 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
                         (F.col("pp") != F.col("p")).alias("moved"))
             )
             root = stepped.select("c", "p")
-            if stepped.filter(F.col("moved")).isEmpty():
+            if (s % 3 == 0 or s == jump_steps) and \
+                    stepped.filter(F.col("moved")).isEmpty():
                 converged = True
                 break
         if not converged:
             raise RuntimeError(
                 "spanning_forest: pointer doubling did not reach the roots "
                 f"within {jump_steps} steps — raise jump_steps")
-        comp = _ckpt_fresh(
-            comp.join(root.withColumnRenamed("c", "oc")
-                          .withColumnRenamed("p", "nc"),
-                      comp.c == F.col("oc"), "left")
-            .select("id", F.coalesce("nc", "c").alias("c"))
+        # relabel endpoints to roots, drop intra edges, dedupe each
+        # component pair to its minimum-priority edge (cut property)
+        ru = root.select(F.col("c").alias("cu"), F.col("p").alias("ncu"))
+        rv = root.select(F.col("c").alias("cv"), F.col("p").alias("ncv"))
+        relab = (
+            ed.join(ru, "cu", "left").join(rv, "cv", "left")
+            .select(F.coalesce("ncu", "cu").alias("a"),
+                    F.coalesce("ncv", "cv").alias("b"),
+                    "u", "v", "weight", "key")
+            .filter(F.col("a") != F.col("b"))
         )
-    # budget exhausted: only acceptable if no cross edges remain
-    final_cross = (
-        canon
-        .join(comp.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
-        .join(comp.select(F.col("id").alias("v"), F.col("c").alias("cv")), "v")
-        .filter(F.col("cu") != F.col("cv"))
-    )
-    if not final_cross.isEmpty():
+        ed = _ckpt_fresh(
+            relab
+            .groupBy(F.least("a", "b").alias("cu"),
+                     F.greatest("a", "b").alias("cv"))
+            .agg(F.min_by(F.struct("u", "v", "weight", "key"),
+                          F.col("key")).alias("e"))
+            .select("cu", "cv", "e.u", "e.v", "e.weight", "e.key")
+        )
+    if not done and not ed.isEmpty():
         raise RuntimeError(
             f"spanning_forest: not converged in {max_rounds} rounds")
+    forest = spark.createDataFrame([], "u long, v long, weight double")
+    for leg in forest_legs:
+        forest = forest.unionByName(leg)
     return forest
 
 
@@ -1881,6 +2061,13 @@ def maximal_independent_set(edges: DataFrame,
     active edge set shrinks by a constant factor per round in expectation
     (Luby's lemma), so O(log n) rounds — each round two keyed aggregations
     over the ACTIVE subgraph only, which collapses geometrically.
+
+    Orchestration (r8): one `marked` checkpoint per round carries BOTH
+    the selection flag and the surviving priorities — the selected set,
+    the MIS delta, and the next active set all derive from it as cheap
+    filters over materialized rows, so a round costs two eager jobs
+    (marked + next-active), not four; the MIS accumulator is a union of
+    per-round deltas, never a re-checkpointed cumulative frame.
 
     Never-wrong contract: raises RuntimeError if the active set is not
     empty after max_rounds — a prefix of an MIS is not an MIS.
@@ -1900,31 +2087,39 @@ def maximal_independent_set(edges: DataFrame,
         .withColumn("prio", prio)
     )
     spark = edges.sparkSession
-    mis = spark.createDataFrame([], "id long, round int")
+    mis_legs: list[DataFrame] = []
+    done = False
     for t in range(1, max_rounds + 1):
         if active.isEmpty():
-            return mis
+            done = True
+            break
         act_nb = (
             adj.join(active.select(F.col("id").alias("a")), "a")
             .join(active.select(F.col("id").alias("b"),
                                 F.col("prio").alias("prio_b")), "b")
         )
         min_nb = act_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
-        sel = _ckpt_fresh(
+        marked = _ckpt_fresh(
             active.join(min_nb.withColumnRenamed("a", "id"), "id", "left")
-            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
-            .select("id")
+            .select("id", "prio",
+                    (F.col("mn").isNull()
+                     | (F.col("prio") < F.col("mn"))).alias("sel"))
         )
-        mis = _ckpt_fresh(
-            mis.unionByName(sel.select("id", F.lit(t).alias("round"))))
+        sel = marked.filter(F.col("sel")).select("id")
+        mis_legs.append(sel.select("id", F.lit(t).alias("round")))
         dropped = sel.unionByName(
             adj.join(sel.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"))).distinct()
-        active = _ckpt_fresh(active.join(dropped, "id", "left_anti"))
-    if not active.isEmpty():
+        active = _ckpt_fresh(
+            marked.filter(~F.col("sel")).select("id", "prio")
+            .join(dropped, "id", "left_anti"))
+    if not done and not active.isEmpty():
         raise RuntimeError(
             f"maximal_independent_set: active set nonempty after "
             f"{max_rounds} rounds")
+    mis = spark.createDataFrame([], "id long, round int")
+    for leg in mis_legs:
+        mis = mis.unionByName(leg)
     return mis
 
 
@@ -1946,6 +2141,13 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     high probability on random-like (md5) priorities.  Never-wrong
     contract: raises if uncolored vertices remain after max_rounds.
 
+    Orchestration (r8): one `marked` checkpoint per round carries the
+    frontier flag; frontier and next-uncolored derive from it as filters
+    over materialized rows, and the colored accumulator is a union of
+    per-round checkpointed DELTAS (each pick), never a re-checkpointed
+    cumulative frame — a round costs three eager jobs (marked, used,
+    pick) instead of four plus an O(colored) rewrite.
+
     Returns (id, color), color ∈ {0, 1, ...} dense from 0."""
     und = _undirected_simple(edges)
     adj = _ckpt_fresh(
@@ -1959,20 +2161,24 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
         adj.select(F.col("a").alias("id")).distinct().withColumn("prio", prio))
     spark = edges.sparkSession
     colored = spark.createDataFrame([], "id long, color int")
+    done = False
     for _ in range(max_rounds):
         if uncolored.isEmpty():
-            return colored
+            done = True
+            break
         un_nb = (
             adj.join(uncolored.select(F.col("id").alias("a")), "a")
             .join(uncolored.select(F.col("id").alias("b"),
                                    F.col("prio").alias("prio_b")), "b")
         )
         mn = un_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
-        frontier = _ckpt_fresh(
+        marked = _ckpt_fresh(
             uncolored.join(mn.withColumnRenamed("a", "id"), "id", "left")
-            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
-            .select("id")
+            .select("id", "prio",
+                    (F.col("mn").isNull()
+                     | (F.col("prio") < F.col("mn"))).alias("sel"))
         )
+        frontier = marked.filter(F.col("sel")).select("id")
         used = _ckpt_fresh(
             frontier.join(adj.withColumnRenamed("a", "id"), "id")
             .join(colored.select(F.col("id").alias("b"), "color"), "b")
@@ -1986,13 +2192,13 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             used.select("id", (F.col("color") + 1).alias("color"))
             .join(used, ["id", "color"], "left_anti")
         )
-        pick = (
+        pick = _ckpt_fresh(
             cand0.unionByName(cand_succ)
             .groupBy("id").agg(F.min("color").cast("int").alias("color"))
         )
-        colored = _ckpt_fresh(colored.unionByName(pick))
-        uncolored = _ckpt_fresh(uncolored.join(frontier, "id", "left_anti"))
-    if not uncolored.isEmpty():
+        colored = colored.unionByName(pick)
+        uncolored = marked.filter(~F.col("sel")).select("id", "prio")
+    if not done and not uncolored.isEmpty():
         raise RuntimeError(
             f"greedy_coloring: uncolored vertices after {max_rounds} rounds")
     return colored
@@ -2017,16 +2223,23 @@ def node2vec_walks(edges: DataFrame, start_ids: list[int], length: int,
     `random_walks`' first step.
 
     Plan per step: the O(#walks) frontier broadcasts against the
-    adjacency (edge side never shuffles), plus one broadcast flag join
-    against the undirected pair set keyed (prev, nbr) for the distance-1
-    test.  Same scale posture as random_walks; the bias costs one extra
-    broadcast join per step.
+    adjacency (edge side never shuffles); the distance-1 bias test joins
+    the candidates against the O(edges) undirected pair set keyed
+    (prev, nbr) — that flag table is NEVER broadcast (it is edge-sized);
+    it is repartition-persisted on the join key once, so each step's
+    flag join shuffles only the tiny candidate side and reuses the
+    cached partitioning.  Broadcast is used only for the frontier side.
 
     Returns (wid, step, vertex), step 0 = seed."""
     if p <= 0 or q <= 0:
         raise ValueError(f"p and q must be positive, got p={p} q={q}")
     ret_w = round(1_000_000 / p)
     far_w = round(1_000_000 / q)
+    if ret_w < 1 or far_w < 1:
+        # round(1e6/x) == 0 would make the DIV divisor NULL-producing /
+        # zero; the quantized-alpha contract only holds for p, q <= 2e6.
+        raise ValueError(
+            f"p and q must be <= 2e6 so round(1e6/p|q) >= 1, got p={p} q={q}")
     spark = edges.sparkSession
     adj = edges.select(F.col("src").alias("cur"), F.col("dst").alias("nbr")).persist()
     # the distance-1 flag table is O(edges) — NEVER broadcast it; cache it
@@ -2058,7 +2271,7 @@ def node2vec_walks(edges: DataFrame, start_ids: list[int], length: int,
                 .otherwise(alpha)
             prio = F.concat_ws(
                 ":",
-                F.lpad(F.expr("_h DIV _a").cast("string"), 12, "0"),
+                F.lpad(F.expr("_h DIV _a").cast("string"), 15, "0"),
                 F.lpad(F.col("nbr").cast("string"), 12, "0"))
             cand = (
                 F.broadcast(frontier.select(
