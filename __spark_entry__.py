@@ -4367,6 +4367,159 @@ def _g_modularity(spark: SparkSession, sf: str) -> DataFrame:
 
 _register("g_modularity", _g_modularity, _modularity_sql())
 
+
+# -- full Louvain (analytics.louvain_full): guarded local-move rounds from
+#    singletons, then ONE contraction level (communities -> super-vertices,
+#    inter-community edge counts as weights, intra counts as self-loops)
+#    with parity-alternating weighted local-move rounds, every proposal
+#    accept/rejected by the exact-integer modularity numerator on the
+#    ORIGINAL graph.  The oracle unrolls the identical schedule; the
+#    rejected-round-repeats-itself argument makes unconditional unrolling
+#    exact.  Certificate rows: id=-1 carries the full labeling's numerator,
+#    id=-2 the local-move-only labeling's — the driver value-checks both,
+#    and full >= local is pytest-pinned (monotone contraction). ------------
+
+_LOUV_L1, _LOUV_L2 = 3, 2
+
+
+def _g_louvain(spark: SparkSession, sf: str) -> DataFrame:
+    e = GraphStore(spark, sf).edges()
+    full = analytics.louvain_full(
+        e, level1_rounds=_LOUV_L1, level2_rounds=_LOUV_L2)
+    local = analytics.louvain(e, max_rounds=_LOUV_L1)
+    num_full = analytics._modularity_numerator(e, full)
+    num_local = analytics._modularity_numerator(e, local)
+    cert = spark.createDataFrame(
+        [(-1, num_full), (-2, num_local)], "id long, community long")
+    return (full.select("id", F.col("community").cast("long"))
+            .unionByName(cert))
+
+
+def _louvain_sql(l1: int = _LOUV_L1, l2: int = _LOUV_L2) -> str:
+    def qnum(lab: str, out: str) -> str:
+        return (
+            f"{out} AS MATERIALIZED (SELECT CAST(4 * mm.m * ei.e - dd.s "
+            f"AS BIGINT) AS q FROM mm "
+            f"CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS e FROM und "
+            f"JOIN {lab} la ON und.u = la.id JOIN {lab} lb ON und.v = lb.id "
+            f"WHERE la.c = lb.c) ei "
+            f"CROSS JOIN (SELECT CAST(COALESCE(SUM(ds * ds), 0) AS BIGINT) "
+            f"AS s FROM (SELECT CAST(SUM(dg.d) AS BIGINT) AS ds FROM degv dg "
+            f"JOIN {lab} l ON dg.id = l.id GROUP BY l.c)) dd)")
+
+    ctes = [
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM edges WHERE src <> dst)",
+        "mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM und)",
+        "degv AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS d "
+        "FROM (SELECT u AS id FROM und UNION ALL SELECT v FROM und) "
+        "GROUP BY id)",
+        "adj AS MATERIALIZED (SELECT u AS id, v AS b FROM und "
+        "UNION ALL SELECT v, u FROM und)",
+        "lab0 AS MATERIALIZED (SELECT id, id AS c FROM degv)",
+        qnum("lab0", "num0"),
+    ]
+    # level-1: guarded synchronous local-move rounds (modularity_local_move)
+    for t in range(1, l1 + 1):
+        p = t - 1
+        ctes += [
+            f"nbr{t} AS MATERIALIZED (SELECT a.id, lb.c AS cand, "
+            f"CAST(count(*) AS BIGINT) AS k FROM adj a "
+            f"JOIN lab{p} lb ON a.b = lb.id GROUP BY a.id, lb.c)",
+            f"dc{t} AS MATERIALIZED (SELECT l.c AS cand, "
+            f"CAST(SUM(dg.d) AS BIGINT) AS dc FROM degv dg "
+            f"JOIN lab{p} l ON dg.id = l.id GROUP BY l.c)",
+            f"cand{t} AS MATERIALIZED (SELECT n.id, n.cand, "
+            f"4 * mm.m * (n.k - COALESCE(o.k, 0)) "
+            f"- 2 * dg.d * (dcc.dc - (dcu.dc - dg.d)) AS gain "
+            f"FROM nbr{t} n JOIN lab{p} l ON n.id = l.id AND n.cand <> l.c "
+            f"LEFT JOIN nbr{t} o ON o.id = n.id AND o.cand = l.c "
+            f"JOIN degv dg ON dg.id = n.id "
+            f"JOIN dc{t} dcc ON dcc.cand = n.cand "
+            f"JOIN dc{t} dcu ON dcu.cand = l.c CROSS JOIN mm)",
+            f"best{t} AS MATERIALIZED (SELECT id, MIN(cand) AS newc FROM ("
+            f"SELECT id, cand, gain, MAX(gain) OVER (PARTITION BY id) AS mg "
+            f"FROM cand{t}) WHERE gain = mg AND gain > 0 GROUP BY id)",
+            f"prop{t} AS MATERIALIZED (SELECT l.id, "
+            f"COALESCE(b.newc, l.c) AS c FROM lab{p} l "
+            f"LEFT JOIN best{t} b ON l.id = b.id)",
+            qnum(f"prop{t}", f"pnum{t}"),
+            f"lab{t} AS MATERIALIZED (SELECT l.id, "
+            f"CASE WHEN pn.q > n0.q THEN pr.c ELSE l.c END AS c "
+            f"FROM lab{p} l JOIN prop{t} pr ON l.id = pr.id "
+            f"CROSS JOIN pnum{t} pn CROSS JOIN num{p} n0)",
+            f"num{t} AS MATERIALIZED (SELECT greatest(pn.q, n0.q) AS q "
+            f"FROM pnum{t} pn CROSS JOIN num{p} n0)",
+        ]
+    # contraction: communities -> super-vertices, weights = edge counts
+    ctes += [
+        f"sed AS MATERIALIZED (SELECT least(la.c, lb.c) AS u2, "
+        f"greatest(la.c, lb.c) AS v2, CAST(count(*) AS BIGINT) AS w "
+        f"FROM und JOIN lab{l1} la ON und.u = la.id "
+        f"JOIN lab{l1} lb ON und.v = lb.id GROUP BY least(la.c, lb.c), "
+        f"greatest(la.c, lb.c))",
+        "splain AS MATERIALIZED (SELECT u2, v2, w FROM sed WHERE u2 <> v2)",
+        "swdeg AS MATERIALIZED (SELECT sid, CAST(SUM(w) AS BIGINT) AS d "
+        "FROM (SELECT u2 AS sid, w FROM splain "
+        "UNION ALL SELECT v2, w FROM splain "
+        "UNION ALL SELECT u2, 2 * w FROM sed WHERE u2 = v2) GROUP BY sid)",
+        "sadj AS MATERIALIZED (SELECT u2 AS sid, v2 AS b, w FROM splain "
+        "UNION ALL SELECT v2, u2, w FROM splain)",
+        "slab0 AS MATERIALIZED (SELECT sid, sid AS sc FROM swdeg)",
+        f"snum0 AS MATERIALIZED (SELECT q FROM num{l1})",
+    ]
+    # level-2: parity-alternating weighted rounds, guarded on the original
+    # graph's numerator via the projected labeling
+    for r in range(1, l2 + 1):
+        p = r - 1
+        par = (r - 1) % 2
+        ctes += [
+            f"snbr{r} AS MATERIALIZED (SELECT a.sid, lb.sc AS cand, "
+            f"CAST(SUM(a.w) AS BIGINT) AS k FROM sadj a "
+            f"JOIN slab{p} lb ON a.b = lb.sid GROUP BY a.sid, lb.sc)",
+            f"sdc{r} AS MATERIALIZED (SELECT l.sc AS cand, "
+            f"CAST(SUM(wd.d) AS BIGINT) AS dc FROM swdeg wd "
+            f"JOIN slab{p} l ON wd.sid = l.sid GROUP BY l.sc)",
+            f"scand{r} AS MATERIALIZED (SELECT n.sid, n.cand, "
+            f"4 * mm.m * (n.k - COALESCE(o.k, 0)) "
+            f"- 2 * wd.d * (dcc.dc - (dcu.dc - wd.d)) AS gain "
+            f"FROM snbr{r} n JOIN slab{p} l ON n.sid = l.sid "
+            f"AND n.cand <> l.sc "
+            f"LEFT JOIN snbr{r} o ON o.sid = n.sid AND o.cand = l.sc "
+            f"JOIN swdeg wd ON wd.sid = n.sid "
+            f"JOIN sdc{r} dcc ON dcc.cand = n.cand "
+            f"JOIN sdc{r} dcu ON dcu.cand = l.sc CROSS JOIN mm)",
+            f"sbest{r} AS MATERIALIZED (SELECT sid, MIN(cand) AS newc FROM ("
+            f"SELECT sid, cand, gain, MAX(gain) OVER (PARTITION BY sid) AS mg "
+            f"FROM scand{r}) WHERE gain = mg AND gain > 0 "
+            f"AND CAST(CAST(('0x' || substr(md5(CAST(sid AS VARCHAR)), 1, 1)) "
+            f"AS UBIGINT) AS BIGINT) % 2 = {par} GROUP BY sid)",
+            f"sprop{r} AS MATERIALIZED (SELECT l.sid, "
+            f"COALESCE(b.newc, l.sc) AS sc FROM slab{p} l "
+            f"LEFT JOIN sbest{r} b ON l.sid = b.sid)",
+            f"sproj{r} AS MATERIALIZED (SELECT l.id, sp.sc AS c "
+            f"FROM lab{l1} l JOIN sprop{r} sp ON l.c = sp.sid)",
+            qnum(f"sproj{r}", f"spnum{r}"),
+            f"slab{r} AS MATERIALIZED (SELECT l.sid, "
+            f"CASE WHEN pn.q > n0.q THEN pr.sc ELSE l.sc END AS sc "
+            f"FROM slab{p} l JOIN sprop{r} pr ON l.sid = pr.sid "
+            f"CROSS JOIN spnum{r} pn CROSS JOIN snum{p} n0)",
+            f"snum{r} AS MATERIALIZED (SELECT greatest(pn.q, n0.q) AS q "
+            f"FROM spnum{r} pn CROSS JOIN snum{p} n0)",
+        ]
+    ctes.append(
+        f"labF AS MATERIALIZED (SELECT l.id, sp.sc AS c FROM lab{l1} l "
+        f"JOIN slab{l2} sp ON l.c = sp.sid)")
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(c AS BIGINT) AS community FROM labF"
+        + f"\nUNION ALL SELECT -1, (SELECT q FROM snum{l2})"
+        + f"\nUNION ALL SELECT -2, (SELECT q FROM num{l1})"
+    )
+
+
+_register("g_louvain", _g_louvain, _louvain_sql())
+
 # -- motif/pattern matching: customer→order→part→supplier path counts -------
 
 def _g_motif(spark: SparkSession, sf: str) -> DataFrame:
@@ -7925,6 +8078,12 @@ _compose("g_components", [
     ("g_modularity",
      ["'modularity' AS tag", "community AS id", "contrib AS component"],
      "'modularity' AS tag, community AS id, contrib AS component"),
+    # full Louvain (local-move + contraction level): component = community;
+    # certificate rows id=-1/-2 carry the exact modularity numerators of
+    # the full vs local-move-only labelings (full >= local, pytest-pinned)
+    ("g_louvain",
+     ["'louvain' AS tag", "id", "community AS component"],
+     "'louvain' AS tag, id, community AS component"),
     # Boruvka max-affinity spanning forest: (v, affinity) pack into
     # component losslessly (affinity = shared-order count < 100000)
     ("g_spanning_forest",

@@ -445,6 +445,56 @@ def test_louvain_finds_planted_cliques(spark):
         analytics.modularity_score(edges, planted))
 
 
+def test_louvain_full_contraction_improves_resolution_limit(spark):
+    # ring of 12 triangles: synchronous local-move from singletons stalls
+    # at pairs (the known parallel-Louvain caveat); the contraction level
+    # with parity-alternated weighted rounds must strictly beat it — the
+    # classic resolution-limit graph where merging adjacent cliques wins
+    edges = []
+    for i in range(12):
+        b = 3 * i
+        edges += [(b, b + 1), (b, b + 2), (b + 1, b + 2),
+                  (b + 2, 3 * ((i + 1) % 12))]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    local = analytics.louvain(e)
+    full = analytics.louvain_full(e)
+    q_local = analytics.modularity_score(e, local)
+    q_full = analytics.modularity_score(e, full)
+    assert q_full > q_local
+    # labeling covers every vertex exactly once
+    assert full.count() == 36
+    assert full.select("id").distinct().count() == 36
+
+
+def test_louvain_full_never_decreases_and_keeps_planted(spark):
+    import random
+
+    # full >= local on random graphs (monotone guard across levels)
+    rng = random.Random(23)
+    for _ in range(2):
+        pairs = {(a, b) for a in range(14) for b in range(a + 1, 14)
+                 if rng.random() < 0.25}
+        e = spark.createDataFrame(sorted(pairs), "src long, dst long")
+        q_local = analytics.modularity_score(e, analytics.louvain(e))
+        q_full = analytics.modularity_score(e, analytics.louvain_full(e))
+        assert q_full >= q_local - 1e-12
+
+    # planted K5 cliques: contraction must NOT merge them (merging two
+    # K5s lowers Q here — the guard rejects it)
+    cliques = []
+    for base in (0, 10, 20):
+        cliques += [(base + a, base + b) for a in range(5)
+                    for b in range(a + 1, 5)]
+    e2 = spark.createDataFrame(cliques + [(4, 10), (14, 20)],
+                               "src long, dst long")
+    out = analytics.louvain_full(e2)
+    groups = {}
+    for r in out.collect():
+        groups.setdefault(r["community"], set()).add(r["id"])
+    assert sorted(sorted(g) for g in groups.values()) == [
+        [0, 1, 2, 3, 4], [10, 11, 12, 13, 14], [20, 21, 22, 23, 24]]
+
+
 def test_graph_summary_and_eccentricity(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long")
