@@ -962,6 +962,29 @@ _register(
     _pagerank_sql(),
 )
 
+# -- warm-start pagerank (the incremental-recompute contract): 5 cold
+#    iterations produce R5; a SECOND run warm-starts from init_ranks=R5 and
+#    executes 5 more — power iteration contracts toward the same fixpoint
+#    from wherever it starts, so warm(5, init=cold5) == cold10 exactly.
+#    The oracle IS the cold 10-iteration unroll — a hash match pins the
+#    warm path to the cold answer, making the 100×-scale re-convergence
+#    story (re-run with tol= after a delta instead of cold rounds)
+#    oracle-checked rather than pytest-only.
+
+def _g_pagerank_warm(spark: SparkSession, sf: str) -> DataFrame:
+    e = GraphStore(spark, sf).edges().filter(
+        F.col("label").isin(["placed", "contains"]))
+    r5 = analytics.pagerank(e, iterations=5, checkpoint_every=2,
+                            state_partitions=8)
+    return analytics.pagerank(
+        e, iterations=5, checkpoint_every=2, state_partitions=8,
+        init_ranks=r5,
+    ).select("id", F.round("rank", 6).alias("rank"))
+
+
+_register("g_pagerank_warm", _g_pagerank_warm, _pagerank_sql())
+
+
 def _pagerank_weighted_sql() -> str:
     iters = 10
     ctes = [
@@ -2066,6 +2089,63 @@ _register(
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
            CAST(SUM((p_num * 1000000) // p_den) AS BIGINT) AS sum_p_scaled
     FROM scored GROUP BY doc_id
+    """,
+)
+
+
+# -- Naive Bayes quality classifier (functions/nbayes.py): the GPT-3-style
+#    SUPERVISED corpus-quality rung — trained on a deterministic labeled
+#    slice (docs with doc_id % 3 <> 0; label = lang == 'en'), every
+#    document scored.  Driver-checked columns are the exact-integer
+#    aggregates (n_tokens, score_scaled = Σ floor of the scaled add-1
+#    likelihood ratio, and the mean-ratio decision); the float log-odds is
+#    pytest-pinned instead (libm log is engine-divergent).  Oracle replays
+#    train → two-path-equivalent join → floor-division score identically.
+
+def _nb_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import nbayes
+    docs = load_table(spark, sf, "documents")
+    labeled = (docs.filter(F.col("doc_id") % 3 != 0)
+               .withColumn("label", (F.col("lang") == "en").cast("int")))
+    return (nbayes.nb_score(docs, labeled)
+            .select("doc_id", "n_tokens", "score_scaled",
+                    F.col("pred_mean").cast("int").alias("pred_mean")))
+
+
+_register(
+    "text_nb_quality",
+    _nb_docs,
+    f"""
+    WITH ls AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             unnest({TOKENS_SQL.format(col="text")}) AS t
+      FROM documents WHERE doc_id % 3 <> 0
+    ), stats AS (
+      SELECT t, CAST(SUM(y) AS BIGINT) AS c_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS c_neg
+      FROM ls GROUP BY t
+    ), tot AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             CAST(count(DISTINCT t) AS BIGINT) AS v
+      FROM ls
+    ), ds AS (
+      SELECT doc_id, unnest({TOKENS_SQL.format(col="text")}) AS t
+      FROM documents
+    ), per AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.c_pos, 0) + 1 AS HUGEINT)
+               * (tot.n_neg + tot.v) * 1000000 AS rnum,
+             CAST(COALESCE(s.c_neg, 0) + 1 AS HUGEINT)
+               * (tot.n_pos + tot.v) AS rden
+      FROM ds d LEFT JOIN stats s ON d.t = s.t CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(rnum // rden) AS BIGINT) AS score_scaled,
+           CAST(CASE WHEN CAST(SUM(rnum // rden) AS BIGINT)
+                     >= count(*) * 1000000 THEN 1 ELSE 0 END AS INTEGER)
+             AS pred_mean
+    FROM per GROUP BY doc_id
     """,
 )
 
@@ -3569,6 +3649,117 @@ _register(
     UNION ALL SELECT * FROM png_rows
     UNION ALL SELECT * FROM png_dims
     UNION ALL SELECT * FROM gif_rows
+    """,
+)
+
+# -- perceptual (decoded-pixel) image dedup (functions/multimodal.py
+#    image_dhash / image_near_pairs): the planted pair 500 (BMP) / 501 (PNG)
+#    encodes the SAME formula pixels in different containers — byte-level
+#    dedup provably misses it (disjoint bytes; pytest-pinned), the dHash
+#    pair lands at hamming 0.  502 perturbs the first pixel row (hamming 2,
+#    band-colliding); 503 is a distinct formula (hamming 21, no pair).  The
+#    oracle recomputes every 48-bit signature FROM THE PIXEL FORMULAS
+#    (integer luma -> block sums -> cross-multiplied comparisons) with no
+#    decoder at all, then replays the 4×12-bit banded pair join — a hash
+#    match certifies the whole encode -> decode -> dhash path. -------------
+
+def _mm_phash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        encode_bmp, encode_png, image_dhash, image_near_pairs)
+
+    t = np.arange(11 * 13 * 3, dtype=np.int64)
+    base = ((t * 37 + 11) % 256).astype(np.uint8).reshape(11, 13, 3)
+    pert = base.copy()
+    pert.reshape(-1)[:39] = 255
+    t2 = np.arange(10 * 12 * 3, dtype=np.int64)
+    other = ((t2 * 53 + 7) % 256).astype(np.uint8).reshape(10, 12, 3)
+    media = spark.createDataFrame(
+        [(500, bytearray(encode_bmp(base))),
+         (501, bytearray(encode_png(base, filters=[0, 1, 2, 3, 4]))),
+         (502, bytearray(encode_bmp(pert))),
+         (503, bytearray(encode_png(other, filters=[4, 2])))],
+        "media_id long, payload binary")
+    sig = image_dhash(media).selectExpr(
+        "'phash_sig' AS tag", "CAST(media_id AS DOUBLE) AS a",
+        "CAST(NULL AS DOUBLE) AS b", "CAST(dhash AS DOUBLE) AS v",
+        "CAST(width AS DOUBLE) AS w", "CAST(height AS DOUBLE) AS h")
+    pr = image_near_pairs(media, max_hamming=6).selectExpr(
+        "'phash_pair' AS tag", "CAST(media_a AS DOUBLE) AS a",
+        "CAST(media_b AS DOUBLE) AS b", "CAST(hamming AS DOUBLE) AS v",
+        "CAST(NULL AS DOUBLE) AS w", "CAST(NULL AS DOUBLE) AS h")
+    return sig.unionByName(pr)
+
+
+_register(
+    "mm_phash_dedup",
+    _mm_phash_dedup,
+    """
+    WITH imgs(id, h, w) AS (VALUES (500, 11, 13), (501, 11, 13),
+                                   (502, 11, 13), (503, 10, 12)),
+    px AS (
+      SELECT id, h, w, t.range AS k,
+             CAST(t.range // w AS BIGINT) AS r,
+             CAST(t.range % w AS BIGINT) AS c
+      FROM imgs, range(143) t WHERE t.range < h * w
+    ),
+    luma AS (
+      SELECT id, h, w, r, c,
+             (299 * rv + 587 * gv + 114 * bv) // 1000 AS y
+      FROM (
+        SELECT id, h, w, r, c,
+               CASE WHEN id IN (500, 501) THEN ((3 * k + 0) * 37 + 11) % 256
+                    WHEN id = 502 THEN CASE WHEN 3 * k + 0 < 39 THEN 255
+                         ELSE ((3 * k + 0) * 37 + 11) % 256 END
+                    ELSE ((3 * k + 0) * 53 + 7) % 256 END AS rv,
+               CASE WHEN id IN (500, 501) THEN ((3 * k + 1) * 37 + 11) % 256
+                    WHEN id = 502 THEN CASE WHEN 3 * k + 1 < 39 THEN 255
+                         ELSE ((3 * k + 1) * 37 + 11) % 256 END
+                    ELSE ((3 * k + 1) * 53 + 7) % 256 END AS gv,
+               CASE WHEN id IN (500, 501) THEN ((3 * k + 2) * 37 + 11) % 256
+                    WHEN id = 502 THEN CASE WHEN 3 * k + 2 < 39 THEN 255
+                         ELSE ((3 * k + 2) * 37 + 11) % 256 END
+                    ELSE ((3 * k + 2) * 53 + 7) % 256 END AS bv
+        FROM px)
+    ),
+    bsum AS (
+      SELECT id, (r * 6) // h AS br, (c * 9) // w AS bc,
+             CAST(SUM(y) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+      FROM luma GROUP BY id, (r * 6) // h, (c * 9) // w
+    ),
+    bits AS (
+      SELECT a.id, a.br, a.bc,
+             CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+      FROM bsum a JOIN bsum b ON a.id = b.id AND a.br = b.br
+                             AND b.bc = a.bc + 1
+      WHERE a.bc < 8
+    ),
+    sig AS (
+      SELECT id, CAST(SUM(CAST(bit AS BIGINT)
+                           << CAST(br * 8 + bc AS INTEGER)) AS BIGINT) AS dh
+      FROM bits GROUP BY id
+    ),
+    dims AS (SELECT id, h, w FROM imgs),
+    chunks AS (
+      SELECT id, dh, cs.c, (dh >> CAST(cs.c * 12 AS INTEGER)) & 4095 AS cb
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS c) cs
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS pa, b.id AS pb,
+             bit_count(xor(a.dh, b.dh)) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.cb = b.cb AND a.id < b.id
+    )
+    SELECT 'phash_sig' AS tag, CAST(s.id AS DOUBLE) AS a,
+           CAST(NULL AS DOUBLE) AS b, CAST(s.dh AS DOUBLE) AS v,
+           CAST(d.w AS DOUBLE) AS w, CAST(d.h AS DOUBLE) AS h
+    FROM sig s JOIN dims d ON s.id = d.id
+    UNION ALL
+    SELECT 'phash_pair', CAST(pa AS DOUBLE), CAST(pb AS DOUBLE),
+           CAST(hamming AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE)
+    FROM pairs WHERE hamming <= 6
     """,
 )
 
@@ -7773,6 +7964,12 @@ _compose("mm_extract_features", [
      "CAST(frame AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS v, kind AS s, "
      "CAST(v1 AS DOUBLE) AS f0, CAST(v2 AS DOUBLE) AS f1, "
      "CAST(v3 AS DOUBLE) AS f2, " + ", ".join(_F_NULLS[3:])),
+    # perceptual dHash dedup: width/height ride f0/f1
+    ("mm_phash_dedup",
+     ["tag", "a", "b", "v", "CAST(NULL AS STRING) AS s",
+      "w AS f0", "h AS f1"] + _F_NULLS[2:],
+     "tag, a, b, v, CAST(NULL AS VARCHAR) AS s, w AS f0, h AS f1, "
+     + ", ".join(_F_NULLS[2:])),
 ])
 
 _compose("idx_range_typed", [
@@ -8249,6 +8446,17 @@ _compose("text_quality_suite", [
       "CAST(NULL AS DOUBLE) AS stopword_ratio"],
      "'kept' AS tag, doc_id, CAST(NULL AS DOUBLE) AS n_tokens, "
      "CAST(NULL AS DOUBLE) AS mean_token_len, CAST(NULL AS DOUBLE) AS punct_ratio, "
+     "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # NB quality classifier: score_scaled rides mean_token_len (48-bit-ish
+    # integers are double-exact), the mean-ratio decision rides punct_ratio
+    ("text_nb_quality",
+     ["'nb' AS tag", "doc_id", "CAST(n_tokens AS DOUBLE) AS n_tokens",
+      "CAST(score_scaled AS DOUBLE) AS mean_token_len",
+      "CAST(pred_mean AS DOUBLE) AS punct_ratio",
+      "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "'nb' AS tag, doc_id, CAST(n_tokens AS DOUBLE) AS n_tokens, "
+     "CAST(score_scaled AS DOUBLE) AS mean_token_len, "
+     "CAST(pred_mean AS DOUBLE) AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
     # curated-corpus stats mapped onto the suite's projection: doc_id carries
     # n_docs, n_tokens the BPE budget, mean/punct the two drop counts
@@ -9163,6 +9371,10 @@ _compose("g_pagerank", [
     ("g_hits",
      ["'hits' AS tag", "id", "auth AS rank", "hub AS rank2"],
      "'hits' AS tag, id, auth AS rank, hub AS rank2"),
+    # warm-start == cold fixpoint: the oracle is the cold 10-iter unroll
+    ("g_pagerank_warm",
+     ["'warm' AS tag", "id", "rank", "CAST(NULL AS DOUBLE) AS rank2"],
+     "'warm' AS tag, id, rank, CAST(NULL AS DOUBLE) AS rank2"),
 ])
 _publish("sim_cosine_topk")
 

@@ -1067,3 +1067,105 @@ def media_near_pairs(media: DataFrame, max_hamming: int = 8,
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+# -- perceptual (decoded-pixel) image dedup -----------------------------------
+#
+# Byte-level media dedup (above) misses the same image re-encoded in a
+# different container (PNG vs BMP) or resized — identical pixels, disjoint
+# bytes.  dHash over DECODED pixels closes that gap: the hash is a pure
+# function of the pixel grid, so any container that round-trips the pixels
+# produces the same 48-bit signature, and the existing banded-Hamming join
+# finds the pair.  Every step is exact integer arithmetic (integer luma,
+# block sums, cross-multiplied average comparisons — never a float), so a
+# SQL oracle recomputes signatures from pixel formulas bit-identically.
+
+DHASH_ROWS, DHASH_COLS = 6, 9       # 6 x (9-1) = 48 bits, sign-safe in i64
+
+
+def dhash48(gray: np.ndarray, rows: int = DHASH_ROWS,
+            cols: int = DHASH_COLS) -> int:
+    """48-bit difference hash of a 2-D uint8 luma grid.
+
+    Block partition: pixel (r, c) belongs to block (r*rows//H, c*cols//W)
+    — the deterministic integer downscale (no interpolation, no floats).
+    Bit (br*(cols-1) + bc) is set iff block (br, bc)'s average luma is
+    strictly greater than block (br, bc+1)'s, compared exactly via cross
+    multiplication sum_a*n_b > sum_b*n_a.  Images smaller than the grid
+    leave some blocks empty; empty-block comparisons are deterministically
+    false (0 > x and x > 0 with zero counts both fail), so the hash stays
+    total and engine-portable.
+    """
+    h, w = gray.shape
+    g = gray.astype(np.int64)
+    br = (np.arange(h, dtype=np.int64) * rows) // h
+    bc = (np.arange(w, dtype=np.int64) * cols) // w
+    idx = (br[:, None] * cols + bc[None, :]).ravel()
+    s = np.bincount(idx, weights=g.ravel(),
+                    minlength=rows * cols).astype(np.int64)
+    n = np.bincount(idx, minlength=rows * cols).astype(np.int64)
+    s = s.reshape(rows, cols)
+    n = n.reshape(rows, cols)
+    left_s, right_s = s[:, :-1], s[:, 1:]
+    left_n, right_n = n[:, :-1], n[:, 1:]
+    bits = (left_s * right_n > right_s * left_n).astype(np.int64).ravel()
+    return int((bits << np.arange(rows * (cols - 1), dtype=np.int64)).sum())
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image 48-bit perceptual dHash over DECODED pixels (media_id,
+    dhash, width, height).  Arrow-batched mapInPandas; BMP/PPM/PNG decode
+    directly, GIF uses frame 0 (a single-frame GIF of the same pixels
+    hashes identically to its BMP/PNG encodings — palette indirection is
+    exact).  Audio and undecodable payloads are absent from the output
+    (the media_byte_simhash convention; `_DECODE_ERRORS` degrade
+    gracefully, never fail the batch).
+
+    Scale: decode cost is per-row and embarrassingly parallel; only
+    (id, payload) in and (id, 3 ints) out cross the Arrow boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            hs: list = []
+            ws: list = []
+            hts: list = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None or not _sniff_real(p):
+                    continue
+                try:
+                    kind, arr = decode_media(p)
+                except _DECODE_ERRORS:
+                    continue
+                if kind == "video":
+                    arr = arr[0]
+                elif kind != "image":
+                    continue
+                gray = _rgb_to_gray(arr)
+                ids.append(mid)
+                hs.append(dhash48(gray))
+                hts.append(gray.shape[0])
+                ws.append(gray.shape[1])
+            yield pd.DataFrame({"media_id": ids, "dhash": hs,
+                                "width": ws, "height": hts})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, dhash long, width int, height int")
+
+
+def image_near_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures through the
+    SAME 4×12-bit banded-Hamming candidate join as text/byte SimHash
+    (functions/dedup.py:433) — candidates collide on ≥1 band, verified by
+    bit_count(xor) ≤ max_hamming.  A re-encoded duplicate (same pixels,
+    different container) lands at hamming 0; byte-level dedup provably
+    misses it.  Returns (media_a, media_b, hamming)."""
+    from hugegraph_on_tikv_spark.functions.dedup import simhash_near_pairs
+
+    sigs = image_dhash(media).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash"))
+    return simhash_near_pairs(sigs, max_hamming).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

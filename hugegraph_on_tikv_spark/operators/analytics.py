@@ -2062,12 +2062,14 @@ def maximal_independent_set(edges: DataFrame,
     (Luby's lemma), so O(log n) rounds — each round two keyed aggregations
     over the ACTIVE subgraph only, which collapses geometrically.
 
-    Orchestration (r8): one `marked` checkpoint per round carries BOTH
-    the selection flag and the surviving priorities — the selected set,
-    the MIS delta, and the next active set all derive from it as cheap
-    filters over materialized rows, so a round costs two eager jobs
-    (marked + next-active), not four; the MIS accumulator is a union of
-    per-round deltas, never a re-checkpointed cumulative frame.
+    Orchestration (r8): the MIS accumulator is a union of per-round
+    checkpointed DELTAS (each round's sel), never a re-checkpointed
+    cumulative frame — the growing O(|mis|) rewrite per round is gone.
+    `sel` itself stays eagerly checkpointed: the adj⋈sel neighbor-drop
+    join needs sel's REAL size (a filter derived from a _ckpt_fresh frame
+    would carry defaultSizeInBytes and silently lose the broadcast,
+    turning the drop join into a full adjacency shuffle — measured 1.5×
+    regression at sf1).
 
     Never-wrong contract: raises RuntimeError if the active set is not
     empty after max_rounds — a prefix of an MIS is not an MIS.
@@ -2099,20 +2101,16 @@ def maximal_independent_set(edges: DataFrame,
                                 F.col("prio").alias("prio_b")), "b")
         )
         min_nb = act_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
-        marked = _ckpt_fresh(
+        sel = _ckpt_fresh(
             active.join(min_nb.withColumnRenamed("a", "id"), "id", "left")
-            .select("id", "prio",
-                    (F.col("mn").isNull()
-                     | (F.col("prio") < F.col("mn"))).alias("sel"))
+            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
+            .select("id")
         )
-        sel = marked.filter(F.col("sel")).select("id")
         mis_legs.append(sel.select("id", F.lit(t).alias("round")))
         dropped = sel.unionByName(
             adj.join(sel.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"))).distinct()
-        active = _ckpt_fresh(
-            marked.filter(~F.col("sel")).select("id", "prio")
-            .join(dropped, "id", "left_anti"))
+        active = _ckpt_fresh(active.join(dropped, "id", "left_anti"))
     if not done and not active.isEmpty():
         raise RuntimeError(
             f"maximal_independent_set: active set nonempty after "
@@ -2141,12 +2139,13 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     high probability on random-like (md5) priorities.  Never-wrong
     contract: raises if uncolored vertices remain after max_rounds.
 
-    Orchestration (r8): one `marked` checkpoint per round carries the
-    frontier flag; frontier and next-uncolored derive from it as filters
-    over materialized rows, and the colored accumulator is a union of
-    per-round checkpointed DELTAS (each pick), never a re-checkpointed
-    cumulative frame — a round costs three eager jobs (marked, used,
-    pick) instead of four plus an O(colored) rewrite.
+    Orchestration (r8): the colored accumulator is a union of per-round
+    checkpointed DELTAS (each pick), never a re-checkpointed cumulative
+    frame — the growing O(|colored|) rewrite per round is gone.
+    frontier/uncolored stay eagerly checkpointed so the adjacency joins
+    keep REAL size estimates (the MIS lesson: a filter derived from a
+    _ckpt_fresh frame carries defaultSizeInBytes and loses the
+    broadcast).
 
     Returns (id, color), color ∈ {0, 1, ...} dense from 0."""
     und = _undirected_simple(edges)
@@ -2172,13 +2171,11 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
                                    F.col("prio").alias("prio_b")), "b")
         )
         mn = un_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
-        marked = _ckpt_fresh(
+        frontier = _ckpt_fresh(
             uncolored.join(mn.withColumnRenamed("a", "id"), "id", "left")
-            .select("id", "prio",
-                    (F.col("mn").isNull()
-                     | (F.col("prio") < F.col("mn"))).alias("sel"))
+            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
+            .select("id")
         )
-        frontier = marked.filter(F.col("sel")).select("id")
         used = _ckpt_fresh(
             frontier.join(adj.withColumnRenamed("a", "id"), "id")
             .join(colored.select(F.col("id").alias("b"), "color"), "b")
@@ -2197,7 +2194,7 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             .groupBy("id").agg(F.min("color").cast("int").alias("color"))
         )
         colored = colored.unionByName(pick)
-        uncolored = marked.filter(~F.col("sel")).select("id", "prio")
+        uncolored = _ckpt_fresh(uncolored.join(frontier, "id", "left_anti"))
     if not done and not uncolored.isEmpty():
         raise RuntimeError(
             f"greedy_coloring: uncolored vertices after {max_rounds} rounds")

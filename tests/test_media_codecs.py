@@ -490,3 +490,69 @@ def test_gif_transparency_composites_over_previous_frame():
     assert np.array_equal(frames[0], np.tile(base, (2, 2, 1)))
     # frame 2: transparent cells (index 1) keep frame 1's color
     assert np.array_equal(frames[1], np.tile(base, (2, 2, 1)))
+
+
+def test_dhash48_pure_properties():
+    from hugegraph_on_tikv_spark.functions.multimodal import dhash48
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(32, 40), dtype=np.uint8).astype(np.uint8)
+    h = dhash48(img)
+    assert 0 <= h < (1 << 48)
+    # deterministic
+    assert dhash48(img) == h
+    # a uniform +10 brightness shift moves every block average by exactly
+    # +10, preserving all pairwise orderings -> identical hash
+    assert dhash48(np.clip(img, 0, 235) + 10) == dhash48(np.clip(img, 0, 235))
+    # a very different image gives a very different hash
+    other = rng.integers(0, 256, size=(32, 40), dtype=np.uint8)
+    assert bin(h ^ dhash48(other)).count("1") > 8
+
+
+def test_phash_catches_reencoded_duplicate_bytes_miss(spark):
+    """The planted cross-container pair: identical pixels as BMP and PNG.
+    Byte-level dedup (exact fingerprints AND byte-simhash pairs) must MISS
+    it; perceptual dHash must land it at hamming 0."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        encode_bmp, encode_png, image_near_pairs, media_exact_dup_groups,
+        media_near_pairs)
+
+    t = np.arange(11 * 13 * 3, dtype=np.int64)
+    base = ((t * 37 + 11) % 256).astype(np.uint8).reshape(11, 13, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(base))),
+         (2, bytearray(encode_png(base, filters=[0, 1, 2, 3, 4])))],
+        "media_id long, payload binary")
+    # byte-level: no exact group, no near pair (disjoint containers)
+    assert media_exact_dup_groups(media).count() == 0
+    byte_pairs = {(r["media_a"], r["media_b"])
+                  for r in media_near_pairs(media, max_hamming=8).collect()}
+    assert (1, 2) not in byte_pairs
+    # perceptual: hamming 0
+    got = {(r["media_a"], r["media_b"]): r["hamming"]
+           for r in image_near_pairs(media, max_hamming=6).collect()}
+    assert got == {(1, 2): 0}
+
+
+def test_image_dhash_gif_cross_container(spark):
+    """A single-frame GIF whose palette reproduces the BMP's exact pixels
+    hashes identically — palette indirection is exact."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        encode_bmp, encode_gif, image_dhash)
+
+    # image over a 16-color palette so the GIF can encode it exactly
+    pal = np.stack([(np.arange(256) * 7 + 1) % 256,
+                    (np.arange(256) * 11 + 3) % 256,
+                    (np.arange(256) * 13 + 5) % 256], axis=1).astype(np.uint8)
+    idx = ((np.arange(9 * 12) * 5 + 2) % 256).astype(np.uint8).reshape(9, 12)
+    rgb = pal[idx]
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(rgb))),
+         (2, bytearray(encode_gif([idx], pal)))],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert rows[1] == rows[2]
+    # and audio / undecodable rows are simply absent
+    media2 = spark.createDataFrame(
+        [(3, bytearray(b"\x00" * 64))], "media_id long, payload binary")
+    assert image_dhash(media2).count() == 0
