@@ -2338,7 +2338,9 @@ def _text_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
     return m_df.unionByName(v_df)
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int) -> tuple[list[str], list[str]]:
+    """The unrolled BPE-learning CTE chain (w0..w{rounds}) shared by the
+    learn and encode oracles."""
     toks = TOKENS_SQL.format(col="text")
     ctes = [f"""w0 AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq,
@@ -2366,6 +2368,11 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     )""")
         merge_rows.append(
             f"SELECT {r} AS round, l || '+' || r AS sym, cnt AS freq FROM m{r}")
+    return ctes, merge_rows
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    ctes, merge_rows = _bpe_ctes(rounds)
     merges_sql = "\nUNION ALL\n".join(merge_rows)
     return f"""
     WITH {', '.join(ctes)}
@@ -2379,6 +2386,163 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
 
 
 _register("text_bpe_learn", _text_bpe_learn, _bpe_oracle())
+
+
+# -- BPE corpus ENCODE + training-sequence PACK (functions/bpe.py
+#    bpe_encode, functions/packing.py pack_token_ids): the tokenizer's
+#    production steps — every document to its token-id sequence under the
+#    learned merges (ids dense by vocab frequency DESC, symbol ASC), then
+#    the ids materialized into fixed-length GPT-style training sequences
+#    (shard-local concatenation in doc_id order, docs run across sequence
+#    boundaries).  Per-doc id sequences for a 1/20 slice and every
+#    shard-0 training sequence are value-checked via md5-in-tag (the
+#    despan precedent); sentinel rows carry corpus totals (emitted ids,
+#    vocab size, distinct ids; packed totals, sequence count, full
+#    sequences).  The oracle re-learns the merges with the SAME unrolled
+#    CTE chain as text_bpe_learn, then replays id assignment, the stream
+#    join, and the per-shard cumulative-sum placement.
+
+_PACK_SEQ_LEN = 64
+_PACK_SHARDS = 8
+
+
+def _text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_encode, bpe_learn
+    from hugegraph_on_tikv_spark.functions.packing import pack_token_ids
+    docs = load_table(spark, sf, "documents")
+    merges, words = bpe_learn(docs, n_merges=_BPE_ROUNDS)
+    enc = bpe_encode(docs, merges, words=words).persist()
+    per = (
+        enc.filter(F.col("doc_id") % 20 == 0)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("wpos", "spos", "token_id")).alias("seq"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("bpeenc_"), F.md5(F.expr(
+                "array_join(transform(array_sort(seq), "
+                "x -> CAST(x.token_id AS STRING)), ' ')"))).alias("tag"),
+            "doc_id",
+            F.col("n").cast("double").alias("n_ids"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        ))
+    tot = (
+        enc.agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
+                (F.max("token_id") + 1).cast("double").alias("v1"),
+                F.count_distinct("token_id").cast("double").alias("v2"))
+        .select(F.lit("bpeenc_totals").alias("tag"),
+                F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1", "v2"))
+    packed = pack_token_ids(enc, seq_len=_PACK_SEQ_LEN,
+                            shards=_PACK_SHARDS).persist()
+    pseq = (
+        packed.filter(F.col("shard") == 0)
+        .groupBy("seq")
+        .agg(F.collect_list(F.struct("slot", "token_id")).alias("sl"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("pack_"), F.md5(F.expr(
+                "array_join(transform(array_sort(sl), "
+                "x -> CAST(x.token_id AS STRING)), ' ')"))).alias("tag"),
+            F.col("seq").alias("doc_id"),
+            F.col("n").cast("double").alias("n_ids"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        ))
+    ptot = (
+        packed.agg(
+            F.count(F.lit(1)).cast("double").alias("n_ids"),
+            F.count_distinct(
+                F.col("shard") * 1_000_000 + F.col("seq"))
+            .cast("double").alias("v1"),
+            F.sum((F.col("slot") == _PACK_SEQ_LEN - 1).cast("long"))
+            .cast("double").alias("v2"))
+        .select(F.lit("pack_totals").alias("tag"),
+                F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1", "v2"))
+    return per.unionByName(tot).unionByName(pseq).unionByName(ptot)
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    ctes, _ = _bpe_ctes(rounds)
+    toks = TOKENS_SQL.format(col="text")
+    last = f"w{rounds}"
+    ctes.append(f"""vocab AS MATERIALIZED (
+      SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT freq, unnest(string_split(syms, '_')[2:]) AS symbol
+            FROM {last})
+      GROUP BY symbol
+    )""")
+    ctes.append("""vid AS MATERIALIZED (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY freq DESC, symbol ASC) - 1
+                  AS BIGINT) AS tid
+      FROM vocab
+    )""")
+    ctes.append(f"""wsym AS MATERIALIZED (
+      SELECT word, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS spos,
+             unnest(arr) AS symbol
+      FROM (SELECT word, string_split(syms, '_')[2:] AS arr FROM {last})
+    )""")
+    ctes.append("""wseq AS MATERIALIZED (
+      SELECT ws.word, ws.spos, v.tid FROM wsym ws JOIN vid v USING (symbol)
+    )""")
+    ctes.append(f"""stream AS (
+      SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS wpos,
+             unnest(arr) AS word
+      FROM (SELECT doc_id, {toks} AS arr FROM documents)
+    )""")
+    ctes.append("""idstream AS MATERIALIZED (
+      SELECT s.doc_id, s.wpos, q.spos, q.tid
+      FROM stream s JOIN wseq q USING (word)
+    )""")
+    h48 = H48_SQL.format(x="doc_id")
+    L, S = _PACK_SEQ_LEN, _PACK_SHARDS
+    ctes.append(f"""placed AS MATERIALIZED (
+      SELECT doc_id, shard,
+             SUM(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS strt
+      FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                   {h48} % {S} AS shard
+            FROM idstream GROUP BY doc_id)
+    )""")
+    ctes.append("""gidx AS MATERIALIZED (
+      SELECT i.doc_id, p.shard,
+             p.strt + row_number() OVER (PARTITION BY i.doc_id
+                                         ORDER BY i.wpos, i.spos) - 1 AS g,
+             i.tid
+      FROM idstream i JOIN placed p USING (doc_id)
+    )""")
+    ctes.append(f"""packed AS MATERIALIZED (
+      SELECT doc_id, shard, g // {L} AS seq, g % {L} AS slot, tid FROM gidx
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT 'bpeenc_' || md5(string_agg(CAST(tid AS VARCHAR), ' '
+                                       ORDER BY wpos, spos)) AS tag,
+           doc_id, CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM idstream WHERE doc_id % 20 = 0 GROUP BY doc_id
+    UNION ALL
+    SELECT 'bpeenc_totals' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(MAX(tid) + 1 AS DOUBLE) AS v1,
+           CAST(count(DISTINCT tid) AS DOUBLE) AS v2
+    FROM idstream
+    UNION ALL
+    SELECT 'pack_' || md5(string_agg(CAST(tid AS VARCHAR), ' '
+                                     ORDER BY slot)) AS tag,
+           seq AS doc_id, CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM packed WHERE shard = 0 GROUP BY seq
+    UNION ALL
+    SELECT 'pack_totals' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(count(DISTINCT shard * 1000000 + seq) AS DOUBLE) AS v1,
+           CAST(SUM(CASE WHEN slot = {L} - 1 THEN 1 ELSE 0 END)
+                AS DOUBLE) AS v2
+    FROM packed
+    """
+
+
+_register("text_bpe_encode", _text_bpe_encode, _bpe_encode_oracle())
 
 
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
@@ -8458,6 +8622,13 @@ _compose("text_quality_suite", [
      "CAST(score_scaled AS DOUBLE) AS mean_token_len, "
      "CAST(pred_mean AS DOUBLE) AS punct_ratio, "
      "CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # BPE corpus encode: per-doc id-sequence md5 rides the tag, id count
+    # on n_tokens; the totals sentinel carries vocab size / distinct ids
+    ("text_bpe_encode",
+     ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
+      "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "
+     "v2 AS punct_ratio, CAST(NULL AS DOUBLE) AS stopword_ratio"),
     # curated-corpus stats mapped onto the suite's projection: doc_id carries
     # n_docs, n_tokens the BPE budget, mean/punct the two drop counts
     ("pipe_curate_corpus",

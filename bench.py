@@ -373,7 +373,11 @@ def main() -> None:
                      # Jones-Plassmann coloring, t-closeness, pivot
                      "g_spanning_forest", "g_mis", "g_coloring",
                      "privacy_tclose", "agg_pivot",
-                     "g_n2v_walks", "j_interval_overlap"):
+                     "g_n2v_walks", "j_interval_overlap",
+                     # round 8: full Louvain, NB quality classifier, BPE
+                     # corpus encode, perceptual image dedup
+                     "g_louvain", "text_nb_quality", "text_bpe_encode",
+                     "mm_phash_dedup"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():

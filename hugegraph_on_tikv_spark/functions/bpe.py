@@ -123,3 +123,76 @@ def bpe_vocab(words: DataFrame) -> DataFrame:
     return (words.select("freq", F.explode(arr).alias("symbol"))
             .groupBy("symbol")
             .agg(F.sum("freq").cast("long").alias("freq")))
+
+
+def token_ids(words_encoded: DataFrame) -> DataFrame:
+    """(symbol, token_id): deterministic vocabulary-id assignment — dense
+    ids from 0 by (corpus frequency DESC, symbol ASC) over the encoded
+    word table's symbol inventory.  The window is single-partition but
+    VOCAB-sized (the whole point of the word-table formulation), the same
+    bounded-small-table contract as bpe_learn's argmax."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("freq"), F.asc("symbol"))
+    return (bpe_vocab(words_encoded)
+            .select("symbol",
+                    (F.row_number().over(w) - 1).cast("long")
+                    .alias("token_id")))
+
+
+def bpe_encode(docs: DataFrame, merges: list, words: DataFrame | None = None,
+               text_col: str = "text", id_col: str = "doc_id",
+               head_size: int = 10_000) -> DataFrame:
+    """ENCODE the corpus to token-id sequences under a learned merge list —
+    the tokenizer's production step (what a training pipeline actually
+    ships: ids, not merge tables).  Returns one row per emitted token:
+
+        (doc_id, wpos, spos, token_id)
+
+    ordered within a document by (wpos, spos) — word position in the doc,
+    symbol position inside the word.
+
+    Word-table formulation (the same trick as learning): encoding is
+    word-local, so the merges are applied ONCE per distinct word (a
+    vocab-sized chained-replace column expression, bpe_apply), and the
+    corpus-sized work is a single join of the token stream against the
+    word→id-sequence table.  That join is Zipf-skewed, so it runs the
+    lm_score two-path shape: the top-`head_size` words by corpus
+    frequency BROADCAST (nearly all the stream mass joins map-side), and
+    only the long tail — every key rarer than the head threshold by
+    construction — goes through the shuffle join.
+
+    `words` defaults to the word-frequency table of `docs` itself, so
+    every stream word has an encoding (applying a trained tokenizer to
+    new text re-derives the new text's word table and applies the OLD
+    merges — standard BPE application semantics).  Passing a foreign
+    `words` table instead drops unseen words (inner-join semantics;
+    callers who need byte-fallback should union the residue)."""
+    if words is None:
+        words = word_freqs(docs, text_col)
+    enc = bpe_apply(words, merges)
+    ids = token_ids(enc)
+
+    arr = F.slice(F.split(F.col("syms"), MARK), 2, 2_000_000)
+    wsym = (enc.select("word", "freq",
+                       F.posexplode(arr).alias("spos", "symbol"))
+            .join(F.broadcast(ids), "symbol")
+            .groupBy("word", "freq")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("spos", "token_id"))).alias("seq"))
+            .select("word", "freq",
+                    F.expr("transform(seq, x -> x.token_id)").alias("tids")))
+
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("wpos", "word"))
+
+    head = (wsym.orderBy(F.desc("freq"), F.asc("word")).limit(head_size)
+            .drop("freq"))
+    hit = stream.join(F.broadcast(head), "word", "left")
+    matched = hit.filter(F.col("tids").isNotNull())
+    tail = (hit.filter(F.col("tids").isNull()).drop("tids")
+            .join(wsym.drop("freq"), "word"))
+    return (matched.unionByName(tail)
+            .select("doc_id", "wpos",
+                    F.posexplode("tids").alias("spos", "token_id")))

@@ -57,3 +57,41 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048, shards: int = 8,
         .otherwise(F.floor((F.col("_cum") - 1) / seq_len)).alias("end_seq"),
         F.pmod(F.col("_start"), F.lit(seq_len)).alias("offset_in_seq"),
     )
+
+
+def pack_token_ids(enc: DataFrame, seq_len: int = 2048,
+                   shards: int = 8) -> DataFrame:
+    """MATERIALIZE the packed training stream from a real token-id stream
+    (`bpe.bpe_encode` output: doc_id, wpos, spos, token_id) — one row per
+    training-token slot:
+
+        (doc_id, shard, seq, slot, token_id)
+
+    where (shard, seq) is the globally-unique training-sequence key and
+    slot ∈ [0, seq_len).  Documents concatenate in (shard, doc_id) order
+    and run across sequence boundaries, GPT-style — `pack_sequences`
+    computes the same placement from the token ESTIMATE; this computes
+    the exact stream from the ids the tokenizer actually emitted.
+
+    Scale shape: the per-shard cumulative sum is the pack_sequences
+    contract (shuffle by shard, sort within shard — raise `shards` until
+    each is executor-sized); the within-document token rank is a window
+    partitioned BY DOCUMENT (bounded partitions); the only corpus-sized
+    join is enc ⋈ placement, co-keyed on doc_id with a doc-count-sized
+    right side."""
+    cnt = enc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("shard").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    placed = (
+        cnt.withColumn("shard",
+                       F.pmod(md5_long48(F.col("doc_id")), F.lit(shards)))
+        .withColumn("_start", F.sum("n").over(w) - F.col("n")))
+    wd = Window.partitionBy("doc_id").orderBy("wpos", "spos")
+    g = (enc.join(placed.select("doc_id", "shard", "_start"), "doc_id")
+         .withColumn("_g", F.col("_start") + F.row_number().over(wd) - 1))
+    return g.select(
+        "doc_id", "shard",
+        F.floor(F.col("_g") / seq_len).cast("long").alias("seq"),
+        F.pmod(F.col("_g"), F.lit(seq_len)).alias("slot"),
+        "token_id",
+    )

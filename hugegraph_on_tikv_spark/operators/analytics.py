@@ -2130,18 +2130,23 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     in the same round (one of them has the smaller priority), so the
     coloring is proper by construction and uses ≤ maxdegree+1 colors.
 
-    The "smallest missing color" is computed WITHOUT a candidate
-    explosion: smallest missing = MIN over ({0} ∪ {c+1 : c used}) minus
-    the used set — one anti-join over the used-color rows, so a hub with
-    10⁸ colored neighbors costs O(deg) rows, never O(deg·palette).
+    The "smallest missing color" (mex) is computed WITHOUT a candidate
+    explosion: collect_set of the DISTINCT neighbor colors per frontier
+    vertex (set size ≤ colors assigned so far, never O(neighbors)), then
+    the least value of sequence(0, size(used)) absent from the set —
+    pigeonhole guarantees the mex lies in that range, so a hub with 10⁸
+    colored neighbors still aggregates to one small array row.
 
     Rounds = the longest strictly-decreasing-priority path, O(log n) with
     high probability on random-like (md5) priorities.  Never-wrong
     contract: raises if uncolored vertices remain after max_rounds.
 
-    Orchestration (r8): the colored accumulator is a union of per-round
-    checkpointed DELTAS (each pick), never a re-checkpointed cumulative
-    frame — the growing O(|colored|) rewrite per round is gone.
+    Orchestration (r8): THREE eager jobs per round (frontier, pick,
+    next-uncolored) — the r7 used-checkpoint and its two anti-joins fused
+    into the one mex aggregation; the colored accumulator is a union of
+    per-round checkpointed DELTAS, COMPACTED every 8 rounds (otherwise
+    round k's neighbor-color join scans k frames — a quadratic task-count
+    term measured at 210s vs cc_star's 31s on the same sf1 graph).
     frontier/uncolored stay eagerly checkpointed so the adjacency joins
     keep REAL size estimates (the MIS lesson: a filter derived from a
     _ckpt_fresh frame carries defaultSizeInBytes and loses the
@@ -2161,6 +2166,7 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     spark = edges.sparkSession
     colored = spark.createDataFrame([], "id long, color int")
     done = False
+    rounds_done = 0
     for _ in range(max_rounds):
         if uncolored.isEmpty():
             done = True
@@ -2176,24 +2182,36 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
             .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
             .select("id")
         )
-        used = _ckpt_fresh(
+        # smallest-missing-color (mex) in ONE aggregation: collect the
+        # DISTINCT neighbor colors per frontier vertex and take the least
+        # value absent from the set — sequence(0, size(used)) has
+        # size+1 candidates, so pigeonhole guarantees the mex is in
+        # range.  The set holds distinct COLORS (≤ colors assigned so
+        # far, ≤ degree+1), never neighbor rows — no palette explosion
+        # on hubs.  Replaces the used-checkpoint + two anti-joins + pick
+        # groupBy of r7 (same mex semantics, value-identical colors;
+        # 4 eager jobs per round down to 3).
+        nbc = (
             frontier.join(adj.withColumnRenamed("a", "id"), "id")
             .join(colored.select(F.col("id").alias("b"), "color"), "b")
-            .select("id", "color").distinct()
-        )
-        cand0 = (
-            frontier.join(used.filter(F.col("color") == 0), "id", "left_anti")
-            .select("id", F.lit(0).alias("color"))
-        )
-        cand_succ = (
-            used.select("id", (F.col("color") + 1).alias("color"))
-            .join(used, ["id", "color"], "left_anti")
+            .groupBy("id").agg(F.collect_set("color").alias("used"))
         )
         pick = _ckpt_fresh(
-            cand0.unionByName(cand_succ)
-            .groupBy("id").agg(F.min("color").cast("int").alias("color"))
+            frontier.join(nbc, "id", "left")
+            .withColumn("u", F.expr(
+                "coalesce(used, CAST(array() AS ARRAY<INT>))"))
+            .select("id", F.expr(
+                "CAST(array_min(filter(sequence(0, size(u)), "
+                "c -> NOT array_contains(u, c))) AS INT)").alias("color"))
         )
         colored = colored.unionByName(pick)
+        rounds_done += 1
+        if rounds_done % 8 == 0:
+            # compact the union-of-deltas accumulator: round k's neighbor
+            # -color join otherwise scans k checkpointed frames — the
+            # quadratic task-count term measured at sf1 (210s vs
+            # cc_star's 31s on the same graph before this fix)
+            colored = _ckpt_fresh(colored)
         uncolored = _ckpt_fresh(uncolored.join(frontier, "id", "left_anti"))
     if not done and not uncolored.isEmpty():
         raise RuntimeError(

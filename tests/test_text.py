@@ -487,6 +487,122 @@ def test_bpe_apply_matches_learn_trajectory(spark):
     assert a == b and len(a) == 4
 
 
+def test_pack_token_ids_matches_pure_python(spark):
+    """pack_token_ids reproduces the pure-Python shard-local GPT-style
+    packing of a bpe_encode id stream: contiguous slots, docs running
+    across sequence boundaries, (shard, seq, slot) unique and dense."""
+    import hashlib
+
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_encode, bpe_learn
+    from hugegraph_on_tikv_spark.functions.packing import pack_token_ids
+
+    texts = [(i, "low lower lowest new newer " * (1 + i % 3))
+             for i in range(12)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges, _ = bpe_learn(docs, n_merges=3)
+    enc = bpe_encode(docs, merges)
+    rows = sorted(map(tuple, enc.collect()))
+    got = sorted((r["shard"], r["seq"], r["slot"], r["doc_id"], r["token_id"])
+                 for r in pack_token_ids(enc, seq_len=7, shards=3).collect())
+
+    def h48(x: int) -> int:
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:12], 16)
+
+    streams: dict = {}
+    for doc in sorted({r[0] for r in rows}):
+        shard = h48(doc) % 3
+        for (d, wp, sp, tid) in rows:
+            if d == doc:
+                streams.setdefault(shard, []).append((doc, tid))
+    expect = sorted(
+        (shard, g // 7, g % 7, doc, tid)
+        for shard, toks in streams.items()
+        for g, (doc, tid) in enumerate(toks))
+    assert got == expect and len(got) > 20
+    # slots dense per sequence
+    per_seq: dict = {}
+    for shard, seq, slot, _, _ in got:
+        per_seq.setdefault((shard, seq), []).append(slot)
+    for slots in per_seq.values():
+        assert sorted(slots) == list(range(len(slots)))
+
+
+def test_bpe_encode_matches_pure_python(spark):
+    """bpe_encode's (wpos, spos, token_id) stream equals a pure-Python
+    BPE apply + frequency-ranked id assignment on a tiny corpus."""
+    import collections
+    import re
+
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_encode, bpe_learn
+
+    texts = ["low lower lowest low low", "new newer newest new", "low newer"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges, _ = bpe_learn(docs, n_merges=4)
+
+    toks = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    wf = collections.Counter(w for d in toks for w in d)
+    syms = {w: list(w) for w in wf}
+    for _, left, right, _ in merges:
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    vocab = collections.Counter()
+    for w, c in wf.items():
+        for s in syms[w]:
+            vocab[s] += c
+    order = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    tid = {s: i for i, (s, _) in enumerate(order)}
+    expect = {
+        d: sorted((wp, sp, tid[s])
+                  for wp, w in enumerate(ws)
+                  for sp, s in enumerate(syms[w]))
+        for d, ws in enumerate(toks)
+    }
+
+    got: dict = {}
+    for r in bpe_encode(docs, merges).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["wpos"], r["spos"], r["token_id"]))
+    assert {d: sorted(v) for d, v in got.items()} == expect
+
+
+def test_bpe_encode_two_path_equals_single(spark):
+    """head_size=1 (everything through the tail shuffle join) produces the
+    identical id stream as the default head-broadcast path."""
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_encode, bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer newest low new")],
+        "doc_id long, text string")
+    merges, _ = bpe_learn(docs, n_merges=3)
+    a = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    b = sorted(map(tuple, bpe_encode(docs, merges, head_size=1).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_bpe_encode_foreign_words_drops_unseen(spark):
+    """Encoding with a FOREIGN word table keeps inner-join semantics:
+    words absent from the supplied table emit nothing."""
+    from hugegraph_on_tikv_spark.functions.bpe import (
+        bpe_encode, bpe_learn, word_freqs)
+
+    train = spark.createDataFrame(
+        [(1, "low lower low")], "doc_id long, text string")
+    merges, twords = bpe_learn(train, n_merges=2)
+    new = spark.createDataFrame(
+        [(9, "low unseen")], "doc_id long, text string")
+    rows = bpe_encode(new, merges, words=word_freqs(train)).collect()
+    assert rows and all(r["wpos"] == 0 for r in rows)  # only "low" encodes
+
+
 def test_remove_duplicated_spans_semantics(spark):
     """Lowest-id occurrence survives; later docs lose the span; untouched
     docs keep their ORIGINAL (un-normalized) text; a doc that IS the span

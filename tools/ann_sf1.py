@@ -69,7 +69,15 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="ann_sf1_")
     doc: dict = {"n_vectors": N_VECS, "dim": DIM}
     try:
-        twin_before = twin_pass()
+        # twin sampling mirrors BENCH_TWIN's calibration shape (median with
+        # cold passes absorbed): two throwaway passes cover JIT warmup,
+        # then the recorded twin is the per-probe MEDIAN of 3 passes.
+        def twin_median() -> dict:
+            ps = [twin_pass() for _ in range(3)]
+            return {k: round(statistics.median([p[k] for p in ps]), 3)
+                    for k in ps[0]}
+        twin_pass(); twin_pass()     # throwaway: JIT warmup
+        twin_before = twin_median()
 
         dims = F.array(*[
             (((F.col("id") * 31 + d * 17) % 1000) / F.lit(500.0) - 1.0)
@@ -106,7 +114,13 @@ def main() -> None:
                           for k, v in samples.items()}
         doc["samples"] = samples
 
-        twin_after = twin_pass()
+        # settle: let the ContextCleaner drain the workload's
+        # checkpoint/broadcast garbage before sampling the box again
+        for _ in range(3):
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(15)
+        twin_pass()                  # throwaway: post-workload catchup pass
+        twin_after = twin_median()
         doc["twin_before"], doc["twin_after"] = twin_before, twin_after
         cal = {}
         if os.path.exists(TWIN_FILE):

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -69,9 +70,18 @@ def main() -> None:
             print(f"# twin[{tag}] {pname}: {out[pname]}s", file=sys.stderr)
         return out
 
-    for pfn in bench._TWIN_PROBES.values():   # plan warm-up, untimed
-        pfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    twins = {"before": twin_pass("before")}
+    # twin sampling mirrors BENCH_TWIN's calibration shape (median with
+    # cold passes absorbed): two throwaway passes cover JIT warmup, then
+    # the recorded twin is the per-probe MEDIAN of 3 passes.
+    def twin_median(tag: str) -> dict[str, float]:
+        ps = [twin_pass(tag) for _ in range(3)]
+        return {k: round(statistics.median([p[k] for p in ps]), 3)
+                for k in ps[0]}
+
+    for _ in range(2):                        # throwaway: JIT warm-up
+        for pfn in bench._TWIN_PROBES.values():
+            pfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    twins = {"before": twin_median("before")}
 
     base = spark.range(N_VERTICES).select(F.col("id").alias("src"))
     rings = [
@@ -115,7 +125,13 @@ def main() -> None:
     timed("coloring", lambda: greedy_coloring(edges, max_rounds=60).count())
     timed("cc_star", lambda: connected_components_star(edges).count())
 
-    twins["after"] = twin_pass("after")
+    # settle: let the ContextCleaner drain the workload's
+    # checkpoint/broadcast garbage before sampling the box again
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(15)
+    twin_pass('settle')                  # throwaway: post-workload catchup pass
+    twins["after"] = twin_median("after")
     cal = {}
     if os.path.exists(bench.TWIN_FILE):
         with open(bench.TWIN_FILE) as f:
