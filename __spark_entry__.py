@@ -2498,7 +2498,8 @@ def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
     L, S = _PACK_SEQ_LEN, _PACK_SHARDS
     ctes.append(f"""placed AS MATERIALIZED (
       SELECT doc_id, shard,
-             SUM(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS strt
+             CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id) - n
+                  AS BIGINT) AS strt
       FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
                    {h48} % {S} AS shard
             FROM idstream GROUP BY doc_id)

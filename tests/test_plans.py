@@ -448,6 +448,10 @@ def test_whole_roster_lints_clean(spark):
         # the LM smoothing denominator needs V (one count-distinct row)
         # crossed back into the token stream — the 1-row scalar pattern
         "text_lm_score": {"cartesian"},
+        # NB scoring crosses the 1-row class-totals aggregate back over
+        # the scored docs (nbayes.py nb_score) — same 1-row scalar
+        # broadcast pattern as text_lm_score above
+        "text_nb_quality": {"cartesian"},
         # collocation lift needs N (one total-count row) against the
         # bigram table; anonymity_level crosses the 1-row min back over
         # the group sizes — both the same scalar pattern
