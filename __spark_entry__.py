@@ -4740,13 +4740,16 @@ _LOUV_L1, _LOUV_L2 = 3, 2
 
 def _g_louvain(spark: SparkSession, sf: str) -> DataFrame:
     e = GraphStore(spark, sf).edges()
+    # the capture hook hands back the guard loop's own exact numerators:
+    # level1_num IS the labeling a standalone louvain(e, max_rounds=L1)
+    # would produce (same _louvain_rounds schedule), so the -2 cert needs
+    # no second level-1 run and neither cert re-aggregates O(m)
+    cap: dict = {}
     full = analytics.louvain_full(
-        e, level1_rounds=_LOUV_L1, level2_rounds=_LOUV_L2)
-    local = analytics.louvain(e, max_rounds=_LOUV_L1)
-    num_full = analytics._modularity_numerator(e, full)
-    num_local = analytics._modularity_numerator(e, local)
+        e, level1_rounds=_LOUV_L1, level2_rounds=_LOUV_L2, _capture=cap)
     cert = spark.createDataFrame(
-        [(-1, num_full), (-2, num_local)], "id long, community long")
+        [(-1, cap["final_num"]), (-2, cap["level1_num"])],
+        "id long, community long")
     return (full.select("id", F.col("community").cast("long"))
             .unionByName(cert))
 

@@ -1277,37 +1277,49 @@ def modularity_score(edges: DataFrame, labels: DataFrame,
     return float(num or 0) / float(4 * m * m)
 
 
-def modularity_local_move(edges: DataFrame, labels: DataFrame,
-                          label_col: str = "community") -> DataFrame:
-    """One synchronous Louvain-style local-move round on top of an existing
-    labeling (e.g. label_propagation output): every vertex v evaluates
-    moving to each NEIGHBOR community c, scoring the move by the exact
-    integer gain
+def _numerator_from_und(und: DataFrame, m: int, labels: DataFrame,
+                        label_col: str = "community") -> int:
+    """Exact-integer modularity numerator Σ (4·m·e_c − d_c²) over a
+    PRECOMPUTED undirected simple edge set (the guard-loop fast path —
+    one keyed aggregation instead of re-deriving und + m per probe)."""
+    if m == 0:
+        return 0
+    lab = labels.select("id", F.col(label_col).alias("_c"))
+    deg = (und.select(F.col("u").alias("id"))
+           .unionByName(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("_d")))
+    lu = lab.select(F.col("id").alias("u"), F.col("_c").alias("_cu"))
+    lv = lab.select(F.col("id").alias("v"), F.col("_c").alias("_cv"))
+    e_c = (und.join(lu, "u").join(lv, "v")
+           .filter(F.col("_cu") == F.col("_cv"))
+           .groupBy(F.col("_cu").alias("_c"))
+           .agg(F.count(F.lit(1)).alias("_e")))
+    d_c = (deg.join(lab, "id")
+           .groupBy("_c").agg(F.sum("_d").alias("_ds")))
+    four_m = F.lit(4 * m).cast("decimal(38,0)")
+    contrib = (d_c.join(e_c, "_c", "left")
+               .select((four_m
+                        * F.coalesce("_e", F.lit(0)).cast("decimal(38,0)")
+                        - F.col("_ds").cast("decimal(38,0)")
+                        * F.col("_ds").cast("decimal(38,0)"))
+                       .alias("contrib")))
+    n = contrib.agg(F.sum("contrib").alias("n")).collect()[0]["n"]
+    return int(n or 0)
+
+
+def _local_move_proposal(und: DataFrame, lab: DataFrame, m: int) -> DataFrame:
+    """UNGUARDED synchronous local-move proposal over a precomputed
+    undirected simple edge set: every vertex v evaluates moving to each
+    NEIGHBOR community c, scoring by the exact integer gain
 
         ΔQ·4m² = 4m·(k_{v,c} − k_{v,c_v∖v}) − 2·k_v·(d_c − (d_{c_v} − k_v))
 
     (k_{v,c} = edges from v into c, d_c = community degree sum, k_v = v's
     degree), takes the best strictly-positive move (ties → smallest
     community id, argmax-then-min — no id negation, type-safe for any
-    ordered id), and applies all winning moves SIMULTANEOUSLY.
-
-    Synchronous application can oscillate on symmetric graphs (the known
-    parallel-Louvain caveat), so the round is guarded: modularity of the
-    proposed labeling is compared against the input's — in exact integer
-    numerators, same denominator — and the input labeling is returned
-    unchanged unless the round strictly improved it.  The returned
-    labeling therefore NEVER has lower modularity than the input.
-
-    Cost: three keyed aggregations + small-dimension joins, nothing
-    quadratic; candidate set is bounded by the neighbor-community count,
-    itself bounded by degree.  Returns (id, <label_col>)."""
-    out_cols = ["id", label_col]
-    und = _undirected_simple(edges).localCheckpoint(eager=True)
-    m = und.count()
-    if m == 0:
-        return labels.select(*out_cols)
-    lab = (labels.select("id", F.col(label_col).alias("_c"))
-           .localCheckpoint(eager=True))
+    ordered id), and applies all winning moves SIMULTANEOUSLY.  `lab` is
+    (id, _c); returns the proposed (id, _c).  Callers guard acceptance
+    with `_numerator_from_und`."""
     deg = (und.select(F.col("u").alias("id"))
            .unionByName(und.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("_d")))
@@ -1346,59 +1358,107 @@ def modularity_local_move(edges: DataFrame, labels: DataFrame,
     best = (cand.join(mx, "id")
             .filter((F.col("gain") == F.col("_g")) & (F.col("_g") > 0))
             .groupBy("id").agg(F.min("cand").alias("_new")))
-    proposed = (lab.join(best, "id", "left")
-                .select("id", F.coalesce("_new", F.col("_c"))
-                        .alias(label_col))
+    return (lab.join(best, "id", "left")
+            .select("id", F.coalesce("_new", F.col("_c")).alias("_c")))
+
+
+def modularity_local_move(edges: DataFrame, labels: DataFrame,
+                          label_col: str = "community") -> DataFrame:
+    """One GUARDED synchronous Louvain-style local-move round on top of an
+    existing labeling (e.g. label_propagation output) — the proposal shape
+    is `_local_move_proposal` (see its docstring for the exact-integer
+    gain formula and tie-breaks).
+
+    Synchronous application can oscillate on symmetric graphs (the known
+    parallel-Louvain caveat), so the round is guarded: modularity of the
+    proposed labeling is compared against the input's — in exact integer
+    numerators, same denominator — and the input labeling is returned
+    unchanged unless the round strictly improved it.  The returned
+    labeling therefore NEVER has lower modularity than the input.
+
+    Cost: three keyed aggregations + small-dimension joins + ONE O(m)
+    guard aggregation (the input's numerator is recomputed here because
+    this is the stateless public entry; `louvain` threads numerators
+    through its loop and skips it), nothing quadratic; candidate set is
+    bounded by the neighbor-community count, itself bounded by degree.
+    Returns (id, <label_col>)."""
+    out_cols = ["id", label_col]
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    m = und.count()
+    if m == 0:
+        return labels.select(*out_cols)
+    lab = (labels.select("id", F.col(label_col).alias("_c"))
+           .localCheckpoint(eager=True))
+    proposed = (_local_move_proposal(und, lab, m)
+                .withColumnRenamed("_c", label_col)
                 .localCheckpoint(eager=True))
     # monotone guard: exact integer numerators, same 4m² denominator
-    q_old = (modularity(edges, lab.withColumnRenamed("_c", label_col),
-                        label_col)
-             .agg(F.sum("contrib").alias("n")).collect()[0]["n"]) or 0
-    q_new = (modularity(edges, proposed, label_col)
-             .agg(F.sum("contrib").alias("n")).collect()[0]["n"]) or 0
+    q_old = _numerator_from_und(
+        und, m, lab.withColumnRenamed("_c", label_col), label_col)
+    q_new = _numerator_from_und(und, m, proposed, label_col)
     if q_new > q_old:
         return proposed
     return labels.select(*out_cols)
 
 
+def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
+                    label_col: str, max_rounds: int) -> tuple[DataFrame, int]:
+    """Guarded local-move rounds with the modularity numerator THREADED
+    through the loop: each round costs the proposal joins plus exactly ONE
+    O(m) numerator aggregation (the previous round's accepted numerator is
+    reused as the guard baseline instead of being recomputed — the r8
+    plan-audit fix; accept decisions are identical because q_old of round
+    t always equals the accepted q of round t−1).  Guards compare EXACT
+    integer numerators at every scale (a float Q comparison can collapse
+    a genuine integer improvement once numerators exceed 2^53).
+    Returns (labels, final numerator)."""
+    prev_num = _numerator_from_und(und, m, cur, label_col)
+    if m == 0:
+        return cur, prev_num
+    for _ in range(max_rounds):
+        lab = cur.select("id", F.col(label_col).alias("_c"))
+        proposed = (_local_move_proposal(und, lab, m)
+                    .withColumnRenamed("_c", label_col)
+                    .localCheckpoint(eager=True))
+        num = _numerator_from_und(und, m, proposed, label_col)
+        if num <= prev_num:
+            break
+        cur, prev_num = proposed, num
+    return cur, prev_num
+
+
 def louvain(edges: DataFrame, labels: DataFrame | None = None,
             label_col: str = "community", max_rounds: int = 5) -> DataFrame:
     """Louvain-style community refinement: repeated guarded local-move
-    rounds (modularity_local_move) from an initial labeling (default:
-    singleton communities, the classic Louvain start) until a round stops
-    improving modularity or max_rounds is hit.  Each round is monotone by
-    the local-move guard, so the sequence of modularity values is
-    non-decreasing and the loop terminates.
+    rounds from an initial labeling (default: singleton communities over
+    the undirected simple vertex domain — the classic Louvain start; the
+    und-derived domain matches `louvain_full` and the SQL oracle, so
+    self-loop-only vertices — modularity-neutral by definition — are
+    consistently excluded) until a round stops improving modularity or
+    max_rounds is hit.  Each round is monotone by the exact-integer
+    numerator guard, so the modularity sequence is non-decreasing and the
+    loop terminates.
 
-    This is the LOCAL-MOVE phase only — full Louvain also contracts
-    communities into super-vertices and recurses; on a distributed engine
-    the contraction is one groupBy relabeling, but the recursion multiplies
-    round counts for diminishing modularity gains, so it is deliberately
-    left to the caller (run louvain again on the contracted graph if
-    needed).  Returns (id, <label_col>)."""
+    This is the LOCAL-MOVE phase only — `louvain_full` adds the
+    contraction phase.  Returns (id, <label_col>)."""
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    m = und.count()
     if labels is None:
-        labels = (edges.select(F.col("src").alias("id"))
-                  .unionByName(edges.select(F.col("dst").alias("id")))
+        labels = (und.select(F.col("u").alias("id"))
+                  .unionByName(und.select(F.col("v").alias("id")))
                   .distinct()
                   .select("id", F.col("id").alias(label_col)))
     cur = labels.select("id", label_col).localCheckpoint(eager=True)
-    prev_q = modularity_score(edges, cur, label_col)
-    for _ in range(max_rounds):
-        nxt = modularity_local_move(edges, cur, label_col)
-        q = modularity_score(edges, nxt, label_col)
-        if q <= prev_q:
-            break
-        cur, prev_q = nxt.localCheckpoint(eager=True), q
-    return cur
+    out, _ = _louvain_rounds(und, m, cur, label_col, max_rounds)
+    return out
 
 
 def _modularity_numerator(edges: DataFrame, labels: DataFrame,
                           label_col: str = "community") -> int:
     """Exact-integer modularity numerator Σ contrib = Σ (4·m·e_c − d_c²)
     of a labeling (Q = numerator / 4m²) — the monotone-guard currency."""
-    n = (modularity(edges, labels, label_col)
-         .agg(F.sum("contrib").alias("n")).collect()[0]["n"])
-    return int(n or 0)
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    return _numerator_from_und(und, und.count(), labels, label_col)
 
 
 def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
@@ -1484,7 +1544,8 @@ def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
 
 def louvain_full(edges: DataFrame, label_col: str = "community",
                  level1_rounds: int = 5, level2_rounds: int = 4,
-                 max_levels: int = 2) -> DataFrame:
+                 max_levels: int = 2,
+                 _capture: dict | None = None) -> DataFrame:
     """FULL Louvain: the local-move phase (`louvain`) plus the contraction
     phase the r7 docstring punted to the caller — communities contract to
     super-vertices (one groupBy relabel; super-edge weight = inter-community
@@ -1508,17 +1569,34 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
     Scale: contraction is one keyed aggregation; each level-2 round runs
     over the contracted graph (|communities| vertices, inter-community
     pairs as edges — typically orders of magnitude smaller than the input)
-    plus one O(m) guard aggregation.  Returns (id, <label_col>)."""
-    und = _undirected_simple(edges)
+    plus one O(m) guard aggregation.  The undirected edge set is derived
+    ONCE and the accepted numerator is threaded through every level (no
+    per-probe und/q_old recomputation — the r8 plan-audit fix).
+
+    `_capture` (private): when a dict is passed, the already-computed
+    exact numerators are recorded into it — "level1_num" (the
+    local-move-only labeling's, identical to what a standalone
+    `louvain(edges, max_rounds=level1_rounds)` run would re-derive) and
+    "final_num" (the returned labeling's) — so certificate-emitting
+    callers don't re-run level 1 or re-aggregate O(m) numerators.
+    Returns (id, <label_col>)."""
+    und = _undirected_simple(edges).localCheckpoint(eager=True)
     m = und.count()
-    cur = louvain(edges, None, label_col, max_rounds=level1_rounds)
+    start = (und.select(F.col("u").alias("id"))
+             .unionByName(und.select(F.col("v").alias("id")))
+             .distinct()
+             .select("id", F.col("id").alias(label_col))
+             .localCheckpoint(eager=True))
+    cur, prev_num = _louvain_rounds(und, m, start, label_col, level1_rounds)
+    if _capture is not None:
+        _capture["level1_num"] = prev_num
     if m == 0:
+        if _capture is not None:
+            _capture["final_num"] = prev_num
         return cur
     for _ in range(1, max_levels):
         lab = (cur.select("id", F.col(label_col).alias("_c"))
                .localCheckpoint(eager=True))
-        prev_num = _modularity_numerator(
-            edges, lab.withColumnRenamed("_c", label_col), label_col)
         lu = lab.select(F.col("id").alias("u"), F.col("_c").alias("cu"))
         lv = lab.select(F.col("id").alias("v"), F.col("_c").alias("cv"))
         sed = (
@@ -1537,15 +1615,23 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
         for r in range(level2_rounds):
             prop = _weighted_move_proposal(sed, slab, m, parity=r % 2) \
                 .localCheckpoint(eager=True)
-            projected = (lab.join(prop.withColumnRenamed("sid", "_c"), "_c")
-                         .select("id", F.col("sc").alias(label_col)))
-            num = _modularity_numerator(edges, projected, label_col)
+            # left + coalesce: a community absent from the super-edge set
+            # (possible only with caller-supplied exotic labelings) keeps
+            # its level-1 label instead of silently dropping its vertices
+            projected = (lab.join(prop.withColumnRenamed("sid", "_c"),
+                                  "_c", "left")
+                         .select("id",
+                                 F.coalesce("sc", F.col("_c"))
+                                 .alias(label_col)))
+            num = _numerator_from_und(und, m, projected, label_col)
             if num <= prev_num:
                 continue
             slab, prev_num, improved = prop, num, True
             cur = projected.localCheckpoint(eager=True)
         if not improved:
             break
+    if _capture is not None:
+        _capture["final_num"] = prev_num
     return cur
 
 
