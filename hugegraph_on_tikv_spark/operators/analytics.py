@@ -2227,16 +2227,29 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     high probability on random-like (md5) priorities.  Never-wrong
     contract: raises if uncolored vertices remain after max_rounds.
 
-    Orchestration (r8): THREE eager jobs per round (frontier, pick,
-    next-uncolored) — the r7 used-checkpoint and its two anti-joins fused
-    into the one mex aggregation; the colored accumulator is a union of
-    per-round checkpointed DELTAS, COMPACTED every 8 rounds (otherwise
-    round k's neighbor-color join scans k frames — a quadratic task-count
-    term measured at 210s vs cc_star's 31s on the same sf1 graph).
-    frontier/uncolored stay eagerly checkpointed so the adjacency joins
-    keep REAL size estimates (the MIS lesson: a filter derived from a
-    _ckpt_fresh frame carries defaultSizeInBytes and loses the
-    broadcast).
+    Orchestration (r9 — the spanning-forest treatment, targeting the 6.7×
+    cc_star sf1 constant): TWO eager jobs per round (pick, next-uncolored)
+    plus an emptiness probe only every 3rd round — the min-uncolored-
+    neighbor-priority and neighbor-color-set aggregations FUSE into one
+    pass over the uncolored-side adjacency (one groupBy computing both mn
+    and used; b-side left-joins against uncolored and colored — every
+    neighbor is exactly one of the two), so the separate frontier
+    checkpoint disappears and the frontier filter rides inside the pick
+    plan.  Un-probed rounds past the fixpoint are no-op jobs over empty
+    checkpointed frames (~ms); the final isEmpty still CERTIFIES
+    completion.  The colored accumulator is a union of per-round
+    checkpointed DELTAS, COMPACTED every 8 rounds (otherwise round k's
+    neighbor-color join scans k frames — a quadratic task-count term
+    measured at 210s vs cc_star's 31s on the same sf1 graph).  uncolored
+    stays eagerly checkpointed so the adjacency joins keep REAL size
+    estimates (the MIS lesson: a filter derived from a _ckpt_fresh frame
+    carries defaultSizeInBytes and loses the broadcast).
+
+    The smallest-missing-color (mex) has no candidate explosion: `used`
+    holds DISTINCT neighbor colors (≤ colors assigned so far, never
+    O(neighbors)), and the least value of sequence(0, size(used)) absent
+    from the set is the mex by pigeonhole — a hub with 10⁸ colored
+    neighbors still aggregates to one small array row.
 
     Returns (id, color), color ∈ {0, 1, ...} dense from 0."""
     und = _undirected_simple(edges)
@@ -2252,38 +2265,26 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     spark = edges.sparkSession
     colored = spark.createDataFrame([], "id long, color int")
     done = False
-    rounds_done = 0
-    for _ in range(max_rounds):
-        if uncolored.isEmpty():
-            done = True
-            break
-        un_nb = (
+    for t in range(1, max_rounds + 1):
+        # one pass over the uncolored-side adjacency computes BOTH round
+        # aggregates: mn = min priority among still-uncolored neighbors
+        # (null ⇒ all neighbors colored ⇒ frontier), used = distinct
+        # colors among colored neighbors (each b is exactly one of the
+        # two, so the left joins partition the rows)
+        agg = (
             adj.join(uncolored.select(F.col("id").alias("a")), "a")
             .join(uncolored.select(F.col("id").alias("b"),
-                                   F.col("prio").alias("prio_b")), "b")
-        )
-        mn = un_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
-        frontier = _ckpt_fresh(
-            uncolored.join(mn.withColumnRenamed("a", "id"), "id", "left")
-            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
-            .select("id")
-        )
-        # smallest-missing-color (mex) in ONE aggregation: collect the
-        # DISTINCT neighbor colors per frontier vertex and take the least
-        # value absent from the set — sequence(0, size(used)) has
-        # size+1 candidates, so pigeonhole guarantees the mex is in
-        # range.  The set holds distinct COLORS (≤ colors assigned so
-        # far, ≤ degree+1), never neighbor rows — no palette explosion
-        # on hubs.  Replaces the used-checkpoint + two anti-joins + pick
-        # groupBy of r7 (same mex semantics, value-identical colors;
-        # 4 eager jobs per round down to 3).
-        nbc = (
-            frontier.join(adj.withColumnRenamed("a", "id"), "id")
-            .join(colored.select(F.col("id").alias("b"), "color"), "b")
-            .groupBy("id").agg(F.collect_set("color").alias("used"))
+                                   F.col("prio").alias("prio_b")),
+                  "b", "left")
+            .join(colored.select(F.col("id").alias("b"), "color"),
+                  "b", "left")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("prio_b").alias("mn"),
+                 F.collect_set("color").alias("used"))
         )
         pick = _ckpt_fresh(
-            frontier.join(nbc, "id", "left")
+            uncolored.join(agg, "id")
+            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
             .withColumn("u", F.expr(
                 "coalesce(used, CAST(array() AS ARRAY<INT>))"))
             .select("id", F.expr(
@@ -2291,14 +2292,16 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
                 "c -> NOT array_contains(u, c))) AS INT)").alias("color"))
         )
         colored = colored.unionByName(pick)
-        rounds_done += 1
-        if rounds_done % 8 == 0:
+        if t % 8 == 0:
             # compact the union-of-deltas accumulator: round k's neighbor
             # -color join otherwise scans k checkpointed frames — the
             # quadratic task-count term measured at sf1 (210s vs
             # cc_star's 31s on the same graph before this fix)
             colored = _ckpt_fresh(colored)
-        uncolored = _ckpt_fresh(uncolored.join(frontier, "id", "left_anti"))
+        uncolored = _ckpt_fresh(uncolored.join(pick, "id", "left_anti"))
+        if (t % 3 == 0 or t == max_rounds) and uncolored.isEmpty():
+            done = True
+            break
     if not done and not uncolored.isEmpty():
         raise RuntimeError(
             f"greedy_coloring: uncolored vertices after {max_rounds} rounds")
