@@ -2338,14 +2338,15 @@ def _text_bpe_learn(spark: SparkSession, sf: str) -> DataFrame:
     return m_df.unionByName(v_df)
 
 
-def _bpe_ctes(rounds: int) -> tuple[list[str], list[str]]:
+def _bpe_ctes(rounds: int, source: str = "documents") -> tuple[list[str], list[str]]:
     """The unrolled BPE-learning CTE chain (w0..w{rounds}) shared by the
-    learn and encode oracles."""
+    learn, encode, and fallback oracles.  `source`: the training relation
+    (any parenthesizable SELECT with doc_id/text)."""
     toks = TOKENS_SQL.format(col="text")
     ctes = [f"""w0 AS MATERIALIZED (
       SELECT word, CAST(count(*) AS BIGINT) AS freq,
              regexp_replace(word, '(.)', '_\\1', 'g') AS syms
-      FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word
+      FROM (SELECT unnest({toks}) AS word FROM {source}) GROUP BY word
     )"""]
     merge_rows = []
     for r in range(1, rounds + 1):
@@ -2411,7 +2412,9 @@ def _text_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.packing import pack_token_ids
     docs = load_table(spark, sf, "documents")
     merges, words = bpe_learn(docs, n_merges=_BPE_ROUNDS)
-    enc = bpe_encode(docs, merges, words=words).persist()
+    # words covers every stream word by construction (trained on the same
+    # corpus) — char_fallback=False keeps the residue branch out of the plan
+    enc = bpe_encode(docs, merges, words=words, char_fallback=False).persist()
     per = (
         enc.filter(F.col("doc_id") % 20 == 0)
         .groupBy("doc_id")
@@ -2544,6 +2547,172 @@ def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
 
 
 _register("text_bpe_encode", _text_bpe_encode, _bpe_encode_oracle())
+
+
+# -- BPE foreign-vocab encode with char fallback (functions/bpe.py
+#    bpe_encode char_fallback): merges trained on the EVEN-doc_id half of
+#    the corpus, then the FULL corpus encoded — odd docs carry words the
+#    trained vocab never saw, which take the fallback path (trained merges
+#    applied to the residue word, known symbols → trained ids, unknown
+#    symbols → closed-alphabet char ids vocab_size + idx).  Certificates:
+#    per-doc id-sequence md5 for doc_id % 20 == 5 (odd slice — guaranteed
+#    foreign exposure), a totals row proving 100% coverage (covered word
+#    positions == stream token count), and a fallback-stats row (ids ≥ V,
+#    V, distinct fallback ids).  The oracle replays the trained chain from
+#    the half-corpus source and the full residue decomposition.
+
+def _text_bpe_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.bpe import (
+        bpe_apply, bpe_encode, bpe_learn, token_ids, word_freqs)
+    from hugegraph_on_tikv_spark.functions.text import tokens as _toks
+    docs = load_table(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    merges, twords = bpe_learn(train, n_merges=_BPE_ROUNDS)
+    vocab_size = token_ids(bpe_apply(word_freqs(train), merges)).count()
+    enc = bpe_encode(docs, merges, words=twords).persist()
+    per = (
+        enc.filter(F.col("doc_id") % 20 == 5)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("wpos", "spos", "token_id")).alias("seq"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("bpef_"), F.md5(F.expr(
+                "array_join(transform(array_sort(seq), "
+                "x -> CAST(x.token_id AS STRING)), ' ')"))).alias("tag"),
+            "doc_id",
+            F.col("n").cast("double").alias("n_ids"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        ))
+    n_stream = (docs.select(F.explode(_toks(F.col("text"))).alias("w"))
+                .count())
+    tot = (
+        enc.agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
+                F.count_distinct(
+                    F.col("doc_id") * 1_000_000 + F.col("wpos"))
+                .cast("double").alias("v1"))
+        .select(F.lit("bpef_totals").alias("tag"),
+                F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1",
+                F.lit(float(n_stream)).alias("v2")))
+    fb = (
+        enc.filter(F.col("token_id") >= vocab_size)
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
+             F.count_distinct("token_id").cast("double").alias("v1"))
+        .select(F.lit("bpef_fb").alias("tag"),
+                F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1",
+                F.lit(float(vocab_size)).alias("v2")))
+    return per.unionByName(tot).unionByName(fb)
+
+
+def _bpe_fallback_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+    ctes, _ = _bpe_ctes(rounds, source=src)
+    toks = TOKENS_SQL.format(col="text")
+    last = f"w{rounds}"
+    ctes.append(f"""vocab AS MATERIALIZED (
+      SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT freq, unnest(string_split(syms, '_')[2:]) AS symbol
+            FROM {last})
+      GROUP BY symbol
+    )""")
+    ctes.append("""vid AS MATERIALIZED (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY freq DESC, symbol ASC) - 1
+                  AS BIGINT) AS tid
+      FROM vocab
+    )""")
+    ctes.append("""vsz AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM vid
+    )""")
+    ctes.append(f"""wsym AS MATERIALIZED (
+      SELECT word, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS spos,
+             unnest(arr) AS symbol
+      FROM (SELECT word, string_split(syms, '_')[2:] AS arr FROM {last})
+    )""")
+    ctes.append("""wseq AS MATERIALIZED (
+      SELECT ws.word, ws.spos, v.tid FROM wsym ws JOIN vid v USING (symbol)
+    )""")
+    ctes.append(f"""stream AS MATERIALIZED (
+      SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS wpos,
+             unnest(arr) AS word
+      FROM (SELECT doc_id, {toks} AS arr FROM documents)
+    )""")
+    # residue words: not in the trained word table; char-split then the
+    # SAME trained merge replaces (the m{r} CTEs are 1-row each)
+    ctes.append("""rw0 AS MATERIALIZED (
+      SELECT word, regexp_replace(word, '(.)', '_\\1', 'g') AS syms
+      FROM (SELECT DISTINCT word FROM stream
+            WHERE word NOT IN (SELECT word FROM w0))
+    )""")
+    for r in range(1, rounds + 1):
+        ctes.append(f"""rw{r} AS MATERIALIZED (
+      SELECT word,
+             replace(syms, '_' || l || '_' || r, '_' || l || r) AS syms
+      FROM rw{r - 1} CROSS JOIN m{r}
+    )""")
+    ctes.append(f"""rsym AS MATERIALIZED (
+      SELECT word, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS spos,
+             unnest(arr) AS symbol
+      FROM (SELECT word, string_split(syms, '_')[2:] AS arr FROM rw{rounds})
+    )""")
+    ctes.append("""rknown AS (
+      SELECT r.word, r.spos, CAST(0 AS BIGINT) AS cpos, v.tid
+      FROM rsym r JOIN vid v USING (symbol)
+    )""")
+    ctes.append("""runk AS (
+      SELECT word, spos, cpos,
+             vsz.v + CASE WHEN ch BETWEEN 'a' AND 'z'
+                          THEN ascii(ch) - 97
+                          ELSE ascii(ch) - 48 + 26 END AS tid
+      FROM (SELECT word, spos,
+                   CAST(generate_subscripts(chars, 1) - 1 AS BIGINT) AS cpos,
+                   unnest(chars) AS ch
+            FROM (SELECT word, spos,
+                         string_split(regexp_replace(symbol, '(.)',
+                                                     '_\\1', 'g'),
+                                      '_')[2:] AS chars
+                  FROM rsym
+                  WHERE symbol NOT IN (SELECT symbol FROM vid)))
+      CROSS JOIN vsz
+    )""")
+    ctes.append("""rseq AS MATERIALIZED (
+      SELECT word,
+             CAST(row_number() OVER (PARTITION BY word ORDER BY spos, cpos)
+                  - 1 AS BIGINT) AS spos, tid
+      FROM (SELECT * FROM rknown UNION ALL SELECT * FROM runk)
+    )""")
+    ctes.append("""idstream AS MATERIALIZED (
+      SELECT s.doc_id, s.wpos, q.spos, q.tid
+      FROM stream s JOIN wseq q USING (word)
+      UNION ALL
+      SELECT s.doc_id, s.wpos, q.spos, q.tid
+      FROM stream s JOIN rseq q USING (word)
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT 'bpef_' || md5(string_agg(CAST(tid AS VARCHAR), ' '
+                                     ORDER BY wpos, spos)) AS tag,
+           doc_id, CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM idstream WHERE doc_id % 20 = 5 GROUP BY doc_id
+    UNION ALL
+    SELECT 'bpef_totals' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(count(DISTINCT doc_id * 1000000 + wpos) AS DOUBLE) AS v1,
+           CAST((SELECT count(*) FROM stream) AS DOUBLE) AS v2
+    FROM idstream
+    UNION ALL
+    SELECT 'bpef_fb' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(SUM(CASE WHEN i.tid >= vsz.v THEN 1 ELSE 0 END)
+                AS DOUBLE) AS n_ids,
+           CAST(count(DISTINCT CASE WHEN i.tid >= vsz.v THEN i.tid END)
+                AS DOUBLE) AS v1,
+           CAST(MAX(vsz.v) AS DOUBLE) AS v2
+    FROM idstream i CROSS JOIN vsz
+    """
+
+
+_register("text_bpe_fallback", _text_bpe_fallback, _bpe_fallback_oracle())
 
 
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
@@ -8629,6 +8798,13 @@ _compose("text_quality_suite", [
     # BPE corpus encode: per-doc id-sequence md5 rides the tag, id count
     # on n_tokens; the totals sentinel carries vocab size / distinct ids
     ("text_bpe_encode",
+     ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
+      "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "
+     "v2 AS punct_ratio, CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # foreign-vocab encode with char fallback: per-doc md5 tags on the odd
+    # slice, the 100%-coverage totals row, the fallback-id stats row
+    ("text_bpe_fallback",
      ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
       "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
      "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "

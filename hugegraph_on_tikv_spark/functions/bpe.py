@@ -140,9 +140,17 @@ def token_ids(words_encoded: DataFrame) -> DataFrame:
                     .alias("token_id")))
 
 
+def _char_split(col) -> "F.Column":
+    """Character array of a token string via the marker idiom
+    ('cat' → ['c','a','t'])."""
+    return F.slice(
+        F.split(F.regexp_replace(col, "(.)", MARK + "$1"), MARK),
+        2, 2_000_000)
+
+
 def bpe_encode(docs: DataFrame, merges: list, words: DataFrame | None = None,
                text_col: str = "text", id_col: str = "doc_id",
-               head_size: int = 10_000) -> DataFrame:
+               head_size: int = 10_000, char_fallback: bool = True) -> DataFrame:
     """ENCODE the corpus to token-id sequences under a learned merge list —
     the tokenizer's production step (what a training pipeline actually
     ships: ids, not merge tables).  Returns one row per emitted token:
@@ -163,12 +171,34 @@ def bpe_encode(docs: DataFrame, merges: list, words: DataFrame | None = None,
     construction — goes through the shuffle join.
 
     `words` defaults to the word-frequency table of `docs` itself, so
-    every stream word has an encoding (applying a trained tokenizer to
-    new text re-derives the new text's word table and applies the OLD
-    merges — standard BPE application semantics).  Passing a foreign
-    `words` table instead drops unseen words (inner-join semantics;
-    callers who need byte-fallback should union the residue)."""
-    if words is None:
+    every stream word has an encoding — but note the ids are then
+    CORPUS-RELATIVE (assigned from THIS corpus' post-merge symbol
+    frequencies), so the same symbol can map to different ids across
+    corpora; a fixed trained vocabulary must pass the TRAINING `words`
+    table, from which ids are derived (frequency DESC, symbol ASC over
+    the trained inventory — stable for a fixed training set).
+
+    With a foreign `words` table, stream words absent from it take the
+    CHAR-FALLBACK path (default on): the residue words get the standard
+    BPE application treatment — char-split, the trained merges applied in
+    order — and resulting symbols map to trained ids where present; a
+    symbol still unknown (a char unseen in training, or an intermediate
+    merge output absent from the final trained inventory) decomposes to
+    its characters with the CLOSED fallback alphabet id
+
+        vocab_size + index(ch)   (a..z → 0..25, 0..9 → 26..35)
+
+    so every stream token always encodes (tokens are [a-z0-9]+ by the
+    engine-wide contract — the alphabet is closed by construction).
+    Real tokenizers never drop text; `char_fallback=False` restores the
+    r8 inner-join semantics (unseen words silently dropped).
+
+    Scale: the residue word table is vocab-shaped (distinct rare words,
+    not the corpus), its merge application is the same chained-replace
+    column expression, and the residue stream join shuffles only the
+    residue slice of the stream."""
+    derived = words is None
+    if derived:
         words = word_freqs(docs, text_col)
     enc = bpe_apply(words, merges)
     ids = token_ids(enc)
@@ -191,8 +221,46 @@ def bpe_encode(docs: DataFrame, merges: list, words: DataFrame | None = None,
             .drop("freq"))
     hit = stream.join(F.broadcast(head), "word", "left")
     matched = hit.filter(F.col("tids").isNotNull())
-    tail = (hit.filter(F.col("tids").isNull()).drop("tids")
-            .join(wsym.drop("freq"), "word"))
-    return (matched.unionByName(tail)
+    rest = hit.filter(F.col("tids").isNull()).drop("tids")
+    if derived or not char_fallback:
+        # derived words cover every stream word by construction; without
+        # fallback, unseen foreign words drop (documented sharp edge)
+        tail = rest.join(wsym.drop("freq"), "word")
+        out = matched.unionByName(tail)
+        return out.select("doc_id", "wpos",
+                          F.posexplode("tids").alias("spos", "token_id"))
+    tailed = rest.join(wsym.drop("freq"), "word", "left")
+    tail = tailed.filter(F.col("tids").isNotNull())
+    resid_stream = tailed.filter(F.col("tids").isNull()).drop("tids")
+    # residue words: char-split, same trained merges applied (standard
+    # BPE application), then trained-id mapping with char decomposition
+    # for symbols outside the trained inventory
+    vocab_size = ids.count()  # vocab-sized scalar probe (bounded small)
+    rwords = (resid_stream.select("word").distinct()
+              .withColumn("syms", F.regexp_replace(
+                  F.col("word"), "(.)", MARK + "$1")))
+    renc = bpe_apply(rwords, merges)
+    sym = (renc.select("word", F.posexplode(arr).alias("spos", "symbol"))
+           .join(F.broadcast(ids), "symbol", "left"))
+    known = (sym.filter(F.col("token_id").isNotNull())
+             .select("word", "spos", F.lit(0).alias("cpos"), "token_id"))
+    ch = F.col("ch")
+    fb_id = (F.lit(int(vocab_size))
+             + F.when((ch >= "a") & (ch <= "z"), F.ascii(ch) - 97)
+             .otherwise(F.ascii(ch) - 48 + 26)).cast("long")
+    unk = (sym.filter(F.col("token_id").isNull())
+           .select("word", "spos",
+                   F.posexplode(_char_split(F.col("symbol")))
+                   .alias("cpos", "ch"))
+           .select("word", "spos", "cpos", fb_id.alias("token_id")))
+    rtids = (known.unionByName(unk)
+             .groupBy("word")
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("spos", "cpos", "token_id")))
+                 .alias("seq"))
+             .select("word",
+                     F.expr("transform(seq, x -> x.token_id)").alias("tids")))
+    resid = resid_stream.join(rtids, "word")
+    return (matched.unionByName(tail).unionByName(resid)
             .select("doc_id", "wpos",
                     F.posexplode("tids").alias("spos", "token_id")))

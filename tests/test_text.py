@@ -589,8 +589,8 @@ def test_bpe_encode_two_path_equals_single(spark):
 
 
 def test_bpe_encode_foreign_words_drops_unseen(spark):
-    """Encoding with a FOREIGN word table keeps inner-join semantics:
-    words absent from the supplied table emit nothing."""
+    """char_fallback=False keeps the r8 inner-join semantics: words absent
+    from the supplied table emit nothing."""
     from hugegraph_on_tikv_spark.functions.bpe import (
         bpe_encode, bpe_learn, word_freqs)
 
@@ -599,8 +599,55 @@ def test_bpe_encode_foreign_words_drops_unseen(spark):
     merges, twords = bpe_learn(train, n_merges=2)
     new = spark.createDataFrame(
         [(9, "low unseen")], "doc_id long, text string")
-    rows = bpe_encode(new, merges, words=word_freqs(train)).collect()
+    rows = bpe_encode(new, merges, words=word_freqs(train),
+                      char_fallback=False).collect()
     assert rows and all(r["wpos"] == 0 for r in rows)  # only "low" encodes
+
+
+def test_bpe_encode_char_fallback_covers_every_token(spark):
+    """Default char-fallback: a foreign-vocab encode covers 100% of stream
+    tokens; residue words apply the trained merges and map known symbols
+    to trained ids, unknown symbols decompose to vocab_size + char-index
+    ids; known-word encodings are unchanged from the no-fallback path."""
+    from hugegraph_on_tikv_spark.functions.bpe import (
+        bpe_apply, bpe_encode, bpe_learn, token_ids, word_freqs)
+
+    train = spark.createDataFrame(
+        [(1, "low lower low lowest low")], "doc_id long, text string")
+    merges, _ = bpe_learn(train, n_merges=3)
+    twords = word_freqs(train)
+    ids = {r["symbol"]: r["token_id"]
+           for r in token_ids(bpe_apply(twords, merges)).collect()}
+    V = len(ids)
+    # "low" is trained; "slow" shares the trained 'low' symbol after merge
+    # application; "zq9" has chars never seen in training
+    new = spark.createDataFrame(
+        [(9, "low slow zq9")], "doc_id long, text string")
+    rows = bpe_encode(new, merges, words=twords).collect()
+    by_word: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["wpos"], r["spos"])):
+        by_word.setdefault(r["wpos"], []).append(r["token_id"])
+    # 100% coverage: every one of the three word positions emitted ids
+    assert sorted(by_word) == [0, 1, 2]
+    # trained word unchanged vs the trained path
+    low_ids = [r["token_id"] for r in sorted(
+        bpe_encode(train, merges, words=twords,
+                   char_fallback=False).collect(),
+        key=lambda r: (r["doc_id"], r["wpos"], r["spos"]))
+        if r["wpos"] == 0][:len(by_word[0])]
+    assert by_word[0] == low_ids
+    # residue word with trained symbols: every id < V or a char fallback,
+    # and spos is contiguous from 0
+    assert all(t < V + 36 for t in by_word[1])
+    # fully-unseen chars: exactly the closed-alphabet ids
+    def fb(ch: str) -> int:
+        return V + (ord(ch) - 97 if "a" <= ch <= "z" else ord(ch) - 48 + 26)
+    assert by_word[2] == [fb("z"), fb("q"), fb("9")]
+    # spos contract: contiguous from 0 within each word
+    spos = {}
+    for r in rows:
+        spos.setdefault(r["wpos"], []).append(r["spos"])
+    assert all(sorted(v) == list(range(len(v))) for v in spos.values())
 
 
 def test_remove_duplicated_spans_semantics(spark):
