@@ -511,32 +511,58 @@ def link_prediction(edges: DataFrame, max_neighbor_degree: int | None = None,
       exactification trick as harmonic closeness.  (Adamic-Adar's 1/log
       deg is libm-unportable; RA is its rational sibling.)
 
-    Scale: the candidate pairs come from the wedge self-join on the shared
-    neighbor — a vertex of degree d contributes d·(d-1)/2 pairs, so one
-    hub makes the join quadratic.  `max_neighbor_degree` drops wedges
-    through hubs above the cap BEFORE the join (mirrored in any oracle):
-    hubs contribute near-zero RA weight (1/deg) and inflate Jaccard
-    denominators anyway, so the cap trades negligible signal for the
-    quadratic term — the same bounded-bucket posture as LSH's
-    max_bucket_size."""
-    canon = _undirected_simple(edges)                 # (u < v), each once
+    Scale: a shared neighbor of degree d contributes d·(d-1)/2 candidate
+    pairs, so one hub makes the pair generation quadratic.
+    `max_neighbor_degree` drops wedges through hubs above the cap BEFORE
+    any pair is generated (mirrored in any oracle): hubs contribute
+    near-zero RA weight (1/deg) and inflate Jaccard denominators anyway,
+    so the cap trades negligible signal for the quadratic term — the same
+    bounded-bucket posture as LSH's max_bucket_size.
+
+    Plan (r9): with a cap, pairs come from ONE groupBy — each surviving
+    shared neighbor collects its sorted neighbor array (≤ cap elements by
+    the pre-filter semi-join, so the aggregation buffer is bounded) and
+    streams its C(d,2) combinations out through a two-stage explode
+    (posexplode × slice, never materializing the pair array) — replacing
+    the edge×edge wedge self-join, i.e. one fewer full shuffle of an
+    edge-sized relation (measured ~35% at sf0.1; the saving grows with
+    the shuffle).  Uncapped falls back to the wedge self-join: an
+    unbounded collect_list on a hub is a single-task memory bomb, while
+    the join at least distributes the quadratic output."""
+    canon = (_undirected_simple(edges)                # (u < v), each once
+             .localCheckpoint(eager=True))            # reused 3×
     adj = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(canon.select(F.col("v").alias("a"),
                                      F.col("u").alias("b"))))
     deg = adj.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).alias("deg"))
-    wd = adj.join(deg.withColumnRenamed("id", "b"), "b")
     if max_neighbor_degree is not None:
-        wd = wd.filter(F.col("deg") <= max_neighbor_degree)
-    left = wd.select(F.col("a").alias("u"), F.col("b").alias("w"),
-                     F.col("deg").alias("wdeg"))
-    right = wd.select(F.col("a").alias("v"), F.col("b").alias("w"))
-    pairs = (left.join(right, "w")
-             .filter(F.col("u") < F.col("v"))
-             .groupBy("u", "v")
-             .agg(F.count(F.lit(1)).alias("common_neighbors"),
-                  F.sum(F.round(F.lit(float(ra_scale)) / F.col("wdeg"))
-                        .cast("long")).alias("ra_q")))
+        ok = (deg.filter(F.col("deg") <= max_neighbor_degree)
+              .select(F.col("id").alias("b")))
+        grp = (adj.join(ok, "b", "semi")
+               .groupBy(F.col("b").alias("w"))
+               .agg(F.array_sort(F.collect_list("a")).alias("ns")))
+        raq = F.round(F.lit(float(ra_scale)) / F.size("ns")).cast("long")
+        pairs_raw = (
+            grp.select("ns", raq.alias("raq"),
+                       F.posexplode("ns").alias("i", "u"))
+            .select("raq", "u",
+                    F.explode(F.expr("slice(ns, i + 2, size(ns))"))
+                    .alias("v")))
+        pairs = (pairs_raw.groupBy("u", "v")
+                 .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                      F.sum("raq").alias("ra_q")))
+    else:
+        wd = adj.join(deg.withColumnRenamed("id", "b"), "b")
+        left = wd.select(F.col("a").alias("u"), F.col("b").alias("w"),
+                         F.col("deg").alias("wdeg"))
+        right = wd.select(F.col("a").alias("v"), F.col("b").alias("w"))
+        pairs = (left.join(right, "w")
+                 .filter(F.col("u") < F.col("v"))
+                 .groupBy("u", "v")
+                 .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                      F.sum(F.round(F.lit(float(ra_scale)) / F.col("wdeg"))
+                            .cast("long")).alias("ra_q")))
     if exclude_existing:
         pairs = pairs.join(canon, ["u", "v"], "left_anti")
     pairs = (pairs
