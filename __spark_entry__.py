@@ -2563,12 +2563,13 @@ _register("text_bpe_encode", _text_bpe_encode, _bpe_encode_oracle())
 
 def _text_bpe_fallback(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.bpe import (
-        bpe_apply, bpe_encode, bpe_learn, token_ids, word_freqs)
+        bpe_decode, bpe_encode, bpe_learn, token_ids)
     from hugegraph_on_tikv_spark.functions.text import tokens as _toks
     docs = load_table(spark, sf, "documents")
     train = docs.filter(F.col("doc_id") % 2 == 0)
     merges, twords = bpe_learn(train, n_merges=_BPE_ROUNDS)
-    vocab_size = token_ids(bpe_apply(word_freqs(train), merges)).count()
+    ids_df = token_ids(twords)  # twords is already merge-applied
+    vocab_size = ids_df.count()
     enc = bpe_encode(docs, merges, words=twords).persist()
     per = (
         enc.filter(F.col("doc_id") % 20 == 5)
@@ -2601,7 +2602,21 @@ def _text_bpe_fallback(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit("bpef_fb").alias("tag"),
                 F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1",
                 F.lit(float(vocab_size)).alias("v2")))
-    return per.unionByName(tot).unionByName(fb)
+    # decode round-trip certificate: decode(encode(docs)) must reproduce
+    # every normalized stream token exactly (fallback ids included)
+    dec = bpe_decode(enc, ids_df, vocab_size)
+    stream = docs.select(
+        F.col("doc_id"),
+        F.posexplode(_toks(F.col("text"))).alias("wpos", "orig"))
+    rt = (
+        dec.join(stream, ["doc_id", "wpos"])
+        .agg(F.sum((F.col("word") != F.col("orig")).cast("long"))
+             .cast("double").alias("n_ids"),
+             F.count(F.lit(1)).cast("double").alias("v1"))
+        .select(F.lit("bpef_roundtrip").alias("tag"),
+                F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1",
+                F.lit(None).cast("double").alias("v2")))
+    return per.unionByName(tot).unionByName(fb).unionByName(rt)
 
 
 def _bpe_fallback_oracle(rounds: int = _BPE_ROUNDS) -> str:
@@ -2688,6 +2703,18 @@ def _bpe_fallback_oracle(rounds: int = _BPE_ROUNDS) -> str:
       SELECT s.doc_id, s.wpos, q.spos, q.tid
       FROM stream s JOIN rseq q USING (word)
     )""")
+    # decode round-trip: id -> trained symbol, fallback id -> alphabet char
+    ctes.append("""decw AS MATERIALIZED (
+      SELECT doc_id, wpos, string_agg(piece, '' ORDER BY spos) AS w
+      FROM (SELECT i.doc_id, i.wpos, i.spos,
+                   COALESCE(v.symbol,
+                            substr('abcdefghijklmnopqrstuvwxyz0123456789',
+                                   CAST(i.tid - vsz.v AS INT) + 1, 1))
+                     AS piece
+            FROM idstream i LEFT JOIN vid v ON v.tid = i.tid
+            CROSS JOIN vsz)
+      GROUP BY doc_id, wpos
+    )""")
     return f"""
     WITH {', '.join(ctes)}
     SELECT 'bpef_' || md5(string_agg(CAST(tid AS VARCHAR), ' '
@@ -2709,6 +2736,13 @@ def _bpe_fallback_oracle(rounds: int = _BPE_ROUNDS) -> str:
                 AS DOUBLE) AS v1,
            CAST(MAX(vsz.v) AS DOUBLE) AS v2
     FROM idstream i CROSS JOIN vsz
+    UNION ALL
+    SELECT 'bpef_roundtrip' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(SUM(CASE WHEN d.w <> s.word THEN 1 ELSE 0 END)
+                AS DOUBLE) AS n_ids,
+           CAST(count(*) AS DOUBLE) AS v1,
+           CAST(NULL AS DOUBLE) AS v2
+    FROM decw d JOIN stream s USING (doc_id, wpos)
     """
 
 

@@ -377,7 +377,9 @@ def main() -> None:
                      # round 8: full Louvain, NB quality classifier, BPE
                      # corpus encode, perceptual image dedup
                      "g_louvain", "text_nb_quality", "text_bpe_encode",
-                     "mm_phash_dedup"):
+                     "mm_phash_dedup",
+                     # round 9: foreign-vocab BPE encode with char fallback
+                     "text_bpe_fallback"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():

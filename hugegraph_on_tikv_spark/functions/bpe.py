@@ -148,6 +148,41 @@ def _char_split(col) -> "F.Column":
         2, 2_000_000)
 
 
+ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def bpe_decode(encoded: DataFrame, symbols: DataFrame,
+               vocab_size: int | None = None) -> DataFrame:
+    """DECODE a (doc_id, wpos, spos, token_id) stream back to words — the
+    tokenizer's inverse, completing learn → encode → pack → decode.
+    `symbols` is the trained (symbol, token_id) table (token_ids output);
+    ids ≥ vocab_size are char-fallback ids (bpe_encode char_fallback) and
+    decode to ALPHABET[id − vocab_size].  vocab_size defaults to the
+    symbol-table row count (ids are dense from 0 by construction).
+
+    Round-trip contract: for any encode (fallback included),
+    decode(encode(docs)) reproduces every normalized stream token exactly
+    — pinned by pytest and by the bpef_roundtrip certificate row.
+
+    Plan: one broadcast join (the symbol table is vocab-sized) + one
+    keyed aggregation; pieces concatenate in spos order via the
+    array_sort(struct) idiom.  Returns (doc_id, wpos, word)."""
+    if vocab_size is None:
+        vocab_size = symbols.count()
+    piece = F.coalesce(
+        "symbol",
+        F.expr(f"substr('{ALPHABET}', "
+               f"CAST(token_id - {int(vocab_size)} AS INT) + 1, 1)"))
+    return (encoded.join(F.broadcast(symbols), "token_id", "left")
+            .withColumn("piece", piece)
+            .groupBy("doc_id", "wpos")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("spos", "piece"))).alias("ps"))
+            .select("doc_id", "wpos",
+                    F.expr("array_join(transform(ps, x -> x.piece), '')")
+                    .alias("word")))
+
+
 def bpe_encode(docs: DataFrame, merges: list, words: DataFrame | None = None,
                text_col: str = "text", id_col: str = "doc_id",
                head_size: int = 10_000, char_fallback: bool = True) -> DataFrame:

@@ -650,6 +650,30 @@ def test_bpe_encode_char_fallback_covers_every_token(spark):
     assert all(sorted(v) == list(range(len(v))) for v in spos.values())
 
 
+def test_bpe_decode_roundtrips_including_fallback(spark):
+    """decode(encode(docs)) reproduces every normalized stream token —
+    trained words, residue words with trained symbols, and fully-unseen
+    chars through the closed-alphabet fallback ids alike."""
+    from hugegraph_on_tikv_spark.functions.bpe import (
+        bpe_decode, bpe_encode, bpe_learn, token_ids)
+    from hugegraph_on_tikv_spark.functions.text import tokens as _toks
+    from pyspark.sql import functions as F
+
+    train = spark.createDataFrame(
+        [(1, "low lower low lowest low")], "doc_id long, text string")
+    merges, twords = bpe_learn(train, n_merges=3)
+    ids_df = token_ids(twords)
+    new = spark.createDataFrame(
+        [(9, "low slow zq9 lowest")], "doc_id long, text string")
+    enc = bpe_encode(new, merges, words=twords)
+    dec = {(r["doc_id"], r["wpos"]): r["word"]
+           for r in bpe_decode(enc, ids_df).collect()}
+    orig = {(r["doc_id"], r["wpos"]): r["w"] for r in new.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("wpos", "w"))
+        .collect()}
+    assert dec == orig and len(dec) == 4
+
+
 def test_remove_duplicated_spans_semantics(spark):
     """Lowest-id occurrence survives; later docs lose the span; untouched
     docs keep their ORIGINAL (un-normalized) text; a doc that IS the span
