@@ -2253,23 +2253,28 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     high probability on random-like (md5) priorities.  Never-wrong
     contract: raises if uncolored vertices remain after max_rounds.
 
-    Orchestration (r9 — the spanning-forest treatment, targeting the 6.7×
-    cc_star sf1 constant): TWO eager jobs per round (pick, next-uncolored)
-    plus an emptiness probe only every 3rd round — the min-uncolored-
-    neighbor-priority and neighbor-color-set aggregations FUSE into one
-    pass over the uncolored-side adjacency (one groupBy computing both mn
-    and used; b-side left-joins against uncolored and colored — every
-    neighbor is exactly one of the two), so the separate frontier
-    checkpoint disappears and the frontier filter rides inside the pick
-    plan.  Un-probed rounds past the fixpoint are no-op jobs over empty
-    checkpointed frames (~ms); the final isEmpty still CERTIFIES
-    completion.  The colored accumulator is a union of per-round
-    checkpointed DELTAS, COMPACTED every 8 rounds (otherwise round k's
-    neighbor-color join scans k frames — a quadratic task-count term
-    measured at 210s vs cc_star's 31s on the same sf1 graph).  uncolored
-    stays eagerly checkpointed so the adjacency joins keep REAL size
-    estimates (the MIS lesson: a filter derived from a _ckpt_fresh frame
-    carries defaultSizeInBytes and loses the broadcast).
+    Orchestration (r9 — the spanning-forest shrinking-state treatment,
+    targeting the 6.7× cc_star sf1 constant): the live state is the
+    adjacency among STILL-UNCOLORED vertices only, which shrinks
+    geometrically as rounds color the graph — so the per-round min-
+    priority aggregation and anti-joins run over a collapsing edge set,
+    never the full input (the r8 shape re-scanned all m edges every
+    round; Σ live_t ≪ rounds × m).  Neighbor colors arrive as PALETTE
+    DELTAS: when a vertex colors, it delivers its color to its
+    still-uncolored live neighbors, and because a vertex's earlier-
+    colored neighbors all have smaller priority (b coloring while a is
+    uncolored requires prio_b < prio_a — the frontier condition), the
+    accumulated palette at a's own coloring round is exactly its
+    colored-neighbor color set.  Each live edge delivers exactly once
+    (to its later-coloring endpoint), so palette traffic is O(m) TOTAL
+    across the whole run, not per round.  Accumulators are unions of
+    per-round checkpointed deltas, compacted every 8 rounds (a k-frame
+    union scanned per round is the quadratic task-count term measured at
+    210s vs cc_star's 31s before the delta rework); emptiness probes run
+    every 3rd round (un-probed overshoot rounds are ~ms no-ops on empty
+    checkpointed frames; the final probe still CERTIFIES completion).
+    live/uncolored/pick stay eagerly checkpointed so joins keep REAL
+    size estimates (the MIS lesson).
 
     The smallest-missing-color (mex) has no candidate explosion: `used`
     holds DISTINCT neighbor colors (≤ colors assigned so far, never
@@ -2279,58 +2284,65 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
 
     Returns (id, color), color ∈ {0, 1, ...} dense from 0."""
     und = _undirected_simple(edges)
-    adj = _ckpt_fresh(
-        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
-    )
     prio = F.concat_ws(
         ":", F.md5(F.col("id").cast("string")),
         F.lpad(F.col("id").cast("string"), 12, "0"))
+    prio_b = F.concat_ws(
+        ":", F.md5(F.col("b").cast("string")),
+        F.lpad(F.col("b").cast("string"), 12, "0"))
+    # live uncolored-only adjacency, neighbor priority riding along so no
+    # round re-joins for it
+    live = _ckpt_fresh(
+        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .withColumn("prio_b", prio_b)
+    )
     uncolored = _ckpt_fresh(
-        adj.select(F.col("a").alias("id")).distinct().withColumn("prio", prio))
+        live.select(F.col("a").alias("id")).distinct().withColumn("prio", prio))
     spark = edges.sparkSession
-    colored = spark.createDataFrame([], "id long, color int")
+    colored_legs: list[DataFrame] = []
+    palette = spark.createDataFrame([], "id long, color int")
     done = False
     for t in range(1, max_rounds + 1):
-        # one pass over the uncolored-side adjacency computes BOTH round
-        # aggregates: mn = min priority among still-uncolored neighbors
-        # (null ⇒ all neighbors colored ⇒ frontier), used = distinct
-        # colors among colored neighbors (each b is exactly one of the
-        # two, so the left joins partition the rows)
-        agg = (
-            adj.join(uncolored.select(F.col("id").alias("a")), "a")
-            .join(uncolored.select(F.col("id").alias("b"),
-                                   F.col("prio").alias("prio_b")),
-                  "b", "left")
-            .join(colored.select(F.col("id").alias("b"), "color"),
-                  "b", "left")
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("prio_b").alias("mn"),
-                 F.collect_set("color").alias("used"))
-        )
+        mn = (live.groupBy(F.col("a").alias("id"))
+              .agg(F.min("prio_b").alias("mn")))
+        # frontier: no live row (all neighbors colored) or local minimum;
+        # mex comes from the accumulated palette (colored-neighbor colors)
+        cand = (uncolored.join(mn, "id", "left")
+                .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
+                .select("id"))
+        used = (cand.join(palette, "id")
+                .groupBy("id").agg(F.collect_set("color").alias("used")))
         pick = _ckpt_fresh(
-            uncolored.join(agg, "id")
-            .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
+            cand.join(used, "id", "left")
             .withColumn("u", F.expr(
                 "coalesce(used, CAST(array() AS ARRAY<INT>))"))
             .select("id", F.expr(
                 "CAST(array_min(filter(sequence(0, size(u)), "
                 "c -> NOT array_contains(u, c))) AS INT)").alias("color"))
         )
-        colored = colored.unionByName(pick)
-        if t % 8 == 0:
-            # compact the union-of-deltas accumulator: round k's neighbor
-            # -color join otherwise scans k checkpointed frames — the
-            # quadratic task-count term measured at sf1 (210s vs
-            # cc_star's 31s on the same graph before this fix)
-            colored = _ckpt_fresh(colored)
+        colored_legs.append(pick)
+        # deliveries: every picked b hands its color to its still-live
+        # neighbors a (a ∈ pick is impossible — adjacent local minima)
+        delta = _ckpt_fresh(
+            live.join(pick.select(F.col("id").alias("b"), "color"), "b")
+            .select(F.col("a").alias("id"), "color"))
+        palette = palette.unionByName(delta)
         uncolored = _ckpt_fresh(uncolored.join(pick, "id", "left_anti"))
+        live = _ckpt_fresh(
+            live.join(pick.select(F.col("id").alias("a")), "a", "left_anti")
+            .join(pick.select(F.col("id").alias("b")), "b", "left_anti"))
+        if t % 8 == 0:
+            palette = _ckpt_fresh(palette)
         if (t % 3 == 0 or t == max_rounds) and uncolored.isEmpty():
             done = True
             break
     if not done and not uncolored.isEmpty():
         raise RuntimeError(
             f"greedy_coloring: uncolored vertices after {max_rounds} rounds")
+    colored = spark.createDataFrame([], "id long, color int")
+    for leg in colored_legs:
+        colored = colored.unionByName(leg)
     return colored
 
 
