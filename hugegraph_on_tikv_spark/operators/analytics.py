@@ -2253,97 +2253,102 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 40) -> DataFrame:
     high probability on random-like (md5) priorities.  Never-wrong
     contract: raises if uncolored vertices remain after max_rounds.
 
-    Orchestration (r9 — the spanning-forest shrinking-state treatment,
-    targeting the 6.7× cc_star sf1 constant): the live state is the
-    adjacency among STILL-UNCOLORED vertices only, which shrinks
-    geometrically as rounds color the graph — so the per-round min-
-    priority aggregation and anti-joins run over a collapsing edge set,
-    never the full input (the r8 shape re-scanned all m edges every
-    round; Σ live_t ≪ rounds × m).  Neighbor colors arrive as PALETTE
-    DELTAS: when a vertex colors, it delivers its color to its
-    still-uncolored live neighbors, and because a vertex's earlier-
-    colored neighbors all have smaller priority (b coloring while a is
-    uncolored requires prio_b < prio_a — the frontier condition), the
-    accumulated palette at a's own coloring round is exactly its
-    colored-neighbor color set.  Each live edge delivers exactly once
-    (to its later-coloring endpoint), so palette traffic is O(m) TOTAL
-    across the whole run, not per round.  Accumulators are unions of
-    per-round checkpointed deltas, compacted every 8 rounds (a k-frame
-    union scanned per round is the quadratic task-count term measured at
-    210s vs cc_star's 31s before the delta rework); emptiness probes run
-    every 3rd round (un-probed overshoot rounds are ~ms no-ops on empty
-    checkpointed frames; the final probe still CERTIFIES completion).
-    live/uncolored/pick stay eagerly checkpointed so joins keep REAL
-    size estimates (the MIS lesson).
+    Orchestration (r9 — the 6.7×-cc_star sf1 constant cut to ~2.2×,
+    210s → 69s on the sf1 probe graph; fourth design this round, the
+    first three measured and rejected at sf1):
 
-    The smallest-missing-color (mex) has no candidate explosion: `used`
-    holds DISTINCT neighbor colors (≤ colors assigned so far, never
-    O(neighbors)), and the least value of sequence(0, size(used)) absent
-    from the set is the mex by pigeonhole — a hub with 10⁸ colored
-    neighbors still aggregates to one small array row.
+    * ONE STATE FRAME holds everything: a row per directed adjacency
+      pair of a STILL-UNCOLORED vertex `a`, carrying either the
+      neighbor's priority (neighbor uncolored) or its color (neighbor
+      colored; prio_b nulled).  One exchange-free aggregation per round
+      computes BOTH the frontier condition (min uncolored-neighbor
+      priority) and the mex input (distinct neighbor colors); one
+      rewrite per round removes picked vertices' rows and converts
+      their neighbors' rows to color rows.  Two eager jobs per round,
+      and the rewrite's count doubles as an EXACT termination probe.
+    * Exchange-free: the state is hash-partitioned on `a` once and kept
+      partitioned through a PERSIST chain (broadcast joins and
+      projections preserve partitioning, so the per-round groupBy has
+      no Exchange — localCheckpoint would drop partitioning at the
+      Catalyst level and reshuffle ~m wide rows every round, measured
+      5-10s/round at sf1).  Every 8th round the state is
+      repartition + localCheckpoint'ed instead: persist does NOT cut
+      lineage, and an unbounded plan chain blows up tree
+      stringification (measured); the periodic checkpoint bounds plan
+      depth at the cost of one amortized shuffle of the SHRINKING
+      state.
+    * The state shrinks geometrically (rows leave when their vertex
+      colors), so late rounds are ~0.3s; priorities are stored only for
+      uncolored neighbors and `a`'s own priority is recomputed from the
+      group key post-aggregation (group-sized, not edge-sized).
+
+    Never-wrong contract unchanged: raises if state rows remain after
+    max_rounds.  The smallest-missing-color (mex) has no candidate
+    explosion: `used` holds DISTINCT neighbor colors (≤ colors assigned
+    so far, never O(neighbors)), and the least value of
+    sequence(0, size(used)) absent from the set is the mex by
+    pigeonhole — a hub with 10⁸ colored neighbors still aggregates to
+    one small array row.
 
     Returns (id, color), color ∈ {0, 1, ...} dense from 0."""
     und = _undirected_simple(edges)
-    prio = F.concat_ws(
-        ":", F.md5(F.col("id").cast("string")),
-        F.lpad(F.col("id").cast("string"), 12, "0"))
-    prio_b = F.concat_ws(
-        ":", F.md5(F.col("b").cast("string")),
-        F.lpad(F.col("b").cast("string"), 12, "0"))
-    # live uncolored-only adjacency, neighbor priority riding along so no
-    # round re-joins for it
-    live = _ckpt_fresh(
-        und.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionByName(und.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .withColumn("prio_b", prio_b)
-    )
-    uncolored = _ckpt_fresh(
-        live.select(F.col("a").alias("id")).distinct().withColumn("prio", prio))
+
+    def _prio(c: Column) -> Column:
+        return F.concat_ws(":", F.md5(c.cast("string")),
+                           F.lpad(c.cast("string"), 12, "0"))
+
+    both = (und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionByName(und.select(F.col("v").alias("a"),
+                                    F.col("u").alias("b"))))
+    state = (both.repartition("a")
+             .withColumn("prio_b", _prio(F.col("b")))
+             .withColumn("color", F.lit(None).cast("int"))).persist()
+    n_rows = state.count()
     spark = edges.sparkSession
     colored_legs: list[DataFrame] = []
-    palette = spark.createDataFrame([], "id long, color int")
-    done = False
-    for t in range(1, max_rounds + 1):
-        mn = (live.groupBy(F.col("a").alias("id"))
-              .agg(F.min("prio_b").alias("mn")))
-        # frontier: no live row (all neighbors colored) or local minimum;
-        # mex comes from the accumulated palette (colored-neighbor colors)
-        cand = (uncolored.join(mn, "id", "left")
-                .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
-                .select("id"))
-        used = (cand.join(palette, "id")
-                .groupBy("id").agg(F.collect_set("color").alias("used")))
-        pick = _ckpt_fresh(
-            cand.join(used, "id", "left")
-            .withColumn("u", F.expr(
-                "coalesce(used, CAST(array() AS ARRAY<INT>))"))
-            .select("id", F.expr(
-                "CAST(array_min(filter(sequence(0, size(u)), "
-                "c -> NOT array_contains(u, c))) AS INT)").alias("color"))
-        )
-        colored_legs.append(pick)
-        # deliveries: every picked b hands its color to its still-live
-        # neighbors a (a ∈ pick is impossible — adjacent local minima)
-        delta = _ckpt_fresh(
-            live.join(pick.select(F.col("id").alias("b"), "color"), "b")
-            .select(F.col("a").alias("id"), "color"))
-        palette = palette.unionByName(delta)
-        uncolored = _ckpt_fresh(uncolored.join(pick, "id", "left_anti"))
-        live = _ckpt_fresh(
-            live.join(pick.select(F.col("id").alias("a")), "a", "left_anti")
-            .join(pick.select(F.col("id").alias("b")), "b", "left_anti"))
-        if t % 8 == 0:
-            palette = _ckpt_fresh(palette)
-        if (t % 3 == 0 or t == max_rounds) and uncolored.isEmpty():
-            done = True
-            break
-    if not done and not uncolored.isEmpty():
-        raise RuntimeError(
-            f"greedy_coloring: uncolored vertices after {max_rounds} rounds")
-    colored = spark.createDataFrame([], "id long, color int")
+    prev = state
+    try:
+        for t in range(1, max_rounds + 1):
+            if n_rows == 0:
+                break
+            agg = (state.groupBy("a")
+                   .agg(F.min("prio_b").alias("mn"),
+                        F.collect_set("color").alias("used")))
+            pick = _ckpt_fresh(
+                agg.filter(F.col("mn").isNull()
+                           | (_prio(F.col("a")) < F.col("mn")))
+                .select(F.col("a").alias("id"), F.expr(
+                    "CAST(array_min(filter(sequence(0, size(used)), "
+                    "c -> NOT array_contains(used, c))) AS INT)")
+                    .alias("color")))
+            colored_legs.append(pick)
+            nstate = (
+                state.join(pick.select(F.col("id").alias("a")), "a",
+                           "left_anti")
+                .join(pick.select(F.col("id").alias("b"),
+                                  F.col("color").alias("nc")), "b", "left")
+                .select("a", "b",
+                        F.when(F.col("nc").isNotNull(),
+                               F.lit(None).cast("string"))
+                        .otherwise(F.col("prio_b")).alias("prio_b"),
+                        F.coalesce("nc", "color").alias("color")))
+            if t % 8 == 0:
+                nstate = nstate.repartition("a").localCheckpoint(eager=True)
+            else:
+                nstate = nstate.persist()
+            n_rows = nstate.count()
+            prev.unpersist(True)
+            prev = state = nstate
+        if n_rows != 0:
+            raise RuntimeError(
+                f"greedy_coloring: uncolored vertices after "
+                f"{max_rounds} rounds")
+    finally:
+        prev.unpersist(True)
+    out = spark.createDataFrame([], "id long, color int")
     for leg in colored_legs:
-        colored = colored.unionByName(leg)
-    return colored
+        out = out.unionByName(leg)
+    return out
 
 
 def node2vec_walks(edges: DataFrame, start_ids: list[int], length: int,
