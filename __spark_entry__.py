@@ -3895,6 +3895,18 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
     gif_frames = [((p * 5 + f * 9 + 2) % 256).astype(np.uint8).reshape(6, 5)
                   for f in range(3)]
     rows.append((400, bytearray(encode_gif(gif_frames, pal))))
+    # JPEG: the REAL entropy-coded path (r9) — block-constant grayscale
+    # mosaics are DC-only in DCT space, so the all-ones-quant round trip is
+    # BIT-EXACT (Huffman + DPCM + stuffing all exercised) and the oracle
+    # recomputes luma from the block formula with no decoder; 501 also
+    # exercises the non-multiple-of-8 edge-replication padding path.
+    from hugegraph_on_tikv_spark.functions.multimodal import encode_jpeg
+    ones = np.ones((8, 8), dtype=np.int64)
+    for mid, (h, w, per_row, mul, add) in ((500, (16, 24, 3, 40, 23)),
+                                           (501, (11, 13, 2, 60, 17))):
+        r, c = np.mgrid[0:h, 0:w]
+        gray = (((r // 8) * per_row + (c // 8)) * mul + add).astype(np.uint8)
+        rows.append((mid, bytearray(encode_jpeg(gray, quant_luma=ones))))
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     vf = video_frame_stats(media).select(
         F.lit("video").alias("kind"), "media_id", "frame",
@@ -4010,6 +4022,29 @@ _register(
       UNION ALL
       SELECT 'imagedim', CAST(301 AS BIGINT), CAST(-1 AS INTEGER),
              CAST(4 AS BIGINT), CAST(9 AS BIGINT), CAST(36 AS BIGINT)
+    ),
+    jpeg_imgs(id, h, w, pr, mul, ad) AS (
+      VALUES (500, 16, 24, 3, 40, 23), (501, 11, 13, 2, 60, 17)
+    ),
+    jpeg_px AS (
+      SELECT id,
+             ((((t.range // w) // 8) * pr + ((t.range % w) // 8)) * mul + ad)
+               % 256 AS luma
+      FROM jpeg_imgs, range(384) t WHERE t.range < h * w
+    ),
+    jpeg_rows AS (
+      SELECT 'image' AS kind, CAST(id AS BIGINT) AS media_id,
+             CAST(-1 AS INTEGER) AS frame,
+             CAST(SUM(luma) AS BIGINT) AS v1,
+             CAST(MIN(luma) AS BIGINT) AS v2,
+             CAST(MAX(luma) AS BIGINT) AS v3
+      FROM jpeg_px GROUP BY id
+    ),
+    jpeg_dims AS (
+      SELECT 'imagedim' AS kind, CAST(id AS BIGINT) AS media_id,
+             CAST(-1 AS INTEGER) AS frame, CAST(w AS BIGINT) AS v1,
+             CAST(h AS BIGINT) AS v2, CAST(h * w AS BIGINT) AS v3
+      FROM jpeg_imgs
     )
     SELECT * FROM audio_rows
     UNION ALL SELECT * FROM image_rows
@@ -4017,6 +4052,8 @@ _register(
     UNION ALL SELECT * FROM png_rows
     UNION ALL SELECT * FROM png_dims
     UNION ALL SELECT * FROM gif_rows
+    UNION ALL SELECT * FROM jpeg_rows
+    UNION ALL SELECT * FROM jpeg_dims
     """,
 )
 

@@ -592,6 +592,490 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
+# -- baseline JPEG (ITU-T T.81) — REAL entropy-coded codec, pure NumPy ------
+#
+# A from-scratch baseline sequential JFIF encoder/decoder: 8×8 FDCT/IDCT,
+# quantization, zigzag, DC DPCM, run-length AC, canonical Huffman coding
+# with 0xFF byte stuffing.  Both Huffman and quantization tables ride in
+# the file (DHT/DQT), read back by the decoder — the codec is fully
+# self-describing.  Grayscale (1 component) and 4:4:4 YCbCr color
+# (3 components) are supported; progressive/arithmetic/subsampled variants
+# raise NotImplementedError (strict variant guards, like decode_png).
+#
+# Bit-exactness contract for fixtures: an image that is CONSTANT on every
+# 8×8 block has a DC-only DCT (AC exactly 0; float64 residue ~1e-13 rounds
+# away), so with an all-ones quantization table the grayscale round-trip
+# is BIT-EXACT — the pixel-formula oracle pattern used for BMP/PNG/GIF
+# extends to an entropy-coded format.  Arbitrary images follow the normal
+# lossy path (standard Annex-K tables), pinned by PSNR bounds in pytest.
+
+_JPEG_QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+
+_JPEG_QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.int64)
+
+# Annex-K "typical" Huffman tables: (BITS[1..16], HUFFVAL).  The encoder
+# defaults to these; the decoder reads whatever DHT carries.
+_JPEG_HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                      list(range(12)))
+_JPEG_HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                        list(range(12)))
+_JPEG_HUFF_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_JPEG_HUFF_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+for _bits, _vals in (_JPEG_HUFF_DC_LUMA, _JPEG_HUFF_DC_CHROMA,
+                     _JPEG_HUFF_AC_LUMA, _JPEG_HUFF_AC_CHROMA):
+    assert sum(_bits) == len(_vals), "JPEG Huffman table shape mismatch"
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """Zigzag scan order: position k holds the natural (row-major) index of
+    the k-th zigzag coefficient.  Generated, not transcribed."""
+    order = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]                  # even diagonals run upward
+        order += [r * 8 + c for r, c in diag]
+    return np.array(order, dtype=np.int64)
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+# Orthonormal 8-point DCT-II matrix: coef = D @ block @ D.T (float64).
+_JPEG_DCT = np.array(
+    [[(np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+      * np.cos((2 * x + 1) * u * np.pi / 16)
+      for x in range(8)] for u in range(8)], dtype=np.float64)
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): val -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman decode map: (length, code) -> val."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)   # 1-fill pad (spec padding)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over a DESTUFFED entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, length: int) -> int:
+        while self.nbits < length:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= length
+        v = (self.acc >> self.nbits) & ((1 << length) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_encode_block(w: _JpegBitWriter, coefs: np.ndarray, pred: int,
+                       dc_tab: dict, ac_tab: dict) -> int:
+    """Huffman-encode one quantized block (zigzag order); returns new DC
+    predictor."""
+    dc = int(coefs[0])
+    diff = dc - pred
+    cat = _jpeg_category(diff)
+    code, ln = dc_tab[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tab[0xF0]            # ZRL
+            w.write(code, ln)
+            run -= 16
+        cat = _jpeg_category(v)
+        code, ln = ac_tab[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if run:
+        code, ln = ac_tab[0x00]                # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _jpeg_component_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one sample plane (already padded to 8-multiples):
+    returns (n_blocks_y, n_blocks_x, 64) int32 quantized zigzag coefs."""
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    blocks = shifted.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    # (by, bx, 8, 8) -> D @ B @ D.T batched
+    coefs = np.einsum("ui,yxij,vj->yxuv", _JPEG_DCT, blocks, _JPEG_DCT)
+    q = np.rint(coefs / quant.astype(np.float64)).astype(np.int32)
+    return q.reshape(q.shape[0], q.shape[1], 64)[:, :, _JPEG_ZZ]
+
+
+def _pad_to_8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, (-h) % 8), (0, (-w) % 8)), mode="edge")
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF RGB -> YCbCr (float64, rounded to uint8)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+
+
+def _jpeg_segment(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg(img: np.ndarray, quant_luma: np.ndarray | None = None,
+                quant_chroma: np.ndarray | None = None) -> bytes:
+    """Baseline sequential JFIF encoder (pure NumPy, real Huffman + DCT).
+
+    `img` is (H, W) uint8 grayscale (1-component JPEG) or (H, W, 3) uint8
+    RGB (4:4:4 YCbCr, no subsampling).  Quantization tables default to the
+    Annex-K typical tables; pass all-ones tables for the bit-exact
+    block-constant fixture path.  Tables are written to DQT/DHT, so any
+    valid table choice round-trips through decode_jpeg."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    ql = (np.asarray(quant_luma, dtype=np.int64)
+          if quant_luma is not None else _JPEG_QUANT_LUMA)
+    qc = (np.asarray(quant_chroma, dtype=np.int64)
+          if quant_chroma is not None else
+          (ql if quant_luma is not None else _JPEG_QUANT_CHROMA))
+    if ql.shape != (8, 8) or qc.shape != (8, 8) \
+            or (ql < 1).any() or (qc < 1).any() \
+            or (ql > 255).any() or (qc > 255).any():
+        raise ValueError("JPEG quant tables must be 8x8 in [1, 255]")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if gray:
+        planes = [_pad_to_8(img)]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [_pad_to_8(ycc[..., i].astype(np.uint8)) for i in range(3)]
+
+    out = bytearray(b"\xff\xd8")               # SOI
+    out += _jpeg_segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_segment(0xDB, bytes([0x00]) + bytes(
+        ql.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
+    if not gray:
+        out += _jpeg_segment(0xDB, bytes([0x01]) + bytes(
+            qc.reshape(64)[_JPEG_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += _jpeg_segment(0xC0, bytes(sof))     # SOF0 = baseline
+    for cls, tid, (bits, vals) in (
+            (0, 0, _JPEG_HUFF_DC_LUMA), (1, 0, _JPEG_HUFF_AC_LUMA),
+            (0, 1, _JPEG_HUFF_DC_CHROMA), (1, 1, _JPEG_HUFF_AC_CHROMA)):
+        if gray and tid == 1:
+            continue
+        out += _jpeg_segment(0xC4, bytes([(cls << 4) | tid])
+                             + bytes(bits) + bytes(vals))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += b"\x00\x3f\x00"                     # Ss, Se, AhAl
+    out += _jpeg_segment(0xDA, bytes(sos))
+
+    dc_lum = _huff_encode_table(*_JPEG_HUFF_DC_LUMA)
+    ac_lum = _huff_encode_table(*_JPEG_HUFF_AC_LUMA)
+    dc_chr = _huff_encode_table(*_JPEG_HUFF_DC_CHROMA)
+    ac_chr = _huff_encode_table(*_JPEG_HUFF_AC_CHROMA)
+    quants = [ql] + [qc] * (ncomp - 1)
+    coefs = [_jpeg_component_blocks(p, q) for p, q in zip(planes, quants)]
+    writer = _JpegBitWriter()
+    preds = [0] * ncomp
+    nby, nbx = coefs[0].shape[:2]
+    for by in range(nby):                      # interleaved 4:4:4 MCUs
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                dc_t = dc_lum if ci == 0 else dc_chr
+                ac_t = ac_lum if ci == 0 else ac_chr
+                preds[ci] = _jpeg_encode_block(
+                    writer, coefs[ci][by, bx], preds[ci], dc_t, ac_t)
+    out += writer.flush()
+    out += b"\xff\xd9"                         # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JFIF payload to (H, W, 3) uint8 RGB
+    (grayscale replicated across channels, like decode_png's gray path).
+    Huffman and quantization tables are read from the file's DHT/DQT.
+    Progressive (SOF2), arithmetic (SOF9+), subsampled chroma, 16-bit
+    quant tables and restart intervals raise NotImplementedError — strict
+    variant guards, mirroring decode_png."""
+    b = bytes(payload)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int]] = []     # (id, sampling, quant_id)
+    h = w = 0
+    scan: list[tuple[int, int, int]] = []      # (comp_idx, dc_id, ac_id)
+    data_start = -1
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", b, pos + 2)[0]
+        body = b[pos + 4: pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                if body[i] >> 4 != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                if i + 65 > len(body):
+                    raise ValueError("truncated JPEG DQT segment")
+                quant[body[i] & 0x0F] = np.frombuffer(
+                    body, np.uint8, 64, i + 1).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                tc_th = body[i]
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("truncated JPEG DHT segment")
+                vals = list(body[i + 17: i + 17 + n])
+                huff[(tc_th >> 4, tc_th & 0x0F)] = _huff_decode_table(
+                    bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            _prec, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            for ci in range(nf):
+                cid, samp, qid = body[6 + 3 * ci: 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (only 4:4:4 supported)")
+                comps.append((cid, samp, qid))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0/SOF1) supported")
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDA:
+            if not body:
+                raise ValueError("truncated JPEG SOS segment")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS segment")
+            ids = [c[0] for c in comps]
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                scan.append((ids.index(cid), tabs >> 4, tabs & 0x0F))
+            data_start = pos
+            break
+    if not comps or data_start < 0 or h == 0 or w == 0:
+        raise ValueError("JPEG missing SOF/SOS")
+    if len(scan) not in (1, 3):
+        raise NotImplementedError("unsupported JPEG component count")
+
+    # destuff entropy segment up to EOI
+    raw = bytearray()
+    i = data_start
+    while i < len(b):
+        byte = b[i]
+        if byte == 0xFF:
+            nxt = b[i + 1] if i + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise NotImplementedError(
+                    "JPEG restart markers not supported")
+            break                              # EOI or next marker
+        raw.append(byte)
+        i += 1
+    reader = _JpegBitReader(bytes(raw))
+    nby, nbx = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+              for _ in scan]
+    preds = [0] * len(scan)
+    for by in range(nby):
+        for bx in range(nbx):
+            for si, (ci, dc_id, ac_id) in enumerate(scan):
+                dc_tab = huff.get((0, dc_id))
+                ac_tab = huff.get((1, ac_id))
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                zz = np.zeros(64, dtype=np.int64)
+                cat = reader.read_huff(dc_tab)
+                if cat > 15:
+                    raise ValueError("corrupt JPEG DC category")
+                diff = 0
+                if cat:
+                    v = reader.read(cat)
+                    diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                preds[si] += diff
+                zz[0] = preds[si]
+                k = 1
+                while k < 64:
+                    sym = reader.read_huff(ac_tab)
+                    if sym == 0x00:            # EOB
+                        break
+                    if sym == 0xF0:            # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    cat = sym & 0x0F
+                    if k > 63 or cat == 0:
+                        raise ValueError("corrupt JPEG AC run")
+                    v = reader.read(cat)
+                    zz[k] = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                    k += 1
+                qt = quant.get(comps[ci][2])
+                if qt is None:
+                    raise ValueError("JPEG scan references missing DQT")
+                nat = np.zeros(64, dtype=np.float64)
+                nat[_JPEG_ZZ] = (zz * qt).astype(np.float64)
+                block = nat.reshape(8, 8)
+                pix = _JPEG_DCT.T @ block @ _JPEG_DCT + 128.0
+                planes[si][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
+    planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
 def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
     """Deterministic integer luma: (299R + 587G + 114B) // 1000 — exact
     integer arithmetic, bit-identical across engines/platforms."""
@@ -603,9 +1087,9 @@ def _rgb_to_gray(rgb: np.ndarray) -> np.ndarray:
 
 def decode_media(payload: bytes):
     """Magic-byte dispatcher for the REAL decode path: returns
-    ('image', (H,W,3) uint8) for BMP/PPM/PNG, ('audio', (n,ch) int16) for
-    PCM16 WAV; raises NotImplementedError for codec formats that genuinely
-    need an external library (JPEG/MP3/H.264/...)."""
+    ('image', (H,W,3) uint8) for BMP/PPM/PNG/baseline-JPEG, ('audio',
+    (n,ch) int16) for PCM16 WAV; raises NotImplementedError for codec
+    formats that genuinely need an external library (MP3/H.264/...)."""
     b = bytes(payload)
     if b[:2] == b"BM":
         return "image", decode_bmp(b)
@@ -613,13 +1097,15 @@ def decode_media(payload: bytes):
         return "image", decode_ppm(b)
     if b[:8] == PNG_SIG:
         return "image", decode_png(b)
+    if b[:3] == b"\xff\xd8\xff":
+        return "image", decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "video", np.stack(decode_gif(b))    # (n_frames, H, W, 3)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio", decode_wav(b)[0]
     raise NotImplementedError(
         "codec formats need an external decoder (PIL/ffmpeg); only "
-        "BMP/PPM/PNG/GIF/WAV decode codec-free")
+        "BMP/PPM/PNG/GIF/WAV/baseline-JPEG decode codec-free")
 
 
 def _sniff_real(payload: bytes) -> bool:
@@ -634,6 +1120,8 @@ def _sniff_real(payload: bytes) -> bool:
     if b[:2] == b"P6" and len(b) > 2 and b[2:3].isspace():
         return True
     if b[:8] == PNG_SIG:
+        return True
+    if b[:3] == b"\xff\xd8\xff":               # SOI + first marker prefix
         return True
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return True

@@ -116,7 +116,11 @@ def test_decode_media_dispatch_and_codec_gate():
     kind, arr = decode_media(encode_wav(np.array([5, 6], dtype=np.int16)))
     assert kind == "audio" and arr.shape == (2, 1)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 32)   # JPEG/JFIF
+        decode_media(b"ID3\x04\x00" + b"\x00" * 32)        # MP3 stays gated
+    # JPEG now decodes for real — a JFIF prefix with garbage structure is a
+    # ValueError (corrupt), not the NotImplementedError codec gate
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def test_decode_pixels_seam_real_vs_stub():
@@ -556,3 +560,136 @@ def test_image_dhash_gif_cross_container(spark):
     media2 = spark.createDataFrame(
         [(3, bytearray(b"\x00" * 64))], "media_id long, payload binary")
     assert image_dhash(media2).count() == 0
+
+
+# -- baseline JPEG: the REAL entropy-coded codec (round 9) -------------------
+
+
+def _block_mosaic(h: int, w: int, mul: int = 40, add: int = 23,
+                  per_row: int = 3) -> np.ndarray:
+    """Grayscale image constant on every 8x8 block of the PADDED grid —
+    DC-only DCT, so the all-ones-quant JPEG round trip is bit-exact."""
+    r, c = np.mgrid[0:h, 0:w]
+    return (((r // 8) * per_row + (c // 8)) * mul + add).astype(np.uint8)
+
+
+def test_jpeg_bit_exact_on_block_constant_mosaics():
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    for h, w in ((16, 24), (11, 13), (8, 8), (1, 1), (7, 30)):
+        gray = _block_mosaic(h, w)
+        out = decode_jpeg(encode_jpeg(gray, quant_luma=ones))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, np.repeat(gray[..., None], 3, axis=-1))
+
+
+def test_jpeg_entropy_coding_is_real():
+    """The payload is genuinely entropy-coded: Huffman-compressed mosaics
+    beat raw size, byte stuffing appears on 0xFF-producing content, and
+    the stream survives a destuff/re-decode."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    y, x = np.mgrid[0:64, 0:64]
+    smooth = (128 + 60 * np.sin(x / 10.0) * np.cos(y / 12.0)).astype(np.uint8)
+    p = encode_jpeg(smooth)
+    assert len(p) < smooth.size // 2          # real compression
+    back = decode_jpeg(p)[..., 0].astype(np.float64)
+    mse = ((back - smooth.astype(np.float64)) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 35.0
+    # stuffing: some fixture in this family produces 0xFF entropy bytes
+    rng = np.random.RandomState(7)
+    seen_stuffed = False
+    for _ in range(20):
+        img = rng.randint(0, 256, size=(24, 24)).astype(np.uint8)
+        q = encode_jpeg(img)
+        seen_stuffed |= b"\xff\x00" in q[20:]
+        assert decode_jpeg(q).shape == (24, 24, 3)
+    assert seen_stuffed
+
+
+def test_jpeg_color_round_trip_lossy_bounds():
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_jpeg, encode_jpeg)
+
+    y, x = np.mgrid[0:24, 0:40]
+    rgb = np.stack([(y * 4 + 8) % 256, (x * 3 + 50) % 256,
+                    ((x + y) * 2 + 100) % 256], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert out.shape == rgb.shape
+    mse = ((out.astype(np.float64) - rgb.astype(np.float64)) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 28.0
+    # deterministic across encodes
+    assert encode_jpeg(rgb) == encode_jpeg(rgb)
+
+
+def test_jpeg_variant_guards_and_fuzz_contract():
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _DECODE_ERRORS, decode_jpeg, encode_jpeg)
+
+    p = encode_jpeg(_block_mosaic(8, 16))
+    # progressive SOF2 -> NotImplementedError
+    bad = bytearray(p)
+    i = bad.find(b"\xff\xc0")
+    bad[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    # every truncation / byte corruption fails inside _DECODE_ERRORS
+    for n in range(2, len(p), 5):
+        try:
+            decode_jpeg(p[:n])
+        except _DECODE_ERRORS:
+            pass
+    for i in range(2, len(p), 7):
+        q = bytearray(p)
+        q[i] ^= 0xFF
+        try:
+            decode_jpeg(bytes(q))
+        except _DECODE_ERRORS:
+            pass
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+
+
+def test_jpeg_dispatch_image_stats_formula(spark):
+    """decode_media routes JPEG; image_stats over the bit-exact mosaic
+    reproduces the generating integer formula (luma of replicated gray g
+    is exactly g) — the roster-oracle contract."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _sniff_real, decode_media, encode_jpeg, image_stats)
+
+    gray = _block_mosaic(16, 24)
+    p = encode_jpeg(gray, quant_luma=np.ones((8, 8), dtype=np.int64))
+    assert _sniff_real(p)
+    kind, arr = decode_media(p)
+    assert kind == "image" and arr.shape == (16, 24, 3)
+    media = spark.createDataFrame([(600, bytearray(p))],
+                                  "media_id long, payload binary")
+    row = image_stats(media).collect()[0]
+    g = gray.astype(np.int64)
+    assert (row["width"], row["height"]) == (24, 16)
+    assert row["sum_luma"] == int(g.sum())
+    assert row["min_luma"] == int(g.min())
+    assert row["max_luma"] == int(g.max())
+
+
+def test_jpeg_dhash_cross_container_bytes_miss(spark):
+    """A grayscale JPEG of the same pixels as an RGB-replicated BMP: byte
+    dedup misses (disjoint containers), perceptual dHash lands hamming 0 —
+    the entropy-coded twin of the BMP/PNG planted pair."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        encode_bmp, encode_jpeg, image_near_pairs, media_exact_dup_groups)
+
+    gray = _block_mosaic(11, 13, mul=60, add=17, per_row=2)
+    rgb = np.repeat(gray[..., None], 3, axis=-1)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(rgb))),
+         (2, bytearray(encode_jpeg(gray,
+                                   quant_luma=np.ones((8, 8), np.int64))))],
+        "media_id long, payload binary")
+    assert media_exact_dup_groups(media).count() == 0
+    got = {(r["media_a"], r["media_b"]): r["hamming"]
+           for r in image_near_pairs(media, max_hamming=6).collect()}
+    assert got == {(1, 2): 0}
