@@ -2896,6 +2896,42 @@ _register(
     """,
 )
 
+# -- fixed-segment (paragraph/line) exact dedup (functions/dedup.py
+#    segment_dedup): the C4/MassiveText sub-document rung — non-overlapping
+#    8-word chunks, first occurrence (min (doc_id, seg_idx)) wins across the
+#    corpus, documents rebuilt from surviving chunks.  The oracle replays
+#    segmentation (1-based DuckDB list slices), the row_number winner rule
+#    and the ordered rebuild; rebuilt text value-checks via md5.
+
+_register(
+    "dedup_segments",
+    lambda spark, sf: dedup.segment_dedup(
+        load_table(spark, sf, "documents").select("doc_id", "text"),
+        seg_words=8),
+    """
+    WITH ws AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), segs AS (
+      SELECT doc_id, CAST(t.g AS INTEGER) AS seg_idx,
+             array_to_string(w[CAST(t.g * 8 + 1 AS BIGINT)
+                              :CAST(t.g * 8 + 8 AS BIGINT)], ' ') AS seg
+      FROM ws, unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) t(g)
+    ), rk AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END,
+                               ' ' ORDER BY seg_idx), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped
+    FROM rk GROUP BY doc_id
+    """,
+)
+
 _register(
     "dedup_ngram_jaccard",
     lambda spark, sf: dedup.ngram_jaccard_pairs(
@@ -9119,6 +9155,14 @@ _compose("dedup_exact_canonical", [
       "CAST(cluster_id AS DOUBLE) AS n_docs", "doc_id AS id"],
      "'cluster_split' AS tag, split AS fp, "
      "CAST(cluster_id AS DOUBLE) AS n_docs, doc_id AS id"),
+    # fixed-segment (C4/MassiveText) sub-document dedup: rebuilt text
+    # value-checks via md5-in-tag, fp carries n_segs, n_docs the drop count
+    ("dedup_segments",
+     ["concat('segdedup_', md5(text)) AS tag",
+      "CAST(n_segs AS STRING) AS fp",
+      "CAST(n_dropped AS DOUBLE) AS n_docs", "doc_id AS id"],
+     "'segdedup_' || md5(text) AS tag, CAST(n_segs AS VARCHAR) AS fp, "
+     "CAST(n_dropped AS DOUBLE) AS n_docs, doc_id AS id"),
 ])
 
 _compose("dedup_pairs", [

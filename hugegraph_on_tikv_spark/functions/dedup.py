@@ -1034,3 +1034,64 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 8,
                     .otherwise(F.col("_orig")).alias("text"),
                     F.coalesce(F.col("n_removed_tokens"), F.lit(0))
                     .cast("long").alias("n_removed_tokens")))
+
+
+# -- fixed-segment (paragraph/line) exact dedup ------------------------------
+
+def segment_dedup(docs: DataFrame, seg_words: int = 8,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cross-document SEGMENT-level exact dedup — the C4 / MassiveText rung
+    of the dedup ladder (C4 dedupes three-sentence spans, MassiveText
+    repeated lines; this corpus has no sentence or line boundaries, so the
+    deterministic unit is the non-overlapping `seg_words`-word chunk).
+
+    Every document is cut into fixed chunks; for each distinct chunk text
+    the FIRST occurrence (min (doc_id, seg_idx)) survives and every other
+    occurrence — across documents AND within one — is removed; each
+    document's text is rebuilt from its surviving chunks in order (a fully
+    duplicated document rebuilds to '').  Complements
+    remove_duplicated_spans (Lee et al.): spans catch shared substrings at
+    ARBITRARY offsets via an n-gram fingerprint join; segment dedup is the
+    cheaper fixed-segmentation pass — one md5 groupBy over O(corpus/k)
+    chunk rows, no positioned-gram explosion.
+
+    Scale shape (100 TB): segments are one explode (bounded by input size),
+    the winner election is a map-side-combinable groupBy on a 32-char md5,
+    the keep test one equi-join back on that key (hot boilerplate chunks
+    skew the probe side only — the build row per key is unique), and the
+    rebuild one per-doc aggregation.  No all-pairs anywhere.
+
+    Returns (id_col, text (rebuilt), n_segs, n_dropped).
+    """
+    if seg_words < 1:
+        raise ValueError("seg_words must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * seg_words + 1, seg_words), " "))
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(seg_arr).alias("seg_idx", "seg"),
+    ).withColumn("h", F.md5("seg"))
+    winners = segs.groupBy("h").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("w"))
+    flagged = segs.join(winners, "h").withColumn(
+        "keep", (F.col(f"w.{id_col}") == F.col(id_col))
+        & (F.col("w.seg_idx") == F.col("seg_idx")))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("keep"),
+                               F.struct("seg_idx", "seg")))),
+                    lambda s: s["seg"]),
+                " ").alias(text_col),
+        )
+        .select(id_col, text_col, "n_segs", "n_dropped")
+    )

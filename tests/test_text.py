@@ -792,3 +792,34 @@ def test_bloom_k_validation(spark):
         contamination_report(df, df, n=2, mode="bloom", bloom_k=5)
     with pytest.raises(ValueError, match="mode"):
         contamination_report(df, df, n=2, mode="wat")
+
+
+def test_segment_dedup_semantics(spark):
+    """Fixed 8-word segment dedup (C4/MassiveText rung): first occurrence
+    by (doc_id, seg_idx) wins globally, within-doc repeats drop too, fully
+    duplicated docs rebuild to '', short tails are their own segment."""
+    from hugegraph_on_tikv_spark.functions.dedup import segment_dedup
+
+    seg0 = " ".join(f"s{i}" for i in range(8))
+    segx = " ".join(f"x{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, f"{seg0} tail one"),               # seg0 + 2-word tail
+         (2, f"{seg0} {segx}"),                 # seg0 drops, segx survives
+         (3, seg0),                             # fully duplicated -> ''
+         (4, f"{segx} {segx}")],                # within-doc repeat drops
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_segs"], r["n_dropped"])
+           for r in segment_dedup(docs, seg_words=8).collect()}
+    assert got[1] == (f"{seg0} tail one", 2, 0)
+    assert got[2] == (segx, 2, 1)
+    assert got[3] == ("", 1, 1)
+    assert got[4] == ("", 2, 2)   # doc 2's segx occurrence precedes both
+    # determinism / rebuild-order: a longer doc keeps segment order
+    long = " ".join(f"w{i}" for i in range(20))
+    one = spark.createDataFrame([(9, long)], "doc_id long, text string")
+    row = segment_dedup(one, seg_words=8).collect()[0]
+    assert row["text"] == long and row["n_segs"] == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        segment_dedup(docs, seg_words=0)
