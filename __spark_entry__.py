@@ -3907,6 +3907,16 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
         j = np.arange(n, dtype=np.int64)
         s = ((j * (3 + 2 * i) + i) % 19) * 50 - 450
         rows.append((100 + i, bytearray(encode_wav(s.astype(np.int16)))))
+    # IMA ADPCM (r9): REAL compressed audio — 4-bit adaptive-differential
+    # blocks (3 blocks: two full + one padded partial, fact-chunk crop).
+    # The codec is lossy but an EXACT integer state machine, so the oracle
+    # replays encoder+decoder per sample with a recursive CTE and the
+    # frame stats hash-match certifies the whole encode → decode path.
+    from hugegraph_on_tikv_spark.functions.multimodal import encode_wav_adpcm
+    j = np.arange(2200, dtype=np.int64)
+    s = ((j * 7 + 3) % 23) * 120 - 1300
+    rows.append((102, bytearray(encode_wav_adpcm(s.astype(np.int16),
+                                                 block_samples=1017))))
     for i, (h, w) in ((0, (5, 7)), (1, (6, 6))):
         t = np.arange(h * w * 3, dtype=np.int64)
         rgb = ((t * 37 + 11 + i) % 256).astype(np.uint8).reshape(h, w, 3)
@@ -3966,11 +3976,20 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.col("height").cast("long").alias("v2"), F.col("n_pixels").alias("v3"))
     return af.unionByName(im).unionByName(dim).unionByName(vf)
 
+# 89-entry IMA ADPCM step table (shared by the recursive decode replay)
+_IMA_STEPS_SQL = (
+    "7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,66,"
+    "73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,371,"
+    "408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,1552,1707,"
+    "1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,"
+    "7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,20350,"
+    "22385,24623,27086,29794,32767")
+
 _register(
     "mm_real_codec_stats",
     _mm_real_codec_stats,
-    """
-    WITH am(i, n) AS (VALUES (0, 1500), (1, 2200)),
+    f"""
+    WITH RECURSIVE am(i, n) AS (VALUES (0, 1500), (1, 2200)),
     asamp AS (
       SELECT am.i, t.range AS j,
              ((t.range * (3 + 2 * am.i) + am.i) % 19) * 50 - 450 AS s
@@ -4081,8 +4100,62 @@ _register(
              CAST(-1 AS INTEGER) AS frame, CAST(w AS BIGINT) AS v1,
              CAST(h AS BIGINT) AS v2, CAST(h * w AS BIGINT) AS v3
       FROM jpeg_imgs
+    ),
+    adsig AS (
+      SELECT CAST(t.range AS BIGINT) AS j,
+             ((t.range * 7 + 3) % 23) * 120 - 1300 AS x
+      FROM range(2200) t
+    ),
+    addec(j, p, idx) AS (
+      SELECT CAST(0 AS BIGINT), (SELECT x FROM adsig WHERE j = 0), 0
+      UNION ALL
+      SELECT s.j,
+        CASE WHEN s.j % 1017 = 0 THEN s.x
+             ELSE greatest(-32768, least(32767,
+                  d.p + CASE WHEN s.x < d.p THEN -l3.vp ELSE l3.vp END))
+        END,
+        CASE WHEN s.j % 1017 = 0 THEN d.idx
+             ELSE greatest(0, least(88,
+                  d.idx + ([-1,-1,-1,-1,2,4,6,8])[l3.n3 + 1]))
+        END
+      FROM addec d
+      JOIN adsig s ON s.j = d.j + 1,
+      LATERAL (SELECT ([{_IMA_STEPS_SQL}])[d.idx + 1] AS step,
+                      abs(s.x - d.p) AS ad) l1,
+      LATERAL (SELECT CASE WHEN l1.ad >= l1.step THEN 1 ELSE 0 END AS b4,
+                      l1.ad - (CASE WHEN l1.ad >= l1.step THEN 1 ELSE 0 END)
+                            * l1.step AS r1) l2,
+      LATERAL (SELECT CASE WHEN l2.r1 >= l1.step // 2 THEN 1 ELSE 0 END AS b2,
+                      l1.step // 8 + l2.b4 * l1.step
+                        + (CASE WHEN l2.r1 >= l1.step // 2 THEN 1 ELSE 0 END)
+                          * (l1.step // 2)
+                        + (CASE WHEN l2.r1 - (CASE WHEN l2.r1 >= l1.step // 2
+                             THEN 1 ELSE 0 END) * (l1.step // 2)
+                             >= l1.step // 4 THEN 1 ELSE 0 END)
+                          * (l1.step // 4) AS vp,
+                      l2.b4 * 4
+                        + (CASE WHEN l2.r1 >= l1.step // 2
+                           THEN 1 ELSE 0 END) * 2
+                        + (CASE WHEN l2.r1 - (CASE WHEN l2.r1 >= l1.step // 2
+                             THEN 1 ELSE 0 END) * (l1.step // 2)
+                             >= l1.step // 4 THEN 1 ELSE 0 END) AS n3) l3
+    ),
+    adframes AS (
+      SELECT j // 1024 AS frame, p,
+             lag(p) OVER (PARTITION BY j // 1024 ORDER BY j) AS ps
+      FROM addec
+    ),
+    adpcm_rows AS (
+      SELECT 'audio' AS kind, CAST(102 AS BIGINT) AS media_id,
+             CAST(frame AS INTEGER) AS frame,
+             CAST(SUM(abs(p)) AS BIGINT) AS v1,
+             CAST(MAX(abs(p)) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN ps IS NOT NULL AND ((p < 0) <> (ps < 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM adframes GROUP BY frame
     )
     SELECT * FROM audio_rows
+    UNION ALL SELECT * FROM adpcm_rows
     UNION ALL SELECT * FROM image_rows
     UNION ALL SELECT * FROM dim_rows
     UNION ALL SELECT * FROM png_rows

@@ -693,3 +693,75 @@ def test_jpeg_dhash_cross_container_bytes_miss(spark):
     got = {(r["media_a"], r["media_b"]): r["hamming"]
            for r in image_near_pairs(media, max_hamming=6).collect()}
     assert got == {(1, 2): 0}
+
+
+# -- IMA ADPCM: REAL compressed audio (round 9) ------------------------------
+
+
+def test_adpcm_round_trip_snr_and_ratio():
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_wav, encode_wav_adpcm)
+
+    t = np.arange(5000)
+    sig = (12000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    p = encode_wav_adpcm(sig)
+    s, rate = decode_wav(p)
+    assert rate == 16000 and s.shape == (5000, 1)
+    err = s[:, 0].astype(np.float64) - sig.astype(np.float64)
+    snr = 10 * np.log10((sig.astype(np.float64) ** 2).mean()
+                        / (err ** 2).mean())
+    assert snr > 25.0                          # real ADPCM quality
+    assert len(p) < sig.nbytes // 3            # real ~4:1 compression
+    assert encode_wav_adpcm(sig) == p          # deterministic
+    # odd-length tail exercises the padded final nibble + fact-chunk crop
+    s2, _ = decode_wav(encode_wav_adpcm(sig[:2501]))
+    assert s2.shape == (2501, 1)
+
+
+def test_adpcm_state_machine_hand_vector():
+    """Encoder/decoder steps computed by hand.  Block header carries
+    predictor=1000, index=0 (step=7).  Target 1010: diff=10 >= 7 sets 4
+    (rem 3), 3 >= 7>>1=3 sets 2 (rem 0) -> nibble 6, vpdiff = 0+7+3 = 10
+    -> predictor exactly 1010, index += table[6] = +6 (step 13).  Target
+    900: diff=-110 -> 110>=13 (rem 97), 97>=6 (rem 91), 91>=3 -> nibble
+    0xF, vpdiff = 1+13+6+3 = 23 -> predictor 987, index 6+8=14."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _ima_step, decode_wav, encode_wav_adpcm)
+
+    assert _ima_step(1000, 0, 0x6) == (1010, 6)
+    assert _ima_step(1010, 6, 0xF) == (987, 14)
+    assert _ima_step(1000, 0, 0x1) == (1001, 0)  # vpdiff 0+1, index clamps
+    sig = np.array([1000, 1010, 900], dtype=np.int16)
+    s, _ = decode_wav(encode_wav_adpcm(sig))
+    assert s[0, 0] == 1000                     # header carries sample 0
+    assert s[1, 0] == 1010                     # exact hit from hand calc
+    assert s[2, 0] == 987                      # 1010 - 23
+
+
+def test_adpcm_dispatch_audio_frames_and_guards(spark):
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _DECODE_ERRORS, _sniff_real, audio_frames, decode_media,
+        decode_wav, encode_wav_adpcm)
+
+    sig = ((np.arange(2500) % 7) * 100 - 300).astype(np.int16)
+    p = encode_wav_adpcm(sig)
+    assert _sniff_real(p)
+    kind, arr = decode_media(p)
+    assert kind == "audio" and arr.shape == (2500, 1)
+    # the Spark stats operator consumes the REAL decoded samples
+    media = spark.createDataFrame([(700, bytearray(p))],
+                                  "media_id long, payload binary")
+    rows = {r["frame"]: r for r in audio_frames(media, 1024).collect()}
+    dec = arr[:, 0].astype(np.int64)
+    for f in (0, 1, 2):
+        fr = dec[f * 1024:(f + 1) * 1024]
+        assert rows[f]["sum_abs"] == int(np.abs(fr).sum())
+        assert rows[f]["max_abs"] == int(np.abs(fr).max())
+    # stereo ADPCM stays gated; corrupt index is a ValueError
+    with pytest.raises(ValueError):
+        encode_wav_adpcm(np.array([], dtype=np.int16))
+    for n in range(2, len(p), 41):
+        try:
+            decode_wav(p[:n])
+        except _DECODE_ERRORS:
+            pass
