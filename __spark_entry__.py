@@ -5703,6 +5703,45 @@ _register(
     _IVF_TOPK_SQL,
 )
 
+# Metadata-FILTERED ANN (r9): same index (centroids trained on the FULL
+# corpus — filter-agnostic), candidates pruned by the predicate before the
+# rerank.  The oracle reuses the identical training replay and adds the
+# predicate to the probe join's candidate side, so a hash match certifies
+# the filter applies post-assignment / pre-rerank, exactly as documented.
+
+_IVF_FILTERED_SQL = f"""
+    WITH {_IVF_TRAIN_CTES}, qa AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_IVF_COS.format(a="e.v", b="c.c")} DESC, c.cell ASC) AS r
+        FROM emb e CROSS JOIN cents1 c
+        WHERE e.vec_id % 50 = 0
+      ) WHERE r <= 4
+    ), scored AS (
+      SELECT DISTINCT qa.query_id, ca.neighbor_id,
+             round({_IVF_COS.format(a="qa.qv", b="ca.cv")}, 6) AS cos_sim
+      FROM ca JOIN qa USING (cell)
+      WHERE qa.query_id <> ca.neighbor_id
+        AND ca.neighbor_id % 7 IN (1, 3)
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER
+        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+_register(
+    "sim_ivf_filtered",
+    lambda spark, sf: similarity.ivf_topk(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=4,
+        corpus_filter=(F.col("vec_id") % 7).isin(1, 3),
+    ),
+    _IVF_FILTERED_SQL,
+)
+
 # Product Quantization + ADC (similarity.pq_topk): like IVF, deterministic
 # end-to-end — seeds = lowest-id vectors' subvectors, exact-integer Lloyd
 # means, (cosine DESC, code ASC) assignment argmax, and ADC partials
@@ -9364,6 +9403,12 @@ _compose("sim_ivf_topk", [
      ["'pq' AS tag", "query_id", "neighbor_id", "adc_score AS score",
       "CAST(rank AS DOUBLE) AS rank"],
      "'pq' AS tag, query_id, neighbor_id, adc_score AS score, "
+     "CAST(rank AS DOUBLE) AS rank"),
+    # metadata-filtered ANN over the SAME index (r9)
+    ("sim_ivf_filtered",
+     ["'ivf_filt' AS tag", "query_id", "neighbor_id", "cos_sim AS score",
+      "CAST(rank AS DOUBLE) AS rank"],
+     "'ivf_filt' AS tag, query_id, neighbor_id, cos_sim AS score, "
      "CAST(rank AS DOUBLE) AS rank"),
 ])
 _compose("i1_splits", [

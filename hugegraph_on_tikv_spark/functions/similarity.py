@@ -615,12 +615,23 @@ def ivf_search_index(spark, path: str, queries: DataFrame, k: int = 5,
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 16,
              n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             refine_iters: int = 1, broadcast_max_queries: int = 1_000_000) -> DataFrame:
+             refine_iters: int = 1, broadcast_max_queries: int = 1_000_000,
+             corpus_filter: Column | None = None) -> DataFrame:
     """IVF-flat ANN: partition the corpus into cells around deterministic,
     Lloyd-refined centroids (see ivf_centroids), probe the n_probe nearest
     cells per query, exact-rerank inside.  The scale path: the corpus is
     stored partitioned by cell, a query touches n_probe/n_cells of the data.
     Recall vs the exact top-k is asserted in tests/test_similarity.py.
+
+    `corpus_filter` is METADATA-FILTERED search (the standard vector-DB
+    feature): centroids still train on the FULL corpus — the index is
+    filter-agnostic, built once and shared by every predicate — and the
+    predicate prunes candidates BEFORE the rerank (in a cell-partitioned
+    store it pushes down into the probed cells' scans).  Probing semantics
+    are unchanged, so a very selective filter can starve a query below k
+    survivors; the standard flip for that regime is exact search over the
+    filtered corpus (cosine_topk(queries, corpus.filter(pred))), equality
+    with n_probe == n_cells pinned in tests.
 
     The probe join broadcasts the assigned query set only while it is small
     (n_queries * n_probe <= broadcast_max_queries); a large query batch falls
@@ -634,7 +645,9 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 1
     try:
         # corpus side (the big one): argmax as a max_by AGGREGATE — map-side
         # partial agg, no sort shuffle of corpus×n_cells rows
-        c_assigned = assign_best_cell(corpus.select(id_col, vec_col), cents,
+        cand = corpus.filter(corpus_filter) if corpus_filter is not None \
+            else corpus
+        c_assigned = assign_best_cell(cand.select(id_col, vec_col), cents,
                                       id_col, vec_col) \
             .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec2"), "cell")
         # query side needs the TOP-n_probe cells, not just the argmax — a

@@ -898,3 +898,35 @@ def test_pq_adc_vectorized_equals_relational(spark, tmp_path):
     want = sorted((r["query_id"], r["rank"], r["neighbor_id"], r["adc_score"])
                   for r in pq_search_index(spark, path, q, k=5).collect())
     assert got == want and len(got) > 0
+
+
+def test_ivf_filtered_search_semantics(spark):
+    """Metadata-filtered ANN: every neighbor satisfies the predicate, the
+    index is filter-agnostic (centroids from the FULL corpus), and with
+    n_probe == n_cells the filtered probe equals exact search over the
+    filtered corpus — the brute-force flip for selective filters."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id % 100 = 0")
+    pred = (F.col("vec_id") % 7).isin(1, 3)
+
+    out = similarity.ivf_topk(queries, emb, k=5, n_cells=8, n_probe=4,
+                              corpus_filter=pred)
+    rows = out.collect()
+    assert rows and all(r["neighbor_id"] % 7 in (1, 3) for r in rows)
+
+    # full probe == exact top-k over the filtered corpus (self-exclusion
+    # never fires here: queries are %100==0, candidates %7 in (1,3))
+    full = _pairs(similarity.ivf_topk(queries, emb, k=5, n_cells=8,
+                                      n_probe=8, corpus_filter=pred))
+    exact = _pairs(similarity.cosine_topk(queries, emb.filter(pred), k=5))
+    assert full == exact
+
+    # filter-agnostic index: filtered top-k is a subset of what the SAME
+    # cells yield — rerun without the filter and check every filtered
+    # (query, neighbor) pair whose neighbor matches the predicate and made
+    # the unfiltered top-k is ranked at least as well when filtered
+    unf = similarity.ivf_topk(queries, emb, k=50, n_cells=8, n_probe=4)
+    unf_pairs = _pairs(unf.filter((F.col("neighbor_id") % 7).isin(1, 3)))
+    assert _pairs(out) <= unf_pairs
