@@ -2749,6 +2749,191 @@ def _bpe_fallback_oracle(rounds: int = _BPE_ROUNDS) -> str:
 _register("text_bpe_fallback", _text_bpe_fallback, _bpe_fallback_oracle())
 
 
+# -- Unigram-LM tokenizer (functions/unigram.py, Kudo 2018): the second
+#    tokenizer family — seed vocabulary from substring statistics, one
+#    hard-EM (Viterbi) round, then corpus encode under the fitted model.
+#    Certificates: per-doc id-sequence md5 for the doc_id % 20 == 7 slice,
+#    a totals row (ids emitted / vocab size / distinct ids used), and a
+#    vocab row whose md5 covers every (piece, count) in token-id order —
+#    i.e. the TRAINING itself is value-checked, not just the encode.
+#    Scores are integer-scaled log-probs (floor(ln(cnt/tot)*1e6)) so the
+#    Viterbi DP is bit-exact across engines; the oracle unrolls the DP
+#    per end-position (max word length 8 in the token contract's corpus;
+#    the Spark fold itself is unbounded).
+
+_UNI_MAXP = 4      # max piece length
+_UNI_MULTI = 200   # seed multi-char pieces
+_UNI_MAXW = 10     # oracle DP unroll bound (corpus max is 8; +2 slack)
+
+
+def _text_unigram(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import unigram as U
+    docs = load_table(spark, sf, "documents")
+    vocab, _ = U.unigram_train(docs, n_iters=1, max_piece_len=_UNI_MAXP,
+                               n_multi=_UNI_MULTI)
+    vocab = vocab.persist()
+    enc = U.unigram_encode(docs, vocab, max_piece_len=_UNI_MAXP).persist()
+    per = (
+        enc.filter(F.col("doc_id") % 20 == 7)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("wpos", "spos", "token_id")).alias("seq"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("uni_"), F.md5(F.expr(
+                "array_join(transform(array_sort(seq), "
+                "x -> CAST(x.token_id AS STRING)), ' ')"))).alias("tag"),
+            "doc_id",
+            F.col("n").cast("double").alias("n_ids"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        ))
+    nvocab = vocab.count()
+    tot = (
+        enc.agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
+                F.lit(float(nvocab)).alias("v1"),
+                F.count_distinct("token_id").cast("double").alias("v2"))
+        .select(F.lit("uni_totals").alias("tag"),
+                F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1", "v2"))
+    vrow = (
+        vocab.agg(
+            F.md5(F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(token_id, piece, cnt))), "
+                "x -> concat(x.piece, ':', CAST(x.cnt AS STRING))), ' ')"))
+            .alias("h"),
+            F.count(F.lit(1)).cast("double").alias("n_ids"),
+            F.sum("cnt").cast("double").alias("v1"))
+        .select(F.concat(F.lit("univocab_"), F.col("h")).alias("tag"),
+                F.lit(-2).cast("long").alias("doc_id"), "n_ids", "v1",
+                F.lit(None).cast("double").alias("v2")))
+    return per.unionByName(tot).unionByName(vrow)
+
+
+def _uni_dp_ctes(prefix: str, scores: str, maxw: int, maxp: int) -> list:
+    """Unrolled Viterbi CTEs {prefix}0..{prefix}{maxw} over the uw word
+    table with the given score table, plus the final vseg_{prefix}
+    segmentation (word, seg).  Mirrors unigram.viterbi_segment's fold:
+    argmax by (score DESC, seg ASC) at each end position."""
+    ctes = [f"{prefix}0 AS (SELECT word, CAST(0 AS BIGINT) AS sc, "
+            f"'' AS seg FROM uw)"]
+    for i in range(1, maxw + 1):
+        branches = []
+        for j in range(max(0, i - maxp), i):
+            piece = f"substr(b.word, {j + 1}, {i - j})"
+            seg = piece if j == 0 else f"b.seg || ' ' || {piece}"
+            branches.append(f"""
+        SELECT b.word, b.sc + p.sc AS sc, {seg} AS seg
+        FROM {prefix}{j} b JOIN {scores} p ON p.piece = {piece}
+        WHERE length(b.word) >= {i}""")
+        ctes.append(f"""{prefix}{i} AS MATERIALIZED (
+      SELECT word, sc, seg FROM (
+        SELECT word, sc, seg, row_number() OVER (
+          PARTITION BY word ORDER BY sc DESC, seg ASC) AS rn
+        FROM ({' UNION ALL '.join(branches)}))
+      WHERE rn = 1)""")
+    union = " UNION ALL ".join(
+        f"SELECT word, seg FROM {prefix}{i} WHERE length(word) = {i}"
+        for i in range(1, maxw + 1))
+    ctes.append(f"vseg_{prefix} AS MATERIALIZED ({union})")
+    return ctes
+
+
+def _unigram_oracle(maxw: int = _UNI_MAXW, maxp: int = _UNI_MAXP,
+                    n_multi: int = _UNI_MULTI) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    ctes = [
+        f"""ustream AS MATERIALIZED (
+      SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS wpos,
+             unnest(arr) AS word
+      FROM (SELECT doc_id, {toks} AS arr FROM documents))""",
+        """uw AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ustream
+      GROUP BY word)""",
+        f"""upc AS MATERIALIZED (
+      SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT word, freq, s,
+                   unnest(range(1, least({maxp}, length(word) - s + 1) + 1))
+                   AS l
+            FROM (SELECT word, freq,
+                         unnest(range(1, length(word) + 1)) AS s FROM uw))
+      GROUP BY 1)""",
+        "uchars AS (SELECT piece, cnt FROM upc WHERE length(piece) = 1)",
+        f"""useed AS MATERIALIZED (
+      SELECT piece, cnt FROM uchars
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER
+          (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM upc WHERE length(piece) > 1)
+      WHERE rn <= {n_multi})""",
+        """usc0 AS MATERIALIZED (
+      SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE) /
+        (SELECT CAST(SUM(cnt) AS DOUBLE) FROM useed)) * 1000000)
+        AS BIGINT) AS sc
+      FROM useed)""",
+    ]
+    ctes += _uni_dp_ctes("ub", "usc0", maxw, maxp)
+    ctes += [
+        """uusd AS MATERIALIZED (
+      SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT w.freq, unnest(string_split(v.seg, ' ')) AS piece
+        FROM vseg_ub v JOIN uw w USING (word))
+      GROUP BY piece)""",
+        """uv1 AS MATERIALIZED (
+      SELECT COALESCE(u.piece, c.piece) AS piece,
+             CASE WHEN c.piece IS NOT NULL
+                  THEN greatest(COALESCE(u.cnt, CAST(0 AS BIGINT)),
+                                CAST(1 AS BIGINT))
+                  ELSE u.cnt END AS cnt
+      FROM uusd u FULL OUTER JOIN (SELECT piece FROM uchars) c
+        ON u.piece = c.piece)""",
+        """usc1 AS MATERIALIZED (
+      SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE) /
+        (SELECT CAST(SUM(cnt) AS DOUBLE) FROM uv1)) * 1000000)
+        AS BIGINT) AS sc
+      FROM uv1)""",
+        """uid AS MATERIALIZED (
+      SELECT piece, cnt, CAST(row_number() OVER
+        (ORDER BY cnt DESC, piece ASC) - 1 AS BIGINT) AS token_id
+      FROM uv1)""",
+    ]
+    ctes += _uni_dp_ctes("uc", "usc1", maxw, maxp)
+    ctes += [
+        """usegp AS MATERIALIZED (
+      SELECT word, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS spos,
+             unnest(arr) AS piece
+      FROM (SELECT word, string_split(seg, ' ') AS arr FROM vseg_uc))""",
+        """uids AS MATERIALIZED (
+      SELECT s.doc_id, s.wpos, p.spos, i.token_id
+      FROM ustream s JOIN usegp p USING (word) JOIN uid i USING (piece))""",
+    ]
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT 'uni_' || md5(string_agg(CAST(token_id AS VARCHAR), ' '
+                                    ORDER BY wpos, spos)) AS tag,
+           doc_id, CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM uids WHERE doc_id % 20 = 7 GROUP BY doc_id
+    UNION ALL
+    SELECT 'uni_totals' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST((SELECT count(*) FROM uid) AS DOUBLE) AS v1,
+           CAST(count(DISTINCT token_id) AS DOUBLE) AS v2
+    FROM uids
+    UNION ALL
+    SELECT 'univocab_' || md5(string_agg(piece || ':' ||
+             CAST(cnt AS VARCHAR), ' ' ORDER BY token_id)) AS tag,
+           CAST(-2 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(SUM(cnt) AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM uid
+    """
+
+
+_register("text_unigram", _text_unigram, _unigram_oracle())
+
+
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.packing import pack_sequences
 
@@ -9017,6 +9202,14 @@ _compose("text_quality_suite", [
     # BPE corpus encode: per-doc id-sequence md5 rides the tag, id count
     # on n_tokens; the totals sentinel carries vocab size / distinct ids
     ("text_bpe_encode",
+     ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
+      "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "
+     "v2 AS punct_ratio, CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # unigram-LM tokenizer (Kudo 2018): per-doc id-sequence md5 tags on the
+    # %20==7 slice, encode totals, and the vocab-certificate row whose md5
+    # value-checks the trained (piece, count) table itself
+    ("text_unigram",
      ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
       "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
      "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "

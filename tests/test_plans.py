@@ -439,6 +439,11 @@ def test_whole_roster_lints_clean(spark):
         # a modulo the scan can't evaluate; harness row selection, not a
         # product read path
         "m_bulk_upsert": {"unfiltered-scan"},
+        # the certificate slice (doc_id % 20 == 7) selects rows from the
+        # PERSISTED encode output by a modulo — cache scans take no pushed
+        # filters and the modulo couldn't push anyway; harness row
+        # selection, not a product read path (same as m_bulk_upsert)
+        "text_unigram": {"unfiltered-scan"},
         # SemDeDup's nearest-centroid assignment is the SAME bounded
         # corpus × broadcast(n_cells centroids) cross as assign_best_cell
         # everywhere else — n_cells-bounded fan-out, never corpus²; the
