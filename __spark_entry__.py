@@ -1024,6 +1024,49 @@ _register(
 )
 
 
+# -- Katz centrality (analytics.katz_centrality): beta + alpha·Σ in-neighbor
+#    scores per iteration, NO degree normalization (the walk-counting
+#    centrality, Katz 1953) — completes the spectral family next to
+#    pagerank/HITS.  Same unrolled-CTE oracle shape as pagerank. ------------
+
+_KATZ_ITERS, _KATZ_ALPHA = 8, 0.05
+
+
+def _katz_sql() -> str:
+    ctes = [
+        "ke AS MATERIALIZED (SELECT src, dst FROM edges "
+        "WHERE label IN ('placed', 'contains'))",
+        "kverts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM ke UNION ALL SELECT dst FROM ke))",
+    ]
+    for t in range(1, _KATZ_ITERS + 1):
+        prev = "(SELECT id, CAST(1.0 AS DOUBLE) AS katz FROM kverts)" \
+            if t == 1 else f"k{t-1}"
+        ctes.append(
+            f"k{t} AS MATERIALIZED (SELECT v.id, "
+            f"1.0 + {_KATZ_ALPHA} * COALESCE(s.c, 0) AS katz "
+            f"FROM kverts v LEFT JOIN (SELECT ke.dst AS id, SUM(r.katz) AS c "
+            f"FROM ke JOIN {prev} r ON ke.src = r.id "
+            f"GROUP BY ke.dst) s ON v.id = s.id)"
+        )
+    return (
+        f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
+        + f"\nSELECT id, round(katz, 6) AS katz FROM k{_KATZ_ITERS}"
+    )
+
+
+_register(
+    "g_katz",
+    lambda spark, sf: analytics.katz_centrality(
+        GraphStore(spark, sf).edges().filter(
+            F.col("label").isin(["placed", "contains"])),
+        iterations=_KATZ_ITERS, alpha=_KATZ_ALPHA,
+        checkpoint_every=2, state_partitions=8,
+    ).select("id", F.round("katz", 6).alias("katz")),
+    _katz_sql(),
+)
+
+
 # -- deterministic random walks (node2vec/DeepWalk input): neighbor choice
 #    = min_by over the FULL md5 hex of (wid:step:neighbor) — the same
 #    32-char string comparison in both engines, so whole walk corpora are
@@ -10148,6 +10191,10 @@ _compose("g_pagerank", [
     ("g_hits",
      ["'hits' AS tag", "id", "auth AS rank", "hub AS rank2"],
      "'hits' AS tag, id, auth AS rank, hub AS rank2"),
+    # Katz: walk-counting centrality, no degree normalization (r9)
+    ("g_katz",
+     ["'katz' AS tag", "id", "katz AS rank", "CAST(NULL AS DOUBLE) AS rank2"],
+     "'katz' AS tag, id, katz AS rank, CAST(NULL AS DOUBLE) AS rank2"),
     # warm-start == cold fixpoint: the oracle is the cold 10-iter unroll
     ("g_pagerank_warm",
      ["'warm' AS tag", "id", "rank", "CAST(NULL AS DOUBLE) AS rank2"],

@@ -241,6 +241,71 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         norm_edges.unpersist()
 
 
+def katz_centrality(edges: DataFrame, iterations: int = 8,
+                    alpha: float = 0.05, beta: float = 1.0,
+                    checkpoint_every: int = 3,
+                    broadcast_ranks: bool | None = None,
+                    state_partitions: int | None = None,
+                    broadcast_max_vertices: int = 2_000_000) -> DataFrame:
+    """Katz centrality over the directed edge list: x_{t+1}(v) = beta +
+    alpha · Σ_{(u,v)∈E} x_t(u), x_0 = beta — i.e. each vertex counts walks
+    of every length arriving at it, damped by alpha^length (Katz 1953).
+    Unlike PageRank there is NO out-degree normalization: a prolific
+    source passes its full score along every edge, so alpha must stay
+    below 1/λ_max for the series to converge (the default 0.05 is safe
+    for the test graphs; fixed `iterations` bounds the computation either
+    way).  Returns (id, katz), unnormalized.
+
+    Plan shape is pagerank's (one shuffle per iteration on dst, rank
+    vector broadcast under the same vertex-count guard, localCheckpoint
+    cadence to bound lineage) minus the degree-normalization join — see
+    pagerank's docstring for the 100×-scale posture.
+    """
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if state_partitions:
+        verts = verts.repartition(state_partitions, "id")
+    verts = verts.persist()
+    e_sel = edges.select("src", "dst")
+    if state_partitions:
+        e_sel = e_sel.repartition(state_partitions, "src")
+    e_sel = e_sel.persist()
+    if broadcast_ranks is None:
+        broadcast_ranks = verts.count() <= broadcast_max_vertices
+    try:
+        ranks = verts.withColumn("katz", F.lit(float(beta)))
+        for i in range(iterations):
+            rank_side = ranks.withColumnRenamed("id", "src")
+            if broadcast_ranks:
+                rank_side = F.broadcast(rank_side)
+            elif state_partitions:
+                rank_side = rank_side.repartition(state_partitions, "src")
+            contribs = (
+                e_sel.join(rank_side, "src")
+                .select(F.col("dst").alias("id"), F.col("katz").alias("c"))
+            )
+            if state_partitions:
+                contribs = contribs.repartition(state_partitions, "id")
+            contribs = contribs.groupBy("id").agg(F.sum("c").alias("c"))
+            ranks = (
+                verts.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (F.lit(float(beta)) + F.lit(float(alpha))
+                     * F.coalesce("c", F.lit(0.0))).alias("katz"),
+                )
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        verts.unpersist()
+        e_sel.unpersist()
+
+
 def hits(edges: DataFrame, iterations: int = 8,
          state_partitions: int | None = None,
          tol: float | None = None,

@@ -86,6 +86,31 @@ def test_personalized_pagerank_semantics(spark):
     assert g1 == g2
 
 
+def test_katz_centrality_matches_python(spark):
+    """Katz vs the literal recurrence x' = beta + alpha·A^T x on a small
+    digraph, plus the no-normalization property that separates it from
+    pagerank (a 2-out-edge source passes its FULL score to both heads)."""
+    e = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r["id"]: r["katz"] for r in
+           analytics.katz_centrality(edges, iterations=6, alpha=0.1).collect()}
+    x = {v: 1.0 for v in {1, 2, 3, 4}}
+    for _ in range(6):
+        nxt = {v: 1.0 for v in x}
+        for s, d in e:
+            nxt[d] += 0.1 * x[s]
+        x = nxt
+    assert got.keys() == x.keys()
+    assert all(abs(got[v] - x[v]) < 1e-9 for v in x)
+    # vertex 3 collects from three full-strength sources -> strictly top
+    assert got[3] == max(got.values())
+    # shuffle path == broadcast path (plan-only guard)
+    sh = {r["id"]: r["katz"] for r in
+          analytics.katz_centrality(edges, iterations=6, alpha=0.1,
+                                    broadcast_ranks=False).collect()}
+    assert all(abs(sh[v] - got[v]) < 1e-12 for v in x)
+
+
 def test_k_hop_shuffle_fallback_matches_broadcast(tiny):
     """A tiny broadcast threshold forces the shuffle-join path; results are
     identical to the broadcast path (the scale-safety guard is plan-only)."""
