@@ -6106,6 +6106,38 @@ _register(
     """,
 )
 
+# Contrastive pair mining (similarity.mine_contrastive_pairs): cell-scoped
+# positives (cos >= 0.4) and per-anchor hardest negatives (top-2 by cos in
+# the [0.2, 0.35) band) for embedding-model fine-tuning — semi-hard mining
+# (Schroff et al. 2015) over the shared IVF cell machinery.  The oracle
+# replays the IVF training CTEs, the cell pair join, and both rankings.
+
+_register(
+    "sim_contrastive_pairs",
+    lambda spark, sf: similarity.mine_contrastive_pairs(
+        load_table(spark, sf, "embeddings"), pos_threshold=0.4,
+        neg_band=(0.2, 0.35), n_neg=2, n_cells=16),
+    f"""
+    WITH {_IVF_TRAIN_CTES}, cpair AS MATERIALIZED (
+      SELECT x.neighbor_id AS anchor_id, y.neighbor_id AS other_id,
+             round({_IVF_COS.format(a="x.cv", b="y.cv")}, 6) AS cos_sim
+      FROM ca x JOIN ca y
+        ON x.cell = y.cell AND x.neighbor_id <> y.neighbor_id
+    )
+    SELECT anchor_id, other_id, cos_sim, 'pos' AS kind,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+             ORDER BY cos_sim DESC, other_id ASC) AS BIGINT) AS pair_rank
+    FROM cpair WHERE cos_sim >= 0.4
+    UNION ALL
+    SELECT anchor_id, other_id, cos_sim, 'neg' AS kind, pair_rank FROM (
+      SELECT anchor_id, other_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cos_sim DESC, other_id ASC) AS BIGINT) AS pair_rank
+      FROM cpair WHERE cos_sim >= 0.2 AND cos_sim < 0.35)
+    WHERE pair_rank <= 2
+    """,
+)
+
 # ===========================================================================
 # wave 6: Gremlin-flavored traversal DSL queries (the reference's user-facing
 # query surface is Gremlin via hugegraph-core; these prove the fluent API
@@ -9625,6 +9657,12 @@ _compose("sim_ann_neardup", [
       "centroid_sim AS cos_sim", "CAST(cell AS DOUBLE) AS rank"],
      "'semdd_kept' AS tag, id AS a, CAST(NULL AS DOUBLE) AS b, "
      "centroid_sim AS cos_sim, CAST(cell AS DOUBLE) AS rank"),
+    # contrastive mining: kind rides the tag, per-anchor rank in rank (r9)
+    ("sim_contrastive_pairs",
+     ["concat('ctr_', kind) AS tag", "anchor_id AS a", "other_id AS b",
+      "cos_sim", "CAST(pair_rank AS DOUBLE) AS rank"],
+     "'ctr_' || kind AS tag, anchor_id AS a, other_id AS b, cos_sim, "
+     "CAST(pair_rank AS DOUBLE) AS rank"),
 ])
 
 # IVF probe + PQ/ADC share one roster row (tag ivf / pq); score carries

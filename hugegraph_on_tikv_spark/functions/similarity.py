@@ -965,6 +965,54 @@ def semantic_dedup_pairs(corpus: DataFrame, threshold: float = 0.4,
             .filter(F.col("cos_sim") >= threshold))
 
 
+def mine_contrastive_pairs(corpus: DataFrame, pos_threshold: float = 0.4,
+                           neg_band: tuple = (0.2, 0.35), n_neg: int = 2,
+                           n_cells: int = 16, refine_iters: int = 1,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Contrastive training-pair mining for embedding-model fine-tuning:
+    from each anchor's k-means cell (the SemDeDup / IVF scoping — never
+    all-pairs), POSITIVES are same-cell items with round(cos, 6) >=
+    pos_threshold (paraphrase-grade proximity) and HARD NEGATIVES are the
+    `n_neg` most-similar items inside the [lo, hi) band strictly below it
+    — hard because they sit as close to the anchor as possible while
+    still being negatives, the pairs that carry the gradient signal in a
+    triplet/InfoNCE loss (Schroff et al. 2015 semi-hard mining).
+
+    Deterministic throughout: rounded cosines, (cos DESC, id ASC)
+    ranking.  Candidate volume is Σ_c |c|² like semantic_dedup_pairs;
+    giant skewed cells are ivf_maybe_compact's recluster trigger.
+
+    Returns (anchor_id, other_id, cos_sim, kind, pair_rank) where kind ∈
+    {'pos', 'neg'} and pair_rank orders each anchor's pairs per kind."""
+    from pyspark.sql.window import Window
+
+    lo, hi = neg_band
+    cents = ivf_centroids(corpus, n_cells, refine_iters, id_col, vec_col)
+    assigned = assign_best_cell(
+        corpus.select(id_col, vec_col), cents, id_col, vec_col)
+    a = assigned.select(F.col(id_col).alias("anchor_id"), "cell",
+                        F.col(vec_col).alias("va"))
+    b = assigned.select(F.col(id_col).alias("other_id"), "cell",
+                        F.col(vec_col).alias("vb"))
+    pairs = (a.join(b, "cell")
+             .filter(F.col("anchor_id") != F.col("other_id"))
+             .select("anchor_id", "other_id",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6)
+                     .alias("cos_sim")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("other_id").asc())
+    pos = (pairs.filter(F.col("cos_sim") >= pos_threshold)
+           .withColumn("pair_rank", F.row_number().over(w).cast("long"))
+           .withColumn("kind", F.lit("pos")))
+    neg = (pairs.filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+           .withColumn("pair_rank", F.row_number().over(w).cast("long"))
+           .filter(F.col("pair_rank") <= n_neg)
+           .withColumn("kind", F.lit("neg")))
+    cols = ["anchor_id", "other_id", "cos_sim", "kind", "pair_rank"]
+    return pos.select(*cols).unionByName(neg.select(*cols))
+
+
 def semantic_dedup(corpus: DataFrame, threshold: float = 0.4,
                    n_cells: int = 16, refine_iters: int = 1,
                    id_col: str = "vec_id",

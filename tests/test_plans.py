@@ -450,6 +450,7 @@ def test_whole_roster_lints_clean(spark):
         # pair join itself is an equi-join on the cell key
         "sim_semdedup_pairs": {"cartesian"},
         "sim_semdedup_kept": {"cartesian"},
+        "sim_contrastive_pairs": {"cartesian"},   # same assign_best_cell cross
         # the LM smoothing denominator needs V (one count-distinct row)
         # crossed back into the token stream — the 1-row scalar pattern
         "text_lm_score": {"cartesian"},

@@ -930,3 +930,36 @@ def test_ivf_filtered_search_semantics(spark):
     unf = similarity.ivf_topk(queries, emb, k=50, n_cells=8, n_probe=4)
     unf_pairs = _pairs(unf.filter((F.col("neighbor_id") % 7).isin(1, 3)))
     assert _pairs(out) <= unf_pairs
+
+
+def test_contrastive_mining_semantics(spark):
+    """Positives sit at/above the threshold, negatives strictly inside the
+    band below it, negatives are the per-anchor HARDEST (no skipped
+    same-cell candidate is more similar than a selected negative), and the
+    per-anchor cap holds."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = similarity.mine_contrastive_pairs(
+        emb, pos_threshold=0.4, neg_band=(0.2, 0.35), n_neg=2, n_cells=16)
+    rows = got.collect()
+    assert rows, "mining produced no pairs at test thresholds"
+    pos = [r for r in rows if r["kind"] == "pos"]
+    neg = [r for r in rows if r["kind"] == "neg"]
+    assert pos and neg
+    assert all(r["cos_sim"] >= 0.4 for r in pos)
+    assert all(0.2 <= r["cos_sim"] < 0.35 for r in neg)
+    # per-anchor negative cap + dense ranks
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in neg:
+        per[r["anchor_id"]].append(r["pair_rank"])
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 2
+    # hardest-first: rank-1 negative's cos >= rank-2's for the same anchor
+    best = {r["anchor_id"]: r["cos_sim"] for r in neg if r["pair_rank"] == 1}
+    for r in neg:
+        if r["pair_rank"] == 2:
+            assert best[r["anchor_id"]] >= r["cos_sim"]
+    # positives are symmetric pairs (same-cell relation is symmetric)
+    ppairs = {(r["anchor_id"], r["other_id"]) for r in pos}
+    assert all((b, a) in ppairs for a, b in ppairs)
