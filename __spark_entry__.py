@@ -2977,6 +2977,167 @@ def _unigram_oracle(maxw: int = _UNI_MAXW, maxp: int = _UNI_MAXP,
 _register("text_unigram", _text_unigram, _unigram_oracle())
 
 
+# -- Training-order permutation (sampling.training_order): the epoch-level
+#    deterministic shuffle — 48-bit md5 shuffle keys, per-shard positions,
+#    round-robin `read_pos` + dense `block_pos` via the shard-offset cumsum
+#    (no global single-partition window).  Certificates: per-doc rows on a
+#    1/10 slice plus a totals row proving the block order is a DENSE
+#    permutation (Σ block_pos == n(n-1)/2) and read_pos is collision-free.
+
+_ORD_SHARDS = 64
+
+
+def _text_train_order(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.sampling import training_order
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    ordr = training_order(docs, n_shards=_ORD_SHARDS, salt="",
+                          id_col="doc_id").persist()
+    per = (ordr.filter(F.col("doc_id") % 10 == 3)
+           .select(F.lit("ord").alias("tag"), F.col("doc_id"),
+                   F.col("read_pos").cast("double").alias("n_ids"),
+                   F.col("block_pos").cast("double").alias("v1"),
+                   F.col("shard").cast("double").alias("v2")))
+    tot = (ordr.agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
+                    F.sum("block_pos").cast("double").alias("v1"),
+                    F.count_distinct("read_pos").cast("double").alias("v2"))
+           .select(F.lit("ord_totals").alias("tag"),
+                   F.lit(-1).cast("long").alias("doc_id"),
+                   "n_ids", "v1", "v2"))
+    return per.unionByName(tot)
+
+
+def _train_order_sql(shards: int = _ORD_SHARDS) -> str:
+    h = H48_SQL.format(x="doc_id")
+    return f"""
+    WITH okeys AS MATERIALIZED (
+      SELECT doc_id, {h} AS k, {h} % {shards} AS shard FROM documents
+    ), opos AS MATERIALIZED (
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY k ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+      FROM okeys
+    ), ooff AS MATERIALIZED (
+      SELECT shard,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM (SELECT shard, CAST(count(*) AS BIGINT) AS n FROM opos
+            GROUP BY shard)
+    ), oplaced AS MATERIALIZED (
+      SELECT p.doc_id, p.shard, p.pos,
+             p.pos * {shards} + p.shard AS read_pos,
+             o.off + p.pos AS block_pos
+      FROM opos p JOIN ooff o USING (shard)
+    )
+    SELECT 'ord' AS tag, doc_id,
+           CAST(read_pos AS DOUBLE) AS n_ids,
+           CAST(block_pos AS DOUBLE) AS v1,
+           CAST(shard AS DOUBLE) AS v2
+    FROM oplaced WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT 'ord_totals' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(SUM(block_pos) AS DOUBLE) AS v1,
+           CAST(count(DISTINCT read_pos) AS DOUBLE) AS v2
+    FROM oplaced
+    """
+
+
+_register("text_train_order", _text_train_order, _train_order_sql())
+
+
+# -- Token-budget corpus selection (sampling.token_budget_select): keep the
+#    best docs by an exact-integer quality score until the token budget is
+#    spent — banded cutoff, no global sort (see the op's docstring).
+#    quality = (1e6 · distinct_tokens) DIV n_tokens, tokens = n_tokens.
+
+_BUDGET_TOKENS = 8_000
+_BUDGET_BAND = 10_000
+
+
+def _text_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.sampling import token_budget_select
+    from hugegraph_on_tikv_spark.functions.text import tokens as _toks
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_toks(F.col("text")))).cast("long")
+        .alias("n_distinct"),
+    ).select(
+        "doc_id", "n_tokens",
+        F.expr("div(1000000 * n_distinct, n_tokens)").alias("quality"))
+    kept = token_budget_select(scored, budget=_BUDGET_TOKENS,
+                               quality_col="quality", token_col="n_tokens",
+                               id_col="doc_id",
+                               band_width=_BUDGET_BAND).persist()
+    per = kept.select(F.lit("budget").alias("tag"),
+                      F.col("id").alias("doc_id"),
+                      F.col("quality").cast("double").alias("n_ids"),
+                      F.col("tokens").cast("double").alias("v1"),
+                      F.col("spent").cast("double").alias("v2"))
+    tot = (kept.agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
+                    F.sum("tokens").cast("double").alias("v1"),
+                    F.max("spent").cast("double").alias("v2"))
+           .select(F.lit("budget_totals").alias("tag"),
+                   F.lit(-1).cast("long").alias("doc_id"),
+                   "n_ids", "v1", "v2"))
+    return per.unionByName(tot)
+
+
+def _budget_select_sql(budget: int = _BUDGET_TOKENS,
+                       band_width: int = _BUDGET_BAND) -> str:
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+    WITH bscore AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             (1000000 * CAST(len(list_distinct(arr)) AS BIGINT))
+               // CAST(len(arr) AS BIGINT) AS quality
+      FROM (SELECT doc_id, {toks} AS arr FROM documents)
+    ), bbase AS MATERIALIZED (
+      SELECT doc_id AS id, quality, n_tokens AS tokens,
+             quality // {band_width} AS band
+      FROM bscore
+    ), bcum AS MATERIALIZED (
+      SELECT band, bt,
+             CAST(COALESCE(SUM(bt) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS before_t
+      FROM (SELECT band, CAST(SUM(tokens) AS BIGINT) AS bt FROM bbase
+            GROUP BY band)
+    ), bsel AS MATERIALIZED (
+      SELECT band, before_t AS off,
+             (before_t + bt > {budget}) AS is_partial
+      FROM bcum WHERE before_t <= {budget}
+    ), bspent AS MATERIALIZED (
+      SELECT b.id, b.quality, b.tokens, s.is_partial,
+             s.off + CAST(SUM(b.tokens) OVER (PARTITION BY b.band
+               ORDER BY b.quality DESC, b.id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS spent
+      FROM bbase b JOIN bsel s USING (band)
+    ), bkept AS MATERIALIZED (
+      SELECT id, quality, tokens, spent FROM bspent
+      WHERE (NOT is_partial) OR spent <= {budget}
+    )
+    SELECT 'budget' AS tag, id AS doc_id,
+           CAST(quality AS DOUBLE) AS n_ids,
+           CAST(tokens AS DOUBLE) AS v1,
+           CAST(spent AS DOUBLE) AS v2
+    FROM bkept
+    UNION ALL
+    SELECT 'budget_totals' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(SUM(tokens) AS DOUBLE) AS v1,
+           CAST(MAX(spent) AS DOUBLE) AS v2
+    FROM bkept
+    """
+
+
+_register("text_budget_select", _text_budget_select, _budget_select_sql())
+
+
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions.packing import pack_sequences
 
@@ -9277,6 +9438,21 @@ _compose("text_quality_suite", [
     # BPE corpus encode: per-doc id-sequence md5 rides the tag, id count
     # on n_tokens; the totals sentinel carries vocab size / distinct ids
     ("text_bpe_encode",
+     ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
+      "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "
+     "v2 AS punct_ratio, CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # epoch-level deterministic shuffle: read_pos/block_pos/shard on a 1/10
+    # slice; the totals row proves the dense-permutation + no-collision
+    # invariants (r9)
+    ("text_train_order",
+     ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
+      "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "
+     "v2 AS punct_ratio, CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # token-budget selection: quality/tokens/running-spend per kept doc +
+    # the utilization totals row (r9)
+    ("text_budget_select",
      ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
       "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
      "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "

@@ -296,3 +296,109 @@ def temperature_mix_sql(domain_col: str, total: int, id_col: str = "doc_id",
     FROM _rn JOIN _caps ON {domain_col} = _d
     WHERE _r <= _cap
     """
+
+
+def _h48(id_col: Column, salt: str) -> Column:
+    """Full 48-bit md5 hash of (id || salt) — the portable shuffle key
+    (mirrors oracles.H48_SQL with a salt suffix)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))),
+                    1, 12), 16, 10).cast("long")
+
+
+def training_order(df: DataFrame, n_shards: int = 64, salt: str = "",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training-order permutation WITHOUT a global
+    single-partition window — the op every epoch of training consumes.
+
+    Each row gets a pseudorandom 48-bit shuffle key; rows land in
+    `shard = key % n_shards` with `pos` = their (key, id)-rank INSIDE the
+    shard (one window per shard partition, parallel across shards).  Two
+    total orders are derived, both exact integers:
+
+    * `read_pos`  = pos * n_shards + shard — ROUND-ROBIN interleave: a
+      sequential reader alternates shards, so early-training batches mix
+      the whole corpus even when shards are written separately.  A strict
+      total order (unique), dense only when shards are equal-sized.
+    * `block_pos` = shard_offset + pos — BLOCKED concatenation (shard 0's
+      rows first), dense 0..n-1; shard offsets come from one tiny
+      n_shards-row cumulative sum, the pack_token_ids placement trick.
+
+    100 TB posture: the only per-row shuffle is the shard partitioning;
+    windows run per shard (parallel) and over the n_shards-row offset
+    table (driver-scale).  No rand(), so re-runs and engines agree."""
+    h = _h48(F.col(id_col), salt)
+    from pyspark.sql.window import Window
+
+    keyed = df.withColumn("_k", h).withColumn(
+        "shard", (F.col("_k") % n_shards).cast("long"))
+    wpos = Window.partitionBy("shard").orderBy(F.col("_k").asc(),
+                                               F.col(id_col).asc())
+    pos = keyed.withColumn("pos", (F.row_number().over(wpos) - 1)
+                           .cast("long"))
+    sizes = pos.groupBy("shard").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (Window.orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = sizes.select(
+        "shard",
+        F.coalesce(F.sum("_n").over(woff), F.lit(0)).cast("long")
+        .alias("_off"))
+    return (pos.join(F.broadcast(offs), "shard")
+            .select(id_col, "shard", "pos",
+                    (F.col("pos") * n_shards + F.col("shard")).cast("long")
+                    .alias("read_pos"),
+                    (F.col("_off") + F.col("pos")).cast("long")
+                    .alias("block_pos")))
+
+
+def token_budget_select(df: DataFrame, budget: int, quality_col: str,
+                        token_col: str, id_col: str = "doc_id",
+                        band_width: int = 10_000) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: order
+    docs by (quality DESC, id ASC) and keep the maximal prefix whose
+    token sum stays <= budget — "take the best data until the budget is
+    spent", the assembly step after quality scoring.
+
+    `quality_col` must be an exact INTEGER score (callers scale floats
+    themselves) so the order and the sums replay bit-exactly.
+
+    100 TB posture — no global sort, no single-partition window: docs are
+    banded by `quality // band_width`; per-band token totals (a tiny
+    aggregate) locate the cutoff band via a cumulative over the band
+    table, every better band is kept whole by a broadcast join, and only
+    the ONE cutoff band runs a window — partitioned to that band, ordered
+    by (quality DESC, id) — to take its affordable prefix.  Work on the
+    big table is one groupBy + one broadcast-join filter + one
+    band-scoped window.
+
+    Returns the kept rows as (id, quality, tokens, spent) where `spent`
+    is the running total through that row (spent <= budget always)."""
+    from pyspark.sql.window import Window
+
+    q = F.col(quality_col).cast("long")
+    t = F.col(token_col).cast("long")
+    base = df.select(F.col(id_col).alias("id"), q.alias("quality"),
+                     t.alias("tokens"),
+                     (q / F.lit(band_width)).cast("long").alias("band"))
+    bands = base.groupBy("band").agg(F.sum("tokens").alias("_bt"))
+    wcum = (Window.orderBy(F.col("band").desc())
+            .rowsBetween(Window.unboundedPreceding, -1))
+    # _before = tokens in strictly-better bands; a band is WHOLLY kept when
+    # _before + its own total fits, PARTIAL when _before alone still fits
+    cum = bands.select(
+        "band", "_bt",
+        F.coalesce(F.sum("_bt").over(wcum), F.lit(0)).cast("long")
+        .alias("_before"))
+    whole = cum.filter(F.col("_before") + F.col("_bt") <= budget) \
+        .select("band", F.col("_before").alias("_off"), F.lit(False).alias("_partial"))
+    partial = (cum.filter((F.col("_before") <= budget)
+                          & (F.col("_before") + F.col("_bt") > budget))
+               .select("band", F.col("_before").alias("_off"),
+                       F.lit(True).alias("_partial")))
+    cand = base.join(F.broadcast(whole.unionByName(partial)), "band")
+    wband = (Window.partitionBy("band")
+             .orderBy(F.col("quality").desc(), F.col("id").asc()))
+    spent = cand.withColumn(
+        "spent", (F.col("_off") + F.sum("tokens").over(wband)).cast("long"))
+    return (spent.filter((~F.col("_partial")) | (F.col("spent") <= budget))
+            .select("id", "quality", "tokens", "spent"))

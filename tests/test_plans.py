@@ -444,6 +444,10 @@ def test_whole_roster_lints_clean(spark):
         # filters and the modulo couldn't push anyway; harness row
         # selection, not a product read path (same as m_bulk_upsert)
         "text_unigram": {"unfiltered-scan"},
+        # same certificate-slice modulo over the persisted permutation /
+        # the band-cutoff filter over the persisted keep set
+        "text_train_order": {"unfiltered-scan"},
+        "text_budget_select": {"unfiltered-scan"},
         # SemDeDup's nearest-centroid assignment is the SAME bounded
         # corpus × broadcast(n_cells centroids) cross as assign_best_cell
         # everywhere else — n_cells-bounded fan-out, never corpus²; the

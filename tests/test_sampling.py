@@ -256,3 +256,55 @@ def test_hash_stage_salt_correlation_pitfall(spark):
     counts2 = {r["split"]: r["count"] for r in
                decor.groupBy("split").count().collect()}
     assert len(counts2) >= 2 and counts2.get("train", 0) < 40
+
+
+def test_training_order_is_dense_permutation(spark):
+    docs = _docs(spark).select("doc_id")
+    n = docs.count()
+    ordr = sampling.training_order(docs, n_shards=8, salt="epoch0")
+    rows = ordr.collect()
+    assert len(rows) == n
+    # block order: dense 0..n-1
+    assert sorted(r["block_pos"] for r in rows) == list(range(n))
+    # read order: strict total order (collision-free) respecting shards
+    reads = [r["read_pos"] for r in rows]
+    assert len(set(reads)) == n
+    for r in rows:
+        assert r["read_pos"] % 8 == r["shard"]
+        assert r["read_pos"] // 8 == r["pos"]
+    # reproducible; a different salt is a different permutation
+    again = {r["doc_id"]: r["block_pos"]
+             for r in sampling.training_order(docs, 8, "epoch0").collect()}
+    assert again == {r["doc_id"]: r["block_pos"] for r in rows}
+    other = {r["doc_id"]: r["block_pos"]
+             for r in sampling.training_order(docs, 8, "epoch1").collect()}
+    assert other != again
+
+
+def test_token_budget_select_matches_greedy_reference(spark):
+    docs = [(i, (i * 37) % 101, 5 + (i * 13) % 40) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, q long, toks long")
+    budget = 1500
+    kept = sampling.token_budget_select(
+        df, budget=budget, quality_col="q", token_col="toks",
+        id_col="doc_id", band_width=10)
+    got = {r["id"]: (r["quality"], r["tokens"], r["spent"])
+           for r in kept.collect()}
+    # brute-force greedy prefix over (q DESC, id ASC)
+    spent, want = 0, {}
+    for i, q, t in sorted(docs, key=lambda d: (-d[1], d[0])):
+        if spent + t > budget:
+            break
+        spent += t
+        want[i] = (q, t, spent)
+    assert got == want
+    assert max(s for _, _, s in got.values()) <= budget
+
+
+def test_token_budget_whole_corpus_when_budget_covers_it(spark):
+    df = spark.createDataFrame([(1, 5, 10), (2, 3, 10), (3, 9, 10)],
+                               "doc_id long, q long, toks long")
+    kept = sampling.token_budget_select(df, budget=100, quality_col="q",
+                                        token_col="toks", id_col="doc_id",
+                                        band_width=2)
+    assert kept.count() == 3
