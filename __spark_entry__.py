@@ -3085,11 +3085,12 @@ def _text_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     return per.unionByName(tot)
 
 
-def _budget_select_sql(budget: int = _BUDGET_TOKENS,
-                       band_width: int = _BUDGET_BAND) -> str:
+def _budget_ctes(budget: int = _BUDGET_TOKENS,
+                 band_width: int = _BUDGET_BAND) -> str:
+    """The banded budget-selection CTE chain ending in bkept(id, quality,
+    tokens, spent) — shared by text_budget_select and pipe_assemble."""
     toks = TOKENS_SQL.format(col="text")
-    return f"""
-    WITH bscore AS MATERIALIZED (
+    return f"""bscore AS MATERIALIZED (
       SELECT doc_id,
              CAST(len(arr) AS BIGINT) AS n_tokens,
              (1000000 * CAST(len(list_distinct(arr)) AS BIGINT))
@@ -3120,7 +3121,13 @@ def _budget_select_sql(budget: int = _BUDGET_TOKENS,
     ), bkept AS MATERIALIZED (
       SELECT id, quality, tokens, spent FROM bspent
       WHERE (NOT is_partial) OR spent <= {budget}
-    )
+    )"""
+
+
+def _budget_select_sql(budget: int = _BUDGET_TOKENS,
+                       band_width: int = _BUDGET_BAND) -> str:
+    return f"""
+    WITH {_budget_ctes(budget, band_width)}
     SELECT 'budget' AS tag, id AS doc_id,
            CAST(quality AS DOUBLE) AS n_ids,
            CAST(tokens AS DOUBLE) AS v1,
@@ -3136,6 +3143,162 @@ def _budget_select_sql(budget: int = _BUDGET_TOKENS,
 
 
 _register("text_budget_select", _text_budget_select, _budget_select_sql())
+
+
+# -- The complete ASSEMBLY program (pipe_assemble): quality-scored corpus →
+#    token-budget selection → epoch shuffle (training_order) → BPE learned
+#    and applied ON THE KEPT SUBSET → token ids packed into fixed-length
+#    training sequences IN SHUFFLED ORDER (pack_token_ids(order=...)).
+#    This is the end-to-end "documents in, training sequences out" story:
+#    every shard-0 training sequence is value-checked via md5-in-tag, so
+#    the hash gate certifies the whole composition — selection set, shuffle
+#    permutation, tokenizer train+encode, and placement — in one row.
+
+def _pipe_assemble(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_encode, bpe_learn
+    from hugegraph_on_tikv_spark.functions.packing import pack_token_ids
+    from hugegraph_on_tikv_spark.functions.sampling import (
+        token_budget_select, training_order)
+    from hugegraph_on_tikv_spark.functions.text import tokens as _toks
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(_toks(F.col("text")))).cast("long")
+        .alias("n_distinct"),
+    ).select("doc_id", "n_tokens",
+             F.expr("div(1000000 * n_distinct, n_tokens)").alias("quality"))
+    kept = token_budget_select(scored, budget=_BUDGET_TOKENS,
+                               quality_col="quality", token_col="n_tokens",
+                               id_col="doc_id", band_width=_BUDGET_BAND)
+    kdocs = docs.join(kept.select(F.col("id").alias("doc_id")),
+                      "doc_id").persist()
+    merges, words = bpe_learn(kdocs, n_merges=_BPE_ROUNDS)
+    enc = bpe_encode(kdocs, merges, words=words, char_fallback=False)
+    ordr = training_order(kept.select(F.col("id").alias("doc_id")),
+                          n_shards=_PACK_SHARDS, salt="epoch0")
+    packed = pack_token_ids(enc, seq_len=_PACK_SEQ_LEN,
+                            shards=_PACK_SHARDS,
+                            order=ordr.select("doc_id", "shard", "pos")
+                            ).persist()
+    pseq = (
+        packed.filter(F.col("shard") == 0)
+        .groupBy("seq")
+        .agg(F.collect_list(F.struct("slot", "token_id")).alias("sl"),
+             F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("asm_"), F.md5(F.expr(
+                "array_join(transform(array_sort(sl), "
+                "x -> CAST(x.token_id AS STRING)), ' ')"))).alias("tag"),
+            F.col("seq").alias("doc_id"),
+            F.col("n").cast("double").alias("n_ids"),
+            F.lit(None).cast("double").alias("v1"),
+            F.lit(None).cast("double").alias("v2"),
+        ))
+    tot = (
+        packed.agg(
+            F.count(F.lit(1)).cast("double").alias("n_ids"),
+            F.count_distinct("doc_id").cast("double").alias("v1"),
+            F.count_distinct(F.col("shard") * 1_000_000 + F.col("seq"))
+            .cast("double").alias("v2"))
+        .select(F.lit("asm_totals").alias("tag"),
+                F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1", "v2"))
+    bud = (
+        kept.agg(F.sum("tokens").cast("double").alias("n_ids"),
+                 F.lit(float(_BUDGET_TOKENS)).alias("v1"),
+                 F.count(F.lit(1)).cast("double").alias("v2"))
+        .select(F.lit("asm_budget").alias("tag"),
+                F.lit(-2).cast("long").alias("doc_id"), "n_ids", "v1", "v2"))
+    return pseq.unionByName(tot).unionByName(bud)
+
+
+def _assemble_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    kdocs_src = ("(SELECT d.doc_id, d.text FROM documents d "
+                 "JOIN bkept ON d.doc_id = bkept.id)")
+    ctes = [_budget_ctes()]
+    bctes, _ = _bpe_ctes(rounds, source=kdocs_src)
+    # the bpe chain's w0 needs bkept visible — it follows in the same WITH
+    ctes += bctes
+    toks = TOKENS_SQL.format(col="text")
+    last = f"w{rounds}"
+    ctes.append(f"""avocab AS MATERIALIZED (
+      SELECT symbol, CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT freq, unnest(string_split(syms, '_')[2:]) AS symbol
+            FROM {last})
+      GROUP BY symbol
+    )""")
+    ctes.append("""avid AS MATERIALIZED (
+      SELECT symbol,
+             CAST(row_number() OVER (ORDER BY freq DESC, symbol ASC) - 1
+                  AS BIGINT) AS tid
+      FROM avocab
+    )""")
+    ctes.append(f"""awsym AS MATERIALIZED (
+      SELECT word, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS spos,
+             unnest(arr) AS symbol
+      FROM (SELECT word, string_split(syms, '_')[2:] AS arr FROM {last})
+    )""")
+    ctes.append("""awseq AS MATERIALIZED (
+      SELECT ws.word, ws.spos, v.tid FROM awsym ws JOIN avid v USING (symbol)
+    )""")
+    ctes.append(f"""astream AS (
+      SELECT doc_id, CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS wpos,
+             unnest(arr) AS word
+      FROM (SELECT doc_id, {toks} AS arr FROM {kdocs_src} AS kd)
+    )""")
+    ctes.append("""aidstream AS MATERIALIZED (
+      SELECT s.doc_id, s.wpos, q.spos, q.tid
+      FROM astream s JOIN awseq q USING (word)
+    )""")
+    S, L = _PACK_SHARDS, _PACK_SEQ_LEN
+    h = ("CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || "
+         "'epoch0'), 1, 12)) AS UBIGINT) AS BIGINT)")
+    ctes.append(f"""aord AS MATERIALIZED (
+      SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard
+               ORDER BY k ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+      FROM (SELECT id AS doc_id, {h} AS k, {h} % {S} AS shard FROM bkept)
+    )""")
+    ctes.append("""aplaced AS MATERIALIZED (
+      SELECT c.doc_id, o.shard,
+             CAST(SUM(c.n) OVER (PARTITION BY o.shard ORDER BY o.pos) - c.n
+                  AS BIGINT) AS strt
+      FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM aidstream GROUP BY doc_id) c
+      JOIN aord o USING (doc_id)
+    )""")
+    ctes.append(f"""apacked AS MATERIALIZED (
+      SELECT i.doc_id, p.shard,
+             (p.strt + row_number() OVER (PARTITION BY i.doc_id
+                ORDER BY i.wpos, i.spos) - 1) // {L} AS seq,
+             (p.strt + row_number() OVER (PARTITION BY i.doc_id
+                ORDER BY i.wpos, i.spos) - 1) % {L} AS slot,
+             i.tid
+      FROM aidstream i JOIN aplaced p USING (doc_id)
+    )""")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT 'asm_' || md5(string_agg(CAST(tid AS VARCHAR), ' '
+                                    ORDER BY slot)) AS tag,
+           seq AS doc_id, CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+    FROM apacked WHERE shard = 0 GROUP BY seq
+    UNION ALL
+    SELECT 'asm_totals' AS tag, CAST(-1 AS BIGINT) AS doc_id,
+           CAST(count(*) AS DOUBLE) AS n_ids,
+           CAST(count(DISTINCT doc_id) AS DOUBLE) AS v1,
+           CAST(count(DISTINCT shard * 1000000 + seq) AS DOUBLE) AS v2
+    FROM apacked
+    UNION ALL
+    SELECT 'asm_budget' AS tag, CAST(-2 AS BIGINT) AS doc_id,
+           CAST(SUM(tokens) AS DOUBLE) AS n_ids,
+           CAST({_BUDGET_TOKENS} AS DOUBLE) AS v1,
+           CAST(count(*) AS DOUBLE) AS v2
+    FROM bkept
+    """
+
+
+_register("pipe_assemble", _pipe_assemble, _assemble_oracle())
 
 
 def _text_packing(spark: SparkSession, sf: str) -> DataFrame:
@@ -9446,6 +9609,14 @@ _compose("text_quality_suite", [
     # slice; the totals row proves the dense-permutation + no-collision
     # invariants (r9)
     ("text_train_order",
+     ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
+      "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
+     "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "
+     "v2 AS punct_ratio, CAST(NULL AS DOUBLE) AS stopword_ratio"),
+    # the complete assembly program: budget-select -> epoch shuffle -> BPE
+    # train+encode on the kept subset -> pack in shuffled order; every
+    # shard-0 training sequence md5-checked, composition-wide (r9)
+    ("pipe_assemble",
      ["tag", "doc_id", "n_ids AS n_tokens", "v1 AS mean_token_len",
       "v2 AS punct_ratio", "CAST(NULL AS DOUBLE) AS stopword_ratio"],
      "tag, doc_id, n_ids AS n_tokens, v1 AS mean_token_len, "

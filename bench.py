@@ -378,8 +378,12 @@ def main() -> None:
                      # corpus encode, perceptual image dedup
                      "g_louvain", "text_nb_quality", "text_bpe_encode",
                      "mm_phash_dedup",
-                     # round 9: foreign-vocab BPE encode with char fallback
-                     "text_bpe_fallback"):
+                     # round 9: foreign-vocab BPE encode with char fallback,
+                     # unigram tokenizer, Katz, contrastive mining,
+                     # training order, budget selection
+                     "text_bpe_fallback", "text_unigram", "g_katz",
+                     "sim_contrastive_pairs", "text_train_order",
+                     "text_budget_select"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():

@@ -60,7 +60,8 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048, shards: int = 8,
 
 
 def pack_token_ids(enc: DataFrame, seq_len: int = 2048,
-                   shards: int = 8) -> DataFrame:
+                   shards: int = 8,
+                   order: DataFrame | None = None) -> DataFrame:
     """MATERIALIZE the packed training stream from a real token-id stream
     (`bpe.bpe_encode` output: doc_id, wpos, spos, token_id) — one row per
     training-token slot:
@@ -78,14 +79,24 @@ def pack_token_ids(enc: DataFrame, seq_len: int = 2048,
     each is executor-sized); the within-document token rank is a window
     partitioned BY DOCUMENT (bounded partitions); the only corpus-sized
     join is enc ⋈ placement, co-keyed on doc_id with a doc-count-sized
-    right side."""
+    right side.
+
+    `order` (opt-in, (doc_id, shard, pos)) overrides the hash-shard /
+    doc_id concatenation order — the hook that lets an EPOCH SHUFFLE
+    (sampling.training_order's output) decide what the packed stream
+    reads like; docs absent from `order` are excluded (it defines the
+    corpus being assembled).  Same per-shard cumsum, same scale shape."""
     cnt = enc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("shard").orderBy("doc_id") \
+    if order is None:
+        keyed = cnt.withColumn(
+            "shard", F.pmod(md5_long48(F.col("doc_id")), F.lit(shards)))
+        okey = "doc_id"
+    else:
+        keyed = cnt.join(order.select("doc_id", "shard", "pos"), "doc_id")
+        okey = "pos"
+    w = Window.partitionBy("shard").orderBy(okey) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    placed = (
-        cnt.withColumn("shard",
-                       F.pmod(md5_long48(F.col("doc_id")), F.lit(shards)))
-        .withColumn("_start", F.sum("n").over(w) - F.col("n")))
+    placed = keyed.withColumn("_start", F.sum("n").over(w) - F.col("n"))
     wd = Window.partitionBy("doc_id").orderBy("wpos", "spos")
     g = (enc.join(placed.select("doc_id", "shard", "_start"), "doc_id")
          .withColumn("_g", F.col("_start") + F.row_number().over(wd) - 1))

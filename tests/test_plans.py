@@ -448,6 +448,8 @@ def test_whole_roster_lints_clean(spark):
         # the band-cutoff filter over the persisted keep set
         "text_train_order": {"unfiltered-scan"},
         "text_budget_select": {"unfiltered-scan"},
+        # shard-0 certificate slice over the persisted packed stream
+        "pipe_assemble": {"unfiltered-scan"},
         # SemDeDup's nearest-centroid assignment is the SAME bounded
         # corpus × broadcast(n_cells centroids) cross as assign_best_cell
         # everywhere else — n_cells-bounded fan-out, never corpus²; the

@@ -527,6 +527,38 @@ def test_pack_token_ids_matches_pure_python(spark):
         assert sorted(slots) == list(range(len(slots)))
 
 
+def test_pack_token_ids_custom_order(spark):
+    """pack_token_ids(order=...) concatenates in the SUPPLIED (shard, pos)
+    order — the epoch-shuffle hook: the packed stream equals a pure-Python
+    pack over the explicit permutation, and docs absent from the order are
+    excluded."""
+    from hugegraph_on_tikv_spark.functions.bpe import bpe_encode, bpe_learn
+    from hugegraph_on_tikv_spark.functions.packing import pack_token_ids
+
+    texts = [(i, "low lower lowest new newer " * (1 + i % 3))
+             for i in range(10)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges, _ = bpe_learn(docs, n_merges=3)
+    enc = bpe_encode(docs, merges)
+    # explicit permutation: reverse order, two shards by parity, doc 0 absent
+    perm = [(i, i % 2, 9 - i) for i in range(1, 10)]
+    order = spark.createDataFrame(perm, "doc_id long, shard long, pos long")
+    got = sorted((r["shard"], r["seq"], r["slot"], r["doc_id"], r["token_id"])
+                 for r in pack_token_ids(enc, seq_len=5,
+                                         order=order).collect())
+    ids = {}
+    for (d, wp, sp, tid) in sorted(map(tuple, enc.collect())):
+        ids.setdefault(d, []).append(tid)
+    expect = []
+    for shard in (0, 1):
+        stream = [(d, t) for d, s, p in sorted(perm, key=lambda x: x[2])
+                  if s == shard for t in ids[d]]
+        expect += [(shard, g // 5, g % 5, d, t)
+                   for g, (d, t) in enumerate(stream)]
+    assert got == sorted(expect)
+    assert not any(d == 0 for _, _, _, d, _ in got)
+
+
 def test_bpe_encode_matches_pure_python(spark):
     """bpe_encode's (wpos, spos, token_id) stream equals a pure-Python
     BPE apply + frequency-ranked id assignment on a tiny corpus."""
