@@ -383,7 +383,7 @@ def main() -> None:
                      # training order, budget selection
                      "text_bpe_fallback", "text_unigram", "g_katz",
                      "sim_contrastive_pairs", "text_train_order",
-                     "text_budget_select"):
+                     "text_budget_select", "pipe_assemble"):
             if name in qs:
                 extras[name] = run_isolated(qs[name])
         for k, v in extras.items():
