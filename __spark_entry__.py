@@ -6255,6 +6255,63 @@ _register(
     _IVF_TOPK_SQL,
 )
 
+# ANN recall report (similarity.ann_recall_report): recall@k of the IVF
+# probe vs the exact ground truth on the query sample — the index-quality
+# monitor that tells a deployment when n_probe / a recluster is due.
+# Exact-integer hits; the oracle replays BOTH sides and intersects.
+
+_register(
+    "sim_ann_recall",
+    lambda spark, sf: similarity.ann_recall_report(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"), k=5, n_cells=16, n_probe=4,
+    ),
+    f"""
+    WITH {_IVF_TRAIN_CTES}, rqa AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_IVF_COS.format(a="e.v", b="c.c")} DESC, c.cell ASC) AS r
+        FROM emb e CROSS JOIN cents1 c
+        WHERE e.vec_id % 50 = 0
+      ) WHERE r <= 4
+    ), raset AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+          AS rank
+        FROM (SELECT DISTINCT qa.query_id, ca.neighbor_id,
+                     round({_IVF_COS.format(a="qa.qv", b="ca.cv")}, 6)
+                       AS cos_sim
+              FROM ca JOIN rqa qa USING (cell)
+              WHERE qa.query_id <> ca.neighbor_id))
+      WHERE rank <= 5
+    ), reset AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_COS_SQL} DESC, c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0)
+      WHERE rank <= 5
+    ), rinter AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+      FROM reset e JOIN raset a USING (query_id, neighbor_id)
+      GROUP BY e.query_id
+    ), rper AS MATERIALIZED (
+      SELECT q.query_id, COALESCE(i.hits, CAST(0 AS BIGINT)) AS hits,
+             CAST(5 AS BIGINT) AS k
+      FROM (SELECT DISTINCT query_id FROM reset) q
+      LEFT JOIN rinter i USING (query_id)
+    )
+    SELECT query_id, hits, k FROM rper
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS query_id, CAST(SUM(hits) AS BIGINT) AS hits,
+           CAST(SUM(k) AS BIGINT) AS k
+    FROM rper
+    """,
+)
+
 # Metadata-FILTERED ANN (r9): same index (centroids trained on the FULL
 # corpus — filter-agnostic), candidates pruned by the predicate before the
 # rerank.  The oracle reuses the identical training replay and adds the
@@ -10031,6 +10088,12 @@ _compose("sim_ivf_topk", [
       "CAST(rank AS DOUBLE) AS rank"],
      "'ivf_filt' AS tag, query_id, neighbor_id, cos_sim AS score, "
      "CAST(rank AS DOUBLE) AS rank"),
+    # recall@k of the probe vs exact ground truth, exact-integer hits (r9)
+    ("sim_ann_recall",
+     ["'recall' AS tag", "query_id", "CAST(NULL AS DOUBLE) AS neighbor_id",
+      "CAST(hits AS DOUBLE) AS score", "CAST(k AS DOUBLE) AS rank"],
+     "'recall' AS tag, query_id, CAST(NULL AS DOUBLE) AS neighbor_id, "
+     "CAST(hits AS DOUBLE) AS score, CAST(k AS DOUBLE) AS rank"),
 ])
 _compose("i1_splits", [
     ("i1_splits",

@@ -680,6 +680,41 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, n_cells: int = 1
 
 # -- scalar quantization ----------------------------------------------------
 
+def ann_recall_report(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                      n_cells: int = 16, n_probe: int = 4,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Index-quality evaluation: recall@k of the IVF probe against the
+    exact top-k ground truth — the monitoring operator an ANN deployment
+    runs on a query sample to decide when n_probe (or a recluster,
+    ivf_maybe_compact) is due.  Both sides share the engine's
+    deterministic tie-breaks, so ground truth is unambiguous and the
+    report is exact-integer: per query (hits, k), plus a corpus totals
+    row (query_id = -1, total hits, total possible).
+
+    Scale: the exact side is the brute-force cosine_topk over the SAMPLE
+    of queries only (ground truth is always computed on a sample — that's
+    the point of the report); the probe side is the production ivf_topk
+    plan.  The intersection is one k·|sample|-sized equi-join."""
+    exact = cosine_topk(queries, corpus, k, id_col, vec_col) \
+        .select("query_id", "neighbor_id")
+    approx = ivf_topk(queries, corpus, k, n_cells, n_probe,
+                      id_col, vec_col).select("query_id", "neighbor_id")
+    inter = (exact.join(approx, ["query_id", "neighbor_id"])
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("hits")))
+    per = (exact.select("query_id").distinct()
+           .join(inter, "query_id", "left")
+           .select("query_id",
+                   F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+                   .alias("hits"),
+                   F.lit(k).cast("long").alias("k")))
+    tot = per.agg(F.sum("hits").cast("long").alias("hits"),
+                  F.sum("k").cast("long").alias("k")) \
+        .select(F.lit(-1).cast("long").alias("query_id"), "hits", "k")
+    return per.unionByName(tot)
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", bits: int = 8) -> DataFrame:
     """Symmetric per-vector scalar quantization: codes[i] =

@@ -457,6 +457,7 @@ def test_whole_roster_lints_clean(spark):
         "sim_semdedup_pairs": {"cartesian"},
         "sim_semdedup_kept": {"cartesian"},
         "sim_contrastive_pairs": {"cartesian"},   # same assign_best_cell cross
+        "sim_ann_recall": {"cartesian"},          # exact side + cell assign
         # the LM smoothing denominator needs V (one count-distinct row)
         # crossed back into the token stream — the 1-row scalar pattern
         "text_lm_score": {"cartesian"},

@@ -963,3 +963,21 @@ def test_contrastive_mining_semantics(spark):
     # positives are symmetric pairs (same-cell relation is symmetric)
     ppairs = {(r["anchor_id"], r["other_id"]) for r in pos}
     assert all((b, a) in ppairs for a, b in ppairs)
+
+
+def test_ann_recall_report_semantics(spark):
+    """recall@k is exact-integer; full probe (n_probe == n_cells) is exact
+    search, so every hit count equals k; the totals row sums the sample."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter("vec_id % 100 = 0")
+    full = similarity.ann_recall_report(q, emb, k=5, n_cells=8, n_probe=8)
+    rows = {r["query_id"]: (r["hits"], r["k"]) for r in full.collect()}
+    per = {qid: hk for qid, hk in rows.items() if qid != -1}
+    assert per and all(h == 5 and k == 5 for h, k in per.values())
+    assert rows[-1] == (sum(h for h, _ in per.values()),
+                        sum(k for _, k in per.values()))
+    # a 1-cell probe of 8 cells can only lose recall, never exceed k
+    part = similarity.ann_recall_report(q, emb, k=5, n_cells=8, n_probe=1)
+    prows = {r["query_id"]: r["hits"] for r in part.collect() if r["query_id"] != -1}
+    assert prows.keys() == per.keys()
+    assert all(0 <= h <= 5 for h in prows.values())
