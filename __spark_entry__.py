@@ -4469,6 +4469,15 @@ def _mm_real_codec_stats(spark: SparkSession, sf: str) -> DataFrame:
     s = ((j * 7 + 3) % 23) * 120 - 1300
     rows.append((102, bytearray(encode_wav_adpcm(s.astype(np.int16),
                                                  block_samples=1017))))
+    # Rice-coded LOSSLESS audio (r9, the FLAC recipe: fixed predictors +
+    # Golomb-Rice residuals).  decode(encode(s)) == s exactly, so the
+    # oracle computes frame stats straight from the sample formula — the
+    # hash match certifies the entire entropy-coded round trip.
+    from hugegraph_on_tikv_spark.functions.multimodal import encode_wav_rice
+    j = np.arange(2000, dtype=np.int64)
+    s = ((j * 11 + 5) % 29) * 90 - 1250
+    rows.append((103, bytearray(encode_wav_rice(s.astype(np.int16),
+                                                block_samples=512))))
     for i, (h, w) in ((0, (5, 7)), (1, (6, 6))):
         t = np.arange(h * w * 3, dtype=np.int64)
         rgb = ((t * 37 + 11 + i) % 256).astype(np.uint8).reshape(h, w, 3)
@@ -4653,6 +4662,24 @@ _register(
              CAST(h AS BIGINT) AS v2, CAST(h * w AS BIGINT) AS v3
       FROM jpeg_imgs
     ),
+    rsamp AS (
+      SELECT t.range AS j, ((t.range * 11 + 5) % 29) * 90 - 1250 AS s
+      FROM range(2000) t
+    ),
+    rfr AS (
+      SELECT j // 1024 AS frame, s,
+             lag(s) OVER (PARTITION BY j // 1024 ORDER BY j) AS ps
+      FROM rsamp
+    ),
+    rice_rows AS (
+      SELECT 'audio' AS kind, CAST(103 AS BIGINT) AS media_id,
+             CAST(frame AS INTEGER) AS frame,
+             CAST(SUM(abs(s)) AS BIGINT) AS v1,
+             CAST(MAX(abs(s)) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN ps IS NOT NULL AND ((s < 0) <> (ps < 0))
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM rfr GROUP BY frame
+    ),
     adsig AS (
       SELECT CAST(t.range AS BIGINT) AS j,
              ((t.range * 7 + 3) % 23) * 120 - 1300 AS x
@@ -4708,6 +4735,7 @@ _register(
     )
     SELECT * FROM audio_rows
     UNION ALL SELECT * FROM adpcm_rows
+    UNION ALL SELECT * FROM rice_rows
     UNION ALL SELECT * FROM image_rows
     UNION ALL SELECT * FROM dim_rows
     UNION ALL SELECT * FROM png_rows

