@@ -1431,3 +1431,59 @@ def test_node2vec_bias_steers_walks(spark):
     assert a != b
     with pytest.raises(ValueError):
         analytics.node2vec_walks(e, [0], 3, p=0.0)
+
+
+def test_greedy_coloring_shuffle_fallback_same_colors(spark):
+    """The broadcast guard is a PLAN choice, never a semantics choice:
+    forcing the shuffle fallback (broadcast_picks=False — the >4M-pick
+    regime at 100x scale) yields the identical deterministic coloring."""
+    rows = [(i, (i * 5 + 2) % 37) for i in range(37) if i != (i * 5 + 2) % 37]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    a = sorted((r.id, r.color)
+               for r in analytics.greedy_coloring(e).collect())
+    b = sorted((r.id, r.color)
+               for r in analytics.greedy_coloring(
+                   e, broadcast_picks=False).collect())
+    assert a == b
+
+
+def test_numerator_from_sed_equals_original_graph(spark):
+    """VERDICT r9 #4 pin: the contracted-graph numerator guard
+    (_numerator_from_sed) must equal the original-graph numerator
+    (_numerator_from_und) for ANY labeling of the super-vertices —
+    random graphs, random contractions, random super-labelings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = rng.randint(8, 24)
+        rows = sorted({(min(u, v), max(u, v))
+                       for u, v in ((rng.randint(0, n - 1),
+                                     rng.randint(0, n - 1))
+                                    for _ in range(3 * n)) if u != v})
+        e = spark.createDataFrame(rows, "src long, dst long")
+        und = analytics._undirected_simple(e).localCheckpoint(eager=True)
+        m = und.count()
+        ids = sorted({x for r in rows for x in r})
+        # random contraction: vertex -> community of the level below
+        lvl1 = {v: rng.choice(ids[: max(2, n // 3)]) for v in ids}
+        lab = spark.createDataFrame(list(lvl1.items()), "id long, _c long")
+        lu = lab.select(F.col("id").alias("u"), F.col("_c").alias("cu"))
+        lv = lab.select(F.col("id").alias("v"), F.col("_c").alias("cv"))
+        sed = (und.join(lu, "u").join(lv, "v")
+               .select(F.least("cu", "cv").alias("u2"),
+                       F.greatest("cu", "cv").alias("v2"))
+               .groupBy("u2", "v2").agg(F.count(F.lit(1)).alias("w")))
+        sids = sorted({r.u2 for r in sed.collect()}
+                      | {r.v2 for r in sed.collect()})
+        # random super-labeling on top of the contraction
+        sl = {s: rng.choice(sids) for s in sids}
+        slab = spark.createDataFrame(list(sl.items()), "sid long, sc long")
+        projected = spark.createDataFrame(
+            [(v, sl[lvl1[v]]) for v in ids if lvl1[v] in sl],
+            "id long, community long")
+        got = analytics._numerator_from_sed(sed, m, slab)
+        want = analytics._numerator_from_und(und, m, projected)
+        assert got == want, (trial, got, want)

@@ -491,3 +491,24 @@ def test_whole_roster_lints_clean(spark):
         if findings:
             unexpected[name] = [f.code for f in findings]
     assert unexpected == {}, unexpected
+
+
+def test_greedy_coloring_round_agg_exchange_free(spark):
+    """VERDICT r9 #2 pin: the per-round Jones-Plassmann aggregation stays
+    Exchange-free under the EXPLICIT broadcast-pick guard.  With the pick
+    frontier broadcast, both pick joins preserve the state's hash-
+    partitioning on `a`, so the round-2 groupBy runs with no Exchange
+    above the cached state (the only Exchange in the lineage is the
+    round-0 repartition INSIDE the InMemoryRelation)."""
+    from hugegraph_on_tikv_spark.operators import analytics
+
+    e = spark.createDataFrame(
+        [(i, (i + j) % 97) for i in range(97) for j in (1, 13)],
+        "src long, dst long")
+    probe: list = []
+    res = analytics.greedy_coloring(e, _plan_out=probe)
+    assert res.count() == 97
+    assert probe, "graph colored in one round; probe needs >=2 rounds"
+    above_cache = probe[0].split("InMemoryTableScan", 1)[0]
+    assert "HashAggregate" in above_cache, probe[0]
+    assert "Exchange" not in above_cache, probe[0]
