@@ -981,3 +981,101 @@ def test_ann_recall_report_semantics(spark):
     prows = {r["query_id"]: r["hits"] for r in part.collect() if r["query_id"] != -1}
     assert prows.keys() == per.keys()
     assert all(0 <= h <= 5 for h in prows.values())
+
+
+def test_vectorized_topk_float_budget_is_dimension_aware(spark):
+    """VERDICT r9 #7: the driver-collect guard bounds rows x dim, not rows.
+    A query set that passes the row cap but blows the float budget (wide
+    vectors) must fall back to the join plan — no MapInPandas in the
+    physical plan — with identical results."""
+    from pyspark.sql import functions as F
+
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    # dim is 64 in the fixture: a 128-float budget caps at 2 query rows,
+    # far under the row cap, so the byte guard (not the row guard) trips
+    guarded = similarity.cosine_topk_vectorized(
+        q, emb, k=3, max_query_rows=100_000, max_query_floats=128)
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    exact = similarity.cosine_topk(q, emb, k=3)
+    assert sorted(guarded.collect()) == sorted(exact.collect())
+
+
+def test_contrastive_mining_index_path_equals_inline(spark, tmp_path):
+    """VERDICT r9 #5 pin: mine_contrastive_pairs over a persisted
+    ivf_write_index artifact (no per-call centroid retrain) is
+    bit-identical to the inline-trained path at matching
+    n_cells/refine_iters."""
+    from hugegraph_on_tikv_spark.functions import similarity
+    from hugegraph_on_tikv_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    inline = similarity.mine_contrastive_pairs(
+        emb, pos_threshold=0.4, neg_band=(0.2, 0.35), n_neg=2, n_cells=8)
+    path = str(tmp_path / "ctr_idx")
+    similarity.ivf_write_index(emb, path, n_cells=8, quantize_bits=None)
+    indexed = similarity.mine_contrastive_pairs(
+        None, pos_threshold=0.4, neg_band=(0.2, 0.35), n_neg=2,
+        n_cells=8, spark=spark, index_path=path)
+    assert sorted(map(tuple, inline.collect())) \
+        == sorted(map(tuple, indexed.collect()))
+    # the family shares the helper: semantic_dedup over the same index
+    kept_inline = similarity.semantic_dedup(emb, threshold=0.4, n_cells=8)
+    kept_idx = similarity.semantic_dedup(
+        None, threshold=0.4, n_cells=8, spark=spark, index_path=path)
+    assert sorted(map(tuple, kept_inline.collect())) \
+        == sorted(map(tuple, kept_idx.collect()))
+
+
+def test_ann_autotune_restores_recall_after_drift(spark, tmp_path):
+    """VERDICT r9 #6: plant centroid drift — index trained on clustered
+    corpus A, then ivf_append_index a distribution B the frozen centroids
+    never saw (B is near-orthogonal to A's clusters, so B's cell
+    assignments are jitter-noise and B-neighbors scatter across cells).
+    Recall@k for B-queries at n_probe=1 collapses; ann_autotune must
+    raise n_probe until recall >= target, and flag the recluster."""
+    import random
+
+    from hugegraph_on_tikv_spark.functions import similarity
+
+    rng = random.Random(7)
+    dim = 8
+
+    def jit(base):
+        return [b + 0.05 * rng.random() for b in base]
+
+    a_rows = []
+    for i in range(120):
+        base = [0.0] * dim
+        base[i % 3] = 1.0
+        a_rows.append((i, jit(base)))
+    b_rows = []
+    for i in range(120, 240):
+        base = [0.0] * dim
+        base[4 + i % 4] = 1.0
+        base[4 + (i + 1) % 4] = 0.7
+        b_rows.append((i, jit(base)))
+    schema = "vec_id long, embedding array<double>"
+    corpus_a = spark.createDataFrame(a_rows, schema)
+    corpus_b = spark.createDataFrame(b_rows, schema)
+    path = str(tmp_path / "drift_idx")
+    similarity.ivf_write_index(corpus_a, path, n_cells=6,
+                               quantize_bits=None)
+    similarity.ivf_append_index(spark, path, corpus_b, batch_id=1)
+    queries = spark.createDataFrame(b_rows[::6], schema)
+    report = similarity.ann_autotune(
+        spark, path, queries, target_recall=0.9, k=5, start_n_probe=1)
+    assert report["recall"] >= 0.9
+    assert report["total"] == len(b_rows[::6]) * 5
+    # the drift is real: the first probed setting was NOT enough
+    assert report["history"][0]["recall"] < 0.9
+    assert report["n_probe"] > 1
+    # autotune's escalation is monotone in n_probe
+    probes = [h["n_probe"] for h in report["history"]]
+    assert probes == sorted(probes)
