@@ -2811,7 +2811,19 @@ _UNI_MAXW = 10     # oracle DP unroll bound (corpus max is 8; +2 slack)
 
 def _text_unigram(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions import unigram as U
+    from hugegraph_on_tikv_spark.functions.text import tokens as _toks
     docs = load_table(spark, sf, "documents")
+    # contract guard (ADVICE r9): the DuckDB oracle unrolls the Viterbi DP
+    # to _UNI_MAXW end positions while the Spark fold is unbounded — a
+    # corpus word longer than the unroll would silently vanish from the
+    # oracle's segmentation and surface as an inscrutable hash mismatch.
+    # Fail loudly at the source instead (one cheap corpus aggregate).
+    mw = docs.select(F.max(F.array_max(F.transform(
+        _toks(F.col("text")), lambda x: F.length(x)))).alias("m")).first()[0]
+    if mw is not None and mw > _UNI_MAXW:
+        raise AssertionError(
+            f"unigram oracle DP is unrolled to {_UNI_MAXW} chars but the "
+            f"corpus has a {mw}-char word; raise _UNI_MAXW to match")
     vocab, _ = U.unigram_train(docs, n_iters=1, max_piece_len=_UNI_MAXP,
                                n_multi=_UNI_MULTI)
     vocab = vocab.persist()

@@ -384,7 +384,17 @@ def _ima_adpcm_decode_blocks(data: bytes, block_align: int) -> np.ndarray:
 # codec and stays out of scope.
 
 RICE_MAGIC = b"RIC1"
-_RICE_MAX_Q = 1 << 16   # unary runaway guard (encoder invariant)
+
+
+def _rice_max_q(block_samples: int) -> int:
+    """Provable unary-run bound for the mean-derived Rice parameter
+    (ADVICE r9): with k = bitlength(mean)-1, mean = floor(sum/size)
+    satisfies mean >= sum/(2*size) whenever mean >= 1, so
+    q = u >> k < 2*u/mean <= 4*size (u <= sum); and when mean == 0,
+    q = u <= sum < size.  Hence q < 4*block_samples for EVERY valid
+    int16 input — including a single spike in a quiet block at any
+    block size — and the guard is an invariant, not a heuristic cap."""
+    return 4 * max(1, block_samples)
 
 
 def _rice_predict_residual(blk: np.ndarray, order: int) -> np.ndarray:
@@ -430,11 +440,11 @@ class _BitReader:
             self.pos += 1
         return v
 
-    def read_unary(self) -> int:
+    def read_unary(self, max_q: int = 1 << 20) -> int:
         q = 0
         while self.read(1) == 1:
             q += 1
-            if q > _RICE_MAX_Q:
+            if q > max_q:
                 raise ValueError("corrupt Rice stream (unary runaway)")
         return q
 
@@ -470,9 +480,10 @@ def encode_wav_rice(samples: np.ndarray, sample_rate: int = 16_000,
         out += struct.pack("<BB", order, k)
         out += blk[:order].astype("<i2").tobytes()
         w = _BitWriter()
+        max_q = _rice_max_q(block_samples)
         for u in zz.tolist():
             q = u >> k
-            if q >= _RICE_MAX_Q:
+            if q >= max_q:
                 raise ValueError("Rice parameter collapsed (q too large)")
             for _ in range(q):
                 w.write(1, 1)
@@ -504,8 +515,9 @@ def decode_rice(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 2 * order
         r = _BitReader(b[pos:])
         vals = warm[:]
+        max_q = _rice_max_q(block_samples)
         for _ in range(n_blk - order):
-            q = r.read_unary()
+            q = r.read_unary(max_q)
             u = (q << k) | (r.read(k) if k else 0)
             e = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
             if order == 0:

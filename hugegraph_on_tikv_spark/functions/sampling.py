@@ -365,11 +365,15 @@ def token_budget_select(df: DataFrame, budget: int, quality_col: str,
     100 TB posture — no global sort, no single-partition window: docs are
     banded by `quality // band_width`; per-band token totals (a tiny
     aggregate) locate the cutoff band via a cumulative over the band
-    table, every better band is kept whole by a broadcast join, and only
-    the ONE cutoff band runs a window — partitioned to that band, ordered
-    by (quality DESC, id) — to take its affordable prefix.  Work on the
-    big table is one groupBy + one broadcast-join filter + one
-    band-scoped window.
+    table, and a broadcast join tags every kept band with its strictly-
+    better-bands offset.  EVERY kept band then runs a per-band window —
+    partitioned by band, ordered (quality DESC, id) — because the output
+    contract includes `spent`, the running total through each row; only
+    the cutoff band USES it to trim to the affordable prefix, but whole
+    bands need it for the returned column too.  The windows are parallel
+    across bands (band_width bounds each partition's size — no global or
+    single-partition window anywhere).  Work on the big table is one
+    groupBy + one broadcast-join filter + one band-partitioned window.
 
     Returns the kept rows as (id, quality, tokens, spent) where `spent`
     is the running total through that row (spent <= budget always)."""

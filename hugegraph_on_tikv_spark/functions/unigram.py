@@ -205,6 +205,14 @@ def unigram_train(docs: DataFrame, n_iters: int = 1, max_piece_len: int = 4,
              .withColumn("token_id",
                          (F.row_number().over(w) - 1).cast("long"))
              .select("piece", "cnt", "sc", "token_id"))
+    # cache hygiene (ADVICE r9): vocab is vocab-sized — cut it eagerly
+    # to a checkpoint so the iteration caches (words + final pieces) can
+    # be released HERE instead of leaking executor cache across repeated
+    # train calls in a long-lived session.  The returned words table is
+    # unpersisted but still valid (it recomputes from docs if used).
+    vocab = vocab.localCheckpoint(eager=True)
+    pieces.unpersist()
+    words.unpersist()
     return vocab, words
 
 

@@ -823,3 +823,23 @@ def test_rice_codec_lossless_roundtrip_and_dispatch(spark):
         assert got.shape == (3000, 1)   # validated shape even if bits flip
     except _DECODE_ERRORS:
         pass
+
+
+def test_rice_spike_in_quiet_large_block_round_trips():
+    """ADVICE r9: a single spike dominating a quiet block used to trip the
+    fixed 1<<16 unary guard once block_samples >= ~16k (q approaches
+    4*block_samples).  The guard is now derived from block_samples (a
+    provable invariant), so every valid int16 input encodes."""
+    import numpy as np
+
+    from hugegraph_on_tikv_spark.functions.multimodal import (
+        decode_rice, encode_wav_rice)
+
+    for n in (512, 16_384, 32_768):
+        s = np.zeros(n, dtype=np.int16)
+        s[n // 2] = 32_767
+        s[n // 2 + 1] = -32_768       # worst-case order-1/2 residual swing
+        enc = encode_wav_rice(s, block_samples=n)
+        got, rate = decode_rice(enc)
+        assert rate == 16_000
+        np.testing.assert_array_equal(got[:, 0], s)
