@@ -1729,8 +1729,15 @@ def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
     2), so the SQL oracle replays the same schedule.
 
     Returns (sid, sc) with winning strictly-positive moves applied
-    simultaneously — UNGUARDED; the caller guards on the original
-    graph's exact numerator."""
+    simultaneously — UNGUARDED; the caller guards with the exact
+    numerator (contracted-graph form, see _numerator_from_sed).
+
+    r10 plan (rule 34): TWO edge-scale passes — adj→nbr aggregation,
+    then ONE min_by argmax over the partial score 4m·k_to − 2·_d·d_cand
+    (per-sid constants shift every candidate's gain equally, so the
+    winner is identical and the exact gain gates only the winner row);
+    `wdeg`/`adj` opt-in reuse caller-persisted level invariants and
+    `small` broadcasts the vertex/community-sized side tables."""
     plain = sedges.filter(F.col("u2") != F.col("v2"))
     loops = sedges.filter(F.col("u2") == F.col("v2")) \
         .select(F.col("u2").alias("sid"), (F.col("w") * 2).alias("lw"))
