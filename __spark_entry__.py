@@ -5719,9 +5719,13 @@ def _louvain_sql(l1: int = _LOUV_L1, l2: int = _LOUV_L2) -> str:
         "lab0 AS MATERIALIZED (SELECT id, id AS c FROM degv)",
         qnum("lab0", "num0"),
     ]
-    # level-1: guarded synchronous local-move rounds (modularity_local_move)
+    # level-1: guarded synchronous local-move rounds, parity-alternated
+    # (r10: the level-2 md5 symmetry breaker now applies at level 1 too —
+    # without it a synchronous sweep from singletons swaps whole
+    # neighborhoods at once and the guard rejects every round)
     for t in range(1, l1 + 1):
         p = t - 1
+        par1 = (t - 1) % 2
         ctes += [
             f"nbr{t} AS MATERIALIZED (SELECT a.id, lb.c AS cand, "
             f"CAST(count(*) AS BIGINT) AS k FROM adj a "
@@ -5739,7 +5743,9 @@ def _louvain_sql(l1: int = _LOUV_L1, l2: int = _LOUV_L2) -> str:
             f"JOIN dc{t} dcu ON dcu.cand = l.c CROSS JOIN mm)",
             f"best{t} AS MATERIALIZED (SELECT id, MIN(cand) AS newc FROM ("
             f"SELECT id, cand, gain, MAX(gain) OVER (PARTITION BY id) AS mg "
-            f"FROM cand{t}) WHERE gain = mg AND gain > 0 GROUP BY id)",
+            f"FROM cand{t}) WHERE gain = mg AND gain > 0 "
+            f"AND CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 1)) "
+            f"AS UBIGINT) AS BIGINT) % 2 = {par1} GROUP BY id)",
             f"prop{t} AS MATERIALIZED (SELECT l.id, "
             f"COALESCE(b.newc, l.c) AS c FROM lab{p} l "
             f"LEFT JOIN best{t} b ON l.id = b.id)",

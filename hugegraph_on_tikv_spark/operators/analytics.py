@@ -1426,7 +1426,8 @@ def _numerator_from_und(und: DataFrame, m: int, labels: DataFrame,
 def _local_move_proposal(und: DataFrame, lab: DataFrame, m: int,
                          small: bool = False,
                          deg: DataFrame | None = None,
-                         adj: DataFrame | None = None) -> DataFrame:
+                         adj: DataFrame | None = None,
+                         parity: int | None = None) -> DataFrame:
     """UNGUARDED synchronous local-move proposal over a precomputed
     undirected simple edge set: every vertex v evaluates moving to each
     NEIGHBOR community c, scoring by the exact integer gain
@@ -1503,8 +1504,18 @@ def _local_move_proposal(und: DataFrame, lab: DataFrame, m: int,
                   * (F.col("win.dc").cast("decimal(38,0)")
                      - (F.col("d_cur").cast("decimal(38,0)")
                         - _dec("_d")))))
-    best = (scored.filter((F.col("win.c") != F.col("_c"))
-                          & (F.col("gain") > 0))
+    moved = (F.col("win.c") != F.col("_c")) & (F.col("gain") > 0)
+    if parity is not None:
+        # the level-2 symmetry breaker, now available at level 1 too
+        # (r10): only vertices whose deterministic md5 bit matches move
+        # this round — a fully synchronous sweep from singletons swaps
+        # whole neighborhoods simultaneously and the guard rejects the
+        # permuted-but-no-better result, so unparitied level-1 rounds
+        # accept nothing on symmetric-ish graphs (measured at sf0.1)
+        bit = (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 1),
+                      16, 10).cast("int") % 2)
+        moved = moved & (bit == F.lit(parity))
+    best = (scored.filter(moved)
             .select("id", F.col("win.c").alias("_new")))
     return (lab.join(_bcast_if(best, small), "id", "left")
             .select("id", F.coalesce("_new", F.col("_c")).alias("_c")))
@@ -1565,7 +1576,15 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
     a genuine integer improvement once numerators exceed 2^53).
     r10: the labeling-independent degree and adjacency tables are
     derived ONCE and persisted across rounds, and `small` threads the
-    broadcast-under-guard plan into every proposal/guard join.
+    broadcast-under-guard plan into every proposal/guard join.  Rounds
+    alternate the md5-parity symmetry breaker (level 2's posture,
+    brought to level 1): a fully synchronous sweep from singletons
+    swaps whole neighborhoods at once and the guard rejects the
+    permuted-but-no-better labeling — measured at sf0.1, unparitied
+    level 1 accepted NOTHING, leaving the contraction an identity.
+    All max_rounds run (a rejected round's successor proposes a
+    DIFFERENT move set under the flipped parity), which is exactly the
+    unconditional unroll the SQL oracle replays.
     Returns (labels, final numerator, any round accepted)."""
     if m == 0:
         return cur, _numerator_from_und(und, m, cur, label_col), False
@@ -1591,20 +1610,26 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
             prev_num = _numerator_from_und(und, m, cur, label_col,
                                            small=small, deg=deg)
         moved = False
-        for _ in range(max_rounds):
+        for i in range(max_rounds):
             lab = cur.select("id", F.col(label_col).alias("_c"))
             # lazy checkpoint: the guard's numerator aggregation is the
             # next action anyway, so it materializes the checkpoint as a
             # side effect — one fewer eager job on the round's critical
             # path (round count is bounded, so plan depth stays bounded)
             proposed = (_local_move_proposal(und, lab, m, small=small,
-                                             deg=deg, adj=adj)
+                                             deg=deg, adj=adj,
+                                             parity=i % 2)
                         .withColumnRenamed("_c", label_col)
                         .localCheckpoint(eager=False))
             num = _numerator_from_und(und, m, proposed, label_col,
                                       small=small, deg=deg)
+            # continue, not break: rounds alternate the parity bit, so a
+            # rejected round's SUCCESSOR proposes a different move set
+            # (the pre-r10 break was only valid while proposals were a
+            # function of the labeling alone); the unconditional loop is
+            # exactly what the SQL oracle unrolls
             if num <= prev_num:
-                break
+                continue
             cur, prev_num, moved = proposed, num, True
     finally:
         deg.unpersist()
@@ -1619,10 +1644,11 @@ def louvain(edges: DataFrame, labels: DataFrame | None = None,
     the undirected simple vertex domain — the classic Louvain start; the
     und-derived domain matches `louvain_full` and the SQL oracle, so
     self-loop-only vertices — modularity-neutral by definition — are
-    consistently excluded) until a round stops improving modularity or
-    max_rounds is hit.  Each round is monotone by the exact-integer
-    numerator guard, so the modularity sequence is non-decreasing and the
-    loop terminates.
+    consistently excluded) for max_rounds parity-alternated rounds (r10;
+    see _louvain_rounds — a rejected round leaves the labeling unchanged
+    and the next parity proposes a different move set).  Each round is
+    monotone by the exact-integer numerator guard, so the modularity
+    sequence is non-decreasing.
 
     This is the LOCAL-MOVE phase only — `louvain_full` adds the
     contraction phase.  Returns (id, <label_col>)."""
