@@ -1610,6 +1610,7 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
             prev_num = _numerator_from_und(und, m, cur, label_col,
                                            small=small, deg=deg)
         moved = False
+        consecutive_rejects = 0
         for i in range(max_rounds):
             lab = cur.select("id", F.col(label_col).alias("_c"))
             # lazy checkpoint: the guard's numerator aggregation is the
@@ -1627,9 +1628,18 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
             # rejected round's SUCCESSOR proposes a different move set
             # (the pre-r10 break was only valid while proposals were a
             # function of the labeling alone); the unconditional loop is
-            # exactly what the SQL oracle unrolls
+            # exactly what the SQL oracle unrolls.  EXCEPT: after two
+            # CONSECUTIVE rejections the labels are unchanged across
+            # both parities, so every later round replays one of the
+            # two rejected proposals — breaking is label-identical to
+            # the oracle's unroll (its CASE makes rejected rounds
+            # no-ops) and skips the dead O(m) work
             if num <= prev_num:
+                consecutive_rejects += 1
+                if consecutive_rejects >= 2:
+                    break
                 continue
+            consecutive_rejects = 0
             cur, prev_num, moved = proposed, num, True
     finally:
         deg.unpersist()
@@ -1868,12 +1878,14 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
     re-derives the accepted numerator with one O(m) original-graph pass
     as a never-wrong consistency check (VERDICT r9 #4 — previously this
     O(m) pass ran per PROBED round).  Rounds alternate the parity
-    symmetry-breaker (see `_weighted_move_proposal`) and all
-    `level2_rounds` run unconditionally — a rejected round leaves the
-    labeling unchanged (the proposal is a deterministic function of the
-    labeling and parity, so re-running it later is a no-op), which makes
-    the loop exactly replayable by an unconditionally unrolled SQL
-    oracle.
+    symmetry-breaker (see `_weighted_move_proposal`; since r10 level 1
+    alternates it too) — a rejected round leaves the labeling unchanged
+    (the proposal is a deterministic function of the labeling and
+    parity, so re-running it later is a no-op), which makes the loop
+    exactly replayable by an unconditionally unrolled SQL oracle; two
+    CONSECUTIVE rejections are a fixpoint across both parities, so the
+    loop breaks there — label-identical to the unroll, skipping only
+    dead work.
 
     Scale: contraction is one keyed aggregation; each level-2 round runs
     ENTIRELY over the contracted graph (|communities| vertices,
@@ -1956,6 +1968,7 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
                                          F.col("u2").alias("b"), "w"))
                ).persist()
         improved = False
+        rejects = 0
         try:
             for r in range(level2_rounds):
                 # lazy checkpoint (see _louvain_rounds): the sed-numerator
@@ -1972,7 +1985,14 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
                 num = _numerator_from_sed(sed, m, prop, small=small,
                                           wdeg=wdeg)
                 if num <= prev_num:
+                    # two consecutive rejections across both parities =
+                    # fixpoint; later rounds replay them (see
+                    # _louvain_rounds — label-identical to the oracle)
+                    rejects += 1
+                    if rejects >= 2:
+                        break
                     continue
+                rejects = 0
                 slab, prev_num, improved = prop, num, True
         finally:
             wdeg.unpersist()
