@@ -1487,3 +1487,19 @@ def test_numerator_from_sed_equals_original_graph(spark):
         got = analytics._numerator_from_sed(sed, m, slab)
         want = analytics._numerator_from_und(und, m, projected)
         assert got == want, (trial, got, want)
+
+
+def test_louvain_level1_parity_breaks_ring_oscillation(spark):
+    """r10 regression pin: on a symmetric cycle a fully synchronous
+    local-move sweep oscillates (every vertex swaps at once) and the
+    exact-numerator guard rejects every round, leaving all singletons.
+    With the md5-parity symmetry breaker at level 1, the local-move
+    phase must make REAL progress (strictly fewer communities than
+    vertices), and the full two-level run may only merge further."""
+    rows = [(i, (i + 1) % 30) for i in range(30)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    n_local = analytics.louvain(e).select("community").distinct().count()
+    assert n_local < 30, "level-1 local moves accepted nothing"
+    n_full = analytics.louvain_full(e).select("community") \
+        .distinct().count()
+    assert n_full <= n_local
