@@ -5665,16 +5665,20 @@ def _g_modularity(spark: SparkSession, sf: str) -> DataFrame:
 _register("g_modularity", _g_modularity, _modularity_sql())
 
 
-# -- full Louvain (analytics.louvain_full): guarded local-move rounds from
-#    singletons, then ONE contraction level (communities -> super-vertices,
-#    inter-community edge counts as weights, intra counts as self-loops)
-#    with parity-alternating weighted local-move rounds, every proposal
-#    accept/rejected by the exact-integer modularity numerator on the
-#    ORIGINAL graph.  The oracle unrolls the identical schedule; the
-#    rejected-round-repeats-itself argument makes unconditional unrolling
-#    exact.  Certificate rows: id=-1 carries the full labeling's numerator,
-#    id=-2 the local-move-only labeling's — the driver value-checks both,
-#    and full >= local is pytest-pinned (monotone contraction). ------------
+# -- full Louvain (analytics.louvain_full): parity-alternated guarded
+#    local-move rounds from singletons (r10: the md5 symmetry breaker at
+#    BOTH levels), then ONE contraction level (communities ->
+#    super-vertices, inter-community edge counts as weights, intra counts
+#    as self-loops) with parity-alternating weighted local-move rounds,
+#    every proposal accept/rejected by the exact-integer modularity
+#    numerator (level 2 computes it on the contracted graph — provably
+#    equal, _numerator_from_sed).  The oracle unrolls the identical
+#    schedule with the same md5-bit predicates; a rejected round is a
+#    CASE no-op, which makes unconditional unrolling exact (and Spark's
+#    two-consecutive-rejections break label-identical).  Certificate
+#    rows: id=-1 carries the full labeling's numerator, id=-2 the
+#    local-move-only labeling's — the driver value-checks both, and
+#    full >= local is pytest-pinned (monotone contraction). ---------------
 
 _LOUV_L1, _LOUV_L2 = 3, 2
 
