@@ -46,7 +46,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from hugegraph_on_tikv_spark.functions.similarity import (
-        cosine_topk, cosine_topk_vectorized, ivfpq_search_index,
+        ann_autotune, cosine_topk, cosine_topk_vectorized,
+        ivf_write_index, ivfpq_search_index,
         ivfpq_write_index, pq_adc_vectorized, pq_search_index,
         pq_write_index)
 
@@ -113,6 +114,24 @@ def main() -> None:
         doc["queries"] = {k: round(statistics.median(v), 3)
                           for k, v in samples.items()}
         doc["samples"] = samples
+
+        # r10: the closed recall loop at sf1 volume — build an IVF-flat
+        # index and let ann_autotune walk n_probe up to the recall
+        # target.  This is a driver-side action loop (returns a dict),
+        # so it is timed end-to-end, once, not via run_isolated.
+        t0 = time.perf_counter()
+        ivf_write_index(emb, f"{tmp}/ivf", n_cells=16, quantize_bits=None)
+        doc["build_ivf_index"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        tune = ann_autotune(spark, f"{tmp}/ivf", queries,
+                            target_recall=0.9, k=5, start_n_probe=1)
+        doc["autotune"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "n_probe": tune["n_probe"], "recall": round(tune["recall"], 4),
+            "recluster": tune["recluster"],
+            "steps": len(tune["history"]),
+        }
 
         # settle: let the ContextCleaner drain the workload's
         # checkpoint/broadcast garbage before sampling the box again
