@@ -5667,20 +5667,28 @@ _register("g_modularity", _g_modularity, _modularity_sql())
 
 # -- full Louvain (analytics.louvain_full): parity-alternated guarded
 #    local-move rounds from singletons (r10: the md5 symmetry breaker at
-#    BOTH levels), then ONE contraction level (communities ->
+#    BOTH levels), then ITERATED contraction levels (r11, VERDICT r10 #6:
+#    max_levels=3 → two contraction levels; communities ->
 #    super-vertices, inter-community edge counts as weights, intra counts
 #    as self-loops) with parity-alternating weighted local-move rounds,
 #    every proposal accept/rejected by the exact-integer modularity
-#    numerator (level 2 computes it on the contracted graph — provably
-#    equal, _numerator_from_sed).  The oracle unrolls the identical
-#    schedule with the same md5-bit predicates; a rejected round is a
-#    CASE no-op, which makes unconditional unrolling exact (and Spark's
-#    two-consecutive-rejections break label-identical).  Certificate
-#    rows: id=-1 carries the full labeling's numerator, id=-2 the
-#    local-move-only labeling's — the driver value-checks both, and
-#    full >= local is pytest-pinned (monotone contraction). ---------------
+#    numerator (contracted levels compute it on the contracted graph —
+#    provably equal, _numerator_from_sed).  The oracle unrolls the
+#    identical schedule with the same md5-bit predicates; a rejected
+#    round is a CASE no-op, which makes unconditional unrolling exact
+#    (Spark's two-consecutive-rejections break is label-identical, and
+#    so is its stop-when-a-level-accepts-nothing break: the oracle's
+#    deeper levels then replay the same rejected proposals — identity
+#    start, same parities — and reject them again).  Spark contracts
+#    level ≥3 from the PREVIOUS super-graph while the oracle re-contracts
+#    the original edge set by the projected labeling — provably equal
+#    (each super-edge's weight sums original edges sharing one community
+#    pair), and louvain_full's final O(m) consistency check enforces it.
+#    Certificate rows: id=-1 carries the full labeling's numerator,
+#    id=-2 the local-move-only labeling's — the driver value-checks
+#    both, and full >= local is pytest-pinned (monotone contraction). ----
 
-_LOUV_L1, _LOUV_L2 = 3, 2
+_LOUV_L1, _LOUV_L2, _LOUV_LEVELS = 3, 2, 3
 
 
 def _g_louvain(spark: SparkSession, sf: str) -> DataFrame:
@@ -5691,7 +5699,8 @@ def _g_louvain(spark: SparkSession, sf: str) -> DataFrame:
     # no second level-1 run and neither cert re-aggregates O(m)
     cap: dict = {}
     full = analytics.louvain_full(
-        e, level1_rounds=_LOUV_L1, level2_rounds=_LOUV_L2, _capture=cap)
+        e, level1_rounds=_LOUV_L1, level2_rounds=_LOUV_L2,
+        max_levels=_LOUV_LEVELS, _capture=cap)
     cert = spark.createDataFrame(
         [(-1, cap["final_num"]), (-2, cap["level1_num"])],
         "id long, community long")
@@ -5699,7 +5708,8 @@ def _g_louvain(spark: SparkSession, sf: str) -> DataFrame:
             .unionByName(cert))
 
 
-def _louvain_sql(l1: int = _LOUV_L1, l2: int = _LOUV_L2) -> str:
+def _louvain_sql(l1: int = _LOUV_L1, l2: int = _LOUV_L2,
+                 levels: int = _LOUV_LEVELS) -> str:
     def qnum(lab: str, out: str) -> str:
         return (
             f"{out} AS MATERIALIZED (SELECT CAST(4 * mm.m * ei.e - dd.s "
@@ -5761,69 +5771,83 @@ def _louvain_sql(l1: int = _LOUV_L1, l2: int = _LOUV_L2) -> str:
             f"num{t} AS MATERIALIZED (SELECT greatest(pn.q, n0.q) AS q "
             f"FROM pnum{t} pn CROSS JOIN num{p} n0)",
         ]
-    # contraction: communities -> super-vertices, weights = edge counts
-    ctes += [
-        f"sed AS MATERIALIZED (SELECT least(la.c, lb.c) AS u2, "
-        f"greatest(la.c, lb.c) AS v2, CAST(count(*) AS BIGINT) AS w "
-        f"FROM und JOIN lab{l1} la ON und.u = la.id "
-        f"JOIN lab{l1} lb ON und.v = lb.id GROUP BY least(la.c, lb.c), "
-        f"greatest(la.c, lb.c))",
-        "splain AS MATERIALIZED (SELECT u2, v2, w FROM sed WHERE u2 <> v2)",
-        "swdeg AS MATERIALIZED (SELECT sid, CAST(SUM(w) AS BIGINT) AS d "
-        "FROM (SELECT u2 AS sid, w FROM splain "
-        "UNION ALL SELECT v2, w FROM splain "
-        "UNION ALL SELECT u2, 2 * w FROM sed WHERE u2 = v2) GROUP BY sid)",
-        "sadj AS MATERIALIZED (SELECT u2 AS sid, v2 AS b, w FROM splain "
-        "UNION ALL SELECT v2, u2, w FROM splain)",
-        "slab0 AS MATERIALIZED (SELECT sid, sid AS sc FROM swdeg)",
-        f"snum0 AS MATERIALIZED (SELECT q FROM num{l1})",
-    ]
-    # level-2: parity-alternating weighted rounds, guarded on the original
-    # graph's numerator via the projected labeling
-    for r in range(1, l2 + 1):
-        p = r - 1
-        par = (r - 1) % 2
-        ctes += [
-            f"snbr{r} AS MATERIALIZED (SELECT a.sid, lb.sc AS cand, "
-            f"CAST(SUM(a.w) AS BIGINT) AS k FROM sadj a "
-            f"JOIN slab{p} lb ON a.b = lb.sid GROUP BY a.sid, lb.sc)",
-            f"sdc{r} AS MATERIALIZED (SELECT l.sc AS cand, "
-            f"CAST(SUM(wd.d) AS BIGINT) AS dc FROM swdeg wd "
-            f"JOIN slab{p} l ON wd.sid = l.sid GROUP BY l.sc)",
-            f"scand{r} AS MATERIALIZED (SELECT n.sid, n.cand, "
-            f"4 * mm.m * (n.k - COALESCE(o.k, 0)) "
-            f"- 2 * wd.d * (dcc.dc - (dcu.dc - wd.d)) AS gain "
-            f"FROM snbr{r} n JOIN slab{p} l ON n.sid = l.sid "
-            f"AND n.cand <> l.sc "
-            f"LEFT JOIN snbr{r} o ON o.sid = n.sid AND o.cand = l.sc "
-            f"JOIN swdeg wd ON wd.sid = n.sid "
-            f"JOIN sdc{r} dcc ON dcc.cand = n.cand "
-            f"JOIN sdc{r} dcu ON dcu.cand = l.sc CROSS JOIN mm)",
-            f"sbest{r} AS MATERIALIZED (SELECT sid, MIN(cand) AS newc FROM ("
-            f"SELECT sid, cand, gain, MAX(gain) OVER (PARTITION BY sid) AS mg "
-            f"FROM scand{r}) WHERE gain = mg AND gain > 0 "
-            f"AND CAST(CAST(('0x' || substr(md5(CAST(sid AS VARCHAR)), 1, 1)) "
-            f"AS UBIGINT) AS BIGINT) % 2 = {par} GROUP BY sid)",
-            f"sprop{r} AS MATERIALIZED (SELECT l.sid, "
-            f"COALESCE(b.newc, l.sc) AS sc FROM slab{p} l "
-            f"LEFT JOIN sbest{r} b ON l.sid = b.sid)",
-            f"sproj{r} AS MATERIALIZED (SELECT l.id, sp.sc AS c "
-            f"FROM lab{l1} l JOIN sprop{r} sp ON l.c = sp.sid)",
-            qnum(f"sproj{r}", f"spnum{r}"),
-            f"slab{r} AS MATERIALIZED (SELECT l.sid, "
-            f"CASE WHEN pn.q > n0.q THEN pr.sc ELSE l.sc END AS sc "
-            f"FROM slab{p} l JOIN sprop{r} pr ON l.sid = pr.sid "
-            f"CROSS JOIN spnum{r} pn CROSS JOIN snum{p} n0)",
-            f"snum{r} AS MATERIALIZED (SELECT greatest(pn.q, n0.q) AS q "
-            f"FROM spnum{r} pn CROSS JOIN snum{p} n0)",
-        ]
+    # iterated contraction levels (r11): labP{v} is the level-v labeling
+    # projected onto the ORIGINAL vertices; each level re-contracts und
+    # by it (equal to Spark's contract-the-previous-super-graph — see
+    # the roster comment above) and unrolls l2 weighted rounds, guarded
+    # on the original graph's numerator via the projected labeling
     ctes.append(
-        f"labF AS MATERIALIZED (SELECT l.id, sp.sc AS c FROM lab{l1} l "
-        f"JOIN slab{l2} sp ON l.c = sp.sid)")
+        f"labP1 AS MATERIALIZED (SELECT id, c FROM lab{l1})")
+    prev_num = f"num{l1}"
+    for v in range(2, levels + 1):
+        P = f"labP{v - 1}"
+        ctes += [
+            f"sed{v} AS MATERIALIZED (SELECT least(la.c, lb.c) AS u2, "
+            f"greatest(la.c, lb.c) AS v2, CAST(count(*) AS BIGINT) AS w "
+            f"FROM und JOIN {P} la ON und.u = la.id "
+            f"JOIN {P} lb ON und.v = lb.id GROUP BY least(la.c, lb.c), "
+            f"greatest(la.c, lb.c))",
+            f"splain{v} AS MATERIALIZED (SELECT u2, v2, w FROM sed{v} "
+            f"WHERE u2 <> v2)",
+            f"swdeg{v} AS MATERIALIZED (SELECT sid, "
+            f"CAST(SUM(w) AS BIGINT) AS d "
+            f"FROM (SELECT u2 AS sid, w FROM splain{v} "
+            f"UNION ALL SELECT v2, w FROM splain{v} "
+            f"UNION ALL SELECT u2, 2 * w FROM sed{v} WHERE u2 = v2) "
+            f"GROUP BY sid)",
+            f"sadj{v} AS MATERIALIZED (SELECT u2 AS sid, v2 AS b, w "
+            f"FROM splain{v} UNION ALL SELECT v2, u2, w FROM splain{v})",
+            f"slab{v}_0 AS MATERIALIZED (SELECT sid, sid AS sc "
+            f"FROM swdeg{v})",
+            f"snum{v}_0 AS MATERIALIZED (SELECT q FROM {prev_num})",
+        ]
+        for r in range(1, l2 + 1):
+            p = r - 1
+            par = (r - 1) % 2
+            ctes += [
+                f"snbr{v}_{r} AS MATERIALIZED (SELECT a.sid, lb.sc AS cand, "
+                f"CAST(SUM(a.w) AS BIGINT) AS k FROM sadj{v} a "
+                f"JOIN slab{v}_{p} lb ON a.b = lb.sid GROUP BY a.sid, lb.sc)",
+                f"sdc{v}_{r} AS MATERIALIZED (SELECT l.sc AS cand, "
+                f"CAST(SUM(wd.d) AS BIGINT) AS dc FROM swdeg{v} wd "
+                f"JOIN slab{v}_{p} l ON wd.sid = l.sid GROUP BY l.sc)",
+                f"scand{v}_{r} AS MATERIALIZED (SELECT n.sid, n.cand, "
+                f"4 * mm.m * (n.k - COALESCE(o.k, 0)) "
+                f"- 2 * wd.d * (dcc.dc - (dcu.dc - wd.d)) AS gain "
+                f"FROM snbr{v}_{r} n JOIN slab{v}_{p} l ON n.sid = l.sid "
+                f"AND n.cand <> l.sc "
+                f"LEFT JOIN snbr{v}_{r} o ON o.sid = n.sid "
+                f"AND o.cand = l.sc "
+                f"JOIN swdeg{v} wd ON wd.sid = n.sid "
+                f"JOIN sdc{v}_{r} dcc ON dcc.cand = n.cand "
+                f"JOIN sdc{v}_{r} dcu ON dcu.cand = l.sc CROSS JOIN mm)",
+                f"sbest{v}_{r} AS MATERIALIZED (SELECT sid, MIN(cand) "
+                f"AS newc FROM ("
+                f"SELECT sid, cand, gain, MAX(gain) OVER (PARTITION BY sid) "
+                f"AS mg FROM scand{v}_{r}) WHERE gain = mg AND gain > 0 "
+                f"AND CAST(CAST(('0x' || substr(md5(CAST(sid AS VARCHAR)), "
+                f"1, 1)) AS UBIGINT) AS BIGINT) % 2 = {par} GROUP BY sid)",
+                f"sprop{v}_{r} AS MATERIALIZED (SELECT l.sid, "
+                f"COALESCE(b.newc, l.sc) AS sc FROM slab{v}_{p} l "
+                f"LEFT JOIN sbest{v}_{r} b ON l.sid = b.sid)",
+                f"sproj{v}_{r} AS MATERIALIZED (SELECT l.id, sp.sc AS c "
+                f"FROM {P} l JOIN sprop{v}_{r} sp ON l.c = sp.sid)",
+                qnum(f"sproj{v}_{r}", f"spnum{v}_{r}"),
+                f"slab{v}_{r} AS MATERIALIZED (SELECT l.sid, "
+                f"CASE WHEN pn.q > n0.q THEN pr.sc ELSE l.sc END AS sc "
+                f"FROM slab{v}_{p} l JOIN sprop{v}_{r} pr ON l.sid = pr.sid "
+                f"CROSS JOIN spnum{v}_{r} pn CROSS JOIN snum{v}_{p} n0)",
+                f"snum{v}_{r} AS MATERIALIZED (SELECT greatest(pn.q, n0.q) "
+                f"AS q FROM spnum{v}_{r} pn CROSS JOIN snum{v}_{p} n0)",
+            ]
+        ctes.append(
+            f"labP{v} AS MATERIALIZED (SELECT l.id, sp.sc AS c FROM {P} l "
+            f"JOIN slab{v}_{l2} sp ON l.c = sp.sid)")
+        prev_num = f"snum{v}_{l2}"
     return (
         f"WITH {graph_ctes()},\n" + ",\n".join(ctes)
-        + f"\nSELECT id, CAST(c AS BIGINT) AS community FROM labF"
-        + f"\nUNION ALL SELECT -1, (SELECT q FROM snum{l2})"
+        + f"\nSELECT id, CAST(c AS BIGINT) AS community FROM labP{levels}"
+        + f"\nUNION ALL SELECT -1, (SELECT q FROM {prev_num})"
         + f"\nUNION ALL SELECT -2, (SELECT q FROM num{l1})"
     )
 
@@ -6360,6 +6384,81 @@ _register(
            CAST(SUM(k) AS BIGINT) AS k
     FROM rper
     """,
+)
+
+# ANN autotune walk (r11, VERDICT r10 #8): the doubling-n_probe schedule
+# as a driver-checkable artifact — one row per PROBED step with
+# exact-integer (n_probe, hits, total), stop rule hits·10 ≥ 9·total (the
+# 0.9 target as a rational, so no float compare crosses engines).  The
+# oracle computes hits for EVERY power-of-two n_probe over the same
+# deterministic IVF training replay and keeps the prefix no earlier step
+# of which already met the target — exactly the walk Spark executes.
+
+
+def _ann_autotune_sql(k: int = 5, n_cells: int = 16,
+                      num: int = 9, den: int = 10) -> str:
+    probes = []
+    p = 1
+    while p < n_cells:
+        probes.append(p)
+        p *= 2
+    probes.append(n_cells)
+    ctes = [f"""gt AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_COS_SQL} DESC, c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0)
+      WHERE rank <= {k}
+    )""",
+            "tot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) "
+            "AS total FROM gt)"]
+    hit_parts = []
+    for p in probes:
+        ctes.append(f"""aqa{p} AS MATERIALIZED (
+      SELECT vec_id AS query_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 {_IVF_COS.format(a="e.v", b="c.c")} DESC, c.cell ASC) AS r
+        FROM emb e CROSS JOIN cents1 c
+        WHERE e.vec_id % 50 = 0
+      ) WHERE r <= {p}
+    )""")
+        ctes.append(f"""aset{p} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, row_number() OVER
+          (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC)
+          AS rank
+        FROM (SELECT DISTINCT qa.query_id, ca.neighbor_id,
+                     round({_IVF_COS.format(a="qa.qv", b="ca.cv")}, 6)
+                       AS cos_sim
+              FROM ca JOIN aqa{p} qa USING (cell)
+              WHERE qa.query_id <> ca.neighbor_id))
+      WHERE rank <= {k}
+    )""")
+        hit_parts.append(
+            f"SELECT CAST({p} AS BIGINT) AS n_probe, "
+            f"CAST(count(*) AS BIGINT) AS hits "
+            f"FROM gt JOIN aset{p} USING (query_id, neighbor_id)")
+    ctes.append("steps AS MATERIALIZED (\n"
+                + "\nUNION ALL\n".join(hit_parts) + "\n)")
+    return (
+        f"WITH {_IVF_TRAIN_CTES}, " + ",\n".join(ctes) + f"""
+    SELECT s.n_probe, s.hits, t.total
+    FROM steps s CROSS JOIN tot t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM steps s2 CROSS JOIN tot t2
+      WHERE s2.n_probe < s.n_probe AND s2.hits * {den} >= {num} * t2.total)
+    """)
+
+
+_register(
+    "sim_ann_autotune",
+    lambda spark, sf: similarity.ann_autotune_history(
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") % 50 == 0),
+        load_table(spark, sf, "embeddings"), k=5, n_cells=16),
+    _ann_autotune_sql(),
 )
 
 # Metadata-FILTERED ANN (r9): same index (centroids trained on the FULL
@@ -10144,6 +10243,15 @@ _compose("sim_ivf_topk", [
       "CAST(hits AS DOUBLE) AS score", "CAST(k AS DOUBLE) AS rank"],
      "'recall' AS tag, query_id, CAST(NULL AS DOUBLE) AS neighbor_id, "
      "CAST(hits AS DOUBLE) AS score, CAST(k AS DOUBLE) AS rank"),
+    # autotune walk (r11): n_probe rides query_id, exact-integer hits in
+    # score, total in rank — the doubling schedule + stop rule replayed
+    ("sim_ann_autotune",
+     ["'autotune' AS tag", "n_probe AS query_id",
+      "CAST(NULL AS DOUBLE) AS neighbor_id", "CAST(hits AS DOUBLE) AS score",
+      "CAST(total AS DOUBLE) AS rank"],
+     "'autotune' AS tag, n_probe AS query_id, "
+     "CAST(NULL AS DOUBLE) AS neighbor_id, CAST(hits AS DOUBLE) AS score, "
+     "CAST(total AS DOUBLE) AS rank"),
 ])
 _compose("i1_splits", [
     ("i1_splits",

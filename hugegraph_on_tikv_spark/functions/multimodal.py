@@ -440,7 +440,10 @@ class _BitReader:
             self.pos += 1
         return v
 
-    def read_unary(self, max_q: int = 1 << 20) -> int:
+    def read_unary(self, max_q: int) -> int:
+        # max_q is REQUIRED (ADVICE r10): callers must supply the
+        # _rice_max_q-derived bound so the runaway guard stays an
+        # invariant of the format, not a loose heuristic default
         q = 0
         while self.read(1) == 1:
             q += 1

