@@ -2073,6 +2073,11 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
         maps.append(slab)
         prev_sed = sed
         contracted = True
+        if _capture is not None:
+            # accepted numerator after each contracted level — the
+            # monotone-across-levels certificate (non-decreasing by the
+            # strict-improvement guard; pytest-pinned)
+            _capture.setdefault("level_nums", []).append(prev_num)
     if maps:
         # ONE composed projection + ONE O(m) original-graph pass for the
         # whole level chain: the und numerator re-derives the threaded

@@ -1503,3 +1503,24 @@ def test_louvain_level1_parity_breaks_ring_oscillation(spark):
     n_full = analytics.louvain_full(e).select("community") \
         .distinct().count()
     assert n_full <= n_local
+
+
+def test_louvain_full_three_level_schedule_is_monotone(spark):
+    """r11 (VERDICT r10 #6): max_levels=3 iterates contraction while a
+    level accepts; the captured per-level accepted numerators must be
+    non-decreasing (strict-improvement guard) and the final numerator
+    must match the last accepted level's.  The ring-of-triangles graph
+    exercises at least one accepted contraction level."""
+    edges = []
+    for i in range(12):
+        b = 3 * i
+        edges += [(b, b + 1), (b, b + 2), (b + 1, b + 2),
+                  (b + 2, 3 * ((i + 1) % 12))]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    cap: dict = {}
+    out = analytics.louvain_full(e, max_levels=3, _capture=cap)
+    assert out.count() == 36
+    seq = [cap["level1_num"]] + cap.get("level_nums", [])
+    assert seq == sorted(seq), seq
+    assert len(seq) >= 2, "no contraction level accepted"
+    assert cap["final_num"] == seq[-1]
