@@ -2504,6 +2504,16 @@ def _edge_priority(weight: Column, u: Column, v: Column,
     )
 
 
+def _edge_priority_struct() -> Column:
+    """The struct twin of `_edge_priority` (r11): lexicographic order on
+    struct(kw, u, v) — kw the quantized non-negative weight — equals the
+    zero-padded string's order exactly (decimal padding on non-negative
+    longs IS numeric order), at 24 bytes a row instead of ~44.  The SQL
+    oracle keeps the string form; selections agree bit-for-bit because
+    the total orders are identical."""
+    return F.struct("kw", "u", "v")
+
+
 def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
                     jump_steps: int = 24,
                     weight_scale: int = 100) -> DataFrame:
@@ -2512,11 +2522,16 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
     sequential union-find, no sorting the global edge list like Kruskal).
 
     Round: every component picks its minimum-priority incident cross edge
-    (priority = `_edge_priority`, distinct by construction, so the forest
+    (priority = (quantized weight, u, v) — `_edge_priority_struct`, the
+    24-byte struct twin of `_edge_priority`'s string whose lexicographic
+    order it matches exactly; distinct by construction, so the forest
     is UNIQUE and both engines converge to the same edge set); selected
     edges join the forest; the component-pointer graph they induce (each
     component points at the neighbor its chosen edge reaches) is contracted
-    by pointer doubling.  With distinct priorities the pointer graph's only
+    by pointer doubling.  r11: the pick is ONE min_by aggregation over the
+    doubled edge list (full payload rides the shuffle) — the old shape
+    aggregated min(key) per component and re-joined the edge set by
+    string key, a second |ed|-scale shuffle every round.  With distinct priorities the pointer graph's only
     cycles are mutual pairs, whose smaller id becomes the new root — the
     textbook invariant.
 
@@ -2552,16 +2567,17 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
 
     Returns (u, v, weight) canonical u<v, one row per forest edge."""
     spark = weighted_edges.sparkSession
+    pr = _edge_priority_struct()
     ed, n_ed = _ckpt_fresh_counted(
         weighted_edges
         .filter(F.col("src") != F.col("dst"))
         .select(F.least("src", "dst").alias("u"),
                 F.greatest("src", "dst").alias("v"), "weight")
         .groupBy("u", "v").agg(F.min("weight").alias("weight"))
-        .withColumn("key", _edge_priority(F.col("weight"), F.col("u"),
-                                          F.col("v"), weight_scale))
+        .withColumn("kw",
+                    F.round(F.col("weight") * weight_scale).cast("long"))
         .select(F.col("u").alias("cu"), F.col("v").alias("cv"),
-                "u", "v", "weight", "key")
+                "u", "v", "weight", "kw")
     )
     forest_legs: list[DataFrame] = []
     done = False
@@ -2569,15 +2585,24 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
         if n_ed == 0:
             done = True
             break
-        # each component's minimum-priority incident cross edge
-        mink = (
-            ed.select(F.col("cu").alias("c"), "key")
-            .unionByName(ed.select(F.col("cv").alias("c"), "key"))
-            .groupBy("c").agg(F.min("key").alias("key"))
-        )
+        # each component's minimum-priority incident cross edge in ONE
+        # aggregation (r11): min_by over the doubled edge list carrying
+        # the full payload — the old shape aggregated (c, key) then
+        # re-joined the edge set BY STRING KEY, a second |ed|-scale
+        # shuffle every round; map-side partial min_by keeps one
+        # candidate per component per partition
+        doubled = (ed.select(F.col("cu").alias("c"),
+                             "cu", "cv", "u", "v", "weight", "kw")
+                   .unionByName(ed.select(F.col("cv").alias("c"),
+                                          "cu", "cv", "u", "v",
+                                          "weight", "kw")))
         # lazy checkpoint: the pointer-root job below consumes sel twice
         # (ptr + its reverse) and materializes it as a side effect
-        sel = mink.join(ed, "key").localCheckpoint(eager=False)
+        sel = (doubled.groupBy("c")
+               .agg(F.min_by(F.struct("cu", "cv", "u", "v", "weight"),
+                             pr).alias("e"))
+               .select("c", "e.cu", "e.cv", "e.u", "e.v", "e.weight")
+               .localCheckpoint(eager=False))
         forest_legs.append(sel.select("u", "v", "weight").distinct())
         # component pointer graph: c -> the other endpoint's component
         ptr = sel.select(
@@ -2619,16 +2644,16 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
             ed.join(ru, "cu", "left").join(rv, "cv", "left")
             .select(F.coalesce("ncu", "cu").alias("a"),
                     F.coalesce("ncv", "cv").alias("b"),
-                    "u", "v", "weight", "key")
+                    "u", "v", "weight", "kw")
             .filter(F.col("a") != F.col("b"))
         )
         ed, n_ed = _ckpt_fresh_counted(
             relab
             .groupBy(F.least("a", "b").alias("cu"),
                      F.greatest("a", "b").alias("cv"))
-            .agg(F.min_by(F.struct("u", "v", "weight", "key"),
-                          F.col("key")).alias("e"))
-            .select("cu", "cv", "e.u", "e.v", "e.weight", "e.key")
+            .agg(F.min_by(F.struct("u", "v", "weight", "kw"),
+                          pr).alias("e"))
+            .select("cu", "cv", "e.u", "e.v", "e.weight", "e.kw")
         )
     if not done and n_ed != 0:
         raise RuntimeError(
