@@ -526,17 +526,32 @@ def main() -> None:
         return round(statistics.median(ratios), 3) if ratios else None
 
     prev_norm: dict[str, float] = {}
-    if os.path.exists(full_path):
+    prev_doc = None
+    try:
+        # the COMMITTED previous artifact (HEAD), not the on-disk file:
+        # multiple bench runs in one session overwrite the file, and a
+        # delta vs an uncommitted intermediate is window-relative noise
+        import subprocess
+        raw = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True, timeout=30)
+        if raw.returncode == 0:
+            prev_doc = json.loads(raw.stdout)
+    except Exception:
+        prev_doc = None
+    if prev_doc is None and os.path.exists(full_path):
         try:
             with open(full_path) as f:
                 prev_doc = json.load(f)
-            pf = _twin_factor(prev_doc.get("pinned_twin", {}))
-            if pf and prev_doc.get("sf") == sf_val:
-                prev_norm = {n: v / pf
-                             for n, v in prev_doc.get("queries", {}).items()
-                             if isinstance(v, (int, float))}
         except Exception:
-            pass
+            prev_doc = None
+    if prev_doc is not None:
+        pf = _twin_factor(prev_doc.get("pinned_twin", {}))
+        if pf and prev_doc.get("sf") == sf_val:
+            prev_norm = {n: v / pf
+                         for n, v in prev_doc.get("queries", {}).items()
+                         if isinstance(v, (int, float))}
     tf = _twin_factor(twin_out)
     normalized: dict[str, dict] = {}
     for n, raw in isolated.items():
