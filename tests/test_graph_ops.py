@@ -1524,3 +1524,28 @@ def test_louvain_full_three_level_schedule_is_monotone(spark):
     assert seq == sorted(seq), seq
     assert len(seq) >= 2, "no contraction level accepted"
     assert cap["final_num"] == seq[-1]
+
+
+def test_edge_priority_struct_order_equals_string_order(spark):
+    """r11 keystone for the forest rewrite: lexicographic order on
+    struct(kw, u, v) must equal `_edge_priority`'s zero-padded string
+    order on the same triples — the SQL oracle replays the STRING form,
+    so any divergence would silently pick a different forest.  Randomish
+    md5-derived triples, compared by full sort."""
+    from pyspark.sql import functions as F
+
+    rows = spark.range(500).select(
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 7),
+                16, 10).cast("long") % 997).alias("kw"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 8, 7),
+                16, 10).cast("long") % 100_000).alias("u"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 15, 7),
+                16, 10).cast("long") % 100_000).alias("v"))
+    df = rows.withColumn(
+        "skey", analytics._edge_priority(F.col("kw").cast("double") / 100,
+                                         F.col("u"), F.col("v")))
+    by_struct = [(r["kw"], r["u"], r["v"]) for r in
+                 df.orderBy(analytics._edge_priority_struct()).collect()]
+    by_string = [(r["kw"], r["u"], r["v"]) for r in
+                 df.orderBy("skey").collect()]
+    assert by_struct == by_string
