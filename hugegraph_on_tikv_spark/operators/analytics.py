@@ -2495,7 +2495,12 @@ def _edge_priority(weight: Column, u: Column, v: Column,
     bit-for-bit.  Quantization contract (the corr_pairs precedent): the
     caller guarantees weight*weight_scale is integral and non-negative —
     raw doubles in a MIN() would be fine, but tie-breaking needs the id
-    suffix, and string order on a padded integer is engine-portable."""
+    suffix, and string order on a padded integer is engine-portable.
+
+    r11: this is the ORACLE's documented form — spanning_forest itself
+    now orders by `_edge_priority_struct` (same total order, 24-byte
+    rows); the equivalence is pinned by
+    tests/test_graph_ops.py::test_edge_priority_struct_order_equals_string_order."""
     return F.concat_ws(
         ":",
         F.lpad(F.round(weight * weight_scale).cast("long").cast("string"), 18, "0"),

@@ -133,6 +133,28 @@ def main() -> None:
             "steps": len(tune["history"]),
         }
 
+        # r11 (ADVICE r10): autotune on the QUANTIZED deployment path —
+        # an SQ8 index (quantize_bits=8 in index_meta.json) makes
+        # ann_autotune probe the int8-codes scan, so the tuned n_probe
+        # delivers the target on what production actually runs; the
+        # recall it reports is the quantized path's, which can differ
+        # from flat at the same n_probe (quantization error).
+        t0 = time.perf_counter()
+        ivf_write_index(emb, f"{tmp}/ivf_sq8", n_cells=16, quantize_bits=8)
+        doc["build_ivf_sq8_index"] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        tune_q = ann_autotune(spark, f"{tmp}/ivf_sq8", queries,
+                              target_recall=0.9, k=5, start_n_probe=1)
+        doc["autotune_sq8"] = {
+            "sec": round(time.perf_counter() - t0, 3),
+            "n_probe": tune_q["n_probe"],
+            "recall": round(tune_q["recall"], 4),
+            "quantized": tune_q["quantized"],
+            "recluster": tune_q["recluster"],
+            "steps": len(tune_q["history"]),
+        }
+
         # settle: let the ContextCleaner drain the workload's
         # checkpoint/broadcast garbage before sampling the box again
         for _ in range(3):
