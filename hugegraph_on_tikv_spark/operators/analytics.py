@@ -2521,7 +2521,9 @@ def _edge_priority_struct() -> Column:
 
 def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
                     jump_steps: int = 24,
-                    weight_scale: int = 100) -> DataFrame:
+                    weight_scale: int = 100,
+                    broadcast_components: bool | None = None,
+                    broadcast_max_components: int = 4_000_000) -> DataFrame:
     """Minimum spanning forest by Boruvka contraction — the MapReduce-era
     classic, O(log n) rounds, each round a pair of keyed aggregations (no
     sequential union-find, no sorting the global edge list like Kruskal).
@@ -2536,7 +2538,14 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
     by pointer doubling.  r11: the pick is ONE min_by aggregation over the
     doubled edge list (full payload rides the shuffle) — the old shape
     aggregated min(key) per component and re-joined the edge set by
-    string key, a second |ed|-scale shuffle every round.  With distinct priorities the pointer graph's only
+    string key, a second |ed|-scale shuffle every round.  The
+    per-component root table broadcasts UNDER AN EXPLICIT GUARD
+    (`broadcast_components`/`broadcast_max_components=4M`, the
+    greedy_coloring posture): within the guard the pointer-doubling
+    self-joins and the relabel's two edge-side joins are broadcast hash
+    joins — the shrinking edge set never reshuffles for relabeling —
+    and past it (a 100×-scale round 1) the same plans fall back to
+    shuffle joins instead of an executor-heap OOM.  With distinct priorities the pointer graph's only
     cycles are mutual pairs, whose smaller id becomes the new root — the
     textbook invariant.
 
@@ -2616,16 +2625,29 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
              .otherwise(F.col("cu")).alias("p"))
         # break mutual pairs: the smaller id of a 2-cycle roots itself
         other = ptr.select(F.col("c").alias("p"), F.col("p").alias("back"))
-        root = _ckpt_fresh(
+        root, n_root = _ckpt_fresh_counted(
             ptr.join(other, "p", "left")
             .select(
                 "c",
                 F.when((F.col("back") == F.col("c")) & (F.col("c") < F.col("p")),
                        F.col("c")).otherwise(F.col("p")).alias("p"))
         )
+        # broadcast-under-guard (greedy_coloring's posture, r11): root is
+        # one row PER COMPONENT — 16 bytes a row, so up to the guard it
+        # ships to every task and the doubling/relabel joins stop
+        # shuffling the (much larger) edge set; past the guard (a
+        # 100×-scale first round) the shuffle plans below run unchanged.
+        # n_root rides the root job's own count (_ckpt_fresh_counted).
+        bcast = (n_root <= broadcast_max_components
+                 if broadcast_components is None else broadcast_components)
+
+        def _b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if bcast else df
+
         converged = False
         for s in range(1, jump_steps + 1):
-            hop = root.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+            hop = _b(root.select(F.col("c").alias("p"),
+                                 F.col("p").alias("pp")))
             # the moved-count probe rides the step's own materializing
             # job (r11) — exact exit at the fixpoint step, no extra jobs
             stepped, moved = _ckpt_fresh_probe(
@@ -2643,8 +2665,8 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
                 f"within {jump_steps} steps — raise jump_steps")
         # relabel endpoints to roots, drop intra edges, dedupe each
         # component pair to its minimum-priority edge (cut property)
-        ru = root.select(F.col("c").alias("cu"), F.col("p").alias("ncu"))
-        rv = root.select(F.col("c").alias("cv"), F.col("p").alias("ncv"))
+        ru = _b(root.select(F.col("c").alias("cu"), F.col("p").alias("ncu")))
+        rv = _b(root.select(F.col("c").alias("cv"), F.col("p").alias("ncv")))
         relab = (
             ed.join(ru, "cu", "left").join(rv, "cv", "left")
             .select(F.coalesce("ncu", "cu").alias("a"),

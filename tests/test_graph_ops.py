@@ -1549,3 +1549,21 @@ def test_edge_priority_struct_order_equals_string_order(spark):
     by_string = [(r["kw"], r["u"], r["v"]) for r in
                  df.orderBy("skey").collect()]
     assert by_struct == by_string
+
+
+def test_spanning_forest_broadcast_fallback_equality(spark):
+    """r11: the forest is identical whether the per-component root table
+    broadcasts (guard default) or falls back to shuffle joins — the
+    guard changes plans, never results."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(a, b, float(rng.randint(1, 50)))
+            for a in range(30) for b in range(a + 1, 30)
+            if rng.random() < 0.2]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    on = sorted(analytics.spanning_forest(
+        e, broadcast_components=True).collect())
+    off = sorted(analytics.spanning_forest(
+        e, broadcast_components=False).collect())
+    assert on == off and len(on) > 0
