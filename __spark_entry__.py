@@ -7220,6 +7220,32 @@ def _temp_mix_oracle() -> str:
 _register("sample_temp_mix", _sample_temp_mix, _temp_mix_oracle())
 
 
+# -- DSIR importance resampling (sampling.dsir_select, Xie et al. 2023):
+#    pick the pool docs whose hashed unigram+bigram distribution best
+#    matches the English-subset target, Gumbel-top-k over exact-integer
+#    floored log-ratio weights.  Both the weight and the Gumbel draw are
+#    value-checked (fp / n_docs in the fused row), so the whole model —
+#    bucket counts, add-k smoothing, 1e-6-floored log-probs, noise, cut —
+#    replays bit-for-bit in DuckDB (sampling.dsir_sql)
+
+_DSIR_N = 120
+
+
+def _sample_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    from hugegraph_on_tikv_spark.functions import sampling
+    docs = load_table(spark, sf, "documents")
+    return sampling.dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                                n=_DSIR_N)
+
+
+def _dsir_oracle() -> str:
+    from hugegraph_on_tikv_spark.functions import sampling
+    return sampling.dsir_sql(_DSIR_N, "lang = 'en'")
+
+
+_register("sample_dsir", _sample_dsir, _dsir_oracle())
+
+
 def _sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions import sampling
     docs = load_table(spark, sf, "documents").withColumn(
@@ -10082,6 +10108,13 @@ _compose("dedup_exact_canonical", [
       "doc_id AS id"],
      "'temp_mix' AS tag, domain AS fp, CAST(NULL AS DOUBLE) AS n_docs, "
      "doc_id AS id"),
+    # DSIR importance resample: fp carries the exact-integer scaled log
+    # importance weight, n_docs the scaled Gumbel draw (< 2^26, double-exact)
+    ("sample_dsir",
+     ["'dsir' AS tag", "CAST(logw_scaled AS STRING) AS fp",
+      "CAST(gumbel_scaled AS DOUBLE) AS n_docs", "doc_id AS id"],
+     "'dsir' AS tag, CAST(logw_scaled AS VARCHAR) AS fp, "
+     "CAST(gumbel_scaled AS DOUBLE) AS n_docs, doc_id AS id"),
     # leakage-safe split: fp carries the split name, n_docs the cluster id
     ("cluster_safe_split",
      ["'cluster_split' AS tag", "split AS fp",

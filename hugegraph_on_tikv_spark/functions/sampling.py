@@ -406,3 +406,197 @@ def token_budget_select(df: DataFrame, budget: int, quality_col: str,
         "spent", (F.col("_off") + F.sum("tokens").over(wband)).cast("long"))
     return (spent.filter((~F.col("_partial")) | (F.col("spent") <= budget))
             .select("id", "quality", "tokens", "spent"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_SCALE = 1_000_000
+_U48_DENOM = float(2 ** 48 + 1)  # exactly representable double (< 2^53)
+
+
+def _dsir_grams(text_col: Column) -> Column:
+    """Unigrams + space-joined bigrams of the engine tokenizer — the
+    hashed n-gram feature set DSIR fits its bag-of-words models on."""
+    from .text import tokens
+
+    t = tokens(text_col)
+    bi = (F.when(F.size(t) >= 2,
+                 F.zip_with(F.slice(t, 1, F.size(t) - 1),
+                            F.slice(t, 2, F.size(t) - 1),
+                            lambda a, b: F.concat(a, F.lit(" "), b)))
+          .otherwise(F.array().cast("array<string>")))
+    return F.concat(t, bi)
+
+
+def _dsir_buckets(df: DataFrame, text_col: str, id_col: str,
+                  n_buckets: int, salt: str) -> DataFrame:
+    """(id, b): one row per gram OCCURRENCE, b = 60-bit md5 bucket."""
+    from .hashing import md5_long
+
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(_dsir_grams(F.col(text_col))).alias("_g"))
+            .select("id",
+                    (md5_long(F.concat(F.lit(salt + "|"), F.col("_g")))
+                     % n_buckets).alias("b")))
+
+
+def dsir_select(docs: DataFrame, target: DataFrame, n: int,
+                source: DataFrame | None = None, n_buckets: int = 512,
+                add_k: int = 1, text_col: str = "text",
+                id_col: str = "doc_id", salt: str = "dsir") -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    pick the `n` pool documents whose hashed-n-gram distribution looks
+    most like a small high-quality TARGET corpus, with Gumbel-top-k
+    noise so the selection is a sample from the importance weights, not
+    a brittle argmax.
+
+    Model: unigram+bigram features hash into `n_buckets` buckets; the
+    target and source (raw pool) bucket distributions get add-k
+    smoothing; a document's log importance weight is
+
+        sum over gram occurrences of  [log p_target(b) - log p_source(b)]
+
+    Exact-integer contract (the lm.py / unigram.py recipe): each
+    bucket's two log-probs are floored at 1e-6 resolution —
+    ``floor(ln((c_b+k)/(T+k*B)) * 1e6)`` as BIGINT — so the per-bucket
+    score and every per-doc sum are integer arithmetic a SQL engine
+    replays bit-for-bit (dsir_sql); only the one ln per bucket touches
+    libm, same floor-boundary exposure unigram.py already pins.
+    Gumbel noise is deterministic too: u = (h48+1)/(2^48+1) from the
+    48-bit md5 of (id || '#' || salt) — every value < 2^53 so the
+    float pipeline is pure IEEE ops both engines execute identically —
+    and g = floor(-ln(-ln(u)) * 1e6).  Selection key: logw_scaled + g,
+    ties broken by id.
+
+    100 TB posture: both models aggregate to <= n_buckets rows
+    (map-side partial combine into a few-KB table) and their join is
+    BROADCAST into the doc-side scoring; the pool's only shuffles are
+    the per-(doc,bucket) then per-doc aggregations, and the final cut
+    is orderBy().limit(n) — a TakeOrdered (per-partition top-n +
+    driver merge of n rows), never a global sort.  No collect of
+    anything document-sized; the target corpus may itself be large
+    (only its B-row histogram ever leaves the aggregation).
+
+    `source` defaults to `docs` (the pool IS the raw distribution —
+    the paper's setting); pass it explicitly when scoring a pre-filtered
+    pool against the original raw histogram.  Buckets never seen by
+    EITHER model cannot occur in pool docs drawn from the source
+    distribution; callers scoring out-of-pool text should pass that
+    text's corpus as `source`.
+
+    Returns (doc_id, logw_scaled, gumbel_scaled) for the selected n.
+    Reference parity: none — north-star training-data-pipeline surface
+    (the brief's data-selection family; complements token_budget_select's
+    quality-prefix cut with distribution matching)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n_buckets < 2 or add_k < 1:
+        raise ValueError("need n_buckets >= 2 and integer add_k >= 1")
+    src = docs if source is None else source
+    B, k = n_buckets, add_k
+
+    ct = (_dsir_buckets(target, text_col, id_col, B, salt)
+          .groupBy("b").agg(F.count(F.lit(1)).alias("ct")))
+    cs = (_dsir_buckets(src, text_col, id_col, B, salt)
+          .groupBy("b").agg(F.count(F.lit(1)).alias("cs")))
+    tt = ct.agg(F.sum("ct").cast("long").alias("tt"))
+    ts = cs.agg(F.sum("cs").cast("long").alias("ts"))
+
+    def _lp(cnt: Column, tot: Column) -> Column:
+        return F.floor(F.log((cnt + F.lit(k)) / (tot + F.lit(k * B)))
+                       * DSIR_SCALE).cast("long")
+
+    score = (ct.join(cs, "b", "full").crossJoin(tt).crossJoin(ts)
+             .select("b",
+                     (_lp(F.coalesce(F.col("ct"), F.lit(0)), F.col("tt"))
+                      - _lp(F.coalesce(F.col("cs"), F.lit(0)), F.col("ts")))
+                     .alias("s")))
+
+    per = (_dsir_buckets(docs, text_col, id_col, B, salt)
+           .groupBy("id", "b").agg(F.count(F.lit(1)).alias("nb")))
+    logw = (per.join(F.broadcast(score), "b")
+            .groupBy("id")
+            .agg(F.sum(F.col("nb") * F.col("s")).cast("long").alias("lw")))
+
+    h48 = F.conv(F.substring(
+        F.md5(F.concat(F.col("id").cast("string"), F.lit("#" + salt))),
+        1, 12), 16, 10).cast("long")
+    u = (h48 + F.lit(1)) / F.lit(_U48_DENOM)
+    gum = F.floor(-F.log(-F.log(u)) * DSIR_SCALE).cast("long")
+
+    keyed = (docs.select(F.col(id_col).alias("id"))
+             .join(logw, "id", "left")
+             .select("id",
+                     F.coalesce("lw", F.lit(0)).cast("long")
+                     .alias("logw_scaled"),
+                     gum.alias("gumbel_scaled")))
+    return (keyed
+            .orderBy((F.col("logw_scaled") + F.col("gumbel_scaled")).desc(),
+                     F.col("id").asc())
+            .limit(n)
+            .select(F.col("id").alias(id_col), "logw_scaled",
+                    "gumbel_scaled"))
+
+
+def dsir_sql(n: int, target_where: str, n_buckets: int = 512,
+             add_k: int = 1, text_col: str = "text", id_col: str = "doc_id",
+             salt: str = "dsir", table: str = "documents") -> str:
+    """DuckDB twin of dsir_select with source = the whole `table` and
+    target = rows satisfying `target_where` — same hashed buckets,
+    floored log-probs, Gumbel keys, and (key DESC, id) cut."""
+    from ..oracles import TOKENS_SQL
+
+    toks = TOKENS_SQL.format(col=text_col)
+    bkt = (f"CAST(CAST(('0x' || substr(md5('{salt}|' || _g), 1, 15)) "
+           f"AS UBIGINT) AS BIGINT) % {n_buckets}")
+    h48 = (f"CAST(CAST(('0x' || substr(md5(CAST(_id AS VARCHAR) || "
+           f"'#{salt}'), 1, 12)) AS UBIGINT) AS BIGINT)")
+    k, B, sc = add_k, n_buckets, DSIR_SCALE
+
+    def _lp(cnt: str, tot: str) -> str:
+        return (f"CAST(floor(ln(({cnt} + {k}) / ({tot} + {k * B})) "
+                f"* {sc}) AS BIGINT)")
+
+    return f"""
+    WITH _tk AS (
+      SELECT {id_col} AS _id, {toks} AS _t, ({target_where}) AS _is_t
+      FROM {table}
+    ), _gb AS (
+      SELECT _id, _is_t, {bkt} AS _b FROM (
+        SELECT _id, _is_t, unnest(list_concat(_t,
+          list_transform(range(1, len(_t)),
+                         i -> _t[i] || ' ' || _t[i + 1]))) AS _g
+        FROM _tk) q
+    ), _ct AS (
+      SELECT _b, CAST(count(*) AS BIGINT) AS ct FROM _gb
+      WHERE _is_t GROUP BY 1
+    ), _cs AS (
+      SELECT _b, CAST(count(*) AS BIGINT) AS cs FROM _gb GROUP BY 1
+    ), _tt AS (SELECT CAST(sum(ct) AS BIGINT) AS tt FROM _ct),
+    _ts AS (SELECT CAST(sum(cs) AS BIGINT) AS ts FROM _cs),
+    _sc AS (
+      SELECT COALESCE(_ct._b, _cs._b) AS _b,
+             {_lp('COALESCE(ct, 0)', 'tt')} - {_lp('COALESCE(cs, 0)', 'ts')}
+             AS s
+      FROM _ct FULL JOIN _cs ON _ct._b = _cs._b
+      CROSS JOIN _tt CROSS JOIN _ts
+    ), _dn AS (
+      SELECT _id, _b, CAST(count(*) AS BIGINT) AS nb FROM _gb GROUP BY 1, 2
+    ), _dw AS (
+      SELECT _id, CAST(sum(nb * s) AS BIGINT) AS lw
+      FROM _dn JOIN _sc USING (_b) GROUP BY 1
+    ), _w AS (
+      SELECT t.{id_col} AS _id, COALESCE(lw, 0) AS logw_scaled
+      FROM {table} t LEFT JOIN _dw ON t.{id_col} = _dw._id
+    )
+    SELECT _id AS {id_col}, logw_scaled,
+           CAST(floor(-ln(-ln(({h48} + 1) / {_U48_DENOM!r})) * {sc})
+                AS BIGINT) AS gumbel_scaled
+    FROM _w
+    ORDER BY logw_scaled
+             + CAST(floor(-ln(-ln(({h48} + 1) / {_U48_DENOM!r})) * {sc})
+                    AS BIGINT) DESC, _id
+    LIMIT {n}
+    """

@@ -290,6 +290,22 @@ def test_zorder_tightens_rowgroup_stats_on_both_columns(spark, tmp_path):
     assert frac_span(z_dir, "l_orderkey") < frac_span(s_dir, "l_partkey")
 
 
+def test_dsir_plan_broadcast_scoring_and_takeordered(spark):
+    """sampling.dsir_select's promised shape: the <=B-row score table
+    reaches the doc-side scoring join as a broadcast HASH join (on the
+    bucket key — not a nested-loop), and the top-n cut is a TakeOrdered,
+    never a global sort."""
+    from hugegraph_on_tikv_spark.functions import sampling
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = sampling.dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                               n=50)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "BroadcastHashJoin" in phys
+    assert "CartesianProduct" not in phys  # scalars broadcast, never CP
+
+
 def test_plan_linter_flags_and_clears(spark):
     """The SCALE.md rules as an executable audit: the linter flags a
     cartesian and a row-at-a-time Python UDF, allowlists documented
@@ -480,6 +496,11 @@ def test_whole_roster_lints_clean(spark):
         # the caps — a whole-table aggregate by definition (and the cut
         # itself is a WindowGroupLimit, not a scan predicate)
         "sample_temp_mix": {"unfiltered-scan"},
+        # DSIR's two model totals (Tt / Ts) come back as 1-row aggregates
+        # crossed into the <=n_buckets-row score table — the same scalar
+        # pattern as text_lm_score; the doc-side scoring join itself is a
+        # broadcast HASH join on the bucket key (plan-checked above)
+        "sample_dsir": {"cartesian"},
         # t-closeness grid: quasi-groups × broadcast(sensitive domain) ×
         # 1-row total — bounded by the sensitive domain's cardinality by
         # the problem's construction (documented in the docstring)

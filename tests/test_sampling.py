@@ -308,3 +308,100 @@ def test_token_budget_whole_corpus_when_budget_covers_it(spark):
                                         token_col="toks", id_col="doc_id",
                                         band_width=2)
     assert kept.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_pool(spark, n_target_like=30, n_other=70):
+    """Pool where docs 0..29 share the target's vocabulary and the rest
+    speak a disjoint one — importance weights should separate them."""
+    rows = []
+    for i in range(n_target_like):
+        rows.append((i, f"alpha beta gamma delta alpha beta epsilon w{i % 5}"))
+    for i in range(n_target_like, n_target_like + n_other):
+        rows.append((i, f"zeta eta theta iota kappa zeta eta x{i % 7}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_select_prefers_target_distribution(spark):
+    pool = _dsir_pool(spark)
+    target = spark.createDataFrame(
+        [(1000 + i, "alpha beta gamma delta epsilon alpha beta") for i in range(8)],
+        "doc_id long, text string")
+    kept = sampling.dsir_select(pool, target, n=25).collect()
+    assert len(kept) == 25
+    # Gumbel noise may admit a few off-distribution docs; the bulk must be
+    # target-like, and every target-like doc must outweigh every other doc
+    n_like = sum(1 for r in kept if r["doc_id"] < 30)
+    assert n_like >= 20
+    w = {r["doc_id"]: r["logw_scaled"]
+         for r in sampling.dsir_select(pool, target, n=100).collect()}
+    assert min(w[i] for i in range(30)) > max(w[i] for i in range(30, 100))
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Pin the exact-integer weight formula (floored log-probs, hashed
+    buckets) against an independent Python replay — catches any drift in
+    Spark's ln/floor path the oracle relies on."""
+    import hashlib
+    import math
+    import re
+
+    B, k, SCALE, salt = 512, 1, sampling.DSIR_SCALE, "dsir"
+    pool_rows = [(1, "the cat sat"), (2, "dogs bark loud"), (3, "the cat")]
+    target_rows = [(10, "the cat purred")]
+
+    def grams(text):
+        t = [x for x in re.split(r"[^a-z0-9]+", text.lower()) if x]
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"{salt}|{g}".encode()).hexdigest()[:15], 16) % B
+
+    def counts(rows):
+        c = {}
+        for _, text in rows:
+            for g in grams(text):
+                b = bucket(g)
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct, cs = counts(target_rows), counts(pool_rows)
+    tt, ts = sum(ct.values()), sum(cs.values())
+
+    def lp(cnt, tot):
+        return math.floor(math.log((cnt + k) / (tot + k * B)) * SCALE)
+
+    expect = {}
+    for did, text in pool_rows:
+        expect[did] = sum(lp(ct.get(bucket(g), 0), tt) - lp(cs.get(bucket(g), 0), ts)
+                          for g in grams(text))
+
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["logw_scaled"]
+           for r in sampling.dsir_select(pool, target, n=3,
+                                         n_buckets=B).collect()}
+    assert got == expect
+
+
+def test_dsir_gumbel_salt_and_validation(spark):
+    pool = _dsir_pool(spark)
+    target = pool.filter(F.col("doc_id") < 30)
+    a = sampling.dsir_select(pool, target, n=40, salt="s1").collect()
+    b = sampling.dsir_select(pool, target, n=40, salt="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    c = sampling.dsir_select(pool, target, n=40, salt="s2").collect()
+    assert ({r["doc_id"] for r in a} != {r["doc_id"] for r in c}
+            or sorted(r["gumbel_scaled"] for r in a)
+            != sorted(r["gumbel_scaled"] for r in c))  # salt moves the noise
+    # explicit source == default source when they are the same frame
+    d = sampling.dsir_select(pool, target, n=40, source=pool, salt="s1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, d))
+    with pytest.raises(ValueError):
+        sampling.dsir_select(pool, target, n=0)
+    with pytest.raises(ValueError):
+        sampling.dsir_select(pool, target, n=5, n_buckets=1)
