@@ -54,7 +54,9 @@ def main() -> None:
         connected_components_star,
         greedy_coloring,
         louvain_full,
+        maximal_independent_set,
         pagerank,
+        spanning_forest,
     )
     from hugegraph_on_tikv_spark.session import get_spark
 
@@ -125,6 +127,17 @@ def main() -> None:
         doc[f"{tag}_rows"] = n
         print(f"# {tag}: {doc[f'{tag}_sec']}s rows={n}", file=sys.stderr)
 
+    # r11: forest + MIS on the skewed graph — Boruvka's per-component
+    # root broadcast guard and the min_by pick aggregation only see hub
+    # pressure here (a hub's edges all land in one component's pick
+    # group); weights md5-derived like the ring twin
+    weighted = edges.select(
+        "src", "dst",
+        (md5_long(F.concat_ws(":", u_, v_)) % 1_000_000)
+        .cast("double").alias("weight"))
+    timed("spanning_forest",
+          lambda: spanning_forest(weighted, max_rounds=20).count())
+    timed("mis", lambda: maximal_independent_set(edges).count())
     timed("coloring", lambda: greedy_coloring(edges, max_rounds=80).count())
     timed("cc_star", lambda: connected_components_star(edges).count())
     timed("pagerank", lambda: pagerank(edges, iterations=10,
@@ -163,7 +176,8 @@ def main() -> None:
         json.dump(doc, f, indent=1)
         f.write("\n")
     print(json.dumps({k: doc.get(k) for k in (
-        "n_directed_edges", "max_in_degree", "coloring_sec", "cc_star_sec",
+        "n_directed_edges", "max_in_degree", "spanning_forest_sec",
+        "mis_sec", "coloring_sec", "cc_star_sec",
         "pagerank_sec", "louvain_sec", "reference_drift")}))
 
 
