@@ -56,8 +56,9 @@ def main() -> None:
         "medians": medians,
         "samples": samples,
         "sf_dir": SF_DIR,
-        "note": ("pinned-twin calibration; recalibrated round 7 per NOTES "
-                 "rule 20 (median of %d isolated idle-box samples)" % N_SAMPLES),
+        "note": ("pinned-twin calibration per NOTES rule 20 (median of %d "
+                 "isolated idle-box samples); annotate the round and the "
+                 "superseded medians after running" % N_SAMPLES),
     }
     with open(TWIN_FILE, "w") as f:
         json.dump(doc, f, indent=1)
