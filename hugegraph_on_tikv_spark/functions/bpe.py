@@ -235,8 +235,13 @@ def bpe_encode(docs: DataFrame, merges: list, words: DataFrame | None = None,
     derived = words is None
     if derived:
         words = word_freqs(docs, text_col)
-    enc = bpe_apply(words, merges)
-    ids = token_ids(enc)
+    # r11 (guide §2.4): enc / ids / wsym are VOCAB-sized but their lineage
+    # carries the corpus-scale word_freqs groupBy; without the lazy
+    # checkpoints every consumer (the head's TakeOrdered, the tail join,
+    # the fallback path's symbol join + vocab_size count) re-ran that
+    # corpus pass — 3-5 corpus aggregations per encode instead of one.
+    enc = bpe_apply(words, merges).localCheckpoint(eager=False)
+    ids = token_ids(enc).localCheckpoint(eager=False)
 
     arr = F.slice(F.split(F.col("syms"), MARK), 2, 2_000_000)
     wsym = (enc.select("word", "freq",
@@ -246,7 +251,8 @@ def bpe_encode(docs: DataFrame, merges: list, words: DataFrame | None = None,
             .agg(F.array_sort(
                 F.collect_list(F.struct("spos", "token_id"))).alias("seq"))
             .select("word", "freq",
-                    F.expr("transform(seq, x -> x.token_id)").alias("tids")))
+                    F.expr("transform(seq, x -> x.token_id)").alias("tids"))
+            .localCheckpoint(eager=False))
 
     stream = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -52,15 +52,24 @@ def field_u_stats(right: DataFrame, fields: list[str]) -> dict[str, tuple[int, i
     """Per-field (Σ count(v)², N²) over the right table — exact integers.
     NULL values are excluded from the frequency table (a NULL never
     'agrees' with anything in the scorer either)."""
-    n = right.count()
-    out: dict[str, tuple[int, int]] = {}
+    # r11: ONE collect for all statistics (previously 1 count + one
+    # aggregation job PER field — k+1 driver round trips).  Each union
+    # branch computes its own field's Σc² natively (no type coercion);
+    # the row-count rides as one more branch.
+    branches = [right.agg(F.lit("__n__").alias("f"),
+                          F.count(F.lit(1)).cast("long").alias("s"))]
     for f in fields:
-        s = (right.filter(F.col(f).isNotNull())
-             .groupBy(f).agg(F.count(F.lit(1)).alias("c"))
-             .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
-             .collect()[0]["s"]) or 0
-        out[f] = (int(s), n * n)
-    return out
+        branches.append(
+            right.filter(F.col(f).isNotNull())
+            .groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.lit(f).alias("f"),
+                 F.sum(F.col("c") * F.col("c")).cast("long").alias("s")))
+    allb = branches[0]
+    for b in branches[1:]:
+        allb = allb.unionByName(b)
+    rows = {r["f"]: r["s"] for r in allb.collect()}
+    n = int(rows["__n__"] or 0)
+    return {f: (int(rows.get(f) or 0), n * n) for f in fields}
 
 
 def fs_score_pairs(pairs: DataFrame, fields: list[str],

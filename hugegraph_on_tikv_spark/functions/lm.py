@@ -74,8 +74,15 @@ def lm_counts(ref: DataFrame, text_col: str = "text",
     history only, never a predicted token, so V counts real tokens."""
     stream = _token_stream(ref, text_col, id_col)
     c_ht = stream.groupBy("h", "t").agg(F.count(F.lit(1)).cast("long").alias("c_ht"))
-    c_h = stream.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c_h"))
-    v = stream.select(F.count_distinct("t").alias("v"))
+    # r11 (guide §2.3/§2.4): history counts and vocabulary size are exact
+    # functions of the MODEL-sized bigram table — c(h) = Σ_t c(h,t) (every
+    # token occurrence appears exactly once as (h, t)) and V = |{t}| (BOS
+    # is a history only, so the t column's distinct set IS the vocabulary).
+    # Deriving them from c_ht replaces two extra tokenize+explode passes
+    # over the reference corpus with two bigram-table aggregations.
+    c_ht = c_ht.localCheckpoint(eager=False)
+    c_h = c_ht.groupBy("h").agg(F.sum("c_ht").cast("long").alias("c_h"))
+    v = c_ht.select(F.count_distinct("t").alias("v"))
     return c_ht, c_h, v
 
 

@@ -363,16 +363,26 @@ def collocations(df: DataFrame, min_count: int = 5, k: int = 20,
     post-min_count) bigram table; the top-k cut is TakeOrdered."""
     from pyspark.sql import Window
 
-    toks = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
-    uni = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    n_total = toks.select(F.count(F.lit(1)).cast("long").alias("n"))
-
+    # r11 (guide §2.3/§2.4): ONE tokenization pass + ONE token-scale
+    # shuffle.  Every token occurrence is emitted exactly once as
+    # (w1 = token, w2 = next token or NULL for the document-final token),
+    # so the (w1, w2) count table simultaneously yields
+    #   bigram counts  = rows with w2 IS NOT NULL      (as before)
+    #   unigram counts = Σ over w2 of cnt per w1        (exact)
+    #   N              = Σ cnt                          (exact)
+    # — previously `uni` and `n_total` each re-tokenized the corpus
+    # (three token-scale passes, two token-scale shuffles).
     pairs = df.select(F.explode(F.expr(
-        "filter(transform({0}, (x, i) -> struct(x AS w1, get({0}, i+1) AS w2)), "
-        "p -> p.w2 IS NOT NULL)".format(
+        "transform({0}, (x, i) -> struct(x AS w1, get({0}, i+1) AS w2))".format(
             f"array_remove(split(lower({text_col}), '[^a-z0-9]+'), '')"))
     ).alias("p")).select("p.w1", "p.w2")
-    big = (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    cell = (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=False))
+    uni = (cell.groupBy("w1").agg(F.sum("cnt").alias("c"))
+           .withColumnRenamed("w1", "t"))
+    n_total = cell.agg(F.sum("cnt").cast("long").alias("n"))
+    big = (cell.filter(F.col("w2").isNotNull())
+           .select("w1", "w2", F.col("cnt").alias("c_xy"))
            .filter(F.col("c_xy") >= min_count))
     scored = (big
               .join(F.broadcast(uni.withColumnRenamed("t", "w1")

@@ -170,8 +170,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
         # (hundreds of millions of rows at typical executor memory).  Beyond
         # that, leave False: the join shuffles on src, which a bucketed-by-src
         # edge table makes co-located.
-        tele = (F.when(F.col("id").isin([int(v) for v in teleport_ids]), F.lit(1.0))
-                .otherwise(F.lit(0.0)) if teleport_ids is not None else F.lit(1.0))
+        def tele_of(col: Column) -> Column:
+            # teleport vector as a function of an arbitrary id column: the
+            # iteration needs it on "id" AND (r11) on the edge side's "src"
+            # for the left-join fill below
+            if teleport_ids is not None:
+                return (F.when(col.isin([int(v) for v in teleport_ids]),
+                               F.lit(1.0)).otherwise(F.lit(0.0)))
+            return F.lit(1.0)
+
+        tele = tele_of(F.col("id"))
         # init_ranks (opt-in) warm-starts the iteration from a previous
         # run's ranks — the incremental-recompute path after an edge
         # delta: with tol= set, a warm start over a slightly-changed graph
@@ -196,21 +204,30 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
                 rank_side = F.broadcast(rank_side)
             elif state_partitions:
                 rank_side = rank_side.repartition(state_partitions, "src")
-            contrib_expr = (F.col("rank") / F.col("out_degree")
+            # r11 (guide §2.4): from iteration 2 on, the rank state only
+            # covers vertices WITH in-edges (the contribution aggregation's
+            # key set) — an out-only vertex's rank is the constant
+            # reset·tele, so the contribution join goes LEFT with that
+            # constant as the fill, and the per-iteration `verts ⟕ contribs`
+            # completion join (one vertex-scale join × iterations) is gone;
+            # the full vertex domain is restored ONCE after the loop.
+            # Bit-exact: old ranks for out-only v were
+            # reset·tele + (1−reset)·0.0 ≡ reset·tele (IEEE: x + 0.0 = x,
+            # (1−reset)·0.0 = +0.0), the same double the fill supplies.
+            rank_eff = F.coalesce(F.col("rank"),
+                                  F.lit(reset) * tele_of(F.col("src")))
+            contrib_expr = (rank_eff / F.col("out_degree")
                             if weight_col is None else
-                            F.col("rank") * F.col("_w") / F.col("out_degree"))
+                            rank_eff * F.col("_w") / F.col("out_degree"))
             contribs = (
-                norm_edges.join(rank_side, "src")
+                norm_edges.join(rank_side, "src", "left")
                 .select(F.col("dst").alias("id"), contrib_expr.alias("contrib"))
             )
             if state_partitions:
                 contribs = contribs.repartition(state_partitions, "id")
-            contribs = (
+            ranks = (
                 contribs.groupBy("id")
                 .agg(F.sum("contrib").alias("contrib"))
-            )
-            ranks = (
-                verts.join(contribs, "id", "left")
                 .select(
                     "id",
                     (F.lit(reset) * tele
@@ -231,6 +248,13 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
                     prev_ck = ranks
         if _iters_out is not None:
             _iters_out.append(iters_done)
+        if iters_done:
+            # restore the full vertex domain ONCE (see the loop comment):
+            # vertices absent from the in-vertex rank state are out-only
+            # and hold the constant reset·tele
+            ranks = verts.join(ranks, "id", "left").select(
+                "id",
+                F.coalesce(F.col("rank"), F.lit(reset) * tele).alias("rank"))
         # force the remaining (post-checkpoint) iterations to execute while
         # the persisted state (verts/norm_edges) is still alive; the
         # checkpointed result no longer references it after unpersist
@@ -283,15 +307,22 @@ def katz_centrality(edges: DataFrame, iterations: int = 8,
                 rank_side = F.broadcast(rank_side)
             elif state_partitions:
                 rank_side = rank_side.repartition(state_partitions, "src")
+            # r11 (guide §2.4, pagerank's fill-join removal): from
+            # iteration 2 on the state only covers in-vertices; an
+            # out-only vertex's score is the constant beta (beta +
+            # alpha·0.0 ≡ beta in IEEE), supplied by the left-join fill,
+            # and the per-iteration verts completion join is gone —
+            # restored once after the loop.
             contribs = (
-                e_sel.join(rank_side, "src")
-                .select(F.col("dst").alias("id"), F.col("katz").alias("c"))
+                e_sel.join(rank_side, "src", "left")
+                .select(F.col("dst").alias("id"),
+                        F.coalesce(F.col("katz"), F.lit(float(beta)))
+                        .alias("c"))
             )
             if state_partitions:
                 contribs = contribs.repartition(state_partitions, "id")
-            contribs = contribs.groupBy("id").agg(F.sum("c").alias("c"))
             ranks = (
-                verts.join(contribs, "id", "left")
+                contribs.groupBy("id").agg(F.sum("c").alias("c"))
                 .select(
                     "id",
                     (F.lit(float(beta)) + F.lit(float(alpha))
@@ -300,6 +331,10 @@ def katz_centrality(edges: DataFrame, iterations: int = 8,
             )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
                 ranks = ranks.localCheckpoint(eager=True)
+        if iterations:
+            ranks = verts.join(ranks, "id", "left").select(
+                "id",
+                F.coalesce(F.col("katz"), F.lit(float(beta))).alias("katz"))
         return ranks.localCheckpoint(eager=True)
     finally:
         verts.unpersist()
@@ -392,10 +427,17 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     aggregate-messages shuffle.  (Large-star/small-star halves the round
     count for huge graphs — HashMin keeps the plan simple and is fine while
     diameters are small, which holds for our fixture graphs.)"""
+    # The symmetric adjacency is iteration-INVARIANT: materialize it once
+    # (r11, guide §2.4) — previously this union+distinct subtree, AND the
+    # caller's entire upstream lineage (e.g. er_clusters passes the raw
+    # linkage pipeline in), re-executed inside every round's message join
+    # and the label init.  One edge-scale job up front, every round after
+    # reads the checkpointed RDD.
     adj = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         adj.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
@@ -408,22 +450,23 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         )
         new_labels = (
             labels.join(msgs, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"))
+            .select("id",
+                    F.least(F.col("component"), F.coalesce("nbr_min", F.col("component"))).alias("component"),
+                    # change flag for the fixpoint probe: HashMin labels
+                    # only ever decrease, so a row changed iff a strictly
+                    # smaller neighbor minimum arrived
+                    (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias("_chg"))
         )
         if (i + 1) % 3 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            # probe rides the checkpoint's materializing job (rule 31 /
+            # _ckpt_fresh_probe): one action per probe round instead of
+            # eager-checkpoint + separate join-count job
+            probed, changed = _ckpt_fresh_probe(new_labels, F.col("_chg"))
+            labels = probed.drop("_chg")
             if changed == 0:
                 break
         else:
-            labels = new_labels
+            labels = new_labels.drop("_chg")
     return labels
 
 
