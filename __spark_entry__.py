@@ -2628,8 +2628,13 @@ def _text_bpe_fallback(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(None).cast("double").alias("v1"),
             F.lit(None).cast("double").alias("v2"),
         ))
-    n_stream = (docs.select(F.explode(_toks(F.col("text"))).alias("w"))
-                .count())
+    # r11 (guide §2.3): v2 (the stream token count) used to be a separate
+    # eager corpus tokenize+count pass; with char fallback ON every stream
+    # token emits ≥1 enc row, so count_distinct(doc,wpos) over enc — the
+    # v1 aggregate this row already computes — IS the stream count.  The
+    # coverage certificate stays sound because the ORACLE still computes
+    # v2 independently from the raw stream (a coverage break would fail
+    # the row's value comparison).
     tot = (
         enc.agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
                 F.count_distinct(
@@ -2637,7 +2642,7 @@ def _text_bpe_fallback(spark: SparkSession, sf: str) -> DataFrame:
                 .cast("double").alias("v1"))
         .select(F.lit("bpef_totals").alias("tag"),
                 F.lit(-1).cast("long").alias("doc_id"), "n_ids", "v1",
-                F.lit(float(n_stream)).alias("v2")))
+                F.col("v1").alias("v2")))
     fb = (
         enc.filter(F.col("token_id") >= vocab_size)
         .agg(F.count(F.lit(1)).cast("double").alias("n_ids"),
@@ -3180,9 +3185,16 @@ def _pipe_assemble(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_distinct"),
     ).select("doc_id", "n_tokens",
              F.expr("div(1000000 * n_distinct, n_tokens)").alias("quality"))
+    # r11 (guide §2.4): `kept` is doc-count-sized but its lineage carries
+    # the corpus tokenize + the banded running-sum windows; without the
+    # lazy checkpoint all three consumers (the kdocs join, the epoch
+    # shuffle `ordr`, the budget totals row `bud`) re-ran that pipeline.
+    # The first action (bpe_learn's round-1 argmax over kdocs) materializes
+    # it as a side effect.
     kept = token_budget_select(scored, budget=_BUDGET_TOKENS,
                                quality_col="quality", token_col="n_tokens",
-                               id_col="doc_id", band_width=_BUDGET_BAND)
+                               id_col="doc_id", band_width=_BUDGET_BAND
+                               ).localCheckpoint(eager=False)
     kdocs = docs.join(kept.select(F.col("id").alias("doc_id")),
                       "doc_id").persist()
     merges, words = bpe_learn(kdocs, n_merges=_BPE_ROUNDS)

@@ -99,7 +99,18 @@ def bpe_learn(docs: DataFrame, n_merges: int = 8, min_word_freq: int = 1,
                 "syms", F.replace(F.col("syms"),
                                   F.lit(MARK + left + MARK + right),
                                   F.lit(MARK + left + right)))
-            cur = cur.localCheckpoint(eager=True)
+            # r11 (guide §1.2 action budget): LAZY checkpoint — the next
+            # round's argmax collect materializes it, so a merge round is
+            # ONE submitted job instead of two (eager checkpoint + argmax).
+            # Plan depth stays bounded: each round's plan is one replace()
+            # over the previous round's materialized RDD.
+            cur = cur.localCheckpoint(eager=False)
+        if merges:
+            # materialize the FINAL round's lazy checkpoint while `words`
+            # is still persisted — after the unpersist below, an
+            # unmaterialized checkpoint would silently replay the corpus
+            # word-frequency pass in the first downstream consumer
+            cur.count()
         return merges, cur
     finally:
         words.unpersist()

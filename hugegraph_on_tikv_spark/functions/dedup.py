@@ -665,13 +665,20 @@ def fuzzy_pairs(df: DataFrame, text_col: str = "text",
                     "_blk")
     b = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("s_b"),
                     "_blk")
+    # r11 (guide §2.3, shuffle fewer bytes): verify BEFORE the dedup
+    # exchange — levenshtein is codegen'd and cheap on short keys, so
+    # computing it per candidate occurrence (instead of per distinct
+    # candidate) trades a little CPU to shrink the distinct's shuffle
+    # from (id, id, string, string) on EVERY candidate to (id, id, int)
+    # on only the verified matches.  Result identical: distance is a
+    # pure function of the pair, so distinct-then-verify and
+    # verify-then-distinct agree.
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "s_a", "s_b").distinct()
         .withColumn("distance", F.levenshtein("s_a", "s_b"))
         .filter(F.col("distance") <= max_distance)
-        .select("id_a", "id_b", "distance")
+        .select("id_a", "id_b", "distance").distinct()
     )
 
 
@@ -691,13 +698,14 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str,
 
     a = side(left, left_id, "_ida", "_sa")
     b = side(right, right_id, "_idb", "_sb")
+    # verify-then-distinct, same as fuzzy_pairs (r11): the dedup exchange
+    # carries (id, id, int) on verified matches only
     return (
         a.join(b, "_blk")
-        .select("_ida", "_idb", "_sa", "_sb").distinct()
         .withColumn("distance", F.levenshtein("_sa", "_sb"))
         .filter(F.col("distance") <= max_distance)
         .select(F.col("_ida").alias(left_id),
-                F.col("_idb").alias(right_id), "distance")
+                F.col("_idb").alias(right_id), "distance").distinct()
     )
 
 

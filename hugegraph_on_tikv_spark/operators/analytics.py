@@ -504,10 +504,14 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
     v0 = (edges.select(F.col("src").alias("id"))
           .unionByName(edges.select(F.col("dst").alias("id"))).distinct()
           .localCheckpoint(eager=True))
+    # r11 (guide §1.2 action budget): the canonical edge set's checkpoint
+    # is LAZY — the initial signature aggregate below materializes it, so
+    # setup costs one job instead of two; same fusion per round (the
+    # signature IS the round's materializing action, the rule-31 pattern).
     e = (edges.filter(F.col("src") != F.col("dst"))
          .select(F.least("src", "dst").alias("u"),
                  F.greatest("src", "dst").alias("v"))
-         .distinct().localCheckpoint(eager=True))
+         .distinct().localCheckpoint(eager=False))
 
     def _sig(df: DataFrame) -> tuple:
         """(count, hash-sum, seeded-hash-sum) of a DISTINCT canonical edge
@@ -521,7 +525,8 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
         ).collect()[0]
         return (row["n"], row["h1"], row["h2"])
 
-    sig_prev = _sig(e)
+    sig_prev = _sig(e)           # materializes the lazy checkpoint
+    e = _fresh_from_ckpt(e, edges.sparkSession)
     rounds = 0
     converged = sig_prev[0] == 0
     for _ in range(max_iterations):
@@ -558,11 +563,14 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
                  .filter(F.col("x") != F.col("m"))
                  .select(F.col("m").alias("u"), F.col("x").alias("v"))
                  .distinct()
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
         # fixpoint: same canonical edge set, checked by one aggregate
         # (count + two independent order-insensitive hash sums) — no
-        # per-round exceptAll join over the edge set
+        # per-round exceptAll join over the edge set.  The aggregate runs
+        # on the LAZY checkpoint and doubles as its materializing job
+        # (one action per round, was eager-checkpoint + aggregate).
         sig_now = _sig(small)
+        small = _fresh_from_ckpt(small, edges.sparkSession)
         converged = sig_now == sig_prev
         e, sig_prev = small, sig_now
     if _rounds_out is not None:
@@ -642,8 +650,13 @@ def link_prediction(edges: DataFrame, max_neighbor_degree: int | None = None,
     adj = (canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
            .unionByName(canon.select(F.col("v").alias("a"),
                                      F.col("u").alias("b"))))
-    deg = adj.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg"))
+    # r11 (guide §2.4): deg is vertex-sized but consumed by THREE separate
+    # join subtrees (the hub-cap semi-join plus the final deg_u/deg_v
+    # joins) — without the lazy checkpoint each re-ran the edge-scale
+    # degree aggregation; the first consumer's job materializes it once.
+    deg = (adj.groupBy(F.col("a").alias("id"))
+           .agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=False))
     if max_neighbor_degree is not None:
         ok = (deg.filter(F.col("deg") <= max_neighbor_degree)
               .select(F.col("id").alias("b")))
@@ -2770,7 +2783,11 @@ def maximal_independent_set(edges: DataFrame,
     prio = F.concat_ws(
         ":", F.md5(F.col("id").cast("string")),
         F.lpad(F.col("id").cast("string"), 12, "0"))
-    active = _ckpt_fresh(
+    # r11 (guide §1.2 action budget): the active set's row count rides its
+    # own checkpoint-materializing job (_ckpt_fresh_counted), so the
+    # per-round emptiness test is a driver-side integer compare instead of
+    # a separate isEmpty() action — one fewer job per round.
+    active, n_act = _ckpt_fresh_counted(
         adj.select(F.col("a").alias("id")).distinct()
         .withColumn("prio", prio)
     )
@@ -2778,7 +2795,7 @@ def maximal_independent_set(edges: DataFrame,
     mis_legs: list[DataFrame] = []
     done = False
     for t in range(1, max_rounds + 1):
-        if active.isEmpty():
+        if n_act == 0:
             done = True
             break
         act_nb = (
@@ -2796,8 +2813,9 @@ def maximal_independent_set(edges: DataFrame,
         dropped = sel.unionByName(
             adj.join(sel.withColumnRenamed("id", "a"), "a")
             .select(F.col("b").alias("id"))).distinct()
-        active = _ckpt_fresh(active.join(dropped, "id", "left_anti"))
-    if not done and not active.isEmpty():
+        active, n_act = _ckpt_fresh_counted(
+            active.join(dropped, "id", "left_anti"))
+    if not done and n_act != 0:
         raise RuntimeError(
             f"maximal_independent_set: active set nonempty after "
             f"{max_rounds} rounds")

@@ -64,6 +64,12 @@ def main() -> None:
             edges, iterations=4, checkpoint_every=2),
         "cc": lambda: analytics.connected_components(
             edges, max_iterations=6),
+        # r11 batch 2/3 iterative targets
+        "cc_star": lambda: analytics.connected_components_star(
+            edges, max_iterations=6),
+        "mis": lambda: analytics.maximal_independent_set(edges),
+        "n2v": lambda: analytics.node2vec_walks(
+            edges, [1, 2, 3], 5, p=4.0, q=0.25, walks_per_node=2),
     }
     for op in ops:
         captured.clear()
