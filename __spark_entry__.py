@@ -1486,7 +1486,10 @@ def _g_clustering(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
         .distinct()
     )
-    return analytics.clustering_coefficient(cop)
+    # canonical=True: the x < y filter + distinct above IS the canonical
+    # undirected simple contract, so clustering_coefficient skips its own
+    # edge-scale least/greatest + distinct re-canonicalization (r11)
+    return analytics.clustering_coefficient(cop, canonical=True)
 
 
 _register(

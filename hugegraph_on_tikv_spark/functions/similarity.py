@@ -916,12 +916,20 @@ def quantized_cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     makes the approximate score itself oracle-checkable, unlike a
     float-accumulation pipeline).  Same broadcast + window shape as
     cosine_topk; returns (query_id, neighbor_id, qcos_sim, rank)."""
+    # r11 (guide §1.2 per-task work): self-norms are per-VECTOR constants —
+    # computing them inside the pair-scoring expression re-ran two D-wide
+    # integer dots on EVERY (query, corpus) pair, tripling the per-pair
+    # aggregate work.  Hoist each side's norm before the join (queries ×1,
+    # corpus ×1); the per-pair expression is then the one cross dot.
+    # Bit-identical: the same exact integers feed the same division.
     qq = quantize_embeddings(queries, vec_col, id_col, bits).select(
-        F.col(id_col).alias("query_id"), F.col("codes").alias("q_codes"))
+        F.col(id_col).alias("query_id"), F.col("codes").alias("q_codes"),
+        _int_dot(F.col("codes"), F.col("codes")).alias("n_q"))
     qc = quantize_embeddings(corpus, vec_col, id_col, bits).select(
-        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("c_codes"))
-    n_q = _int_dot(F.col("q_codes"), F.col("q_codes"))
-    n_c = _int_dot(F.col("c_codes"), F.col("c_codes"))
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("c_codes"),
+        _int_dot(F.col("codes"), F.col("codes")).alias("n_c"))
+    n_q = F.col("n_q")
+    n_c = F.col("n_c")
     score = F.when((n_q == 0) | (n_c == 0), F.lit(0.0)).otherwise(
         _int_dot(F.col("q_codes"), F.col("c_codes"))
         / (F.sqrt(n_q) * F.sqrt(n_c)))

@@ -1257,7 +1257,8 @@ def k_truss(edges: DataFrame, k: int, max_iterations: int = 20) -> DataFrame:
     return out
 
 
-def clustering_coefficient(edges: DataFrame) -> DataFrame:
+def clustering_coefficient(edges: DataFrame,
+                           canonical: bool = False) -> DataFrame:
     """Per-vertex local clustering coefficient over the undirected simple
     graph: coeff(v) = 2·T(v) / (d(v)·(d(v)−1)), where T(v) is the number of
     triangles through v (0 when d < 2).  Rides the same degree-oriented
@@ -1265,11 +1266,21 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     each triangle to its three corners (explode — three rows per triangle,
     no re-join) and divides by the degree pair count.  All inputs to the division are exact integers, so
     the double result is bit-identical across engines.
+
+    `canonical=True` (r11, guide §2.4 "a distinct on data that is already
+    unique"): the caller asserts `edges` is ALREADY the canonical
+    undirected simple set — src < dst on every row, no duplicates — so
+    the full edge-scale least/greatest + distinct exchange is skipped
+    (the co-purchase builder's `x.l_partkey < y.l_partkey` filter +
+    distinct guarantees exactly this).  Equality with the canonicalizing
+    path is pytest-pinned.
     Returns (id, n_triangles, coeff) for every vertex of the graph."""
     # materialize the canonical edge set once: it feeds both the triangle
     # enumeration (degree + orientation + closure) and the final degree
     # join, and its lineage may carry an expensive derivation
-    und = _undirected_simple(edges).localCheckpoint(eager=True)
+    und = (edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+           if canonical else _undirected_simple(edges)) \
+        .localCheckpoint(eager=True)
     per_vertex = (
         _oriented_triangles(und)
         .select(F.explode(F.array("a", "b", "c")).alias("id"))
@@ -1494,7 +1505,8 @@ def _local_move_proposal(und: DataFrame, lab: DataFrame, m: int,
                          small: bool = False,
                          deg: DataFrame | None = None,
                          adj: DataFrame | None = None,
-                         parity: int | None = None) -> DataFrame:
+                         parity: int | None = None,
+                         identity: bool = False) -> DataFrame:
     """UNGUARDED synchronous local-move proposal over a precomputed
     undirected simple edge set: every vertex v evaluates moving to each
     NEIGHBOR community c, scoring by the exact integer gain
@@ -1514,7 +1526,17 @@ def _local_move_proposal(und: DataFrame, lab: DataFrame, m: int,
     side table broadcast (_bcast_if) so the only shuffles left are the
     aggregations themselves.  r10 plan: TWO edge-scale passes total
     (adj→nbr aggregation, nbr→per-vertex min_by argmax) — the old shape
-    recomputed the nbr/cand chain twice through an mx self-join."""
+    recomputed the nbr/cand chain twice through an mx self-join.
+
+    `identity=True` (r11, guide §2.4): the caller asserts `lab` IS the
+    singleton labeling (_c == id for every vertex).  Then every
+    label-dependent intermediate is a pure projection of the persisted
+    invariants — nbr ≡ adj with cand=b, k_to=1 (und is simple, so each
+    (id, b) occurs once); d_c ≡ deg (each community is one vertex);
+    side ≡ deg with _c=id, d_cur=_d — which deletes the edge-scale
+    (id, cand) aggregation exchange and both label joins from the
+    ROUND-1 plan.  The downstream scoring/argmax code is shared, so the
+    winner, gain and parity decisions are expression-identical."""
     if deg is None:
         deg = (und.select(F.col("u").alias("id"))
                .unionByName(und.select(F.col("v").alias("id")))
@@ -1523,18 +1545,27 @@ def _local_move_proposal(und: DataFrame, lab: DataFrame, m: int,
         adj = (und.select(F.col("u").alias("id"), F.col("v").alias("b"))
                .unionByName(
                    und.select(F.col("v").alias("id"), F.col("u").alias("b"))))
-    # k_{v,c}: edge count from each vertex into each neighbor community
-    nbr = (adj.join(_bcast_if(lab.select(F.col("id").alias("b"),
-                                         F.col("_c").alias("cand")),
-                              small), "b")
-           .groupBy("id", "cand").agg(F.count(F.lit(1)).alias("k_to")))
-    d_c = (deg.join(_bcast_if(lab, small), "id")
-           .groupBy(F.col("_c").alias("cand"))
-           .agg(F.sum("_d").alias("d_cand")))
-    side = (lab.join(_bcast_if(deg, small), "id")
-            .join(_bcast_if(d_c.select(F.col("cand").alias("_c"),
-                                       F.col("d_cand").alias("d_cur")),
-                            small), "_c"))
+    if identity:
+        nbr = adj.select("id", F.col("b").alias("cand"),
+                         F.lit(1).cast("long").alias("k_to"))
+        d_c = deg.select(F.col("id").alias("cand"),
+                         F.col("_d").alias("d_cand"))
+        side = deg.select("id", F.col("id").alias("_c"), "_d",
+                          F.col("_d").alias("d_cur"))
+        lab = deg.select("id", F.col("id").alias("_c"))
+    else:
+        # k_{v,c}: edge count from each vertex into each neighbor community
+        nbr = (adj.join(_bcast_if(lab.select(F.col("id").alias("b"),
+                                             F.col("_c").alias("cand")),
+                                  small), "b")
+               .groupBy("id", "cand").agg(F.count(F.lit(1)).alias("k_to")))
+        d_c = (deg.join(_bcast_if(lab, small), "id")
+               .groupBy(F.col("_c").alias("cand"))
+               .agg(F.sum("_d").alias("d_cand")))
+        side = (lab.join(_bcast_if(deg, small), "id")
+                .join(_bcast_if(d_c.select(F.col("cand").alias("_c"),
+                                           F.col("d_cand").alias("d_cur")),
+                                small), "_c"))
 
     def _dec(c) -> Column:
         return F.col(c).cast("decimal(38,0)")
@@ -1687,6 +1718,12 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
                                            small=small, deg=deg)
         moved = False
         consecutive_rejects = 0
+        # r11: while no proposal has been ACCEPTED yet from a singleton
+        # start, the current labeling is still the identity, so the
+        # proposal can take the label-join-free identity fast path (a
+        # rejected round leaves the labeling unchanged — the invariant
+        # survives rejections, only an accept clears it)
+        is_identity = init_singletons
         for i in range(max_rounds):
             lab = cur.select("id", F.col(label_col).alias("_c"))
             # lazy checkpoint: the guard's numerator aggregation is the
@@ -1695,7 +1732,8 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
             # path (round count is bounded, so plan depth stays bounded)
             proposed = (_local_move_proposal(und, lab, m, small=small,
                                              deg=deg, adj=adj,
-                                             parity=i % 2)
+                                             parity=i % 2,
+                                             identity=is_identity)
                         .withColumnRenamed("_c", label_col)
                         .localCheckpoint(eager=False))
             if prev_num is None:
@@ -1738,6 +1776,7 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
                 continue
             consecutive_rejects = 0
             cur, prev_num, moved = proposed, num, True
+            is_identity = False
     finally:
         deg.unpersist()
         adj.unpersist()
@@ -1847,7 +1886,8 @@ def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
                             m: int, parity: int | None = None,
                             small: bool = False,
                             wdeg: DataFrame | None = None,
-                            adj: DataFrame | None = None) -> DataFrame:
+                            adj: DataFrame | None = None,
+                            identity: bool = False) -> DataFrame:
     """One synchronous weighted local-move proposal on a contracted
     (super-vertex) graph — the level-2+ Louvain step.
 
@@ -1898,19 +1938,35 @@ def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
                 plain.select(F.col("v2").alias("sid"), F.col("u2").alias("b"),
                              "w"))
         )
-    nbr = (adj.join(_bcast_if(slab.select(F.col("sid").alias("b"),
-                                          F.col("sc").alias("cand")),
-                              small), "b")
-           .groupBy("sid", "cand").agg(F.sum("w").alias("k_to")))
-    d_c = (wdeg.join(_bcast_if(slab, small), "sid")
-           .groupBy(F.col("sc").alias("cand"))
-           .agg(F.sum("_d").alias("d_cand")))
-    # per-vertex constants (community, own weighted degree, own
-    # community's mass) — vertex-sized, meets the flow in broadcast joins
-    side = (slab.join(_bcast_if(wdeg, small), "sid")
-            .join(_bcast_if(d_c.select(F.col("cand").alias("sc"),
-                                       F.col("d_cand").alias("d_cur")),
-                            small), "sc"))
+    if identity:
+        # r11 identity fast path (see _local_move_proposal): from the
+        # per-level singleton start, cand = the neighbor super-vertex
+        # itself and k_to = the super-edge weight ((sid, b) is unique in
+        # the canonical adjacency), d_c ≡ wdeg, side ≡ wdeg — the
+        # label joins and the (sid, cand) aggregation exchange vanish
+        # from each level's round-1 plan; downstream scoring is shared.
+        nbr = adj.select("sid", F.col("b").alias("cand"),
+                         F.col("w").alias("k_to"))
+        d_c = wdeg.select(F.col("sid").alias("cand"),
+                          F.col("_d").alias("d_cand"))
+        side = wdeg.select("sid", F.col("sid").alias("sc"), "_d",
+                           F.col("_d").alias("d_cur"))
+        slab = wdeg.select("sid", F.col("sid").alias("sc"))
+    else:
+        nbr = (adj.join(_bcast_if(slab.select(F.col("sid").alias("b"),
+                                              F.col("sc").alias("cand")),
+                                  small), "b")
+               .groupBy("sid", "cand").agg(F.sum("w").alias("k_to")))
+        d_c = (wdeg.join(_bcast_if(slab, small), "sid")
+               .groupBy(F.col("sc").alias("cand"))
+               .agg(F.sum("_d").alias("d_cand")))
+        # per-vertex constants (community, own weighted degree, own
+        # community's mass) — vertex-sized, meets the flow in broadcast
+        # joins
+        side = (slab.join(_bcast_if(wdeg, small), "sid")
+                .join(_bcast_if(d_c.select(F.col("cand").alias("sc"),
+                                           F.col("d_cand").alias("d_cur")),
+                                small), "sc"))
 
     def _dec(c) -> Column:
         return F.col(c).cast("decimal(38,0)")
@@ -2096,13 +2152,18 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
         slab = wdeg.select("sid", F.col("sid").alias("sc"))
         improved = False
         rejects = 0
+        # r11: the level's labeling stays the identity until a proposal
+        # is ACCEPTED (rejections leave slab unchanged), so those rounds
+        # take the label-join-free identity fast path
+        slab_identity = True
         try:
             for r in range(level2_rounds):
                 # lazy checkpoint (see _louvain_rounds): the sed-numerator
                 # guard materializes it in the same action
                 prop = _weighted_move_proposal(sed, slab, m, parity=r % 2,
                                                small=small, wdeg=wdeg,
-                                               adj=adj) \
+                                               adj=adj,
+                                               identity=slab_identity) \
                     .localCheckpoint(eager=False)
                 # guard on the CONTRACTED graph: _numerator_from_sed is
                 # provably equal to the original-graph numerator for this
@@ -2121,6 +2182,7 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
                     continue
                 rejects = 0
                 slab, prev_num, improved = prop, num, True
+                slab_identity = False
         finally:
             wdeg.unpersist()
             adj.unpersist()

@@ -309,6 +309,22 @@ def test_clustering_coefficient_known_values(spark):
     assert got2 == {7: 0.0, 8: 0.0}
 
 
+def test_clustering_coefficient_canonical_fastpath_equal(spark):
+    # r11: canonical=True skips the edge-scale re-canonicalization; on an
+    # input that already satisfies the contract (src < dst, distinct) the
+    # result must be row-identical to the canonicalizing path
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6),
+         (4, 6), (2, 7)], "src long, dst long"
+    )
+    base = {(r["id"], r["n_triangles"], r["coeff"])
+            for r in analytics.clustering_coefficient(edges).collect()}
+    fast = {(r["id"], r["n_triangles"], r["coeff"])
+            for r in analytics.clustering_coefficient(
+                edges, canonical=True).collect()}
+    assert fast == base
+
+
 def test_k_truss_peels_edges(spark):
     # two triangles sharing edge (1,2) + a pendant triangle chain:
     # K4 on {1,2,3,4}: every edge in >= 2 triangles -> 4-truss
@@ -1524,6 +1540,43 @@ def test_louvain_full_three_level_schedule_is_monotone(spark):
     assert seq == sorted(seq), seq
     assert len(seq) >= 2, "no contraction level accepted"
     assert cap["final_num"] == seq[-1]
+
+
+def test_louvain_identity_proposal_fastpath_equal(spark):
+    """r11: the identity fast path in both proposal functions (taken on
+    rounds where the labeling is provably still the singleton identity)
+    must propose EXACTLY the generic path's labeling — winner, gain gate
+    and parity decisions included — on graphs with hubs, ties and
+    parallel-ish structure, for both parities."""
+    edges = [(i, (i + 1) % 30) for i in range(30)]          # cycle
+    edges += [(0, j) for j in range(2, 12)]                  # hub fan
+    edges += [(40, 41), (41, 42), (40, 42), (42, 43)]        # triangle+tail
+    e = spark.createDataFrame(edges, "src long, dst long")
+    und = analytics._undirected_simple(e).localCheckpoint(eager=True)
+    m = und.count()
+    ident = (und.select(F.col("u").alias("id"))
+             .unionByName(und.select(F.col("v").alias("id"))).distinct()
+             .select("id", F.col("id").alias("_c")))
+    for par in (0, 1, None):
+        gen = {(r["id"], r["_c"]) for r in analytics._local_move_proposal(
+            und, ident, m, parity=par).collect()}
+        fast = {(r["id"], r["_c"]) for r in analytics._local_move_proposal(
+            und, ident, m, parity=par, identity=True).collect()}
+        assert fast == gen, (par, fast ^ gen)
+    # weighted twin on a contracted-style graph with self-loops
+    sed = spark.createDataFrame(
+        [(1, 2, 3), (1, 3, 1), (2, 3, 2), (1, 1, 4), (3, 4, 1),
+         (4, 5, 2), (5, 5, 1)], "u2 long, v2 long, w long")
+    sm = 14  # total weight = Σ w
+    sident = (sed.select(F.col("u2").alias("sid"))
+              .unionByName(sed.select(F.col("v2").alias("sid"))).distinct()
+              .select("sid", F.col("sid").alias("sc")))
+    for par in (0, 1, None):
+        gen = {(r["sid"], r["sc"]) for r in analytics._weighted_move_proposal(
+            sed, sident, sm, parity=par).collect()}
+        fast = {(r["sid"], r["sc"]) for r in analytics._weighted_move_proposal(
+            sed, sident, sm, parity=par, identity=True).collect()}
+        assert fast == gen, (par, fast ^ gen)
 
 
 def test_edge_priority_struct_order_equals_string_order(spark):

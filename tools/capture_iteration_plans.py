@@ -70,6 +70,8 @@ def main() -> None:
         "mis": lambda: analytics.maximal_independent_set(edges),
         "n2v": lambda: analytics.node2vec_walks(
             edges, [1, 2, 3], 5, p=4.0, q=0.25, walks_per_node=2),
+        "louvain": lambda: analytics.louvain_full(
+            edges, level1_rounds=3, level2_rounds=2, max_levels=3),
     }
     for op in ops:
         captured.clear()
