@@ -471,7 +471,8 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
 
 
 def connected_components_star(edges: DataFrame, max_iterations: int = 25,
-                              _rounds_out: list | None = None) -> DataFrame:
+                              _rounds_out: list | None = None,
+                              broadcast_max_vertices: int = 4_000_000) -> DataFrame:
     """Undirected connected components by alternating large-star /
     small-star contraction (Kiveris et al., "Connected Components in
     MapReduce and Beyond") — the opt-in scale path next to HashMin
@@ -533,12 +534,24 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
         if converged:
             break
         rounds += 1
+        # r11 (guide §3.1, the pagerank/coloring broadcast-under-guard
+        # posture): `mins` and `mins2` are VERTEX-scale (one row per
+        # still-active vertex), yet both per-round joins shuffled their
+        # EDGE-scale side (nbrs by a, large by v).  Broadcast them while
+        # the active-vertex bound fits — 2·|e| ≥ #active vertices, and
+        # |e| rides the round's own signature aggregate, so the guard
+        # costs NO extra action.  Past the guard the round keeps the
+        # shuffle-join plan.  Plan choice only; inner equi-joins on
+        # exact keys, results identical (equality pytest vs HashMin).
+        bcast = 2 * sig_prev[0] <= broadcast_max_vertices
         # ---- large-star ----
         nbrs = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
                 .unionByName(
                     e.select(F.col("v").alias("a"), F.col("u").alias("b"))))
         mins = (nbrs.groupBy("a")
                 .agg(F.least(F.min("b"), F.first("a")).alias("m")))
+        if bcast:
+            mins = F.broadcast(mins)
         # NOTE: no distinct here — duplicate (u, v) rows cannot change the
         # min aggregate below and the small-star output dedups anyway, so
         # the extra exchange a distinct would cost per round buys nothing
@@ -557,6 +570,8 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
         # ---- small-star (edges already canonical u < v: group at v) ----
         mins2 = (large.groupBy(F.col("v").alias("a"))
                  .agg(F.min("u").alias("m")))
+        if bcast:
+            mins2 = F.broadcast(mins2)
         joined = large.join(mins2, large.v == mins2.a)
         small = (joined.select(F.col("a").alias("x"), F.col("m"))
                  .unionByName(joined.select(F.col("u").alias("x"), F.col("m")))
@@ -1440,6 +1455,11 @@ def modularity_score(edges: DataFrame, labels: DataFrame,
 # inside a modest executor heap; raise explicitly on beefier deployments
 _LOUVAIN_BROADCAST_MAX = 2_000_000
 
+# A/B switch for the adj hash-partitioning plan below (plan choice only —
+# results are bit-identical either way); module-level so a single-session
+# alternated A/B can toggle it without code swaps.
+_LOUVAIN_ADJ_PARTITION = True
+
 
 def _bcast_if(df: DataFrame, small: bool) -> DataFrame:
     """Pagerank's broadcast-under-guard posture as a helper: the Louvain
@@ -1660,6 +1680,31 @@ def modularity_local_move(edges: DataFrame, labels: DataFrame,
     return labels.select(*out_cols)
 
 
+def _louvain_invariants(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The labeling-independent Louvain level-1 iteration invariants,
+    persisted: the degree table and the symmetric adjacency.
+
+    r11 (guide §2.4, the greedy_coloring idiom): the adjacency is
+    hash-partitioned on `id` ONCE before the persist, so under the
+    broadcast regime (`small`) BOTH edge-scale aggregations of every
+    round's proposal — groupBy(id, cand) and the min_by argmax
+    groupBy(id) — reuse the cached partitioning (hash(id) satisfies both
+    clustered distributions; broadcast joins preserve it) instead of
+    paying two edge-scale Exchanges per round.  One up-front exchange
+    buys 2×rounds of them; results are bit-identical (exact
+    integer/decimal aggregates, total-order min_by key).  Executed-plan
+    pin: tests/test_graph_ops.py::test_louvain_proposal_round_exchange_free."""
+    deg = (und.select(F.col("u").alias("id"))
+           .unionByName(und.select(F.col("v").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("_d"))).persist()
+    adj_base = (und.select(F.col("u").alias("id"), F.col("v").alias("b"))
+                .unionByName(
+                    und.select(F.col("v").alias("id"), F.col("u").alias("b"))))
+    adj = (adj_base.repartition("id") if _LOUVAIN_ADJ_PARTITION
+           else adj_base).persist()
+    return deg, adj
+
+
 def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
                     label_col: str, max_rounds: int,
                     small: bool = False,
@@ -1699,13 +1744,7 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
             cur = und.select(F.col("u").alias("id"),
                              F.col("u").alias(label_col))
         return cur, _numerator_from_und(und, m, cur, label_col), False
-    deg = (und.select(F.col("u").alias("id"))
-           .unionByName(und.select(F.col("v").alias("id")))
-           .groupBy("id").agg(F.count(F.lit(1)).alias("_d"))).persist()
-    adj = (und.select(F.col("u").alias("id"), F.col("v").alias("b"))
-           .unionByName(
-               und.select(F.col("v").alias("id"), F.col("u").alias("b")))
-           ).persist()
+    deg, adj = _louvain_invariants(und)
     try:
         if init_singletons:
             # the identity labeling over the und vertex domain IS
@@ -2144,11 +2183,15 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
                              .select(F.col("u2").alias("sid"),
                                      (F.col("w") * 2).alias("w")))
                 .groupBy("sid").agg(F.sum("w").alias("_d"))).persist()
-        adj = (plain.select(F.col("u2").alias("sid"),
-                            F.col("v2").alias("b"), "w")
-               .unionByName(plain.select(F.col("v2").alias("sid"),
-                                         F.col("u2").alias("b"), "w"))
-               ).persist()
+        adj_base = (plain.select(F.col("u2").alias("sid"),
+                                 F.col("v2").alias("b"), "w")
+                    .unionByName(plain.select(F.col("v2").alias("sid"),
+                                              F.col("u2").alias("b"), "w")))
+        # same hash(sid) posture as _louvain_rounds' adj: every probe
+        # round's two super-graph aggregations reuse the cached
+        # partitioning under the broadcast regime
+        adj = (adj_base.repartition("sid") if _LOUVAIN_ADJ_PARTITION
+               else adj_base).persist()
         slab = wdeg.select("sid", F.col("sid").alias("sc"))
         improved = False
         rejects = 0

@@ -634,6 +634,26 @@ def test_cc_star_equals_hashmin_on_fixtures(spark):
     assert got == want
 
 
+def test_cc_star_broadcast_fallback_equality(spark):
+    """r11: labels are identical whether the per-round mins/mins2 tables
+    broadcast (guard default) or fall back to shuffle joins — the guard
+    changes plans, never results."""
+    import random
+
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        connected_components_star)
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 120), rng.randint(0, 120)) for _ in range(300)]
+    rows += [(200 + i, 200 + i + 1) for i in range(40)]   # a chain
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    on = {(r["id"], r["component"]) for r in connected_components_star(
+        edges, broadcast_max_vertices=4_000_000).collect()}
+    off = {(r["id"], r["component"]) for r in connected_components_star(
+        edges, broadcast_max_vertices=0).collect()}
+    assert on == off
+
+
 def test_cc_star_chain_logarithmic_rounds(spark):
     """A 64-vertex chain: HashMin needs ~n rounds; star contraction must
     finish in O(log n) — assert <= 8 rounds and exact labels."""
@@ -1577,6 +1597,55 @@ def test_louvain_identity_proposal_fastpath_equal(spark):
         fast = {(r["sid"], r["sc"]) for r in analytics._weighted_move_proposal(
             sed, sident, sm, parity=par, identity=True).collect()}
         assert fast == gen, (par, fast ^ gen)
+
+
+def test_louvain_proposal_round_exchange_free(spark):
+    """r11 plan pin (the greedy_coloring posture brought to Louvain):
+    with the persisted adjacency hash-partitioned on `id`
+    (_louvain_invariants), a broadcast-regime proposal round's two
+    edge-scale aggregations — groupBy(id, cand) and the min_by argmax
+    groupBy(id) — must reuse the cached partitioning: the EXECUTED plan
+    may contain no ENSURE_REQUIREMENTS exchange keyed on the vertex id
+    (the only id-keyed exchange is the one-time REPARTITION_BY_COL
+    inside the cached relation).  Community-keyed exchanges (d_c)
+    are vertex-scale and allowed."""
+    import re
+
+    edges = [(i, (i + 1) % 200) for i in range(200)]
+    edges += [(i, (i * 7 + 3) % 200) for i in range(0, 200, 3)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    und = analytics._undirected_simple(e).localCheckpoint(eager=True)
+    m = und.count()
+    deg, adj = analytics._louvain_invariants(und)
+    try:
+        adj.count()   # materialize the cache as round 1's job would
+        lab = deg.select("id", (F.col("id") % 7).alias("_c"))
+        prop = analytics._local_move_proposal(
+            und, lab, m, small=True, deg=deg, adj=adj, parity=0)
+        prop.write.format("noop").mode("overwrite").save()
+        txt = prop._jdf.queryExecution().executedPlan().toString()
+        # every id-keyed hashpartitioning exchange must be either the
+        # cached REPARTITION_BY_COL or deg's one-time cached build (child
+        # = the id-keyed partial_count aggregate, textually repeated per
+        # InMemoryTableScan of deg) — never a per-round insertion: the
+        # removed exchanges were keyed (id, cand) (the nbr aggregation)
+        # and id-with-a-min_by-child (the argmax)
+        lines = txt.splitlines()
+        bad = []
+        for i, l in enumerate(lines):
+            if not re.search(r"Exchange hashpartitioning\(id#\d+", l):
+                continue
+            if "REPARTITION_BY_COL" in l:
+                continue
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            is_deg_build = ("partial_count(1)" in nxt
+                            and "cand" not in l and "cand" not in nxt)
+            if not is_deg_build:
+                bad.append((l.strip()[:110], nxt.strip()[:110]))
+        assert not bad, bad
+    finally:
+        deg.unpersist()
+        adj.unpersist()
 
 
 def test_edge_priority_struct_order_equals_string_order(spark):
