@@ -420,7 +420,8 @@ def hits(edges: DataFrame, iterations: int = 8,
         verts.unpersist()
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iterations: int = 20,
+                         broadcast_max_vertices: int = 4_000_000) -> DataFrame:
     """Undirected connected components by iterative min-id label propagation
     (HashMin).  Returns (id, component) where component = min vertex id in
     the component.  Converges in O(diameter) rounds; each round is one
@@ -442,12 +443,25 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     labels = (
         adj.select(F.col("a").alias("id")).distinct().withColumn("component", F.col("id"))
     )
+    # r11 (guide §3.1, the pagerank/coloring posture): the label table is
+    # VERTEX-scale but joins the EDGE-scale adjacency every round, and the
+    # checkpointed adj/label frames carry default (huge) size stats
+    # (_ckpt_fresh contract), so the planner never auto-broadcasts and AQE
+    # can only demote AFTER the edge set has already shuffled.  One
+    # vertex-count job up front (amortized over up to max_iterations
+    # rounds) decides explicitly; past the guard the shuffle plan stays.
+    bcast = labels.count() <= broadcast_max_vertices
     for i in range(max_iterations):
+        lab_b = labels.withColumnRenamed("id", "b_id")
+        if bcast:
+            lab_b = F.broadcast(lab_b)
         msgs = (
-            adj.join(labels.withColumnRenamed("id", "b_id"), adj.b == F.col("b_id"))
+            adj.join(lab_b, adj.b == F.col("b_id"))
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        if bcast:
+            msgs = F.broadcast(msgs)
         new_labels = (
             labels.join(msgs, "id", "left")
             .select("id",
@@ -2853,7 +2867,8 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
 
 
 def maximal_independent_set(edges: DataFrame,
-                            max_rounds: int = 24) -> DataFrame:
+                            max_rounds: int = 24,
+                            broadcast_max_vertices: int = 4_000_000) -> DataFrame:
     """Maximal independent set by Luby's algorithm with DETERMINISTIC
     md5 priorities — the distributed-greedy workhorse behind scheduling,
     coloring seeds, and landmark selection.
@@ -2903,23 +2918,33 @@ def maximal_independent_set(edges: DataFrame,
         if n_act == 0:
             done = True
             break
+        # r11 (guide §3.1): `active`/`sel`/`dropped` are vertex-scale and
+        # their exact size (n_act) rides the round's own checkpoint count,
+        # so the broadcast decision costs no extra action; _ckpt_fresh
+        # frames carry default (huge) stats, so without the explicit hint
+        # every one of these joins shuffled the EDGE-scale adjacency
+        # (SortMergeJoin in the captured round plans).  Past the guard the
+        # shuffle plan stays.
+        def _b(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if n_act <= broadcast_max_vertices else df
+
         act_nb = (
-            adj.join(active.select(F.col("id").alias("a")), "a")
-            .join(active.select(F.col("id").alias("b"),
-                                F.col("prio").alias("prio_b")), "b")
+            adj.join(_b(active.select(F.col("id").alias("a"))), "a")
+            .join(_b(active.select(F.col("id").alias("b"),
+                                   F.col("prio").alias("prio_b"))), "b")
         )
         min_nb = act_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
         sel = _ckpt_fresh(
-            active.join(min_nb.withColumnRenamed("a", "id"), "id", "left")
+            active.join(_b(min_nb.withColumnRenamed("a", "id")), "id", "left")
             .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
             .select("id")
         )
         mis_legs.append(sel.select("id", F.lit(t).alias("round")))
         dropped = sel.unionByName(
-            adj.join(sel.withColumnRenamed("id", "a"), "a")
+            adj.join(_b(sel.withColumnRenamed("id", "a")), "a")
             .select(F.col("b").alias("id"))).distinct()
         active, n_act = _ckpt_fresh_counted(
-            active.join(dropped, "id", "left_anti"))
+            active.join(_b(dropped), "id", "left_anti"))
     if not done and n_act != 0:
         raise RuntimeError(
             f"maximal_independent_set: active set nonempty after "

@@ -634,6 +634,31 @@ def test_cc_star_equals_hashmin_on_fixtures(spark):
     assert got == want
 
 
+def test_cc_and_mis_broadcast_fallback_equality(spark):
+    """r11: HashMin components and Luby MIS produce identical results
+    whether the vertex-scale side tables broadcast (guard default) or
+    fall back to shuffle joins — plan choice only."""
+    import random
+
+    from hugegraph_on_tikv_spark.operators.analytics import (
+        connected_components, maximal_independent_set)
+
+    rng = random.Random(13)
+    rows = [(rng.randint(0, 100), rng.randint(0, 100)) for _ in range(250)]
+    rows += [(150 + i, 150 + i + 1) for i in range(30)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    cc_on = {(r["id"], r["component"]) for r in connected_components(
+        edges).collect()}
+    cc_off = {(r["id"], r["component"]) for r in connected_components(
+        edges, broadcast_max_vertices=0).collect()}
+    assert cc_on == cc_off
+    mis_on = {(r["id"], r["round"]) for r in maximal_independent_set(
+        edges).collect()}
+    mis_off = {(r["id"], r["round"]) for r in maximal_independent_set(
+        edges, broadcast_max_vertices=0).collect()}
+    assert mis_on == mis_off
+
+
 def test_cc_star_broadcast_fallback_equality(spark):
     """r11: labels are identical whether the per-round mins/mins2 tables
     broadcast (guard default) or fall back to shuffle joins — the guard
