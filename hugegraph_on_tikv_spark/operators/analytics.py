@@ -542,22 +542,23 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 25,
 
     sig_prev = _sig(e)           # materializes the lazy checkpoint
     e = _fresh_from_ckpt(e, edges.sparkSession)
+    # r11 (guide §3.1, the pagerank/coloring broadcast-under-guard
+    # posture): `mins` and `mins2` are VERTEX-scale (one row per
+    # still-active vertex), yet both per-round joins shuffled their
+    # EDGE-scale side (nbrs by a, large by v).  Broadcast them while the
+    # vertex count fits: the initial vertex set bounds every round's
+    # active set (stars only shrink it), and v0 is already checkpointed,
+    # so the bound is one cheap cached count at setup.  Past the guard
+    # the rounds keep the shuffle-join plan.  Plan choice only; inner
+    # equi-joins on exact keys, results identical (equality pytest vs
+    # HashMin + the fallback pin).
+    bcast = v0.count() <= broadcast_max_vertices
     rounds = 0
     converged = sig_prev[0] == 0
     for _ in range(max_iterations):
         if converged:
             break
         rounds += 1
-        # r11 (guide §3.1, the pagerank/coloring broadcast-under-guard
-        # posture): `mins` and `mins2` are VERTEX-scale (one row per
-        # still-active vertex), yet both per-round joins shuffled their
-        # EDGE-scale side (nbrs by a, large by v).  Broadcast them while
-        # the active-vertex bound fits — 2·|e| ≥ #active vertices, and
-        # |e| rides the round's own signature aggregate, so the guard
-        # costs NO extra action.  Past the guard the round keeps the
-        # shuffle-join plan.  Plan choice only; inner equi-joins on
-        # exact keys, results identical (equality pytest vs HashMin).
-        bcast = 2 * sig_prev[0] <= broadcast_max_vertices
         # ---- large-star ----
         nbrs = (e.select(F.col("u").alias("a"), F.col("v").alias("b"))
                 .unionByName(
