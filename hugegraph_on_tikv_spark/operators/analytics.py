@@ -2771,6 +2771,7 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
     )
     forest_legs: list[DataFrame] = []
     done = False
+    prev_n_root: int | None = None
     for _ in range(max_rounds):
         if n_ed == 0:
             done = True
@@ -2799,8 +2800,22 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
             "c",
             F.when(F.col("cu") == F.col("c"), F.col("cv"))
              .otherwise(F.col("cu")).alias("p"))
-        # break mutual pairs: the smaller id of a 2-cycle roots itself
+        # break mutual pairs: the smaller id of a 2-cycle roots itself.
+        # r11 (guide §3.1): both sides are COMPONENT-scale, but sel is a
+        # lazy checkpoint carrying default stats, so this left join
+        # planned SortMergeJoin every round (the one residual SMJ in the
+        # captured round plans).  The exact n_root isn't known yet (it
+        # rides this join's own count), so the guard bound is the
+        # PREVIOUS round's n_root — components only shrink — with
+        # 2·n_ed as the sound round-1 fallback (every live component
+        # has ≥1 incident cross edge); past the guard the SMJ stands.
+        pair_bound = prev_n_root if prev_n_root is not None else 2 * n_ed
+        bcast_pair = (pair_bound <= broadcast_max_components
+                      if broadcast_components is None
+                      else broadcast_components)
         other = ptr.select(F.col("c").alias("p"), F.col("p").alias("back"))
+        if bcast_pair:
+            other = F.broadcast(other)
         root, n_root = _ckpt_fresh_counted(
             ptr.join(other, "p", "left")
             .select(
@@ -2808,6 +2823,7 @@ def spanning_forest(weighted_edges: DataFrame, max_rounds: int = 16,
                 F.when((F.col("back") == F.col("c")) & (F.col("c") < F.col("p")),
                        F.col("c")).otherwise(F.col("p")).alias("p"))
         )
+        prev_n_root = n_root
         # broadcast-under-guard (greedy_coloring's posture, r11): root is
         # one row PER COMPONENT — 16 bytes a row, so up to the guard it
         # ships to every task and the doubling/relabel joins stop
