@@ -2821,21 +2821,29 @@ def _text_unigram(spark: SparkSession, sf: str) -> DataFrame:
     from hugegraph_on_tikv_spark.functions import unigram as U
     from hugegraph_on_tikv_spark.functions.text import tokens as _toks
     docs = load_table(spark, sf, "documents")
+    # r12 (guide §2.4): ONE corpus tokenize pass feeds everything below —
+    # the word-frequency table is eagerly checkpointed and shared by the
+    # contract guard, training, and the encoder's word-domain Viterbi
+    # (its segmentation is freq-independent; see unigram_encode).  Before:
+    # 4 corpus tokenizes (guard aggregate, word_freqs, stream-distinct,
+    # stream join); after: 2 (this one + the unavoidable stream join).
+    words = U.word_freqs(docs).localCheckpoint(eager=True)
     # contract guard (ADVICE r9): the DuckDB oracle unrolls the Viterbi DP
     # to _UNI_MAXW end positions while the Spark fold is unbounded — a
     # corpus word longer than the unroll would silently vanish from the
     # oracle's segmentation and surface as an inscrutable hash mismatch.
-    # Fail loudly at the source instead (one cheap corpus aggregate).
-    mw = docs.select(F.max(F.array_max(F.transform(
-        _toks(F.col("text")), lambda x: F.length(x)))).alias("m")).first()[0]
+    # Fail loudly at the source instead (now a word-table aggregate: the
+    # longest word in the corpus IS the longest word in its word table).
+    mw = words.select(F.max(F.length("word")).alias("m")).first()[0]
     if mw is not None and mw > _UNI_MAXW:
         raise AssertionError(
             f"unigram oracle DP is unrolled to {_UNI_MAXW} chars but the "
             f"corpus has a {mw}-char word; raise _UNI_MAXW to match")
     vocab, _ = U.unigram_train(docs, n_iters=1, max_piece_len=_UNI_MAXP,
-                               n_multi=_UNI_MULTI)
+                               n_multi=_UNI_MULTI, words=words)
     vocab = vocab.persist()
-    enc = U.unigram_encode(docs, vocab, max_piece_len=_UNI_MAXP).persist()
+    enc = U.unigram_encode(docs, vocab, max_piece_len=_UNI_MAXP,
+                           words=words).persist()
     per = (
         enc.filter(F.col("doc_id") % 20 == 7)
         .groupBy("doc_id")

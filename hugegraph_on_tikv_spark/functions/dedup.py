@@ -261,9 +261,17 @@ def _minhash_pairs(docs: DataFrame, num_hashes: int, rows_per_band: int, k: int,
     for i in range(num_hashes):
         a, b = minhash_seed(i)
         aggs.append(F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}"))
-    sigs = hashed.groupBy("doc_id").agg(*aggs)
+    # r12 (guide §2.4): the shingle-set size rides the SAME groupBy as the
+    # 32 min-aggregates (one more partial-agg column) instead of paying a
+    # second full shingle-scale aggregation pass + exchange; sigs is
+    # doc-sized, so the lazy checkpoint lets its three consumers (bands ×
+    # the self-join's two sides, sizes) read it instead of replaying the
+    # shingle aggregation.  n_sh values are identical by construction.
+    sigs = (hashed.groupBy("doc_id")
+            .agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
+            .localCheckpoint(eager=False))
     cands = lsh_candidate_pairs(lsh_bands(sigs, rows_per_band), max_bucket_size)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sigs.select("doc_id", "n_sh")
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

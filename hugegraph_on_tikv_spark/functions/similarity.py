@@ -43,12 +43,22 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     """Exact top-k neighbors per query (excluding self): broadcast the query
     set against the corpus scan, rank by (cosine desc, neighbor id asc) for
     determinism.  Returns (query_id, neighbor_id, cos_sim, rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # r12 (guide §1.2, the quantized_topk treatment): self-norms and the
+    # double-casts are per-VECTOR constants — hoisted into the per-side
+    # projections so the per-pair expression is ONE zip_with dot instead
+    # of three D-wide aggregates.  Bit-identical: the same doubles feed
+    # dot(q,c) / (norm(q) * norm(c)) in the same operand order.
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(F.col(vec_col)).alias("q_vec"),
+                       norm(_as_double(F.col(vec_col))).alias("_qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      _as_double(F.col(vec_col)).alias("c_vec"),
+                      norm(_as_double(F.col(vec_col))).alias("_cn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"))
+                F.round(dot(F.col("q_vec"), F.col("c_vec"))
+                        / (F.col("_qn") * F.col("_cn")), 6).alias("cos_sim"))
     )
     from pyspark.sql.window import Window
 
@@ -978,17 +988,24 @@ def _pq_slices(df: DataFrame, m: int, dim: int, id_col: str,
                      F.posexplode(arr).alias("sub", "v"))
 
 
-def _pq_assign(slices: DataFrame, books: DataFrame, out_id: str) -> DataFrame:
+def _pq_assign(slices: DataFrame, books: DataFrame, out_id: str,
+               with_vec: bool = True) -> DataFrame:
     """Nearest codeword per (id, sub): the assign_best_cell aggregate-argmax
     (max_by over a (cosine, -code) struct — no per-vector sort window),
-    keyed by subspace."""
+    keyed by subspace.  `with_vec=False` (r12, guide §2.3) drops the
+    subvector from the argmax payload for callers that only need the code
+    — pq_encode otherwise carries d/m doubles per row through the
+    corpus-scale aggregation buffers for nothing (the winning code is
+    identical either way: same ordering key)."""
     scored = (slices.join(F.broadcast(books), "sub")
               .select(out_id, "sub", "v", "code",
                       cosine(F.col("v"), F.col("c_vec")).alias("sim")))
+    key = F.struct(F.col("sim").alias("s"), (-F.col("code")).alias("neg"))
+    if not with_vec:
+        return (scored.groupBy(out_id, "sub")
+                .agg(F.max_by(F.col("code"), key).alias("code")))
     return (scored.groupBy(out_id, "sub")
-            .agg(F.max_by(F.struct(F.col("code"), F.col("v")),
-                          F.struct(F.col("sim").alias("s"),
-                                   (-F.col("code")).alias("neg")))
+            .agg(F.max_by(F.struct(F.col("code"), F.col("v")), key)
                  .alias("best"))
             .select(out_id, "sub", F.col("best.code").alias("code"),
                     F.col("best.v").alias("v")))
@@ -1041,7 +1058,7 @@ def pq_encode(corpus: DataFrame, books: DataFrame, m: int = 4,
     array<tinyint> column, the scan math is identical."""
     dim = _vec_dim(corpus, vec_col)
     slices = _pq_slices(corpus, m, dim, id_col, vec_col, "id")
-    return _pq_assign(slices, books, "id").select(
+    return _pq_assign(slices, books, "id", with_vec=False).select(
         F.col("id").alias(id_col), "sub", "code")
 
 
@@ -1078,9 +1095,18 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, m: int = 4,
     cosine_topk_vectorized."""
     if shortlist is not None and shortlist < k:
         raise ValueError(f"shortlist ({shortlist}) must be >= k ({k})")
-    books = pq_train(corpus, m, n_codes, refine_iters, id_col, vec_col)
+    # r12 (guide §2.4, the bpe_encode lazy-checkpoint pattern): books is
+    # model-sized (m × n_codes rows) but its lineage is the whole Lloyd
+    # training pass over the corpus — without the checkpoint each of its
+    # three consumers (codes, lut, cnorms) replayed training (22 parquet
+    # scans in the committed before-plan; 3 identical training subtrees)
+    books = pq_train(corpus, m, n_codes, refine_iters, id_col, vec_col) \
+        .localCheckpoint(eager=False)
+    # codes now has two consumers (scored + the hoisted per-neighbor norm
+    # below) — lazy checkpoint so the corpus encode runs once
     codes = pq_encode(corpus, books, m, id_col, vec_col) \
-        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(id_col, "neighbor_id") \
+        .localCheckpoint(eager=False)
     dim = _vec_dim(queries, vec_col)
     qslices = _pq_slices(queries, m, dim, id_col, vec_col, "query_id")
     lut = (qslices.join(F.broadcast(books), "sub")
@@ -1091,13 +1117,24 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, m: int = 4,
         "sub", "code",
         F.round(dot(F.col("c_vec"), F.col("c_vec")) * 1000000)
         .cast("long").alias("cn2"))
+    # r12 (guide §1.2, the quantized_topk norm-hoist): Σcn2 over a
+    # (query, neighbor) group is Σ over the neighbor's m codewords — a
+    # per-NEIGHBOR constant (each (neighbor, sub) has exactly one code and
+    # the self-pair filter drops whole groups), so it moves out of the
+    # pair-scale aggregation into one corpus-sized pass; the exact same m
+    # BIGINTs feed the same sum, so the score is bit-identical
+    nn2 = (codes.join(F.broadcast(cnorms), ["sub", "code"])
+           .groupBy("neighbor_id").agg(F.sum("cn2").alias("_nn2")))
     scored = (codes.join(F.broadcast(lut), ["sub", "code"])
-              .join(F.broadcast(cnorms), ["sub", "code"])
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .groupBy("query_id", "neighbor_id")
-              .agg(((F.sum("qdot").cast("double") / F.lit(1000000.0))
-                    / F.sqrt(F.sum("cn2").cast("double") / F.lit(1000000.0)))
-                   .alias("adc_score")))
+              .agg(F.sum("qdot").alias("_qd"))
+              .join(F.broadcast(nn2), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      ((F.col("_qd").cast("double") / F.lit(1000000.0))
+                       / F.sqrt(F.col("_nn2").cast("double")
+                                / F.lit(1000000.0)))
+                      .alias("adc_score")))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(

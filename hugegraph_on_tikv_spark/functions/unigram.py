@@ -183,7 +183,8 @@ def mstep_vocab(segmented: DataFrame, prev_pieces: DataFrame) -> DataFrame:
 
 def unigram_train(docs: DataFrame, n_iters: int = 1, max_piece_len: int = 4,
                   n_multi: int = 200,
-                  text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                  text_col: str = "text",
+                  words: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """Fit the unigram model by hard-EM.  Returns (vocab, words): vocab is
     (piece, cnt, sc, token_id) — the tokenizer artifact, ids dense by
     (cnt DESC, piece ASC) — and words is the (word, freq) table.
@@ -191,8 +192,13 @@ def unigram_train(docs: DataFrame, n_iters: int = 1, max_piece_len: int = 4,
     Each EM iteration = one Viterbi E-step over the word table (one fold
     pass) + one integer M-step count; n_iters is small (1-2) by design —
     hard-EM converges in very few rounds and each round is vocab-sized.
+
+    `words` (r12, guide §2.4): callers that already hold the corpus'
+    (word, freq) table — e.g. one materialized by word_freqs and shared
+    with unigram_encode — pass it here so training never re-tokenizes
+    the corpus; it must equal word_freqs(docs, text_col).
     """
-    words = word_freqs(docs, text_col).persist()
+    words = (word_freqs(docs, text_col) if words is None else words).persist()
     pieces = seed_pieces(words, max_piece_len, n_multi).persist()
     for _ in range(n_iters):
         seg = viterbi_segment(words, piece_scores(pieces), max_piece_len)
@@ -219,17 +225,26 @@ def unigram_train(docs: DataFrame, n_iters: int = 1, max_piece_len: int = 4,
 def unigram_encode(docs: DataFrame, vocab: DataFrame,
                    max_piece_len: int = 4,
                    text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   words: DataFrame | None = None) -> DataFrame:
     """(id_col, wpos, spos, token_id): every document's token-id sequence
     under the trained vocab — Viterbi segmentation of the STREAM's own
     word table (foreign words segment through the always-retained
     character floor), then one stream join.  The corpus is touched
-    exactly twice (word table + stream join), both scale-right."""
+    exactly twice (word table + stream join), both scale-right.
+
+    `words` (r12, guide §2.4): a precomputed (word, freq) table covering
+    the stream's word domain (e.g. word_freqs of the SAME docs, shared
+    with training) replaces the stream-distinct pass — the Viterbi
+    segmentation is freq-independent (seg/sc are functions of the word
+    and the piece scores alone), so the emitted token ids are identical;
+    one fewer corpus tokenize pass."""
     stream = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("wpos", "word"))
-    swords = stream.select("word").distinct() \
-        .withColumn("freq", F.lit(1).cast("long"))
+    swords = (stream.select("word").distinct()
+              .withColumn("freq", F.lit(1).cast("long"))
+              if words is None else words.select("word", "freq"))
     seg = viterbi_segment(
         swords, vocab.select("piece", "sc"), max_piece_len)
     spieces = (seg.select("word", F.posexplode(F.split("seg", " "))

@@ -1475,6 +1475,16 @@ _LOUVAIN_BROADCAST_MAX = 2_000_000
 # alternated A/B can toggle it without code swaps.
 _LOUVAIN_ADJ_PARTITION = True
 
+# measurement aid (r12): per-round accept/reject + wall-clock trace, off by
+# default; enables action-schedule profiling without touching results
+import os as _os  # noqa: E402
+
+_LOUVAIN_TRACE = bool(_os.environ.get("LOUVAIN_TRACE"))
+# r12 A/B toggle (measurement only): disables the speculative next-round
+# fusion so alternated A/B pairs can isolate its effect.  Production
+# gating is `small` (the broadcast regime) — see _louvain_rounds.
+_LOUVAIN_NO_SPEC = bool(_os.environ.get("LOUVAIN_NO_SPEC"))
+
 
 def _bcast_if(df: DataFrame, small: bool) -> DataFrame:
     """Pagerank's broadcast-under-guard posture as a helper: the Louvain
@@ -1611,22 +1621,28 @@ def _local_move_proposal(und: DataFrame, lab: DataFrame, m: int,
     # constants shift every candidate's gain equally, so one min_by over
     # the partial score p = 4m·k_to − 2·k_v·d_cand picks the identical
     # winner and the full gain gates only that one row.
+    # r12 (guide §2.4): the FULL side table (incl. d_cur) joins enriched
+    # once and its per-vertex constants ride the argmax as EXTRA GROUP
+    # KEYS — _c/_d/d_cur are functions of id, so the groups (and the
+    # min_by winner) are identical, hash(id) still satisfies the
+    # clustered distribution, and the old second side broadcast + the
+    # scored join stage disappear from every round's critical path.
     enriched = (nbr.join(_bcast_if(d_c, small), "cand")
-                .join(_bcast_if(side.select("id", "_c", "_d"), small),
-                      "id"))
+                .join(_bcast_if(side.select("id", "_c", "_d", "d_cur"),
+                                small), "id"))
     p = four_m * _dec("k_to") - two * _dec("_d") * _dec("d_cand")
     is_own = F.when(F.col("cand") == F.col("_c"), F.lit(1)).otherwise(
         F.lit(0))
     ordk = F.struct(is_own.alias("o"), (-p).alias("np"),
                     F.col("cand").alias("c"))
-    agg = (enriched.groupBy("id")
+    agg = (enriched.groupBy("id", "_c", "_d", "d_cur")
            .agg(F.min_by(F.struct(F.col("cand").alias("c"),
                                   F.col("k_to").alias("kt"),
                                   F.col("d_cand").alias("dc")),
                          ordk).alias("win"),
                 F.max(F.when(F.col("cand") == F.col("_c"),
                              F.col("k_to"))).alias("k_own")))
-    scored = (agg.join(_bcast_if(side, small), "id")
+    scored = (agg
               .withColumn(
                   "gain",
                   four_m * (F.col("win.kt").cast("decimal(38,0)")
@@ -1695,7 +1711,8 @@ def modularity_local_move(edges: DataFrame, labels: DataFrame,
     return labels.select(*out_cols)
 
 
-def _louvain_invariants(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _louvain_invariants(und: DataFrame,
+                        small: bool = True) -> tuple[DataFrame, DataFrame]:
     """The labeling-independent Louvain level-1 iteration invariants,
     persisted: the degree table and the symmetric adjacency.
 
@@ -1708,14 +1725,18 @@ def _louvain_invariants(und: DataFrame) -> tuple[DataFrame, DataFrame]:
     paying two edge-scale Exchanges per round.  One up-front exchange
     buys 2×rounds of them; results are bit-identical (exact
     integer/decimal aggregates, total-order min_by key).  Executed-plan
-    pin: tests/test_graph_ops.py::test_louvain_proposal_round_exchange_free."""
+    pin: tests/test_graph_ops.py::test_louvain_proposal_round_exchange_free.
+    r12 (ADVICE r11): the repartition is gated on the BROADCAST regime —
+    past the guard (small=False) the per-round joins shuffle by other
+    keys anyway, so the up-front edge-scale exchange would be pure
+    overhead."""
     deg = (und.select(F.col("u").alias("id"))
            .unionByName(und.select(F.col("v").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("_d"))).persist()
     adj_base = (und.select(F.col("u").alias("id"), F.col("v").alias("b"))
                 .unionByName(
                     und.select(F.col("v").alias("id"), F.col("u").alias("b"))))
-    adj = (adj_base.repartition("id") if _LOUVAIN_ADJ_PARTITION
+    adj = (adj_base.repartition("id") if _LOUVAIN_ADJ_PARTITION and small
            else adj_base).persist()
     return deg, adj
 
@@ -1759,7 +1780,7 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
             cur = und.select(F.col("u").alias("id"),
                              F.col("u").alias(label_col))
         return cur, _numerator_from_und(und, m, cur, label_col), False
-    deg, adj = _louvain_invariants(und)
+    deg, adj = _louvain_invariants(und, small)
     try:
         if init_singletons:
             # the identity labeling over the und vertex domain IS
@@ -1778,41 +1799,82 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
         # rejected round leaves the labeling unchanged — the invariant
         # survives rejections, only an accept clears it)
         is_identity = init_singletons
-        for i in range(max_rounds):
-            lab = cur.select("id", F.col(label_col).alias("_c"))
+
+        def _mk_proposal(base: DataFrame, parity: int,
+                         identity: bool) -> DataFrame:
             # lazy checkpoint: the guard's numerator aggregation is the
             # next action anyway, so it materializes the checkpoint as a
             # side effect — one fewer eager job on the round's critical
             # path (round count is bounded, so plan depth stays bounded)
-            proposed = (_local_move_proposal(und, lab, m, small=small,
-                                             deg=deg, adj=adj,
-                                             parity=i % 2,
-                                             identity=is_identity)
-                        .withColumnRenamed("_c", label_col)
-                        .localCheckpoint(eager=False))
-            if prev_num is None:
-                # fused round-1 guard: proposed + baseline numerators in
-                # ONE collect (tagged contrib union)
-                cn = _contrib_from_und(und, m, proposed, label_col,
-                                       small=small, deg=deg) \
-                    .select(F.lit("n").alias("t"), "contrib")
-                if init_singletons:
-                    # singleton closed form: e_c = 0, so contrib = −d_v²
-                    d38 = F.col("_d").cast("decimal(38,0)")
-                    cb = deg.select(F.lit("b").alias("t"),
-                                    (-(d38 * d38)).alias("contrib"))
-                else:
-                    cb = _contrib_from_und(und, m, cur, label_col,
-                                           small=small, deg=deg) \
-                        .select(F.lit("b").alias("t"), "contrib")
+            lab = base.select("id", F.col(label_col).alias("_c"))
+            return (_local_move_proposal(und, lab, m, small=small,
+                                         deg=deg, adj=adj, parity=parity,
+                                         identity=identity)
+                    .withColumnRenamed("_c", label_col)
+                    .localCheckpoint(eager=False))
+
+        def _tagged(labels: DataFrame, tag: str) -> DataFrame:
+            return _contrib_from_und(und, m, labels, label_col,
+                                     small=small, deg=deg) \
+                .select(F.lit(tag).alias("t"), "contrib")
+
+        # r12 speculation (guide §2.6 — overlap independent work): each
+        # fused action computes the CURRENT proposal's numerator AND, on
+        # the accept-assumed branch, the NEXT round's proposal +
+        # numerator (the next proposal is a deterministic function of
+        # (labeling, parity), so when the accept lands — the measured
+        # common case — the following round costs zero actions and its
+        # job latency already overlapped this action's).  A rejected
+        # round discards the speculative branch and round i+1 re-derives
+        # from the unchanged labeling — decisions stay bit-identical to
+        # the sequential schedule because every (base, parity, prev_num)
+        # triple is the same.  Gated on the broadcast regime: past the
+        # guard the per-round jobs are compute-bound edge-scale shuffles
+        # where wasted speculative work is real money, and the latency
+        # this overlaps no longer dominates.
+        speculate = small and not _LOUVAIN_NO_SPEC
+        pending: tuple[DataFrame, int] | None = None
+        i = 0
+        while i < max_rounds:
+            if pending is not None:
+                proposed, num = pending
+                pending = None
+                spec = None  # consumed; the next fused action re-arms
+            else:
+                proposed = _mk_proposal(cur, i % 2, is_identity)
+                branches = [_tagged(proposed, "n")]
+                if prev_num is None:
+                    # fused round-1 guard: baseline numerator rides the
+                    # same collect
+                    if init_singletons:
+                        # singleton closed form: e_c = 0 ⇒ contrib = −d_v²
+                        d38 = F.col("_d").cast("decimal(38,0)")
+                        branches.append(
+                            deg.select(F.lit("b").alias("t"),
+                                       (-(d38 * d38)).alias("contrib")))
+                    else:
+                        branches.append(_tagged(cur, "b"))
+                spec_prop = None
+                if speculate and i + 1 < max_rounds:
+                    spec_prop = _mk_proposal(proposed, (i + 1) % 2, False)
+                    branches.append(_tagged(spec_prop, "s"))
+                uni = branches[0]
+                for b in branches[1:]:
+                    uni = uni.unionByName(b)
                 rows = {r["t"]: int(r["n"] or 0)
-                        for r in cn.unionByName(cb).groupBy("t")
+                        for r in uni.groupBy("t")
                         .agg(F.sum("contrib").alias("n")).collect()}
                 num = rows.get("n", 0)
-                prev_num = rows.get("b", 0)
-            else:
-                num = _numerator_from_und(und, m, proposed, label_col,
-                                          small=small, deg=deg)
+                if prev_num is None:
+                    prev_num = rows.get("b", 0)
+                spec = ((spec_prop, rows.get("s", 0))
+                        if spec_prop is not None else None)
+            if _LOUVAIN_TRACE:
+                import time as _t
+                print(f"# louvain L1 round {i} parity {i % 2}: "
+                      f"num={num} prev={prev_num} "
+                      f"{'ACCEPT' if num > prev_num else 'reject'} "
+                      f"t={_t.perf_counter():.2f}", flush=True)
             # continue, not break: rounds alternate the parity bit, so a
             # rejected round's SUCCESSOR proposes a different move set
             # (the pre-r10 break was only valid while proposals were a
@@ -1825,12 +1887,16 @@ def _louvain_rounds(und: DataFrame, m: int, cur: DataFrame,
             # no-ops) and skips the dead O(m) work
             if num <= prev_num:
                 consecutive_rejects += 1
+                # the speculative branch assumed an accept: discard it
                 if consecutive_rejects >= 2:
                     break
+                i += 1
                 continue
             consecutive_rejects = 0
             cur, prev_num, moved = proposed, num, True
             is_identity = False
+            pending = spec
+            i += 1
     finally:
         deg.unpersist()
         adj.unpersist()
@@ -1905,6 +1971,17 @@ def _numerator_from_sed(sed: DataFrame, m: int, slab: DataFrame,
     not per probed round)."""
     if m == 0:
         return 0
+    contrib = _contrib_from_sed(sed, m, slab, small=small, wdeg=wdeg)
+    n = contrib.agg(F.sum("contrib").alias("n")).collect()[0]["n"]
+    return int(n or 0)
+
+
+def _contrib_from_sed(sed: DataFrame, m: int, slab: DataFrame,
+                      small: bool = False,
+                      wdeg: DataFrame | None = None) -> DataFrame:
+    """Per-community contrib frame behind `_numerator_from_sed` — factored
+    out (r12) so the speculative round fusion can collect two labelings'
+    contracted-graph numerators in one tagged-union action."""
     plain = sed.filter(F.col("u2") != F.col("v2"))
     loops = sed.filter(F.col("u2") == F.col("v2"))
     su = slab.select(F.col("sid").alias("u2"), F.col("sc").alias("_cu"))
@@ -1926,14 +2003,12 @@ def _numerator_from_sed(sed: DataFrame, m: int, slab: DataFrame,
            .groupBy(F.col("sc").alias("_c"))
            .agg(F.sum("_d").alias("_ds")))
     four_m = F.lit(4 * m).cast("decimal(38,0)")
-    contrib = (d_c.join(_bcast_if(e_c, small), "_c", "left")
-               .select((four_m
-                        * F.coalesce("_e", F.lit(0)).cast("decimal(38,0)")
-                        - F.col("_ds").cast("decimal(38,0)")
-                        * F.col("_ds").cast("decimal(38,0)"))
-                       .alias("contrib")))
-    n = contrib.agg(F.sum("contrib").alias("n")).collect()[0]["n"]
-    return int(n or 0)
+    return (d_c.join(_bcast_if(e_c, small), "_c", "left")
+            .select((four_m
+                     * F.coalesce("_e", F.lit(0)).cast("decimal(38,0)")
+                     - F.col("_ds").cast("decimal(38,0)")
+                     * F.col("_ds").cast("decimal(38,0)"))
+                    .alias("contrib")))
 
 
 def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
@@ -2036,22 +2111,26 @@ def _weighted_move_proposal(sedges: DataFrame, slab: DataFrame,
     # community row rides along ranked strictly last (is_own flag) so no
     # pre-filter pass is needed — a winner equal to sc simply doesn't
     # move, exactly the old coalesce semantics.
+    # r12 (guide §2.4, same as _local_move_proposal): full side joins
+    # enriched once; its per-vertex constants become extra group keys
+    # (functions of sid — identical groups, identical winner, hash(sid)
+    # still clusters), deleting the second side broadcast + scored join.
     enriched = (nbr.join(_bcast_if(d_c, small), "cand")
-                .join(_bcast_if(side.select("sid", "sc", "_d"), small),
-                      "sid"))
+                .join(_bcast_if(side.select("sid", "sc", "_d", "d_cur"),
+                                small), "sid"))
     p = four_m * _dec("k_to") - two * _dec("_d") * _dec("d_cand")
     is_own = F.when(F.col("cand") == F.col("sc"), F.lit(1)).otherwise(
         F.lit(0))
     ordk = F.struct(is_own.alias("o"), (-p).alias("np"),
                     F.col("cand").alias("c"))
-    agg = (enriched.groupBy("sid")
+    agg = (enriched.groupBy("sid", "sc", "_d", "d_cur")
            .agg(F.min_by(F.struct(F.col("cand").alias("c"),
                                   F.col("k_to").alias("kt"),
                                   F.col("d_cand").alias("dc")),
                          ordk).alias("win"),
                 F.max(F.when(F.col("cand") == F.col("sc"),
                              F.col("k_to"))).alias("k_own")))
-    scored = (agg.join(_bcast_if(side, small), "sid")
+    scored = (agg
               .withColumn(
                   "gain",
                   four_m * (F.col("win.kt").cast("decimal(38,0)")
@@ -2204,8 +2283,10 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
                                               F.col("u2").alias("b"), "w")))
         # same hash(sid) posture as _louvain_rounds' adj: every probe
         # round's two super-graph aggregations reuse the cached
-        # partitioning under the broadcast regime
-        adj = (adj_base.repartition("sid") if _LOUVAIN_ADJ_PARTITION
+        # partitioning under the broadcast regime (r12, ADVICE r11:
+        # gated on `small` like the level-1 invariants)
+        adj = (adj_base.repartition("sid")
+               if _LOUVAIN_ADJ_PARTITION and small
                else adj_base).persist()
         slab = wdeg.select("sid", F.col("sid").alias("sc"))
         improved = False
@@ -2214,22 +2295,60 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
         # is ACCEPTED (rejections leave slab unchanged), so those rounds
         # take the label-join-free identity fast path
         slab_identity = True
+
+        def _mk_prop(base: DataFrame, parity: int,
+                     identity: bool) -> DataFrame:
+            # lazy checkpoint (see _louvain_rounds): the sed-numerator
+            # guard materializes it in the same action
+            return _weighted_move_proposal(sed, base, m, parity=parity,
+                                           small=small, wdeg=wdeg,
+                                           adj=adj, identity=identity) \
+                .localCheckpoint(eager=False)
+
+        def _tagged_sed(labels: DataFrame, tag: str) -> DataFrame:
+            return _contrib_from_sed(sed, m, labels, small=small,
+                                     wdeg=wdeg) \
+                .select(F.lit(tag).alias("t"), "contrib")
+
+        # r12 speculation — same schedule-preserving accept-assumed
+        # fusion as _louvain_rounds (see its comment), on the contracted
+        # graph; guard numerators stay the provably-equal sed form
+        speculate = small and not _LOUVAIN_NO_SPEC
+        pending: tuple[DataFrame, int] | None = None
         try:
-            for r in range(level2_rounds):
-                # lazy checkpoint (see _louvain_rounds): the sed-numerator
-                # guard materializes it in the same action
-                prop = _weighted_move_proposal(sed, slab, m, parity=r % 2,
-                                               small=small, wdeg=wdeg,
-                                               adj=adj,
-                                               identity=slab_identity) \
-                    .localCheckpoint(eager=False)
-                # guard on the CONTRACTED graph: _numerator_from_sed is
-                # provably equal to the original-graph numerator for this
-                # labeling (its docstring carries the proof), so accept
-                # decisions are bit-identical while each probe costs a
-                # super-graph aggregation instead of an O(m) pass
-                num = _numerator_from_sed(sed, m, prop, small=small,
-                                          wdeg=wdeg)
+            r = 0
+            while r < level2_rounds:
+                if pending is not None:
+                    prop, num = pending
+                    pending = None
+                    spec = None
+                else:
+                    prop = _mk_prop(slab, r % 2, slab_identity)
+                    branches = [_tagged_sed(prop, "n")]
+                    spec_prop = None
+                    if speculate and r + 1 < level2_rounds:
+                        spec_prop = _mk_prop(prop, (r + 1) % 2, False)
+                        branches.append(_tagged_sed(spec_prop, "s"))
+                    uni = branches[0]
+                    for b in branches[1:]:
+                        uni = uni.unionByName(b)
+                    rows = {row["t"]: int(row["n"] or 0)
+                            for row in uni.groupBy("t")
+                            .agg(F.sum("contrib").alias("n")).collect()}
+                    # guard on the CONTRACTED graph: _numerator_from_sed
+                    # is provably equal to the original-graph numerator
+                    # for this labeling (docstring proof), so accept
+                    # decisions are bit-identical while each probe costs
+                    # a super-graph aggregation instead of an O(m) pass
+                    num = rows.get("n", 0)
+                    spec = ((spec_prop, rows.get("s", 0))
+                            if spec_prop is not None else None)
+                if _LOUVAIN_TRACE:
+                    import time as _t
+                    print(f"# louvain L2+ round {r} parity {r % 2}: "
+                          f"num={num} prev={prev_num} "
+                          f"{'ACCEPT' if num > prev_num else 'reject'} "
+                          f"t={_t.perf_counter():.2f}", flush=True)
                 if num <= prev_num:
                     # two consecutive rejections across both parities =
                     # fixpoint; later rounds replay them (see
@@ -2237,10 +2356,13 @@ def louvain_full(edges: DataFrame, label_col: str = "community",
                     rejects += 1
                     if rejects >= 2:
                         break
+                    r += 1
                     continue
                 rejects = 0
                 slab, prev_num, improved = prop, num, True
                 slab_identity = False
+                pending = spec
+                r += 1
         finally:
             wdeg.unpersist()
             adj.unpersist()

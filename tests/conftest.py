@@ -5,6 +5,58 @@ from pyspark.sql import SparkSession
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# r12 (VERDICT r11 #1): the `slow` tier — every test measured >= ~12s in
+# the round-12 full-suite run (571 passed, 30m41s; --durations=120 output
+# committed in OPTIMIZATION_r12.md).  These are the multi-minute Spark
+# iteration loops and the heaviest oracle replays; the driver's correctness
+# gate independently re-checks every roster row against DuckDB, so the
+# default tier keeps the per-operator unit/equivalence signal while
+# fitting the driver's pytest budget.  Centralized here (one auditable
+# list, no per-file decorator sprawl); nothing is deleted or weakened —
+# `-m slow` runs this tier, `-m ""` runs everything, and the round's own
+# end-of-round verification runs the FULL suite.
+_SLOW_TESTS = {
+    "test_plans.py::test_whole_roster_lints_clean",
+    "test_graph_ops.py::test_hits_tol_early_exit_matches_fixed",
+    "test_graph_ops.py::test_k_truss_delta_matches_full_recount",
+    "test_oracle_diff.py::test_query_matches_oracle[text_quality_suite]",
+    "test_graph_ops.py::test_louvain_full_never_decreases_and_keeps_planted",
+    "test_oracle_diff.py::test_query_matches_oracle[g_components]",
+    "test_oracle_diff.py::test_query_matches_oracle[g_pagerank]",
+    "test_oracle_diff.py::test_query_matches_oracle[dsl_counts]",
+    "test_graph_ops.py::test_louvain_full_contraction_improves_resolution_limit",
+    "test_graph_ops.py::test_louvain_identity_proposal_fastpath_equal",
+    "test_property.py::test_lm_two_path_join_property",
+    "test_oracle_diff.py::test_query_matches_oracle[dsl_rows]",
+    "test_property.py::test_kmv_join_size_exact_when_k_covers_domain",
+    "test_graph_ops.py::test_modularity_local_move_improves_and_never_decreases",
+    "test_graph_ops.py::test_louvain_level1_parity_breaks_ring_oscillation",
+    "test_oracle_diff.py::test_query_matches_oracle[sim_ivf_topk]",
+    "test_graph_ops.py::test_pagerank_warm_start_converges_faster",
+    "test_similarity.py::test_ivf_maybe_compact_refits_drifted_index",
+    "test_edge_layout_ivm.py::test_upsert_touches_only_mutated_buckets",
+    "test_oracle_diff.py::test_query_matches_oracle[mm_extract_features]",
+    "test_property.py::test_bloom_decontam_equals_set_mode_property",
+    "test_oracle_diff.py::test_query_matches_oracle[dedup_pairs]",
+    "test_graph_ops.py::test_greedy_coloring_proper_and_minimal_palette",
+    "test_oracle_diff.py::test_query_matches_oracle[g_khop2]",
+    "test_graph_ops.py::test_hits_known_values",
+    "test_graph_ops.py::test_diameter_double_sweep",
+    "test_oracle_diff.py::test_query_matches_oracle[g_paths]",
+    "test_similarity.py::test_contrastive_mining_index_path_equals_inline",
+    "test_graph_ops.py::test_cc_and_mis_broadcast_fallback_equality",
+    "test_property.py::test_heavy_hitters_matches_exact_model",
+    "test_graph_ops.py::test_spanning_forest_matches_kruskal_random",
+    "test_graph_ops.py::test_louvain_full_three_level_schedule_is_monotone",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark() -> SparkSession:

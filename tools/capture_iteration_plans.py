@@ -18,8 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hugegraph_on_tikv_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         "plans", "r11")
+PLANS_DIR = os.environ.get(
+    "PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "plans", "r11"))
 
 
 def main() -> None:
@@ -72,6 +74,16 @@ def main() -> None:
             edges, [1, 2, 3], 5, p=4.0, q=0.25, walks_per_node=2),
         "louvain": lambda: analytics.louvain_full(
             edges, level1_rounds=3, level2_rounds=2, max_levels=3),
+        # r12: the VERDICT r11 #6 asks — forest per-round dumps plus the
+        # k_core/core_numbers/label_propagation join-strategy probes
+        "forest": lambda: analytics.spanning_forest(
+            edges.select("src", "dst",
+                         (F.col("src") % 97 + 1).cast("double")
+                         .alias("weight")),
+            max_rounds=8),
+        "kcore": lambda: analytics.k_core(edges, k=3, max_iterations=6),
+        "corenum": lambda: analytics.core_numbers(edges),
+        "lpa": lambda: analytics.label_propagation(edges, iterations=4),
     }
     for op in ops:
         captured.clear()
