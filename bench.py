@@ -202,18 +202,31 @@ def main() -> None:
     try:
         store_plain = GraphStore(spark, SF_DIR)       # /tmp parquet cache
         store_layout = GraphStore(spark, SF_DIR)
-        # warm the plain cache OUTSIDE timing so "plain" sides below pay
-        # read+join only, not view derivation (both sides then compare the
-        # same work: pre-materialized parquet in, join out)
+        # r12 (VERDICT r11 #7): the GraphStore /tmp parquet view cache
+        # (sources/graph.py _materialized — derived vertex/edge views
+        # keyed on the fixture dir + mtimes) is an AMORTIZED ARTIFACT
+        # like the dual layout below.  Build — or observe — it HERE,
+        # timed, so its cost is explicit in the bench artifact
+        # ("amortized" in the one-line JSON + these keys in BENCH_FULL)
+        # instead of implicit in whichever earlier run in the container
+        # paid it.  This doubles as the plain-copy warm-up the layout
+        # comparison needs (both sides then pay read+join only).
+        cache_cold = not os.path.exists(
+            os.path.join(store_plain._cache_path("edges"), "_SUCCESS"))
+        t0 = time.perf_counter()
         store_plain.edges().write.format("noop").mode("overwrite").save()
         store_plain.edges(order_by="dst").write.format("noop").mode("overwrite").save()
+        store_plain.vertices().write.format("noop").mode("overwrite").save()
+        layout_metrics["graphstore_cache_build"] = round(
+            time.perf_counter() - t0, 3)
+        layout_metrics["graphstore_cache_was_cold"] = cache_cold
         t0 = time.perf_counter()
         layout = store_layout.materialize_dual_layout(
             tmp, buckets=32, name="bench_dual_edges")
         layout_metrics["materialize_both_copies"] = round(time.perf_counter() - t0, 3)
         # vertex copy joins the layout-on configuration: property expansion
-        # in the series below then runs exchange-free on both sides
-        store_plain.vertices().write.format("noop").mode("overwrite").save()
+        # in the series below then runs exchange-free on both sides (the
+        # plain vertex warm-up moved into the timed cache block above)
         t0 = time.perf_counter()
         store_layout.materialize_vertex_layout(
             os.path.join(tmp, "vertices"), buckets=32, name="bench_vertices")
@@ -585,6 +598,17 @@ def main() -> None:
         "queries_layout": result_full["queries_layout"],
         "queries_layout_plain": result_full["queries_layout_plain"],
         "steady_state": steady,
+        # r12 (VERDICT r11 #7): per-fresh-container amortized artifacts,
+        # declared in the one-line JSON — the timed headline queries read
+        # these pre-built copies (graphstore view cache + dual layout)
+        "amortized": {
+            "graphstore_cache_build":
+                layout_metrics.get("graphstore_cache_build"),
+            "graphstore_cache_was_cold":
+                layout_metrics.get("graphstore_cache_was_cold"),
+            "dual_layout_build":
+                layout_metrics.get("materialize_both_copies"),
+        },
         "extras": extras,
         "full_json": "BENCH_FULL.json",
     }
@@ -592,7 +616,7 @@ def main() -> None:
     # capture-limit guard: shed detail (kept in BENCH_FULL.json) until the
     # line fits; queries/value are never shed.
     for shed in ("extras", "queries_layout_plain", "queries_layout",
-                 "steady_state", "twin_ratios"):
+                 "steady_state", "amortized", "twin_ratios"):
         if len(line) <= 1800:
             break
         compact.pop(shed, None)

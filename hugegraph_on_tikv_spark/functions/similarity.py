@@ -1102,11 +1102,8 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, m: int = 4,
     # scans in the committed before-plan; 3 identical training subtrees)
     books = pq_train(corpus, m, n_codes, refine_iters, id_col, vec_col) \
         .localCheckpoint(eager=False)
-    # codes now has two consumers (scored + the hoisted per-neighbor norm
-    # below) — lazy checkpoint so the corpus encode runs once
     codes = pq_encode(corpus, books, m, id_col, vec_col) \
-        .withColumnRenamed(id_col, "neighbor_id") \
-        .localCheckpoint(eager=False)
+        .withColumnRenamed(id_col, "neighbor_id")
     dim = _vec_dim(queries, vec_col)
     qslices = _pq_slices(queries, m, dim, id_col, vec_col, "query_id")
     lut = (qslices.join(F.broadcast(books), "sub")
@@ -1117,24 +1114,21 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5, m: int = 4,
         "sub", "code",
         F.round(dot(F.col("c_vec"), F.col("c_vec")) * 1000000)
         .cast("long").alias("cn2"))
-    # r12 (guide §1.2, the quantized_topk norm-hoist): Σcn2 over a
-    # (query, neighbor) group is Σ over the neighbor's m codewords — a
-    # per-NEIGHBOR constant (each (neighbor, sub) has exactly one code and
-    # the self-pair filter drops whole groups), so it moves out of the
-    # pair-scale aggregation into one corpus-sized pass; the exact same m
-    # BIGINTs feed the same sum, so the score is bit-identical
-    nn2 = (codes.join(F.broadcast(cnorms), ["sub", "code"])
-           .groupBy("neighbor_id").agg(F.sum("cn2").alias("_nn2")))
+    # r12 audit note (guide §1.1 discipline): hoisting Σcn2 to a
+    # per-NEIGHBOR norm table (it is a per-neighbor constant — each
+    # (neighbor, sub) has exactly one code) was built and MEASURED WORSE
+    # (warm 4.0-4.7s → 5.0-5.4s over three alternated pairs): the
+    # replacement broadcast probe lands on every aggregated (query,
+    # neighbor) row and the codes table needs a checkpoint for its
+    # second consumer, costing more than the map-side-combined extra sum
+    # column it removed.  Reverted; the in-aggregation cn2 sum stands.
     scored = (codes.join(F.broadcast(lut), ["sub", "code"])
+              .join(F.broadcast(cnorms), ["sub", "code"])
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .groupBy("query_id", "neighbor_id")
-              .agg(F.sum("qdot").alias("_qd"))
-              .join(F.broadcast(nn2), "neighbor_id")
-              .select("query_id", "neighbor_id",
-                      ((F.col("_qd").cast("double") / F.lit(1000000.0))
-                       / F.sqrt(F.col("_nn2").cast("double")
-                                / F.lit(1000000.0)))
-                      .alias("adc_score")))
+              .agg(((F.sum("qdot").cast("double") / F.lit(1000000.0))
+                    / F.sqrt(F.sum("cn2").cast("double") / F.lit(1000000.0)))
+                   .alias("adc_score")))
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(

@@ -1484,6 +1484,14 @@ _LOUVAIN_TRACE = bool(_os.environ.get("LOUVAIN_TRACE"))
 # fusion so alternated A/B pairs can isolate its effect.  Production
 # gating is `small` (the broadcast regime) — see _louvain_rounds.
 _LOUVAIN_NO_SPEC = bool(_os.environ.get("LOUVAIN_NO_SPEC"))
+# r12 probe, MEASURED NEUTRAL AND REVERTED (guide §1.1): running the
+# id-keyed vertex-scale joins (side, enriched⋈side, lab⟕best, deg⋈lab)
+# as plain co-partitioned joins instead of broadcasts did NOT drop the
+# job count (136 → 141) or the wall clock (41.9/45.9 → 41.3/41.2
+# alternated): the planner does not see the checkpoint/cache hash(id)
+# co-partitioning at plan time, inserts exchanges, and AQE then demotes
+# them back to broadcast joins — paying a shuffle write on top of the
+# broadcast build.  The explicit broadcast-under-guard posture stands.
 
 
 def _bcast_if(df: DataFrame, small: bool) -> DataFrame:
