@@ -235,7 +235,16 @@ def pagerank(edges: DataFrame, iterations: int = 10, reset: float = 0.15,
                 )
             )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint(eager=True)
+                # r12 (guide §1.2 action budget): with no tolerance probe
+                # there is nothing to LOOK at between iterations — the
+                # in-loop checkpoints still cut lineage when materialized,
+                # so they can all ride the final action instead of paying
+                # one eager driver round trip each (5 actions → 1 for the
+                # 10-iteration flagship).  Single-reference chain, so no
+                # lineage doubling (the node2vec failure mode).  With
+                # tol set, the delta probe needs each checkpoint NOW —
+                # keep those eager.
+                ranks = ranks.localCheckpoint(eager=tol is not None)
                 if tol is not None:
                     if prev_ck is not None:
                         delta = (ranks.alias("n")
@@ -330,7 +339,10 @@ def katz_centrality(edges: DataFrame, iterations: int = 8,
                 )
             )
             if checkpoint_every and (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint(eager=True)
+                # r12: lazy — nothing reads the state between iterations
+                # (see pagerank); all in-loop checkpoints ride the final
+                # eager action
+                ranks = ranks.localCheckpoint(eager=False)
         if iterations:
             ranks = verts.join(ranks, "id", "left").select(
                 "id",
@@ -3072,17 +3084,32 @@ def maximal_independent_set(edges: DataFrame,
         # every one of these joins shuffled the EDGE-scale adjacency
         # (SortMergeJoin in the captured round plans).  Past the guard the
         # shuffle plan stays.
+        # r12 (ADVICE r11, guide §2.3 "keys, not payloads"): the row-count
+        # guard ignored row WIDTH — the ~45-char prio string made a
+        # 4M-row broadcast ~250MB+.  Fixes: (a) the b-side broadcast now
+        # carries BARE ids and prio_b is recomputed probe-side (prio is a
+        # pure function of the id — identical strings, codegen'd md5 per
+        # probe row instead of 6× the broadcast bytes); (b) frames that
+        # still carry a prio-width string (min_nb's mn) broadcast under a
+        # HALVED guard (_bw) sized for their ~4× wider rows.
         def _b(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if n_act <= broadcast_max_vertices else df
 
+        def _bw(df: DataFrame) -> DataFrame:
+            return (F.broadcast(df)
+                    if n_act <= broadcast_max_vertices // 2 else df)
+
+        prio_b = F.concat_ws(
+            ":", F.md5(F.col("b").cast("string")),
+            F.lpad(F.col("b").cast("string"), 12, "0"))
         act_nb = (
             adj.join(_b(active.select(F.col("id").alias("a"))), "a")
-            .join(_b(active.select(F.col("id").alias("b"),
-                                   F.col("prio").alias("prio_b"))), "b")
+            .join(_b(active.select(F.col("id").alias("b"))), "b")
+            .withColumn("prio_b", prio_b)
         )
         min_nb = act_nb.groupBy("a").agg(F.min("prio_b").alias("mn"))
         sel = _ckpt_fresh(
-            active.join(_b(min_nb.withColumnRenamed("a", "id")), "id", "left")
+            active.join(_bw(min_nb.withColumnRenamed("a", "id")), "id", "left")
             .filter(F.col("mn").isNull() | (F.col("prio") < F.col("mn")))
             .select("id")
         )
